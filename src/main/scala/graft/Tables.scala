@@ -15,8 +15,13 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  def load(spark: SparkSession, dir: String, name: String): DataFrame =
+  def load(spark: SparkSession, dir: String, name: String): DataFrame = {
+    // events.ts is TIMESTAMP(NANOS), which Spark 4 rejects by default;
+    // read it as a raw nanos-since-epoch long instead (callers derive
+    // ms via `ts DIV 1000000` — integer-exact, matches DuckDB epoch_ms).
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.read.parquet(s"$dir/$name.parquet")
+  }
 
   /** Convenience bundle of all tables at a scale-factor dir. */
   final case class Tpch(spark: SparkSession, dir: String) {

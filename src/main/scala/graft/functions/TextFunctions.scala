@@ -1,0 +1,105 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis column functions for large-scale corpus pipelines:
+  * token counting, punctuation/stopword ratios, quality scoring,
+  * n-gram-heuristic language ID, and document fingerprinting.
+  *
+  * All of these are compositions of codegen'd built-ins (no UDFs), so
+  * they stay inside whole-stage codegen and scale linearly with the
+  * scan — the property that matters at 100 TB. Where a DuckDB oracle
+  * exists, the arithmetic is integer-count based (replace/length
+  * tricks) so results are bit-exact across engines.
+  */
+object TextFunctions {
+
+  /** Whitespace token count: number of single-space-split fields. */
+  def tokenCount(text: Column): Column = size(split(text, " "))
+
+  /** Occurrence count of a literal substring via the length/replace
+    * trick — exact, engine-portable integer arithmetic.
+    */
+  def occurrences(text: Column, needle: String): Column =
+    (length(text) - length(replace(text, lit(needle), lit("")))) / needle.length
+
+  /** Ratio of punctuation chars to total chars. */
+  def punctRatio(text: Column): Column =
+    (length(text) - length(translate(text, ".,!?;:'\"-", ""))).cast("double") /
+      length(text)
+
+  /** Ratio of English stopword hits to token count (padded search so
+    * word boundaries are respected).
+    */
+  def stopwordRatio(text: Column): Column = {
+    val padded = concat(lit(" "), text, lit(" "))
+    val hits = Seq("the", "and", "a", "of", "to", "in")
+      .map(w => occurrences(padded, s" $w "))
+      .reduce(_ + _)
+    hits.cast("double") / tokenCount(text)
+  }
+
+  /** Mean token length (chars excluding separators / token count). */
+  def meanTokenLen(text: Column): Column =
+    (length(text) - (tokenCount(text) - 1)).cast("double") / tokenCount(text)
+
+  /** Heuristic quality score in [0,1]: rewards mid-length docs,
+    * plausible word lengths, and stopword presence; penalizes heavy
+    * punctuation. Deterministic double arithmetic (same expression
+    * tree on both engines).
+    */
+  def qualityScore(text: Column): Column = {
+    val ntok = tokenCount(text).cast("double")
+    val lenScore = least(ntok / lit(64.0), lit(1.0))
+    val wordLen = meanTokenLen(text)
+    val wordScore = when(wordLen >= 3 && wordLen <= 10, lit(1.0)).otherwise(lit(0.5))
+    val stopScore = least(stopwordRatio(text) * lit(4.0), lit(1.0))
+    val punctPenalty = least(punctRatio(text) * lit(2.0), lit(0.5))
+    least(greatest(
+      lit(0.4) * lenScore + lit(0.3) * wordScore + lit(0.3) * stopScore - punctPenalty,
+      lit(0.0)), lit(1.0))
+  }
+
+  /** Per-language marker-word sets for the n-gram/stopword language-ID
+    * heuristic. Deliberately tiny: language ID at corpus scale is a
+    * scan-local scoring pass; swap in bigger tables without changing
+    * the plan shape.
+    */
+  val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("der", "und", "die", "nicht"),
+    "en" -> Seq("the", "and", "of", "is"),
+    "es" -> Seq("el", "los", "que", "y"),
+    "fr" -> Seq("le", "la", "et", "les"),
+    "zh" -> Seq("的", "是", "了"))
+
+  private def langScore(text: Column, words: Seq[String]): Column =
+    words.map(w => occurrences(concat(lit(" "), text, lit(" ")), s" $w ")).reduce(_ + _)
+
+  /** Predicted language code: argmax marker score with deterministic
+    * alphabetical tie-break ("unk" only if all scores are zero is NOT
+    * used — ties fall to the first code — keeping the output total).
+    */
+  def langId(text: Column): Column = {
+    val scores = langMarkers.map { case (code, words) => code -> langScore(text, words) }
+    val maxScore = greatest(scores.map(_._2): _*)
+    // fold from the right so the FIRST (alphabetical) max wins ties
+    scores.foldRight(lit(scores.head._1)) { case ((code, s), acc) =>
+      when(s === maxScore, lit(code)).otherwise(acc)
+    }
+  }
+
+  /** Stable document fingerprint: md5 of the lower-cased,
+    * whitespace-collapsed text. Engine-portable (md5 exists in both
+    * Spark and DuckDB with identical hex output).
+    */
+  def fingerprintMd5(text: Column): Column =
+    md5(trim(regexp_replace(lower(text), "\\s+", " ")))
+
+  /** 64-bit rolling (polynomial) fingerprint over tokens — the cheap
+    * non-cryptographic variant for shard-local dedup keys. xxhash64 is
+    * Spark-native and codegen'd.
+    */
+  def fingerprint64(text: Column): Column =
+    xxhash64(trim(regexp_replace(lower(text), "\\s+", " ")))
+}

@@ -1,0 +1,123 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+
+/** Event-stream battery over the `events` table: semi-structured path
+  * extraction (the reference's `./` child step over JSON props),
+  * try-except expressions, and gaps-and-islands sessionization (the
+  * batch dual of the streaming sessionizer in graft.streaming).
+  *
+  * `events.ts` is ns-precision in parquet; Spark truncates to µs while
+  * DuckDB keeps ns, so timestamps are always surfaced as epoch millis
+  * (`unix_millis` / `epoch_ms`) — integer-exact in both engines.
+  */
+object EventsQueries {
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // ---- q21: child path step over JSON (SURVEY §2.2 `e ./ f`) ----
+    // The reference walks dynamic dicts per tuple (Executor.py:47-63);
+    // here the JSON path evaluates inside the scan projection.
+    QueryDef(
+      "q21_json_path",
+      (s, dir) => {
+        Tables.load(s, dir, "events")
+          .select(col("event_id"),
+            get_json_object(col("props"), "$.k").cast("long").as("k"))
+          .filter(col("k") > 50)
+          .orderBy(col("event_id"))
+      },
+      Some("""
+        SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+        FROM events
+        WHERE CAST(json_extract_string(props, '$.k') AS BIGINT) > 50
+        ORDER BY event_id""")),
+
+    // ---- q22: try-except expression (SURVEY §2.2 `try e1 except e2`) ----
+    // `try int(x) except 0` → COALESCE(TRY_CAST(...), fallback); one
+    // branch that always succeeds, one that always fails.
+    QueryDef(
+      "q22_try_except",
+      (s, dir) => {
+        Tables.load(s, dir, "part")
+          .select(col("p_partkey"),
+            coalesce(expr("try_cast(substring(p_brand, 7) AS BIGINT)"), lit(0L))
+              .as("brand_num"),
+            coalesce(expr("try_cast(p_type AS BIGINT)"), lit(-1L)).as("type_num"))
+          .orderBy(col("p_partkey"))
+      },
+      Some("""
+        SELECT p_partkey,
+               COALESCE(TRY_CAST(SUBSTR(p_brand, 7) AS BIGINT), 0) AS brand_num,
+               COALESCE(TRY_CAST(p_type AS BIGINT), -1) AS type_num
+        FROM part ORDER BY p_partkey""")),
+
+    // ---- q23: sessionization (gaps-and-islands, 30-min gap) ----
+    // Batch dual of streaming session windows; at 100 TB this is one
+    // shuffle on user_id then two linear window passes — no
+    // per-session materialization.
+    QueryDef(
+      "q23_sessionize",
+      (s, dir) => {
+        val byUser = Window.partitionBy(col("user_id"))
+          .orderBy(col("tms"), col("event_id"))
+        val e = Tables.load(s, dir, "events")
+          .select(col("user_id"), col("event_id"),
+            expr("ts DIV 1000000").as("tms"), col("value"))
+        val flagged = e.withColumn("prev_tms", lag(col("tms"), 1).over(byUser))
+          .withColumn("is_new",
+            when(col("prev_tms").isNull || col("tms") - col("prev_tms") > 1800000L, 1L)
+              .otherwise(0L))
+        flagged
+          .withColumn("session_id",
+            sum(col("is_new")).over(byUser.rowsBetween(Window.unboundedPreceding, 0)))
+          .groupBy(col("user_id"), col("session_id"))
+          .agg(count(lit(1)).as("n_events"),
+            min(col("tms")).as("start_ms"), max(col("tms")).as("end_ms"),
+            sum(col("value").cast(DecimalType(18, 4))).cast("double").as("session_value"))
+          .orderBy(col("user_id"), col("session_id"))
+      },
+      Some("""
+        WITH e AS (
+          SELECT user_id, event_id, epoch_ms(ts) AS tms, value FROM events),
+        flagged AS (
+          SELECT user_id, event_id, tms, value,
+                 CASE WHEN LAG(tms) OVER w IS NULL
+                        OR tms - LAG(tms) OVER w > 1800000 THEN 1 ELSE 0 END AS is_new
+          FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tms, event_id)),
+        sess AS (
+          SELECT user_id, tms, value,
+                 CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY tms, event_id
+                                        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+          FROM flagged)
+        SELECT user_id, session_id, COUNT(*) AS n_events,
+               MIN(tms) AS start_ms, MAX(tms) AS end_ms,
+               CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS session_value
+        FROM sess
+        GROUP BY user_id, session_id
+        ORDER BY user_id, session_id""")),
+
+    // ---- q24: time-bucketed aggregation (tumbling event-time window,
+    // the batch shape of Structured Streaming's window()) ----
+    QueryDef(
+      "q24_time_buckets",
+      (s, dir) => {
+        Tables.load(s, dir, "events")
+          .groupBy((expr("ts DIV 1000000") - pmod(expr("ts DIV 1000000"), lit(3600000L)))
+            .as("hour_bucket_ms"), col("event_type"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("value").cast(DecimalType(18, 4))).cast("double").as("total_value"))
+          .orderBy(col("hour_bucket_ms"), col("event_type"))
+      },
+      Some("""
+        SELECT epoch_ms(ts) - (epoch_ms(ts) % 3600000) AS hour_bucket_ms,
+               event_type, COUNT(*) AS n,
+               CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+        FROM events
+        GROUP BY hour_bucket_ms, event_type
+        ORDER BY hour_bucket_ms, event_type"""))
+  )
+}

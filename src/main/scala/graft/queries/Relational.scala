@@ -186,7 +186,7 @@ object Relational {
         val w = Window.partitionBy(col("o_custkey"))
           .orderBy(col("o_orderdate"), col("o_orderkey"))
         Tables.load(s, dir, "orders")
-          .withColumn("pos", row_number().over(w) - lit(1))
+          .withColumn("pos", (row_number().over(w) - lit(1)).cast("long"))
           .select(col("o_custkey"), col("o_orderkey"), col("pos"))
           .orderBy(col("o_custkey"), col("pos"))
       },
@@ -254,7 +254,7 @@ object Relational {
         val w = Window.partitionBy(col("s_nationkey"))
           .orderBy(col("s_acctbal").desc, col("s_suppkey"))
         Tables.load(s, dir, "supplier")
-          .withColumn("rnk", rank().over(w))
+          .withColumn("rnk", rank().over(w).cast("long"))
           .filter(col("rnk") <= 3)
           .select(col("s_nationkey"), col("s_suppkey"), col("s_acctbal"), col("rnk"))
           .orderBy(col("s_nationkey"), col("rnk"), col("s_suppkey"))

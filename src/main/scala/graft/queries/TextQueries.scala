@@ -1,0 +1,118 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.TextFunctions._
+
+/** Text-analysis battery over the `documents` table: token counting,
+  * quality scoring, language ID, fingerprinting, exact dedup. Each
+  * Spark query is a composition of codegen'd built-ins; each oracle is
+  * the same arithmetic spelled in DuckDB SQL (mirror-generated below so
+  * the two can't drift).
+  */
+object TextQueries {
+
+  // ---- SQL mirrors of TextFunctions (same expression trees) ----
+  private def occSql(t: String, w: String): String =
+    s"(length($t) - length(replace($t, '$w', ''))) / ${w.length}"
+  private val padded = "(' ' || text || ' ')"
+  private val ntokSql = "len(string_split(text, ' '))"
+  private val stopRatioSql = {
+    val hits = Seq("the", "and", "a", "of", "to", "in")
+      .map(w => occSql(padded, s" $w ")).mkString(" + ")
+    s"CAST($hits AS DOUBLE) / $ntokSql"
+  }
+  private val punctRatioSql =
+    s"""CAST(length(text) - length(translate(text, '.,!?;:''"-', '')) AS DOUBLE) / length(text)"""
+  private val meanTokSql =
+    s"CAST(length(text) - ($ntokSql - 1) AS DOUBLE) / $ntokSql"
+  private val qualitySql = {
+    val lenScore = s"least(CAST($ntokSql AS DOUBLE) / 64.0, 1.0)"
+    val wordScore = s"CASE WHEN $meanTokSql >= 3 AND $meanTokSql <= 10 THEN 1.0 ELSE 0.5 END"
+    val stopScore = s"least($stopRatioSql * 4.0, 1.0)"
+    val punctPen = s"least($punctRatioSql * 2.0, 0.5)"
+    s"least(greatest(0.4 * $lenScore + 0.3 * $wordScore + 0.3 * $stopScore - $punctPen, 0.0), 1.0)"
+  }
+  private val langIdSql = {
+    val scores = langMarkers.map { case (code, words) =>
+      code -> words.map(w => occSql(padded, s" $w ")).mkString(" + ")
+    }
+    val maxExpr = s"greatest(${scores.map(s => s"(${s._2})").mkString(", ")})"
+    val cases = scores.map { case (code, s) => s"WHEN ($s) = $maxExpr THEN '$code'" }
+      .mkString(" ")
+    s"CASE $cases ELSE '${scores.head._1}' END"
+  }
+  private val fpSql = "md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))"
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // ---- q16: token counting (whitespace tokens + chars) ----
+    QueryDef(
+      "q16_token_stats",
+      (s, dir) => {
+        val d = Tables.load(s, dir, "documents")
+        d.select(col("doc_id"), tokenCount(col("text")).cast("long").as("n_tokens"),
+          length(col("text")).cast("long").as("len_chars"),
+          meanTokenLen(col("text")).as("mean_token_len"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""
+        SELECT doc_id, $ntokSql AS n_tokens, length(text) AS len_chars,
+               $meanTokSql AS mean_token_len
+        FROM documents ORDER BY doc_id""")),
+
+    // ---- q17: quality scoring (length/punct/stopword ratios) ----
+    QueryDef(
+      "q17_quality_score",
+      (s, dir) => {
+        Tables.load(s, dir, "documents")
+          .select(col("doc_id"), stopwordRatio(col("text")).as("stop_ratio"),
+            punctRatio(col("text")).as("punct_ratio"),
+            qualityScore(col("text")).as("quality"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""
+        SELECT doc_id, $stopRatioSql AS stop_ratio, $punctRatioSql AS punct_ratio,
+               $qualitySql AS quality
+        FROM documents ORDER BY doc_id""")),
+
+    // ---- q18: language ID (marker-word heuristic, argmax with
+    // alphabetical tie-break) ----
+    QueryDef(
+      "q18_lang_id",
+      (s, dir) => {
+        Tables.load(s, dir, "documents")
+          .select(col("doc_id"), col("lang").as("lang_meta"),
+            langId(col("text")).as("lang_pred"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""
+        SELECT doc_id, lang AS lang_meta, $langIdSql AS lang_pred
+        FROM documents ORDER BY doc_id""")),
+
+    // ---- q19: document fingerprinting (normalized md5) ----
+    QueryDef(
+      "q19_fingerprint",
+      (s, dir) => {
+        Tables.load(s, dir, "documents")
+          .select(col("doc_id"), fingerprintMd5(col("text")).as("fp"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""
+        SELECT doc_id, $fpSql AS fp FROM documents ORDER BY doc_id""")),
+
+    // ---- q20: exact deduplication (hash-groupBy on normalized text;
+    // keeper = min doc_id, like a 100 TB-scale keep-first policy) ----
+    QueryDef(
+      "q20_dedup_exact",
+      (s, dir) => {
+        Tables.load(s, dir, "documents")
+          .groupBy(fingerprintMd5(col("text")).as("fp"))
+          .agg(min(col("doc_id")).as("keeper_id"), count(lit(1)).as("n_copies"))
+          .orderBy(col("keeper_id"))
+      },
+      Some(s"""
+        SELECT $fpSql AS fp, MIN(doc_id) AS keeper_id, COUNT(*) AS n_copies
+        FROM documents GROUP BY fp ORDER BY keeper_id"""))
+  )
+}
