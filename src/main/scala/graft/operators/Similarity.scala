@@ -1,0 +1,88 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.VectorFunctions._
+
+import scala.util.Random
+
+/** Approximate-nearest-neighbor search over an `array<float>`
+  * embedding column.
+  *
+  * Baseline: brute-force cosine top-k — broadcast the (small) query
+  * set, one scan over the corpus, per-query top-k. At 1000 executors
+  * this is a map-side join + a top-k aggregation: no corpus shuffle.
+  *
+  * Scale path: random-hyperplane LSH (`lshTopK`) — L independent
+  * tables of `bitsPerTable` sign bits; a vector lands in L buckets;
+  * query probes its L buckets only. Candidate exchange is (id, bucket)
+  * pairs instead of the full cross product. Recall is tunable via
+  * L / bits (standard cosine-LSH collision math: P[same bucket] =
+  * (1-θ/π)^bits per table).
+  *
+  * Hyperplanes are deterministic (fixed-seed Gaussian literals baked
+  * into the plan) so results are reproducible run-to-run — a
+  * correctness-gate requirement here and good practice in production
+  * (re-sharding must not re-bucket the corpus).
+  */
+object Similarity {
+
+  /** Deterministic unit-less Gaussian hyperplanes (seeded). */
+  def gaussianPlanes(nPlanes: Int, dim: Int, seed: Long = 7L): Seq[Seq[Double]] = {
+    val rnd = new Random(seed)
+    Seq.fill(nPlanes)(Seq.fill(dim)(rnd.nextGaussian()))
+  }
+
+  /** Exact cosine top-k neighbors for each query vector.
+    * `queries`/`corpus`: (id, vec). Output: (query_id, neighbor_id,
+    * cosine, rnk 1..k), self-matches excluded, ties broken by id.
+    */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    val q = queries.select(col("id").as("query_id"), col("vec").as("qvec"))
+    val c = corpus.select(col("id").as("neighbor_id"), col("vec").as("cvec"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    c.crossJoin(broadcast(q))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("cosine", cosine(col("qvec"), col("cvec")))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("cosine"), col("rnk"))
+  }
+
+  /** LSH-bucketed ANN top-k: candidates = corpus vectors sharing at
+    * least one of L table-buckets with the query, verified with exact
+    * cosine, ranked per query. Approximate: per-query result count can
+    * be < k when buckets are sparse.
+    */
+  def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      dim: Int, bitsPerTable: Int = 12, numTables: Int = 4,
+      seed: Long = 7L): DataFrame = {
+    val tables = (0 until numTables).map { t =>
+      t -> gaussianPlanes(bitsPerTable, dim, seed + t)
+    }
+    def withBuckets(df: DataFrame, idName: String): DataFrame = {
+      val bucketCols = array(tables.map { case (t, planes) =>
+        struct(lit(t).as("tbl"), hyperplaneBucket(col("vec"), planes).as("bucket"))
+      }: _*)
+      df.select(col("id").as(idName), col("vec"),
+        explode(bucketCols).as("tb"))
+        .select(col(idName), col("vec"), col("tb.tbl"), col("tb.bucket"))
+    }
+    val cb = withBuckets(corpus, "neighbor_id")
+      .withColumnRenamed("vec", "cvec")
+    val qb = withBuckets(queries, "query_id")
+      .withColumnRenamed("vec", "qvec")
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    cb.join(broadcast(qb), Seq("tbl", "bucket"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"), col("qvec"), col("cvec"))
+      .distinct() // a pair can collide in several tables
+      .withColumn("cosine", cosine(col("qvec"), col("cvec")))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("cosine"), col("rnk"))
+  }
+}

@@ -1,0 +1,94 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.operators.{MinHashDedup, SimHashDedup, Similarity}
+
+/** Near-duplicate detection + similarity-search battery — the
+  * training-data-pipeline operators, each expressed as the scalable
+  * LSH-shaped plan.
+  *
+  * q25 has a brute-force DuckDB oracle: MinHash-LSH at 128 hashes /
+  * 32 bands has ≈1-1e-15 recall at the 0.8 Jaccard threshold for this
+  * corpus (all true pairs are ≥0.9), and candidates are verified with
+  * exact Jaccard, so the approximate plan provably matches the exact
+  * O(n²) oracle. The others are deterministic but not SQL-expressible
+  * (rows-only driver check).
+  */
+object DedupQueries {
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // ---- q25: MinHash+LSH near-dup pairs, exact-Jaccard verified ----
+    QueryDef(
+      "q25_minhash_neardup",
+      (s, dir) => {
+        MinHashDedup.nearDuplicatePairs(
+          Tables.load(s, dir, "documents"), "doc_id", "text", threshold = 0.8)
+          .orderBy(col("doc_a"), col("doc_b"))
+      },
+      Some("""
+        WITH tok AS (
+          SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        sh AS (
+          SELECT doc_id,
+                 list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                                for i in generate_series(1, len(w) - 2)]) AS shingles
+          FROM tok),
+        pairs AS (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                 CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+                   / len(list_distinct(a.shingles || b.shingles)) AS jaccard
+          FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+        SELECT doc_a, doc_b, jaccard FROM pairs
+        WHERE jaccard >= 0.8
+        ORDER BY doc_a, doc_b""")),
+
+    // ---- q26: SimHash fingerprints (64-bit sign signature) ----
+    QueryDef(
+      "q26_simhash",
+      (s, dir) => {
+        SimHashDedup.fingerprints(
+          Tables.load(s, dir, "documents"), "doc_id", "text")
+          .select(col("id").as("doc_id"),
+            concat_ws("", col("bits")).as("simhash_bits"))
+          .orderBy(col("doc_id"))
+      },
+      None),
+
+    // ---- q27: SimHash near-dup pairs (Hamming ≤ 8 via band blocking) ----
+    QueryDef(
+      "q27_simhash_neardup",
+      (s, dir) => {
+        SimHashDedup.nearDuplicatePairs(
+          Tables.load(s, dir, "documents"), "doc_id", "text", maxHamming = 8)
+          .withColumn("hamming", col("hamming").cast("long"))
+          .orderBy(col("doc_a"), col("doc_b"))
+      },
+      None),
+
+    // ---- q28: brute-force cosine top-k (ANN exactness baseline) ----
+    QueryDef(
+      "q28_ann_bruteforce",
+      (s, dir) => {
+        val emb = Tables.load(s, dir, "embeddings")
+          .select(col("vec_id").as("id"), col("embedding").as("vec"))
+        Similarity.bruteForceTopK(emb, emb.filter(col("id") < 20), k = 5)
+          .orderBy(col("query_id"), col("rnk"))
+      },
+      None),
+
+    // ---- q29: LSH-bucketed ANN (the 100 TB path: bucket exchange
+    // instead of cross product) ----
+    QueryDef(
+      "q29_ann_lsh",
+      (s, dir) => {
+        val emb = Tables.load(s, dir, "embeddings")
+          .select(col("vec_id").as("id"), col("embedding").as("vec"))
+        Similarity.lshTopK(emb, emb.filter(col("id") < 20), k = 5,
+          dim = 64, bitsPerTable = 8, numTables = 8)
+          .orderBy(col("query_id"), col("rnk"))
+      },
+      None)
+  )
+}
