@@ -1,24 +1,55 @@
 package graft
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Benchmark main — one JSON line per run for the driver's BENCH_r{N}.
+  *
+  * Each query is forced with a `noop`-format write (Spark's built-in
+  * benchmarking sink): every output column is computed and serialized,
+  * unlike `.count()` which lets Catalyst prune unused projections and
+  * under-measures projection-heavy queries. One untimed warmup run of
+  * the first query amortizes JVM/codegen startup; errors are recorded
+  * per query instead of being swallowed.
+  */
 object Bench {
+  private def force(df: DataFrame): Unit =
+    df.write.format("noop").mode("overwrite").save()
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    Metrics.register(spark)
+
+    val queries = SparkEntry.queries.toSeq.sortBy(_._1)
+    // Warmup: run the first query once untimed (JVM + codegen + parquet
+    // footer caches); per-query numbers then reflect plan cost.
+    queries.headOption.foreach { case (_, fn) =>
+      try force(fn(spark, sfDir)) catch { case _: Throwable => () }
+    }
+    val errors = scala.collection.mutable.LinkedHashMap[String, String]()
+    val results = queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      try force(fn(spark, sfDir)) catch {
+        case e: Throwable =>
+          errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName)
+            .replaceAll("[\"\\\\\\n\\r\\t]", " ").take(200)
+      }
       name -> (System.nanoTime() - t0) / 1e9
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val errJson = errors.map { case (k, v) => s"\"$k\":\"$v\"" }
+      .mkString("{", ",", "}")
+    val total = results.map(_._2).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -15,13 +15,13 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  def load(spark: SparkSession, dir: String, name: String): DataFrame = {
-    // events.ts is TIMESTAMP(NANOS), which Spark 4 rejects by default;
-    // read it as a raw nanos-since-epoch long instead (callers derive
-    // ms via `ts DIV 1000000` — integer-exact, matches DuckDB epoch_ms).
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+  // events.ts is TIMESTAMP(NANOS), which Spark 4 rejects by default;
+  // sessions must set spark.sql.legacy.parquet.nanosAsLong=true ONCE at
+  // build time (localSession / Verify / Bench / test fixture do), so it
+  // reads as nanos-since-epoch long (callers derive ms via
+  // `ts DIV 1000000` — integer-exact, matches DuckDB epoch_ms).
+  def load(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
-  }
 
   /** Convenience bundle of all tables at a scale-factor dir. */
   final case class Tpch(spark: SparkSession, dir: String) {
@@ -51,9 +51,11 @@ object Tables {
       .config("spark.sql.shuffle.partitions", cores.toString)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    Metrics.register(spark)
     spark
   }
 }

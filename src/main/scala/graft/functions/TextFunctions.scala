@@ -24,10 +24,13 @@ object TextFunctions {
   def occurrences(text: Column, needle: String): Column =
     (length(text) - length(replace(text, lit(needle), lit("")))) / needle.length
 
-  /** Ratio of punctuation chars to total chars. */
+  /** Ratio of punctuation chars to total chars; NULL for the empty
+    * string (nullif guard — mirrored in the oracle SQL, so Spark and
+    * DuckDB agree instead of diverging on NaN vs error).
+    */
   def punctRatio(text: Column): Column =
     (length(text) - length(translate(text, ".,!?;:'\"-", ""))).cast("double") /
-      length(text)
+      nullif(length(text), lit(0))
 
   /** Ratio of English stopword hits to token count (padded search so
     * word boundaries are respected).

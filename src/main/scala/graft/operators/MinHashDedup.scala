@@ -59,11 +59,8 @@ object MinHashDedup {
       .select(col("id"), posexplode(bandHashes).as(Seq("band", "bucket")))
     // Skew guard: drop buckets larger than maxBucketSize (at corpus
     // scale these are boilerplate-driven and would dominate the join).
-    val sized = buckets
-      .withColumn("bsz", count(lit(1))
-        .over(org.apache.spark.sql.expressions.Window.partitionBy("band", "bucket")))
-      .filter(col("bsz") <= maxBucketSize)
-      .drop("bsz")
+    // Dropped mass is an observed metric — see LshSkew.
+    val sized = LshSkew.capBuckets(buckets, maxBucketSize, "minhash_lsh_skew")
     val a = sized.select(col("band"), col("bucket"), col("id").as("id_a"))
     val b = sized.select(col("band"), col("bucket"), col("id").as("id_b"))
     a.join(b, Seq("band", "bucket"))

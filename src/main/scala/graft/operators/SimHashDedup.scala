@@ -50,11 +50,7 @@ object SimHashDedup {
       xxhash64(slice(col("bits"), j * 16 + 1, 16), lit(j))
     }: _*)
     val buckets = fp.select(col("id"), posexplode(bandHashes).as(Seq("band", "bucket")))
-    val sized = buckets
-      .withColumn("bsz", count(lit(1))
-        .over(org.apache.spark.sql.expressions.Window.partitionBy("band", "bucket")))
-      .filter(col("bsz") <= maxBucketSize)
-      .drop("bsz")
+    val sized = LshSkew.capBuckets(buckets, maxBucketSize, "simhash_lsh_skew")
     val a = sized.select(col("band"), col("bucket"), col("id").as("id_a"))
     val b = sized.select(col("band"), col("bucket"), col("id").as("id_b"))
     val cands = a.join(b, Seq("band", "bucket"))

@@ -78,8 +78,12 @@ object Similarity {
       .orderBy(col("cosine").desc, col("neighbor_id"))
     cb.join(broadcast(qb), Seq("tbl", "bucket"))
       .filter(col("neighbor_id") =!= col("query_id"))
-      .select(col("query_id"), col("neighbor_id"), col("qvec"), col("cvec"))
-      .distinct() // a pair can collide in several tables
+      // A pair can collide in several tables: dedupe keyed on the id
+      // pair ONLY — the exchange must never be keyed on (or sized by
+      // sort-comparisons of) the embedding payloads; vectors ride
+      // through as first() payload bytes.
+      .groupBy(col("query_id"), col("neighbor_id"))
+      .agg(first(col("qvec")).as("qvec"), first(col("cvec")).as("cvec"))
       .withColumn("cosine", cosine(col("qvec"), col("cvec")))
       .withColumn("rnk", row_number().over(w).cast("long"))
       .filter(col("rnk") <= k)

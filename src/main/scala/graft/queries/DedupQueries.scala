@@ -31,9 +31,13 @@ object DedupQueries {
         WITH tok AS (
           SELECT doc_id, string_split(text, ' ') AS w FROM documents),
         sh AS (
+          -- mirror of Spark MinHashDedup.shingles incl. the <3-token
+          -- fallback (whole text as the single shingle)
           SELECT doc_id,
-                 list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
-                                for i in generate_series(1, len(w) - 2)]) AS shingles
+                 CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
+                      ELSE list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                                          for i in generate_series(1, len(w) - 2)])
+                 END AS shingles
           FROM tok),
         pairs AS (
           SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,

@@ -8,7 +8,7 @@ import graft.Tables
 /** Event-stream battery over the `events` table: semi-structured path
   * extraction (the reference's `./` child step over JSON props),
   * try-except expressions, and gaps-and-islands sessionization (the
-  * batch dual of the streaming sessionizer in graft.streaming).
+  * batch dual of Structured Streaming's session_window()).
   *
   * `events.ts` is ns-precision in parquet; Spark truncates to µs while
   * DuckDB keeps ns, so timestamps are always surfaced as epoch millis

@@ -23,7 +23,7 @@ object TextQueries {
     s"CAST($hits AS DOUBLE) / $ntokSql"
   }
   private val punctRatioSql =
-    s"""CAST(length(text) - length(translate(text, '.,!?;:''"-', '')) AS DOUBLE) / length(text)"""
+    s"""CAST(length(text) - length(translate(text, '.,!?;:''"-', '')) AS DOUBLE) / nullif(length(text), 0)"""
   private val meanTokSql =
     s"CAST(length(text) - ($ntokSql - 1) AS DOUBLE) / $ntokSql"
   private val qualitySql = {

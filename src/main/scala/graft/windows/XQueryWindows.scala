@@ -42,6 +42,11 @@ object XQueryWindows {
     *                closing item is part of the window)
     * @param tumbling open only when no window is open
     * @param onlyEnd  drop windows still open at end-of-group
+    * @param allowSinglePartition keyless windows force ALL rows through
+    *                one task (the semantics are inherently sequential
+    *                over the whole stream) — a deliberate scale hazard
+    *                that callers must opt into explicitly; with keys the
+    *                pass parallelizes per key group
     */
   def windows(
       df: DataFrame,
@@ -50,7 +55,11 @@ object XQueryWindows {
       start: Item => Boolean,
       end: (Item, Item) => Boolean,
       tumbling: Boolean = false,
-      onlyEnd: Boolean = false): DataFrame = {
+      onlyEnd: Boolean = false,
+      allowSinglePartition: Boolean = false): DataFrame = {
+    require(keyCols.nonEmpty || allowSinglePartition,
+      "keyless XQuery windows serialize the whole stream into one task; " +
+        "pass keyCols, or allowSinglePartition=true for small bounded inputs")
 
     val inSchema = df.schema
     val outSchema = StructType(
