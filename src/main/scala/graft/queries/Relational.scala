@@ -1,15 +1,19 @@
 package graft.queries
 
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 import org.apache.spark.sql.expressions.Window
 import graft.Tables
+import graft.dsl.Query
 
 /** Core relational operator battery — one query per operator family in
-  * SURVEY.md §2.1 (select / for / let / where / group by / order by /
-  * count / joins incl. outer-semi-anti / distinct / containers),
-  * expressed Spark-first over the driver's TPC-H-ish tables.
+  * SURVEY.md §2.1, expressed through the engine's FLWOR builder
+  * (graft.dsl.Query): the same clause algebra as the reference
+  * (select / for / let / where / group by / order by / count / joins /
+  * containers), compiling to DataFrame plans that Catalyst optimizes
+  * (join synthesis from where-conjuncts, pushdown through the struct
+  * bindings — see Query's scaladoc).
   *
   * Numeric determinism: money/measure sums are computed over exact
   * DECIMAL(18,4) casts and only converted to DOUBLE at the end, so
@@ -20,30 +24,34 @@ import graft.Tables
 object Relational {
 
   private def dec(c: Column): Column = c.cast(DecimalType(18, 4))
-  private def dec(name: String): Column = dec(col(name))
   /** exact revenue term: extprice * (1 - discount), all decimal */
-  private def discPrice: Column =
-    dec("l_extendedprice") * (lit(1).cast(DecimalType(18, 4)) - dec("l_discount"))
+  private def discPrice(l: String): Column =
+    dec(col(s"$l.l_extendedprice")) *
+      (lit(1).cast(DecimalType(18, 4)) - dec(col(s"$l.l_discount")))
 
   val defs: Seq[QueryDef] = Seq(
 
     // ---- q01: full-scan grouped aggregation (TPC-H Q1 shape) ----
-    // SURVEY §2.1 #7 GroupBy: native partial+final aggregates instead of
-    // the reference's collect-lists-then-python-sum (Executor.py:403-450).
+    // for l in lineitem / where / group by / order by — groupByAgg is
+    // the native partial+final path (vs the reference's
+    // collect-lists-then-python-sum, Executor.py:403-450).
     QueryDef(
       "q01_pricing_summary",
       (s, dir) => {
-        Tables.load(s, dir, "lineitem")
-          .filter(col("l_shipdate") <= lit("2000-09-02").cast("timestamp"))
-          .groupBy(col("l_returnflag"), col("l_linestatus"))
-          .agg(
-            sum(dec("l_quantity")).cast("double").as("sum_qty"),
-            sum(dec("l_extendedprice")).cast("double").as("sum_base_price"),
-            sum(discPrice).cast("double").as("sum_disc_price"),
-            (sum(dec("l_quantity")).cast("double") / count(lit(1))).as("avg_qty"),
-            (sum(dec("l_discount")).cast("double") / count(lit(1))).as("avg_disc"),
-            count(lit(1)).as("count_order"))
+        Query.forIn("l", Tables.load(s, dir, "lineitem"))
+          .where(col("l.l_shipdate") <= lit("2000-09-02").cast("timestamp"))
+          .groupByAgg(
+            Seq("l_returnflag" -> col("l.l_returnflag"),
+              "l_linestatus" -> col("l.l_linestatus")),
+            Seq(
+              "sum_qty" -> sum(dec(col("l.l_quantity"))).cast("double"),
+              "sum_base_price" -> sum(dec(col("l.l_extendedprice"))).cast("double"),
+              "sum_disc_price" -> sum(discPrice("l")).cast("double"),
+              "avg_qty" -> (sum(dec(col("l.l_quantity"))).cast("double") / count(lit(1))),
+              "avg_disc" -> (sum(dec(col("l.l_discount"))).cast("double") / count(lit(1))),
+              "count_order" -> count(lit(1))))
           .orderBy(col("l_returnflag"), col("l_linestatus"))
+          .toDF
       },
       Some("""
         SELECT l_returnflag, l_linestatus,
@@ -58,36 +66,44 @@ object Relational {
         GROUP BY l_returnflag, l_linestatus
         ORDER BY l_returnflag, l_linestatus""")),
 
-    // ---- q02: filter + projection (predicate/column pushdown to scan) ----
-    // SURVEY §2.1 #1/#5: Select+Where; Catalyst pushes both into parquet.
+    // ---- q02: filter + projection (predicate/column pushdown) ----
+    // Select+Where; the struct binding collapses so Catalyst pushes
+    // both into the parquet scan (PushedFilters in explain).
     QueryDef(
       "q02_filter_project",
       (s, dir) => {
-        Tables.load(s, dir, "lineitem")
-          .filter(col("l_quantity") > 45 && col("l_returnflag") === "R")
-          .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
-            col("l_extendedprice"))
-          .orderBy(col("l_orderkey"), col("l_linenumber"))
+        Query.forIn("l", Tables.load(s, dir, "lineitem"))
+          .where(col("l.l_quantity") > 45 && col("l.l_returnflag") === "R")
+          .orderBy(col("l.l_orderkey"), col("l.l_linenumber"))
+          .select(
+            "l_orderkey" -> col("l.l_orderkey"),
+            "l_linenumber" -> col("l.l_linenumber"),
+            "l_quantity" -> col("l.l_quantity"),
+            "l_extendedprice" -> col("l.l_extendedprice"))
       },
       Some("""
         SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
         FROM lineitem WHERE l_quantity > 45 AND l_returnflag = 'R'
         ORDER BY l_orderkey, l_linenumber""")),
 
-    // ---- q03: join + group + having + top-k (TPC-H Q3 shape) ----
-    // SURVEY §2.1 #11 Join synthesis + #5 where-as-HAVING + limit.
+    // ---- q03: join synthesis + HAVING + top-k (TPC-H Q3 shape) ----
+    // Two independent for-clauses + an equi-where conjunct: the
+    // reference's join-synthesis rewrite (Rewriter.py:376-459) is
+    // Catalyst's ExtractEquiJoinKeys here — no crossJoin survives.
     QueryDef(
       "q03_top_revenue_orders",
       (s, dir) => {
-        val t = Tables(s, dir)
-        t.lineitem
-          .join(t.orders, col("l_orderkey") === col("o_orderkey"))
-          .filter(col("o_orderdate") < lit("1998-03-15").cast("timestamp"))
-          .groupBy(col("o_orderkey"))
-          .agg(sum(discPrice).cast("double").as("revenue"))
-          .filter(col("revenue") > 100000)
+        Query.forIn("l", Tables.load(s, dir, "lineitem"))
+          .forIn("o", Tables.load(s, dir, "orders"))
+          .where(col("l.l_orderkey") === col("o.o_orderkey") &&
+            col("o.o_orderdate") < lit("1998-03-15").cast("timestamp"))
+          .groupByAgg(
+            Seq("o_orderkey" -> col("o.o_orderkey")),
+            Seq("revenue" -> sum(discPrice("l")).cast("double")))
+          .where(col("revenue") > 100000) // where-after-group = HAVING
           .orderBy(col("revenue").desc, col("o_orderkey"))
           .limit(10)
+          .toDF
       },
       Some("""
         SELECT o_orderkey,
@@ -99,20 +115,24 @@ object Relational {
         ORDER BY revenue DESC, o_orderkey
         LIMIT 10""")),
 
-    // ---- q04: multi-way dimension join (broadcast-able dims) ----
-    // customer ⋈ nation ⋈ region; nation/region are tiny → Catalyst
-    // broadcasts them (no shuffle of the fact side at 100 TB).
+    // ---- q04: multi-way dimension join (broadcast hints) ----
+    // nation/region are tiny → forIn(hint="broadcast") keeps the fact
+    // side shuffle-free at 100 TB (the reference's join hints,
+    // Rewriter.py:447-459, mapped to Spark strategy hints).
     QueryDef(
       "q04_cust_by_region",
       (s, dir) => {
-        val t = Tables(s, dir)
-        t.customer
-          .join(broadcast(t.nation), col("c_nationkey") === col("n_nationkey"))
-          .join(broadcast(t.region), col("n_regionkey") === col("r_regionkey"))
-          .groupBy(col("r_name"), col("n_name"))
-          .agg(count(lit(1)).as("n_customers"),
-            sum(dec("c_acctbal")).cast("double").as("total_acctbal"))
+        Query.forIn("c", Tables.load(s, dir, "customer"))
+          .forIn("n", Tables.load(s, dir, "nation"), hint = "broadcast")
+          .forIn("r", Tables.load(s, dir, "region"), hint = "broadcast")
+          .where(col("c.c_nationkey") === col("n.n_nationkey") &&
+            col("n.n_regionkey") === col("r.r_regionkey"))
+          .groupByAgg(
+            Seq("r_name" -> col("r.r_name"), "n_name" -> col("n.n_name")),
+            Seq("n_customers" -> count(lit(1)),
+              "total_acctbal" -> sum(dec(col("c.c_acctbal"))).cast("double")))
           .orderBy(col("r_name"), col("n_name"))
+          .toDF
       },
       Some("""
         SELECT r_name, n_name, COUNT(*) AS n_customers,
@@ -123,18 +143,22 @@ object Relational {
         GROUP BY r_name, n_name
         ORDER BY r_name, n_name""")),
 
-    // ---- q05: left outer join + re-nest (SURVEY §2.1 #12, the operator
-    // the reference declares but never finished locally) ----
+    // ---- q05: for x in outer(...) → left outer join + re-aggregate
+    // (SURVEY §2.1 #12, the operator the reference declares but never
+    // finished locally; forInOuter binds NULL when no match) ----
     QueryDef(
       "q05_left_join_orders",
       (s, dir) => {
-        val t = Tables(s, dir)
-        t.customer
-          .join(t.orders, col("c_custkey") === col("o_custkey"), "left_outer")
-          .groupBy(col("c_custkey"))
-          .agg(count(col("o_orderkey")).as("n_orders"),
-            coalesce(sum(dec("o_totalprice")), lit(0)).cast("double").as("total_spent"))
+        Query.forIn("c", Tables.load(s, dir, "customer"))
+          .forInOuter("o", Tables.load(s, dir, "orders"))(
+            col("c.c_custkey") === col("o.o_custkey"))
+          .groupByAgg(
+            Seq("c_custkey" -> col("c.c_custkey")),
+            Seq("n_orders" -> count(col("o.o_orderkey")),
+              "total_spent" ->
+                coalesce(sum(dec(col("o.o_totalprice"))), lit(0)).cast("double")))
           .orderBy(col("c_custkey"))
+          .toDF
       },
       Some("""
         SELECT c_custkey, COUNT(o_orderkey) AS n_orders,
@@ -147,12 +171,12 @@ object Relational {
     QueryDef(
       "q06_semi_join",
       (s, dir) => {
-        val t = Tables(s, dir)
-        t.customer
-          .join(t.orders.filter(col("o_totalprice") > 300000),
-            col("c_custkey") === col("o_custkey"), "left_semi")
-          .select(col("c_custkey"), col("c_name"))
-          .orderBy(col("c_custkey"))
+        Query.forIn("c", Tables.load(s, dir, "customer"))
+          .existsIn("o",
+            Tables.load(s, dir, "orders").filter(col("o_totalprice") > 300000))(
+            col("c.c_custkey") === col("o.o_custkey"))
+          .orderBy(col("c.c_custkey"))
+          .select("c_custkey" -> col("c.c_custkey"), "c_name" -> col("c.c_name"))
       },
       Some("""
         SELECT c_custkey, c_name FROM customer c
@@ -164,12 +188,13 @@ object Relational {
     QueryDef(
       "q07_anti_join",
       (s, dir) => {
-        val t = Tables(s, dir)
-        t.customer
-          .join(t.orders.filter(col("o_totalprice") > 400000),
-            col("c_custkey") === col("o_custkey"), "left_anti")
-          .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
-          .orderBy(col("c_custkey"))
+        Query.forIn("c", Tables.load(s, dir, "customer"))
+          .notExistsIn("o",
+            Tables.load(s, dir, "orders").filter(col("o_totalprice") > 400000))(
+            col("c.c_custkey") === col("o.o_custkey"))
+          .orderBy(col("c.c_custkey"))
+          .select("c_custkey" -> col("c.c_custkey"), "c_name" -> col("c.c_name"),
+            "c_mktsegment" -> col("c.c_mktsegment"))
       },
       Some("""
         SELECT c_custkey, c_name, c_mktsegment FROM customer c
@@ -178,17 +203,19 @@ object Relational {
         ORDER BY c_custkey""")),
 
     // ---- q08: positional count clause (SURVEY §2.1 #6) ----
-    // Reference `count` = 0-based stream position; well-defined only
-    // under an explicit order in a distributed engine → row_number.
+    // Reference `count` = 0-based stream position (Executor.py:391-400);
+    // well-defined only under an explicit order in a distributed
+    // engine — the DSL's count clause requires one.
     QueryDef(
       "q08_count_clause",
       (s, dir) => {
-        val w = Window.partitionBy(col("o_custkey"))
-          .orderBy(col("o_orderdate"), col("o_orderkey"))
-        Tables.load(s, dir, "orders")
-          .withColumn("pos", (row_number().over(w) - lit(1)).cast("long"))
-          .select(col("o_custkey"), col("o_orderkey"), col("pos"))
-          .orderBy(col("o_custkey"), col("pos"))
+        Query.forIn("o", Tables.load(s, dir, "orders"))
+          .count("pos",
+            order = Seq(col("o.o_orderdate"), col("o.o_orderkey")),
+            partitionBy = Seq(col("o.o_custkey")))
+          .orderBy(col("o.o_custkey"), col("pos"))
+          .select("o_custkey" -> col("o.o_custkey"),
+            "o_orderkey" -> col("o.o_orderkey"), "pos" -> col("pos"))
       },
       Some("""
         SELECT o_custkey, o_orderkey,
@@ -196,27 +223,31 @@ object Relational {
         FROM orders
         ORDER BY o_custkey, pos""")),
 
-    // ---- q09: distinct (set result container, Executor.py:136-137) ----
+    // ---- q09: set container (selectDistinct, Executor.py:136-137) ----
     QueryDef(
       "q09_distinct_set",
       (s, dir) => {
-        Tables.load(s, dir, "customer")
-          .select(col("c_mktsegment"), col("c_nationkey"))
-          .distinct()
+        Query.forIn("c", Tables.load(s, dir, "customer"))
+          .selectDistinct("c_mktsegment" -> col("c.c_mktsegment"),
+            "c_nationkey" -> col("c.c_nationkey"))
           .orderBy(col("c_mktsegment"), col("c_nationkey"))
       },
       Some("""
         SELECT DISTINCT c_mktsegment, c_nationkey FROM customer
         ORDER BY c_mktsegment, c_nationkey""")),
 
-    // ---- q10: cross join (independent `for` clauses, Executor.py:165-194) ----
+    // ---- q10: independent for-clauses with no join condition →
+    // genuine cartesian product (Executor.py:165-194) ----
     QueryDef(
       "q10_cross_for",
       (s, dir) => {
-        val t = Tables(s, dir)
-        val statuses = t.orders.select(col("o_orderstatus")).distinct()
-        t.region.select(col("r_name")).crossJoin(statuses)
-          .orderBy(col("r_name"), col("o_orderstatus"))
+        val statuses =
+          Tables.load(s, dir, "orders").select(col("o_orderstatus")).distinct()
+        Query.forIn("r", Tables.load(s, dir, "region"))
+          .forIn("st", statuses)
+          .orderBy(col("r.r_name"), col("st.o_orderstatus"))
+          .select("r_name" -> col("r.r_name"),
+            "o_orderstatus" -> col("st.o_orderstatus"))
       },
       Some("""
         SELECT r_name, o_orderstatus
@@ -227,15 +258,17 @@ object Relational {
     QueryDef(
       "q11_let_extend",
       (s, dir) => {
-        Tables.load(s, dir, "part")
-          .withColumn("tier",
-            when(col("p_retailprice") < 500, "low")
-              .when(col("p_retailprice") < 1500, "mid")
+        Query.forIn("p", Tables.load(s, dir, "part"))
+          .let("tier",
+            when(col("p.p_retailprice") < 500, "low")
+              .when(col("p.p_retailprice") < 1500, "mid")
               .otherwise("high"))
-          .withColumn("list_price",
-            (dec("p_retailprice") * lit(1.1).cast(DecimalType(4, 2))).cast("double"))
-          .select(col("p_partkey"), col("tier"), col("list_price"))
-          .orderBy(col("p_partkey"))
+          .let("list_price",
+            (dec(col("p.p_retailprice")) * lit(1.1).cast(DecimalType(4, 2)))
+              .cast("double"))
+          .orderBy(col("p.p_partkey"))
+          .select("p_partkey" -> col("p.p_partkey"), "tier" -> col("tier"),
+            "list_price" -> col("list_price"))
       },
       Some("""
         SELECT p_partkey,
@@ -246,18 +279,20 @@ object Relational {
         FROM part
         ORDER BY p_partkey""")),
 
-    // ---- q12: analytic window functions (rank within partition) ----
-    // Frame-based windows the reference lacks (SURVEY §2.3) — free in Spark.
+    // ---- q12: analytic window functions via let (rank in partition;
+    // frame-based windows the reference lacks, SURVEY §2.3) ----
     QueryDef(
       "q12_rank_window",
       (s, dir) => {
-        val w = Window.partitionBy(col("s_nationkey"))
-          .orderBy(col("s_acctbal").desc, col("s_suppkey"))
-        Tables.load(s, dir, "supplier")
-          .withColumn("rnk", rank().over(w).cast("long"))
-          .filter(col("rnk") <= 3)
-          .select(col("s_nationkey"), col("s_suppkey"), col("s_acctbal"), col("rnk"))
-          .orderBy(col("s_nationkey"), col("rnk"), col("s_suppkey"))
+        val w = Window.partitionBy(col("s.s_nationkey"))
+          .orderBy(col("s.s_acctbal").desc, col("s.s_suppkey"))
+        Query.forIn("s", Tables.load(s, dir, "supplier"))
+          .let("rnk", rank().over(w).cast("long"))
+          .where(col("rnk") <= 3)
+          .orderBy(col("s.s_nationkey"), col("rnk"), col("s.s_suppkey"))
+          .select("s_nationkey" -> col("s.s_nationkey"),
+            "s_suppkey" -> col("s.s_suppkey"),
+            "s_acctbal" -> col("s.s_acctbal"), "rnk" -> col("rnk"))
       },
       Some("""
         SELECT s_nationkey, s_suppkey, s_acctbal, rnk FROM (
@@ -268,18 +303,23 @@ object Relational {
         ORDER BY s_nationkey, rnk, s_suppkey""")),
 
     // ---- q13: group-by auto-nesting (SURVEY §2.1 #7 list semantics) ----
-    // The reference turns non-key vars into per-group lists; here
-    // collect_list + array_sort, serialized for a stable oracle compare.
+    // The REAL reference semantics: every non-key variable becomes the
+    // per-group list (Executor.py:440-448); aggregates are then plain
+    // functions over those lists — here array functions on the
+    // collected struct list.
     QueryDef(
       "q13_group_nest",
       (s, dir) => {
-        val t = Tables(s, dir)
-        t.customer
-          .join(broadcast(t.nation), col("c_nationkey") === col("n_nationkey"))
-          .groupBy(col("n_name"))
-          .agg(concat_ws("|", array_sort(collect_list(col("c_name")))).as("names_concat"),
-            count(lit(1)).as("n"))
+        Query.forIn("c", Tables.load(s, dir, "customer"))
+          .forIn("nat", Tables.load(s, dir, "nation"), hint = "broadcast")
+          .where(col("c.c_nationkey") === col("nat.n_nationkey"))
+          .groupBy("n_name" -> col("nat.n_name"))
+          .let("names_concat",
+            concat_ws("|", array_sort(transform(col("c"), _.getField("c_name")))))
+          .let("n_cnt", size(col("c")).cast("long"))
           .orderBy(col("n_name"))
+          .select("n_name" -> col("n_name"),
+            "names_concat" -> col("names_concat"), "n" -> col("n_cnt"))
       },
       Some("""
         SELECT n_name, COALESCE(STRING_AGG(c_name, '|' ORDER BY c_name), '') AS names_concat,
@@ -292,26 +332,31 @@ object Relational {
     QueryDef(
       "q14_map_container",
       (s, dir) => {
-        Tables.load(s, dir, "customer")
-          .groupBy(col("c_mktsegment").as("key"))
-          .agg(count(lit(1)).as("value"))
-          .orderBy(col("key"))
+        Query.forIn("c", Tables.load(s, dir, "customer"))
+          .groupByAgg(Seq("seg" -> col("c.c_mktsegment")),
+            Seq("cnt" -> count(lit(1))))
+          .orderBy(col("seg"))
+          .selectKV(col("seg"), col("cnt"))
       },
       Some("""
         SELECT c_mktsegment AS key, COUNT(*) AS value FROM customer
         GROUP BY c_mktsegment ORDER BY key""")),
 
-    // ---- q15: union / intersect / except (set ops, SURVEY §2.3) ----
+    // ---- q15: union / intersect / except over query results (set-
+    // typed results + set ops, SURVEY §2.3) ----
     QueryDef(
       "q15_set_ops",
       (s, dir) => {
-        val t = Tables(s, dir)
-        val buyers = t.orders.select(col("o_custkey").as("custkey")).distinct()
-        val rich = t.customer.filter(col("c_acctbal") > 5000)
-          .select(col("c_custkey").as("custkey"))
+        val buyers = Query.forIn("o", Tables.load(s, dir, "orders"))
+          .selectDistinct("custkey" -> col("o.o_custkey"))
+        val rich = Query.forIn("c", Tables.load(s, dir, "customer"))
+          .where(col("c.c_acctbal") > 5000)
+          .select("custkey" -> col("c.c_custkey"))
+        val broke = Query.forIn("c", Tables.load(s, dir, "customer"))
+          .where(col("c.c_acctbal") < 0)
+          .select("custkey" -> col("c.c_custkey"))
         rich.intersect(buyers)
-          .union(t.customer.filter(col("c_acctbal") < 0)
-            .select(col("c_custkey").as("custkey")).except(buyers))
+          .union(broke.except(buyers))
           .orderBy(col("custkey"))
       },
       Some("""
