@@ -187,6 +187,37 @@ final class Query private (
     next(out, keyVars.toVector ++ Vector("s_idx", "e_idx", name))
   }
 
+  // ---- match (nested pattern match) --------------------------------
+  /** The reference's `match {pattern} [as z] in seq` clause
+    * (`Executor.py:316-388`): explode the per-tuple sequence of JSON
+    * objects, keep elements matching the pattern, extend the binding
+    * stream with the pattern's `as` variables. All filtering/extraction
+    * compiles to codegen'd JSON expressions — see MatchPattern.
+    */
+  def matchIn(seq: Column, pattern: MatchPattern.Pat,
+      exact: Boolean = false): Query =
+    matchImpl(df.withColumn("_match_elem", explode(seq)), pattern, exact)
+
+  /** Match where the stream itself carries one JSON object per row
+    * (the common relational embedding of the clause).
+    */
+  def matchRow(json: Column, pattern: MatchPattern.Pat,
+      exact: Boolean = false): Query =
+    matchImpl(df.withColumn("_match_elem", json), pattern, exact)
+
+  private def matchImpl(d0: DataFrame, pattern: MatchPattern.Pat,
+      exact: Boolean): Query = {
+    val (pred, bindings, wheres) =
+      MatchPattern.compile(pattern, col("_match_elem"), exact)
+    bindings.foreach { case (n, _) =>
+      require(!vars.contains(n), s"variable '$n' already bound") }
+    val bound = bindings.foldLeft(d0.filter(pred)) {
+      case (d, (n, e)) => d.withColumn(n, e)
+    }
+    val filtered = wheres.foldLeft(bound)(_ filter _).drop("_match_elem")
+    next(filtered, vars ++ bindings.map(_._1))
+  }
+
   // ---- select (terminals) ------------------------------------------
   /** Tuple-constructor select: the projection, applied last like the
     * reference's Select (clause order preserved, select moved to end —
