@@ -1,0 +1,31 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+import graft.functions.expr.{JsonChildStep, JsonDescStep}
+
+/** Session extension registering the engine's custom expressions as
+  * SQL functions (set `spark.sql.extensions=graft.GraftExtensions`):
+  *
+  *   json_child_path(array<string>, key)  — `./` step
+  *   json_desc_path(array<string>, key)   — `.//` step
+  *
+  * so SQL users get the path operators too, not just the Column API.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  private def info(name: String, usage: String) =
+    new ExpressionInfo("graft", null, name, usage, "")
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      FunctionIdentifier("json_child_path"),
+      info("json_child_path", "_FUNC_(seq, key) - pythonql `./` child step"),
+      (args: Seq[Expression]) => JsonChildStep(args(0), args(1))))
+    ext.injectFunction((
+      FunctionIdentifier("json_desc_path"),
+      info("json_desc_path", "_FUNC_(seq, key) - pythonql `.//` descendant step"),
+      (args: Seq[Expression]) => JsonDescStep(args(0), args(1))))
+  }
+}

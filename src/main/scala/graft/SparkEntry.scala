@@ -11,7 +11,8 @@ object SparkEntry {
   /** Every implemented operator demo, one per SURVEY.md §2 inventory row. */
   private def allDefs: Seq[QueryDef] =
     Relational.defs ++ TextQueries.defs ++ EventsQueries.defs ++
-      DedupQueries.defs ++ WindowQueries.defs ++ MatchQueries.defs
+      DedupQueries.defs ++ WindowQueries.defs ++ MatchQueries.defs ++
+      PathQueries.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * TPC-H Q3 shape: 3-way join, grouped revenue, top-k — exercises scan
