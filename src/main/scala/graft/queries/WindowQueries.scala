@@ -78,6 +78,56 @@ object WindowQueries {
                  AS sum_value
         FROM events
         WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ms(ts), event_id)
-        ORDER BY user_id, s_idx"""))
+        ORDER BY user_id, s_idx""")),
+
+    // ---- q36: VALUE-based start/end predicates + prev binding +
+    // `only end` (reference tutorial q12/q13 shapes,
+    // tutorial_tests.py:116-138) ----
+    // start: value rose vs the PREVIOUS item (s_prev binding);
+    // end: first item ≥ ~28h after the START item (s_/e_ bindings);
+    // sliding; `only end` drops windows still open at stream end.
+    // Oracle: gaps-and-islands SQL (min closing idx per start).
+    QueryDef(
+      "q36_xwindow_value",
+      (s, dir) => {
+        val spanMs = 100000000L
+        val w = XQueryWindows.windows(
+          eventsMs(s, dir),
+          keyCols = Seq("user_id"), orderCols = Seq("tms", "event_id"),
+          start = it => it.prev.exists(p =>
+            it.row.getAs[Double]("value") > p.getAs[Double]("value")),
+          end = (st, e) =>
+            e.row.getAs[Long]("tms") >= st.row.getAs[Long]("tms") + spanMs,
+          tumbling = false, onlyEnd = true)
+        w.select(col("user_id"), col("s_idx"), col("e_idx"),
+          element_at(col("window"), 1).getField("tms").as("s_tms"),
+          size(col("window")).cast("long").as("n_items"),
+          expr("CAST(aggregate(window, CAST(0 AS DECIMAL(18,4)), " +
+            "(acc, x) -> CAST(acc + CAST(x.value AS DECIMAL(18,4)) AS DECIMAL(18,4))) " +
+            "AS DOUBLE)").as("sum_value"))
+          .orderBy(col("user_id"), col("s_idx"))
+      },
+      Some("""
+        WITH e AS (
+          SELECT user_id, event_id, epoch_ms(ts) AS tms, value,
+                 ROW_NUMBER() OVER w - 1 AS idx,
+                 LAG(value) OVER w AS pv
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ms(ts), event_id)),
+        s AS (
+          SELECT user_id, idx AS s_idx, tms AS s_tms
+          FROM e WHERE pv IS NOT NULL AND value > pv),
+        ends AS (
+          SELECT s.user_id, s.s_idx, s.s_tms, MIN(x.idx) AS e_idx
+          FROM s JOIN e x ON x.user_id = s.user_id AND x.idx >= s.s_idx
+                          AND x.tms >= s.s_tms + 100000000
+          GROUP BY s.user_id, s.s_idx, s.s_tms)
+        SELECT en.user_id, en.s_idx, en.e_idx, en.s_tms,
+               en.e_idx - en.s_idx + 1 AS n_items,
+               CAST(SUM(CAST(x.value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+        FROM ends en JOIN e x ON x.user_id = en.user_id
+                              AND x.idx BETWEEN en.s_idx AND en.e_idx
+        GROUP BY en.user_id, en.s_idx, en.e_idx, en.s_tms
+        ORDER BY en.user_id, en.s_idx"""))
   )
 }
