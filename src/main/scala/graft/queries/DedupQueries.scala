@@ -17,6 +17,25 @@ import graft.operators.{MinHashDedup, SimHashDedup, Similarity}
   */
 object DedupQueries {
 
+  /** DuckDB mirror of SimHashDedup.simhashBits (portable md5 family):
+    * bit j of a token's 64-bit hash = bit (3 - j%4) of hex digit j/4
+    * of md5(token); fingerprint bit = sign of the ±1 sum over tokens.
+    */
+  private val simhashFpCte = """
+        WITH tok AS (
+          SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),
+        h AS (SELECT doc_id, md5(t) AS hx FROM tok),
+        bitsums AS (
+          SELECT doc_id, g.j AS j,
+                 SUM(CASE WHEN ((strpos('0123456789abcdef', substring(hx, (g.j // 4) + 1, 1)) - 1)
+                                // (CASE g.j % 4 WHEN 0 THEN 8 WHEN 1 THEN 4 WHEN 2 THEN 2 ELSE 1 END)) % 2 = 1
+                          THEN 1 ELSE -1 END) AS s
+          FROM h CROSS JOIN generate_series(0, 63) AS g(j)
+          GROUP BY doc_id, g.j),
+        fp AS (
+          SELECT doc_id, string_agg(CASE WHEN s > 0 THEN '1' ELSE '0' END, '' ORDER BY j) AS bits
+          FROM bitsums GROUP BY doc_id)"""
+
   val defs: Seq[QueryDef] = Seq(
 
     // ---- q25: MinHash+LSH near-dup pairs, exact-Jaccard verified ----
@@ -49,6 +68,8 @@ object DedupQueries {
         ORDER BY doc_a, doc_b""")),
 
     // ---- q26: SimHash fingerprints (64-bit sign signature) ----
+    // md5-hex bit extraction on both engines → bit-identical
+    // fingerprints (SimHashDedup portable hash family).
     QueryDef(
       "q26_simhash",
       (s, dir) => {
@@ -58,9 +79,14 @@ object DedupQueries {
             concat_ws("", col("bits")).as("simhash_bits"))
           .orderBy(col("doc_id"))
       },
-      None),
+      Some(s"""
+        $simhashFpCte
+        SELECT doc_id, bits AS simhash_bits FROM fp ORDER BY doc_id""")),
 
-    // ---- q27: SimHash near-dup pairs (Hamming ≤ 8 via band blocking) ----
+    // ---- q27: SimHash near-dup pairs (Hamming ≤ 8) ----
+    // Bands derived from the radius (9 bands ⇒ pigeonhole-perfect
+    // candidate recall), so the LSH plan provably equals the O(n²)
+    // brute-force oracle.
     QueryDef(
       "q27_simhash_neardup",
       (s, dir) => {
@@ -69,7 +95,14 @@ object DedupQueries {
           .withColumn("hamming", col("hamming").cast("long"))
           .orderBy(col("doc_a"), col("doc_b"))
       },
-      None),
+      Some(s"""
+        $simhashFpCte
+        SELECT doc_a, doc_b, hamming FROM (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                 len(list_filter(generate_series(1, 64),
+                     i -> substring(a.bits, i, 1) <> substring(b.bits, i, 1))) AS hamming
+          FROM fp a JOIN fp b ON a.doc_id < b.doc_id)
+        WHERE hamming <= 8 ORDER BY doc_a, doc_b""")),
 
     // ---- q28: brute-force cosine top-k (ANN exactness baseline) ----
     QueryDef(
