@@ -36,7 +36,13 @@ object Similarity {
 
   /** Exact cosine top-k neighbors for each query vector.
     * `queries`/`corpus`: (id, vec). Output: (query_id, neighbor_id,
-    * cosine, rnk 1..k), self-matches excluded, ties broken by id.
+    * cosine, rnk 1..k), self-matches excluded.
+    *
+    * Ranking uses the cosine ROUNDED to 9 decimals with neighbor_id as
+    * tie-break: double summation order differs across engines (and
+    * across cluster re-partitionings) in the last ulp, so ranking on
+    * the raw double is not reproducible — rounding makes the result
+    * deterministic and cross-engine verifiable.
     */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
     val q = queries.select(col("id").as("query_id"), col("vec").as("qvec"))
@@ -45,10 +51,27 @@ object Similarity {
       .orderBy(col("cosine").desc, col("neighbor_id"))
     c.crossJoin(broadcast(q))
       .filter(col("neighbor_id") =!= col("query_id"))
-      .withColumn("cosine", cosine(col("qvec"), col("cvec")))
+      .withColumn("cosine", round(cosine(col("qvec"), col("cvec")), 9))
       .withColumn("rnk", row_number().over(w).cast("long"))
       .filter(col("rnk") <= k)
       .select(col("query_id"), col("neighbor_id"), col("cosine"), col("rnk"))
+  }
+
+  /** Per-query recall@k of the LSH plan against the exact top-k: the
+    * standard acceptance check for an approximate index (the LSH
+    * result itself is not SQL-expressible, but its recall against
+    * `bruteForceTopK` is a one-join computation).
+    */
+  def lshRecallAtK(corpus: DataFrame, queries: DataFrame, k: Int,
+      dim: Int, bitsPerTable: Int = 12, numTables: Int = 4,
+      seed: Long = 7L): DataFrame = {
+    val exact = bruteForceTopK(corpus, queries, k)
+    val lsh = lshTopK(corpus, queries, k, dim, bitsPerTable, numTables, seed)
+      .select(col("query_id"), col("neighbor_id")).withColumn("hit", lit(1L))
+    exact.join(lsh, Seq("query_id", "neighbor_id"), "left_outer")
+      .groupBy(col("query_id"))
+      .agg((sum(coalesce(col("hit"), lit(0L))).cast("double") / count(lit(1)))
+        .as(s"recall_at_$k"))
   }
 
   /** LSH-bucketed ANN top-k: candidates = corpus vectors sharing at
@@ -84,7 +107,7 @@ object Similarity {
       // through as first() payload bytes.
       .groupBy(col("query_id"), col("neighbor_id"))
       .agg(first(col("qvec")).as("qvec"), first(col("cvec")).as("cvec"))
-      .withColumn("cosine", cosine(col("qvec"), col("cvec")))
+      .withColumn("cosine", round(cosine(col("qvec"), col("cvec")), 9))
       .withColumn("rnk", row_number().over(w).cast("long"))
       .filter(col("rnk") <= k)
       .select(col("query_id"), col("neighbor_id"), col("cosine"), col("rnk"))

@@ -105,6 +105,8 @@ object DedupQueries {
         WHERE hamming <= 8 ORDER BY doc_a, doc_b""")),
 
     // ---- q28: brute-force cosine top-k (ANN exactness baseline) ----
+    // Exact same double arithmetic in DuckDB (dot/norm over DOUBLE[],
+    // rank on cosine rounded to 9 — see Similarity's determinism note).
     QueryDef(
       "q28_ann_bruteforce",
       (s, dir) => {
@@ -113,18 +115,43 @@ object DedupQueries {
         Similarity.bruteForceTopK(emb, emb.filter(col("id") < 20), k = 5)
           .orderBy(col("query_id"), col("rnk"))
       },
-      None),
+      Some("""
+        WITH e AS (
+          SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
+        pairs AS (
+          SELECT q.id AS query_id, c.id AS neighbor_id,
+                 list_dot_product(q.v, c.v) /
+                   (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v))) AS raw
+          FROM e q JOIN e c ON c.id <> q.id
+          WHERE q.id < 20),
+        ranked AS (
+          SELECT query_id, neighbor_id, round(raw, 9) AS cosine,
+                 ROW_NUMBER() OVER (PARTITION BY query_id
+                   ORDER BY round(raw, 9) DESC, neighbor_id) AS rnk
+          FROM pairs)
+        SELECT query_id, neighbor_id, cosine, rnk FROM ranked WHERE rnk <= 5
+        ORDER BY query_id, rnk""")),
 
-    // ---- q29: LSH-bucketed ANN (the 100 TB path: bucket exchange
-    // instead of cross product) ----
+    // ---- q29: LSH-bucketed ANN, reported as recall@5 vs the exact
+    // baseline (the 100 TB path: bucket exchange instead of cross
+    // product). The LSH candidate set is not SQL-expressible, so the
+    // driver-facing output IS the acceptance metric: per-query recall
+    // against q28's exact top-k, gated ≥ 0.9 avg in AnnSpec
+    // (justified no_oracle — the check lives in the output itself).
     QueryDef(
       "q29_ann_lsh",
       (s, dir) => {
         val emb = Tables.load(s, dir, "embeddings")
           .select(col("vec_id").as("id"), col("embedding").as("vec"))
-        Similarity.lshTopK(emb, emb.filter(col("id") < 20), k = 5,
-          dim = 64, bitsPerTable = 8, numTables = 8)
-          .orderBy(col("query_id"), col("rnk"))
+        // Param math: neighbors here sit at cosine ≈ 0.35 (θ≈69°,
+        // per-bit collision p₁ ≈ 0.62); with b=4 bits/table a true
+        // neighbor collides per table w.p. p₁⁴ ≈ 0.15, so L=20 tables
+        // give expected recall 1-(1-0.15)²⁰ ≈ 0.96. Cost scales as
+        // L·|corpus|/2^b candidates — raise b on clustered real-world
+        // embeddings where p₁ is higher.
+        Similarity.lshRecallAtK(emb, emb.filter(col("id") < 20), k = 5,
+          dim = 64, bitsPerTable = 4, numTables = 20)
+          .orderBy(col("query_id"))
       },
       None)
   )
