@@ -137,10 +137,21 @@ final class Query private (
     * is a memory bomb unless the group cardinality is bounded.
     */
   def groupBy(keys: (String, Column)*): Query = {
-    val aggs = vars.map(v => collect_list(col(v)).as(v))
-    val d = df.groupBy(keys.map { case (n, e) => e.as(n) }: _*)
-      .agg(aggs.head, aggs.tail: _*)
-    next(d, keys.map(_._1).toVector ++ vars)
+    // a variable promoted to a key keeps its scalar value (the
+    // reference nests only NON-key variables, Executor.py:440-448)
+    val keyNames = keys.map(_._1).toSet
+    val nested = vars.filterNot(keyNames.contains)
+    val keyCols = keys.map { case (n, e) => e.as(n) }
+    val d =
+      if (nested.isEmpty)
+        df.groupBy(keyCols: _*)
+          .agg(org.apache.spark.sql.functions.count(lit(1)).as("__n"))
+          .drop("__n")
+      else {
+        val aggs = nested.map(v => collect_list(col(v)).as(v))
+        df.groupBy(keyCols: _*).agg(aggs.head, aggs.tail: _*)
+      }
+    next(d, keys.map(_._1).toVector ++ nested)
   }
 
   /** Native-aggregate group-by — the optimizer rewrite the reference
