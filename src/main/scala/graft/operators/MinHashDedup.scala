@@ -49,23 +49,24 @@ object MinHashDedup {
     base.select(col("id"), col("shingles"), sig.as("sig"))
   }
 
-  /** Candidate pairs (id_a < id_b) sharing ≥1 LSH band bucket. */
+  /** Candidate pairs (id_a < id_b) sharing ≥1 LSH band bucket.
+    * Single-pass shape: signatures are computed once, (id, band,
+    * bucket) rows take ONE groupBy exchange, and in-bucket pairs are
+    * generated post-shuffle (no self-join recomputing signatures).
+    * Oversized buckets (boilerplate skew) are capped with observed
+    * drop metrics — see LshSkew.
+    */
   def candidatePairs(sigs: DataFrame, numBands: Int, rowsPerBand: Int,
       maxBucketSize: Int = 1000): DataFrame = {
     val bandHashes = array((0 until numBands).map { j =>
       xxhash64(slice(col("sig"), j * rowsPerBand + 1, rowsPerBand), lit(j))
     }: _*)
-    val buckets = sigs
-      .select(col("id"), posexplode(bandHashes).as(Seq("band", "bucket")))
-    // Skew guard: drop buckets larger than maxBucketSize (at corpus
-    // scale these are boilerplate-driven and would dominate the join).
-    // Dropped mass is an observed metric — see LshSkew.
-    val sized = LshSkew.capBuckets(buckets, maxBucketSize, "minhash_lsh_skew")
-    val a = sized.select(col("band"), col("bucket"), col("id").as("id_a"))
-    val b = sized.select(col("band"), col("bucket"), col("id").as("id_b"))
-    a.join(b, Seq("band", "bucket"))
-      .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b")
+    val buckets = sigs.select(
+      struct(col("id")).as("m"),
+      posexplode(bandHashes).as(Seq("band", "bucket")))
+    val capped = LshSkew.groupCapped(buckets, maxBucketSize, "minhash_lsh_skew")
+    LshSkew.bucketPairs(capped)
+      .select(col("m1.id").as("id_a"), col("m2.id").as("id_b"))
       .distinct()
   }
 
@@ -79,7 +80,12 @@ object MinHashDedup {
     require(numHashes % numBands == 0, "numBands must divide numHashes")
     val sigs = signatures(docs, idCol, textCol, numHashes, shingleSize)
     val cands = candidatePairs(sigs, numBands, numHashes / numBands, maxBucketSize)
-    val sh = sigs.select(col("id"), col("shingles"))
+    // verification needs only the shingle sets — rebuild them without
+    // the 128-hash signature computation (this subtree is evaluated
+    // twice for the two sides of the verification join; shingling is
+    // cheap next to the minhash pass)
+    val sh = docs.select(col(idCol).as("id"),
+      shingles(col(textCol), shingleSize).as("shingles"))
     cands
       .join(sh.select(col("id").as("id_a"), col("shingles").as("sh_a")), "id_a")
       .join(sh.select(col("id").as("id_b"), col("shingles").as("sh_b")), "id_b")

@@ -7,69 +7,88 @@ import org.apache.spark.sql.functions._
   * token-hash distribution, Hamming-ball search via bit-band blocking
   * (Charikar'02 / the Google-crawl dedup construction).
   *
-  * The fingerprint is a pure per-row expression (higher-order
-  * functions over the token array — no shuffle, no UDF); the pair
-  * search exchanges only (id, band-bucket) rows. Band layout is
-  * DERIVED from the search radius: `maxHamming + 1` bands guarantee by
-  * pigeonhole that any pair within the radius shares at least one
-  * exact band — candidate generation has perfect recall at every
-  * radius, so the pair query is brute-force-oracle-checkable.
+  * Representation: the fingerprint is ONE packed BIGINT (bit 0 of the
+  * hash = bit 63 of the long). Everything downstream works on that
+  * 8-byte value — band buckets are bit-slices (shift+mask, no extra
+  * hashing), Hamming verification is `bit_count(a ^ b)`, and the only
+  * exchanged payloads are (id, band, bucket) rows and 8-byte
+  * fingerprints. At corpus scale that is the difference between
+  * shuffling ~1 KB of int-array per doc and 8 bytes.
+  *
+  * Band layout is DERIVED from the search radius: `maxHamming + 1`
+  * bands guarantee by pigeonhole that any pair within the radius
+  * shares at least one exact band — candidate generation has perfect
+  * recall at every radius, so the pair query is
+  * brute-force-oracle-checkable.
   *
   * Two token-hash families:
-  *   - md5-hex bit extraction (default): identical arithmetic is
+  *   - md5-hex (default): bit j of a token's hash = bit (3 - j%4) of
+  *     hex digit j/4 of md5(token) — identical arithmetic is
   *     expressible in DuckDB SQL, making fingerprints cross-engine
-  *     verifiable (the correctness-gate requirement);
-  *   - xxhash64 + getbit: cheaper per token; use in production where
+  *     verifiable. Parsed 4 hex chars at a time via conv() + getbit
+  *     (4 string ops per token, not 64).
+  *   - xxhash64 + getbit: cheaper still; use in production where
   *     cross-engine verifiability is not needed.
   */
 object SimHashDedup {
 
   /** 64-slot signed bit-count accumulator over token hashes, then
-    * sign → bits. Output: array<int>[64] of 0/1.
-    * Built as one SQL lambda expression; stays codegen-friendly and
-    * ANSI-safe.
-    *
-    * md5 mode: bit j of a token's hash = bit (3 - j%4) of hex digit
-    * j/4 of md5(token) — plain string/integer arithmetic that DuckDB
-    * mirrors exactly.
+    * sign → bits. Output: array<int>[64] of 0/1, bit 0 first.
+    * One SQL lambda expression — codegen-friendly, ANSI-safe.
     */
   def simhashBits(textColName: String, portable: Boolean = true): Column = {
-    val perTokenBits =
+    val (tokenHash, bitOfHash) =
       if (portable)
-        """transform(sequence(0, 63), j ->
-             CASE WHEN ((instr('0123456789abcdef',
-                               substring(h, CAST(j DIV 4 AS INT) + 1, 1)) - 1)
-                        DIV (CASE CAST(j % 4 AS INT)
-                             WHEN 0 THEN 8 WHEN 1 THEN 4 WHEN 2 THEN 2 ELSE 1 END))
-                       % 2 = 1
-                  THEN 1 ELSE -1 END)"""
+        // h = array of four 16-bit chunks of md5's first 16 hex chars;
+        // bit j (MSB-first) = getbit(chunk[j/16], 15 - j%16)
+        ("""transform(sequence(0, 3), c ->
+              CAST(conv(substring(md5(t), CAST(1 + c * 4 AS INT), 4), 16, 10)
+                   AS BIGINT))""",
+          """CASE WHEN getbit(element_at(h, CAST(j DIV 16 AS INT) + 1),
+                         CAST(15 - j % 16 AS INT)) = 1
+                  THEN 1 ELSE -1 END""")
       else
-        """transform(sequence(0, 63),
-             j -> CASE WHEN getbit(h, j) = 1 THEN 1 ELSE -1 END)"""
-    val tokenHash = if (portable) "md5(t)" else "xxhash64(t)"
+        ("xxhash64(t)",
+          "CASE WHEN getbit(h, CAST(j AS INT)) = 1 THEN 1 ELSE -1 END")
     val sums =
       s"""aggregate(
            transform(split($textColName, ' '), t -> $tokenHash),
            array_repeat(CAST(0 AS BIGINT), 64),
-           (acc, h) -> zip_with(acc, $perTokenBits,
+           (acc, h) -> zip_with(acc,
+             transform(sequence(0, 63), j -> $bitOfHash),
              (a, b) -> a + CAST(b AS BIGINT)))"""
     transform(expr(sums), c => when(c > 0, lit(1)).otherwise(lit(0)))
   }
 
-  /** Hamming distance between two bit arrays. */
-  def hamming(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => abs(x - y)), lit(0), (acc, v) => acc + v)
+  /** Pack the 0/1 bit array column into one BIGINT (bit 0 → bit 63 of
+    * the long), the engine-internal fingerprint form.
+    */
+  def packBits(bitsColName: String): Column =
+    expr(s"""aggregate(zip_with($bitsColName, sequence(63, 0, -1),
+         (b, p) -> IF(b = 1, shiftleft(CAST(1 AS BIGINT), CAST(p AS INT)),
+                      CAST(0 AS BIGINT))),
+         CAST(0 AS BIGINT), (a, x) -> a | x)""")
 
-  /** docs → (id, bits) */
+  /** Hamming distance between two packed fingerprint columns. */
+  def hammingPacked(aName: String, bName: String): Column =
+    expr(s"bit_count($aName ^ $bName)")
+
+  /** docs → (id, bits array<int>[64]) — the human-readable form. */
   def fingerprints(docs: DataFrame, idCol: String, textCol: String,
       portable: Boolean = true): DataFrame =
     docs.select(col(idCol).as("id"), simhashBits(textCol, portable).as("bits"))
+
+  /** docs → (id, fp BIGINT) — the engine form. */
+  def fingerprintsPacked(docs: DataFrame, idCol: String, textCol: String,
+      portable: Boolean = true): DataFrame =
+    fingerprints(docs, idCol, textCol, portable)
+      .select(col("id"), packBits("bits").as("fp"))
 
   /** Near-duplicate pairs with Hamming distance ≤ maxHamming.
     * Band blocking with `maxHamming + 1` bands of ~64/(maxHamming+1)
     * bits each: a pair within the radius differs in ≤ maxHamming
     * bands, so (pigeonhole) at least one band matches exactly —
-    * perfect candidate recall; exact Hamming verification follows.
+    * perfect candidate recall; exact bit_count verification follows.
     */
   def nearDuplicatePairs(docs: DataFrame, idCol: String, textCol: String,
       maxHamming: Int = 3, maxBucketSize: Int = 1000,
@@ -77,23 +96,27 @@ object SimHashDedup {
     require(maxHamming >= 0 && maxHamming < 64, "maxHamming in [0, 64)")
     val numBands = maxHamming + 1
     val bounds = (0 to numBands).map(j => j * 64 / numBands)
-    val fp = fingerprints(docs, idCol, textCol, portable)
-    val bandHashes = array((0 until numBands).map { j =>
-      xxhash64(slice(col("bits"), bounds(j) + 1, bounds(j + 1) - bounds(j)),
-        lit(j))
+    val fp = fingerprintsPacked(docs, idCol, textCol, portable)
+    // band j = bits [bounds(j), bounds(j+1)) of the fingerprint,
+    // extracted by shift+mask — the bucket id IS the slice value
+    val bandBuckets = array((0 until numBands).map { j =>
+      val width = bounds(j + 1) - bounds(j)
+      val mask = (1L << width) - 1
+      expr(s"shiftrightunsigned(fp, ${64 - bounds(j + 1)})")
+        .bitwiseAND(lit(mask))
     }: _*)
-    val buckets = fp.select(col("id"), posexplode(bandHashes).as(Seq("band", "bucket")))
-    val sized = LshSkew.capBuckets(buckets, maxBucketSize, "simhash_lsh_skew")
-    val a = sized.select(col("band"), col("bucket"), col("id").as("id_a"))
-    val b = sized.select(col("band"), col("bucket"), col("id").as("id_b"))
-    val cands = a.join(b, Seq("band", "bucket"))
-      .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b").distinct()
-    cands
-      .join(fp.select(col("id").as("id_a"), col("bits").as("bits_a")), "id_a")
-      .join(fp.select(col("id").as("id_b"), col("bits").as("bits_b")), "id_b")
-      .withColumn("hamming", hamming(col("bits_a"), col("bits_b")))
+    // Single-pass shape: the 8-byte fingerprint rides through ONE
+    // bucket exchange as the member payload; in-bucket pairs are
+    // generated post-shuffle, so fingerprints are computed exactly
+    // once and no join appears anywhere in the plan.
+    val buckets = fp.select(
+      struct(col("id"), col("fp")).as("m"),
+      posexplode(bandBuckets).as(Seq("band", "bucket")))
+    val capped = LshSkew.groupCapped(buckets, maxBucketSize, "simhash_lsh_skew")
+    LshSkew.bucketPairs(capped)
+      .withColumn("hamming", hammingPacked("m1.fp", "m2.fp"))
       .filter(col("hamming") <= maxHamming)
-      .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"), col("hamming"))
+      .select(col("m1.id").as("doc_a"), col("m2.id").as("doc_b"), col("hamming"))
+      .distinct()
   }
 }
