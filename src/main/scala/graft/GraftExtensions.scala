@@ -4,15 +4,16 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.expr.{JsonChildStep, JsonDescStep}
+import graft.functions.expr.{JsonChildStep, JsonDescStep, TryExcept}
 
 /** Session extension registering the engine's custom expressions as
   * SQL functions (set `spark.sql.extensions=graft.GraftExtensions`):
   *
   *   json_child_path(array<string>, key)  — `./` step
   *   json_desc_path(array<string>, key)   — `.//` step
+  *   try_except(e, fallback)              — general try-except
   *
-  * so SQL users get the path operators too, not just the Column API.
+  * so SQL users get the operators too, not just the Column API.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   private def info(name: String, usage: String) =
@@ -27,5 +28,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("json_desc_path"),
       info("json_desc_path", "_FUNC_(seq, key) - pythonql `.//` descendant step"),
       (args: Seq[Expression]) => JsonDescStep(args(0), args(1))))
+    ext.injectFunction((
+      FunctionIdentifier("try_except"),
+      info("try_except", "_FUNC_(e, fallback) - pythonql `try e1 except e2`"),
+      (args: Seq[Expression]) => TryExcept(args(0), args(1))))
   }
 }

@@ -252,6 +252,14 @@ final class Query private (
   def selectKV(k: Column, v: Column): DataFrame =
     df.select(k.as("key"), v.as("value"))
 
+  /** Materialize `{select k : v}` as a Scala Map (the reference's
+    * dict return type, Executor.py:132-139). Driver-side — bounded
+    * results only.
+    */
+  def collectMap[K, V](k: Column, v: Column): Map[K, V] =
+    selectKV(k, v).collect()
+      .map(r => r.get(0).asInstanceOf[K] -> r.get(1).asInstanceOf[V]).toMap
+
   /** The current binding stream as-is (all variables as columns). */
   def toDF: DataFrame = df
 }

@@ -1,0 +1,70 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming surface for the engine (SURVEY §2.3: the
+  * reference has no streaming; its `window` clause and event-journey
+  * scenarios are the natural streaming shape, and these transforms are
+  * their incremental duals — same DataFrame code runs in batch and
+  * stream, which StreamingSpec asserts).
+  *
+  * Scale notes: state is keyed by user (session/aggregation state per
+  * key, dropped on watermark expiry); the shuffle is the same single
+  * user_id exchange as the batch sessionizer (q23).
+  */
+object Streams {
+
+  /** Gap-based sessionization — the incremental dual of q23's
+    * gaps-and-islands (30-min gap ⇒ identical session boundaries).
+    * Input needs (user_id, ts timestamp, value).
+    */
+  def sessionize(events: DataFrame, gap: String = "30 minutes",
+      watermark: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(col("user_id"), session_window(col("ts"), gap).as("sw"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value")).as("session_value"))
+      .select(col("user_id"), col("sw.start").as("session_start"),
+        col("sw.end").as("session_end"), col("n_events"),
+        col("session_value"))
+
+  /** Tumbling event-time windows — the incremental dual of q24's
+    * hour buckets.
+    */
+  def tumblingCounts(events: DataFrame, width: String = "1 hour",
+      watermark: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), width).as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("total_value"))
+      .select(col("w.start").as("bucket_start"), col("event_type"),
+        col("n"), col("total_value"))
+
+  final case class UserEvent(user_id: Long, value: Double)
+  final case class UserTotals(user_id: Long, n_events: Long, total: Double)
+
+  /** Custom keyed state via flatMapGroupsWithState: a running per-user
+    * total that emits an updated row per batch — the escape hatch for
+    * window semantics no built-in covers (the reference's arbitrary-
+    * predicate windows land here in streaming mode).
+    */
+  def runningTotals(events: Dataset[UserEvent]): Dataset[UserTotals] = {
+    implicit val totalsEnc = Encoders.product[UserTotals]
+    implicit val keyEnc = Encoders.scalaLong
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[UserTotals, UserTotals](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (user: Long, rows: Iterator[UserEvent], state: GroupState[UserTotals]) =>
+          val prev = state.getOption.getOrElse(UserTotals(user, 0L, 0.0))
+          var n = prev.n_events
+          var tot = prev.total
+          rows.foreach { e => n += 1; tot += e.value }
+          val next = UserTotals(user, n, tot)
+          state.update(next)
+          Iterator.single(next)
+      }
+  }
+}

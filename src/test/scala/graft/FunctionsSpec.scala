@@ -1,0 +1,76 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.dsl.Query
+import graft.functions.CoreFunctions._
+
+/** Expression-level operators: general try-except, recursive flatten,
+  * map collector, DSL window clause.
+  */
+class FunctionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("tryExcept: ANSI cast error falls back per row (ref tutorial q9)") {
+    val df = Seq("15", "abc", "80").toDF("s")
+    val res = df.select(
+      tryExcept(col("s").cast("int"), lit(-1)).as("n")).as[Int].collect()
+    assert(res.toSeq == Seq(15, -1, 80))
+  }
+
+  test("tryExcept: division by zero falls back") {
+    val df = Seq(2, 0, 5).toDF("n")
+    val res = df.select(
+      tryExcept(expr("10 div n"), lit(-1L)).as("d")).as[Long].collect()
+    assert(res.toSeq == Seq(5L, -1L, 2L))
+  }
+
+  test("tryExcept: mismatched branch types rejected at analysis") {
+    val df = Seq(1).toDF("n")
+    intercept[Exception] {
+      df.select(tryExcept(col("n"), lit("x"))).collect()
+    }
+  }
+
+  test("try_except available from SQL via GraftExtensions") {
+    val r = spark.sql(
+      "SELECT try_except(CAST('zz' AS INT), -7) AS v").head.getInt(0)
+    assert(r == -7)
+  }
+
+  test("flattenAll removes every nesting level (ref helpers.py flatten)") {
+    val df = Seq(Seq(Seq(Seq(1, 2), Seq(3)), Seq(Seq(4)))).toDF("a")
+    val out = df.select(flattenAll(df, col("a")).as("f"))
+      .head.getSeq[Int](0)
+    assert(out == Seq(1, 2, 3, 4))
+    // already-flat arrays pass through unchanged
+    val flat = Seq(Seq(1, 2)).toDF("a")
+    assert(flat.select(flattenAll(flat, col("a"))).head.getSeq[Int](0) ==
+      Seq(1, 2))
+  }
+
+  test("collectMap materializes the dict container") {
+    val df = Seq(("a", 1), ("b", 2), ("a", 1)).toDF("k", "v")
+    val m = Query.forIn("t", df)
+      .groupByAgg(Seq("k" -> col("t.k")), Seq("n" -> count(lit(1))))
+      .collectMap[String, Long](col("k"), col("n"))
+    assert(m == Map("a" -> 2L, "b" -> 1L))
+  }
+
+  test("DSL window clause over a keyed stream") {
+    val df = Seq(("u1", 1, 10), ("u1", 2, 20), ("u1", 3, 30),
+      ("u2", 1, 5), ("u2", 2, 6)).toDF("user", "seq", "amt")
+    val res = Query.forIn("e", df)
+      .let("user", col("e.user")).let("seq", col("e.seq"))
+      .window("w", keyVars = Seq("user"), orderVars = Seq("seq"),
+        start = _ => true,
+        end = (s, e) => e.index - s.index == 1,
+        tumbling = true)
+      .orderBy(col("user"), col("s_idx"))
+      .select("user" -> col("user"), "s_idx" -> col("s_idx"),
+        "n" -> size(col("w")))
+      .collect()
+    // u1: [0,1] closed + [2] tail; u2: [0,1] closed
+    assert(res.map(r => (r.getString(0), r.getLong(1), r.getInt(2))).toSeq ==
+      Seq(("u1", 0L, 2), ("u1", 2L, 1), ("u2", 0L, 2)))
+  }
+}

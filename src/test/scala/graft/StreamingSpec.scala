@@ -1,0 +1,74 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.streaming.Streams
+
+/** Streaming transforms: batch/stream parity for sessionization (the
+  * same declarative plan runs incrementally), and custom keyed state.
+  */
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(minutes: Long): Timestamp =
+    new Timestamp(1700000000000L + minutes * 60000L)
+
+  private val eventData = Seq(
+    // user 1: two sessions (gap > 30 min between minute 40 and 100)
+    (1L, ts(0), 1.0), (1L, ts(10), 2.0), (1L, ts(40), 3.0),
+    (1L, ts(100), 4.0), (1L, ts(110), 5.0),
+    // user 2: one session
+    (2L, ts(5), 10.0), (2L, ts(20), 20.0))
+
+  test("sessionize: stream equals batch (same plan, incremental run)") {
+    val batch = Streams.sessionize(
+      eventData.toDF("user_id", "ts", "value"))
+      .orderBy(col("user_id"), col("session_start"))
+      .collect().map(_.toString).toSeq
+
+    implicit val sqlCtx = spark.sqlContext
+    val ms = MemoryStream[(Long, Timestamp, Double)]
+    val q = Streams.sessionize(ms.toDF().toDF("user_id", "ts", "value"))
+      .writeStream.format("memory").queryName("sess")
+      .outputMode("complete").start()
+    try {
+      ms.addData(eventData: _*)
+      q.processAllAvailable()
+      val stream = spark.table("sess")
+        .orderBy(col("user_id"), col("session_start"))
+        .collect().map(_.toString).toSeq
+      assert(stream == batch)
+      assert(batch.length == 3) // u1 x2 sessions + u2 x1
+    } finally q.stop()
+  }
+
+  test("runningTotals: custom keyed state accumulates across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val ms = MemoryStream[Streams.UserEvent]
+    val q = Streams.runningTotals(ms.toDS())
+      .writeStream.format("memory").queryName("totals")
+      .outputMode("append").start()
+    try {
+      ms.addData(Streams.UserEvent(1L, 5.0), Streams.UserEvent(1L, 7.0))
+      q.processAllAvailable()
+      ms.addData(Streams.UserEvent(1L, 8.0), Streams.UserEvent(2L, 1.0))
+      q.processAllAvailable()
+      val rows = spark.table("totals")
+        .groupBy(col("user_id"))
+        .agg(max(col("n_events")).as("n"), max(col("total")).as("t"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .sortBy(_._1).toSeq
+      assert(rows == Seq((1L, 3L, 20.0), (2L, 1L, 1.0)))
+    } finally q.stop()
+  }
+
+  test("tumbling counts run over the events table shape") {
+    val df = eventData.toDF("user_id", "ts", "value")
+      .withColumn("event_type", lit("click"))
+    val out = Streams.tumblingCounts(df).orderBy(col("bucket_start")).collect()
+    assert(out.map(_.getLong(2)).sum == 7L)
+  }
+}
