@@ -32,5 +32,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("try_except"),
       info("try_except", "_FUNC_(e, fallback) - pythonql `try e1 except e2`"),
       (args: Seq[Expression]) => TryExcept(args(0), args(1))))
+    // collect-then-reduce → native partial+final aggregates
+    ext.injectOptimizerRule(_ => graft.rules.NestAggRewrite)
   }
 }
