@@ -22,14 +22,22 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame = {
     val dir = "/root/testdata/sf0.001"
     val t = Tables(spark, dir)
-    t.customer.filter(col("c_mktsegment") === "BUILDING")
-      .join(t.orders, col("c_custkey") === col("o_custkey"))
-      .join(t.lineitem, col("o_orderkey") === col("l_orderkey"))
-      .groupBy(col("o_orderkey"), col("o_orderdate"))
-      .agg(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
-        .cast(DecimalType(18, 4))).cast("double").as("revenue"))
+    graft.dsl.Query
+      .forIn("c", t.customer)
+      .forIn("o", t.orders)
+      .forIn("l", t.lineitem)
+      .where(col("c.c_mktsegment") === "BUILDING" &&
+        col("c.c_custkey") === col("o.o_custkey") &&
+        col("o.o_orderkey") === col("l.l_orderkey"))
+      .groupByAgg(
+        Seq("o_orderkey" -> col("o.o_orderkey"),
+          "o_orderdate" -> col("o.o_orderdate")),
+        Seq("revenue" -> sum((col("l.l_extendedprice") *
+          (lit(1) - col("l.l_discount"))).cast(DecimalType(18, 4)))
+          .cast("double")))
       .orderBy(col("revenue").desc, col("o_orderkey"))
       .limit(20)
+      .toDF
   }
 
   /** One per implemented operator from SURVEY.md §2. */
