@@ -118,6 +118,44 @@ object EventsQueries {
                CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
         FROM events
         GROUP BY hour_bucket_ms, event_type
-        ORDER BY hour_bucket_ms, event_type"""))
+        ORDER BY hour_bucket_ms, event_type""")),
+
+    // ---- q40: session_window — the STREAMING sessionizer's code path
+    // (graft.streaming.Streams.sessionize) run in batch mode, verified
+    // against gaps-and-islands SQL. Spark's session windows are
+    // end-exclusive, so a new session starts at gap >= 30 min (q23's
+    // hand-rolled sessionizer uses strict >; both are oracle-matched
+    // to their own semantics).
+    QueryDef(
+      "q40_session_window",
+      (s, dir) => {
+        val ev = Tables.load(s, dir, "events")
+          .select(col("user_id"),
+            timestamp_millis(expr("ts DIV 1000000")).as("ts"), col("value"))
+        graft.streaming.Streams.sessionize(ev, "30 minutes")
+          .select(col("user_id"),
+            unix_millis(col("session_start")).as("start_ms"),
+            unix_millis(col("session_end")).as("end_ms"),
+            col("n_events"), col("session_value"))
+          .orderBy(col("user_id"), col("start_ms"))
+      },
+      Some("""
+        WITH e AS (
+          SELECT user_id, epoch_ms(ts) AS tms, value, event_id FROM events),
+        flagged AS (
+          SELECT user_id, tms, value,
+                 CASE WHEN LAG(tms) OVER w IS NULL
+                        OR tms - LAG(tms) OVER w >= 1800000 THEN 1 ELSE 0 END AS is_new
+          FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tms, event_id)),
+        sess AS (
+          SELECT user_id, tms, value,
+                 SUM(is_new) OVER (PARTITION BY user_id ORDER BY tms
+                                   ROWS UNBOUNDED PRECEDING) AS sid
+          FROM flagged)
+        SELECT user_id, MIN(tms) AS start_ms, MAX(tms) + 1800000 AS end_ms,
+               COUNT(*) AS n_events,
+               CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS session_value
+        FROM sess GROUP BY user_id, sid
+        ORDER BY user_id, start_ms"""))
   )
 }

@@ -26,7 +26,10 @@ object Streams {
       .withWatermark("ts", watermark)
       .groupBy(col("user_id"), session_window(col("ts"), gap).as("sw"))
       .agg(count(lit(1)).as("n_events"),
-        sum(col("value")).as("session_value"))
+        // exact decimal accumulation → order-free determinism (same
+        // convention as the batch queries; required for the oracle)
+        sum(col("value").cast(org.apache.spark.sql.types.DecimalType(18, 4)))
+          .cast("double").as("session_value"))
       .select(col("user_id"), col("sw.start").as("session_start"),
         col("sw.end").as("session_end"), col("n_events"),
         col("session_value"))
