@@ -57,6 +57,22 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("cosine"), col("rnk"))
   }
 
+  /** Embedding-cosine near-duplicate PAIRS (the dedup-battery shape:
+    * all pairs above a similarity threshold, not per-query top-k).
+    * Exact upper-triangle self-join — the oracle-checkable baseline;
+    * at corpus scale, generate candidates with the same
+    * random-hyperplane buckets as `lshTopK` and verify with this
+    * cosine (identical trade-off story to MinHash vs brute Jaccard).
+    */
+  def cosineNearDupPairs(corpus: DataFrame, threshold: Double): DataFrame = {
+    val a = corpus.select(col("id").as("id_a"), col("vec").as("va"))
+    val b = corpus.select(col("id").as("id_b"), col("vec").as("vb"))
+    a.join(b, col("id_a") < col("id_b"))
+      .withColumn("cosine", round(cosine(col("va"), col("vb")), 9))
+      .filter(col("cosine") >= threshold)
+      .select(col("id_a"), col("id_b"), col("cosine"))
+  }
+
   /** Per-query recall@k of the LSH plan against the exact top-k: the
     * standard acceptance check for an approximate index (the LSH
     * result itself is not SQL-expressible, but its recall against

@@ -153,6 +153,27 @@ object DedupQueries {
           dim = 64, bitsPerTable = 4, numTables = 20)
           .orderBy(col("query_id"))
       },
-      None)
+      None),
+
+    // ---- q41: embedding-cosine near-dup pairs (dedup battery) ----
+    // Exact threshold pairs, rounded-cosine determinism as in q28.
+    QueryDef(
+      "q41_embedding_neardup",
+      (s, dir) => {
+        val emb = Tables.load(s, dir, "embeddings")
+          .select(col("vec_id").as("id"), col("embedding").as("vec"))
+        Similarity.cosineNearDupPairs(emb, threshold = 0.35)
+          .orderBy(col("id_a"), col("id_b"))
+      },
+      Some("""
+        WITH e AS (
+          SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings)
+        SELECT a.id AS id_a, b.id AS id_b,
+               round(list_dot_product(a.v, b.v) /
+                 (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 9) AS cosine
+        FROM e a JOIN e b ON a.id < b.id
+        WHERE round(list_dot_product(a.v, b.v) /
+                (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 9) >= 0.35
+        ORDER BY id_a, id_b"""))
   )
 }
