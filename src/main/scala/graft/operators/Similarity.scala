@@ -73,6 +73,48 @@ object Similarity {
       .select(col("id_a"), col("id_b"), col("cosine"))
   }
 
+  /** IVF (inverted-file) ANN: a KMeans coarse quantizer partitions the
+    * corpus into `nLists` cells; each query probes its `nProbe`
+    * nearest centroids and ranks only those cells' vectors by exact
+    * cosine. The scan-side exchange is one partition pass at assign
+    * time; at query time the probed cells are the only data touched —
+    * the classic IVF trade: recall grows with nProbe, cost with
+    * nProbe·|corpus|/nLists. Probing all lists is exactly brute force
+    * (asserted in AnnSpec).
+    */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      nLists: Int, nProbe: Int, seed: Long = 7L): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val fc = corpus.withColumn("fv",
+      array_to_vector(col("vec").cast("array<double>")))
+    val model = new KMeans().setK(nLists).setSeed(seed).setMaxIter(10)
+      .setFeaturesCol("fv").setPredictionCol("list_id").fit(fc)
+    val assigned = model.transform(fc)
+      .select(col("id").as("neighbor_id"), col("vec").as("cvec"),
+        col("list_id"))
+    val centroids = model.clusterCenters.map(_.toArray.toSeq).toSeq
+    // nProbe nearest centroids per query (centroids are tiny — plan
+    // literals, no join)
+    val distStructs = array(centroids.zipWithIndex.map { case (c, i) =>
+      struct(l2Sq(col("vec"), typedlit(c)).as("d"), lit(i).as("idx"))
+    }: _*)
+    val qprobes = queries.select(col("id").as("query_id"),
+        col("vec").as("qvec"),
+        explode(slice(array_sort(distStructs), 1, nProbe)).as("p"))
+      .select(col("query_id"), col("qvec"), col("p.idx").as("list_id"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    // each corpus vector lives in exactly one list → pairs are unique,
+    // no dedupe exchange needed
+    assigned.join(broadcast(qprobes), Seq("list_id"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("cosine", round(cosine(col("qvec"), col("cvec")), 9))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("cosine"), col("rnk"))
+  }
+
   /** Per-query recall@k of the LSH plan against the exact top-k: the
     * standard acceptance check for an approximate index (the LSH
     * result itself is not SQL-expressible, but its recall against

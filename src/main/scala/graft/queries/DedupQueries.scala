@@ -67,6 +67,34 @@ object DedupQueries {
         WHERE jaccard >= 0.8
         ORDER BY doc_a, doc_b""")),
 
+    // ---- q42: top-k most-similar pairs by exact n-gram Jaccard ----
+    // LSH candidate generation at a permissive 64-band layout, exact
+    // Jaccard rank. Oracle-safe because the global top-10 pairs are
+    // all high-Jaccard (≥0.8 in this corpus), where 64 bands of 2
+    // rows have candidate recall 1-(1-j²)⁶⁴ ≈ 1-1e-28.
+    QueryDef(
+      "q42_jaccard_topk",
+      (s, dir) => {
+        MinHashDedup.topKSimilarPairs(
+          Tables.load(s, dir, "documents"), "doc_id", "text", k = 10)
+      },
+      Some("""
+        WITH tok AS (
+          SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        sh AS (
+          SELECT doc_id,
+                 CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
+                      ELSE list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                                          for i in generate_series(1, len(w) - 2)])
+                 END AS shingles
+          FROM tok)
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+                 / len(list_distinct(a.shingles || b.shingles)) AS jaccard
+        FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        ORDER BY jaccard DESC, doc_a, doc_b
+        LIMIT 10""")),
+
     // ---- q26: SimHash fingerprints (64-bit sign signature) ----
     // md5-hex bit extraction on both engines → bit-identical
     // fingerprints (SimHashDedup portable hash family).

@@ -29,6 +29,29 @@ class AnnSpec extends SparkSpec {
       assert(!p.contains("vec"), s"vector-keyed exchange: $p"))
   }
 
+  test("IVF: probing every list equals brute force; recall grows with nProbe") {
+    val queries = emb.filter(col("id") < 10)
+    val exact = Similarity.bruteForceTopK(emb, queries, k = 5)
+      .collect().map(_.toString).sorted.toSeq
+    val full = Similarity.ivfTopK(emb, queries, k = 5, nLists = 16, nProbe = 16)
+      .collect().map(_.toString).sorted.toSeq
+    assert(full == exact)
+
+    def recall(nProbe: Int): Double = {
+      val got = Similarity.ivfTopK(emb, queries, k = 5, nLists = 16, nProbe = nProbe)
+        .select("query_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val want = Similarity.bruteForceTopK(emb, queries, k = 5)
+        .select("query_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      got.intersect(want).size.toDouble / want.size
+    }
+    val r4 = recall(4)
+    val r12 = recall(12)
+    assert(r12 >= r4, s"recall not monotone: nProbe=4 → $r4, nProbe=12 → $r12")
+    assert(r12 >= 0.5, s"recall@12/16 lists too low: $r12")
+  }
+
   test("brute-force top-k is reproducible run to run") {
     val a = Similarity.bruteForceTopK(emb, emb.filter(col("id") < 5), k = 3)
       .collect().map(_.toString).sorted.toSeq
