@@ -168,6 +168,17 @@ final class Query private (
     next(d, (keys.map(_._1) ++ aggs.map(_._1)).toVector)
   }
 
+  /** Hierarchical rollup aggregation (SURVEY §2.3: absent in the
+    * reference, free in Spark — subtotal rows carry NULL keys).
+    */
+  def groupByRollup(keys: Seq[(String, Column)],
+      aggs: Seq[(String, Column)]): Query = {
+    val aggCols = aggs.map { case (n, e) => e.as(n) }
+    val d = df.rollup(keys.map { case (n, e) => e.as(n) }: _*)
+      .agg(aggCols.head, aggCols.tail: _*)
+    next(d, (keys.map(_._1) ++ aggs.map(_._1)).toVector)
+  }
+
   // ---- order by / limit / distinct ---------------------------------
   /** Multi-key sort. The reference implements this as N successive
     * stable sorts (`Executor.py:464-488`) — equivalent to one

@@ -365,6 +365,50 @@ object Relational {
         UNION ALL
         (SELECT c_custkey FROM customer WHERE c_acctbal < 0
          EXCEPT SELECT DISTINCT o_custkey FROM orders)
-        ORDER BY custkey"""))
+        ORDER BY custkey""")),
+
+    // ---- q43: rollup (hierarchical subtotals; NULL keys surfaced as
+    // a sentinel so both engines sort and hash identically) ----
+    QueryDef(
+      "q43_rollup",
+      (s, dir) => {
+        Query.forIn("l", Tables.load(s, dir, "lineitem"))
+          .groupByRollup(
+            Seq("rf0" -> col("l.l_returnflag"), "ls0" -> col("l.l_linestatus")),
+            Seq("sum_qty" -> sum(dec(col("l.l_quantity"))).cast("double"),
+              "n" -> count(lit(1))))
+          .let("rf", coalesce(col("rf0"), lit("@ALL")))
+          .let("ls", coalesce(col("ls0"), lit("@ALL")))
+          .orderBy(col("rf"), col("ls"))
+          .select("rf" -> col("rf"), "ls" -> col("ls"),
+            "sum_qty" -> col("sum_qty"), "n" -> col("n"))
+      },
+      Some("""
+        SELECT COALESCE(l_returnflag, '@ALL') AS rf,
+               COALESCE(l_linestatus, '@ALL') AS ls,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+               COUNT(*) AS n
+        FROM lineitem
+        GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        ORDER BY rf, ls""")),
+
+    // ---- q44: HLL sketch sanity — approx_count_distinct within
+    // tolerance of the exact count (the sketch VALUE is
+    // engine-specific; the verifiable contract is its error bound) ----
+    QueryDef(
+      "q44_approx_distinct",
+      (s, dir) => {
+        Query.forIn("o", Tables.load(s, dir, "orders"))
+          .groupByAgg(Nil, Seq(
+            "n_exact" -> countDistinct(col("o.o_custkey")),
+            "approx_ok" ->
+              ((abs(approx_count_distinct(col("o.o_custkey")).cast("double") -
+                countDistinct(col("o.o_custkey")).cast("double")) /
+                countDistinct(col("o.o_custkey")).cast("double")) <= 0.15)))
+          .toDF
+      },
+      Some("""
+        SELECT COUNT(DISTINCT o_custkey) AS n_exact, true AS approx_ok
+        FROM orders"""))
   )
 }
