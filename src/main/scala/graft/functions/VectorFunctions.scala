@@ -1,27 +1,34 @@
 package graft.functions
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, GraftSqlBridge}
 import org.apache.spark.sql.functions._
 
-/** Dense-vector column functions over `array<float>` embeddings,
-  * expressed with higher-order functions (`zip_with`/`aggregate`) so
-  * they run inside the row pipeline with no UDF/serialization cost.
-  * Accumulation is in DOUBLE, left-to-right — deterministic for a
-  * given array.
+import graft.functions.expr.VecDot
+
+/** Dense-vector column functions over `array<float>` embeddings.
+  * The hot inner product is a custom codegen'd expression (VecDot);
+  * everything composes from it. Accumulation is in DOUBLE,
+  * left-to-right — deterministic for a given array.
   */
 object VectorFunctions {
 
-  /** Σ aᵢ·bᵢ — inner product, double accumulation. */
+  /** Σ aᵢ·bᵢ — inner product, double accumulation (codegen'd loop). */
   def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, v) => acc + v)
+    GraftSqlBridge.column(VecDot(
+      GraftSqlBridge.expression(a), GraftSqlBridge.expression(b)))
 
   /** ‖a‖₂ */
-  def l2Norm(a: Column): Column =
-    sqrt(aggregate(a, lit(0.0), (acc, v) => acc + v.cast("double") * v.cast("double")))
+  def l2Norm(a: Column): Column = sqrt(dot(a, a))
 
-  /** cos(a,b) = a·b / (‖a‖‖b‖) */
+  /** cos(a,b) = a·b / (‖a‖‖b‖). For pairwise joins prefer
+    * precomputing each side's norm once (`cosineWithNorms`) — norms
+    * recomputed per PAIR dominate all-pairs similarity cost.
+    */
   def cosine(a: Column, b: Column): Column = dot(a, b) / (l2Norm(a) * l2Norm(b))
+
+  /** cos from precomputed norms: dot(a,b) / (na·nb). */
+  def cosineWithNorms(a: Column, b: Column, na: Column, nb: Column): Column =
+    dot(a, b) / (na * nb)
 
   /** Squared L2 distance. */
   def l2Sq(a: Column, b: Column): Column =

@@ -45,13 +45,18 @@ object Similarity {
     * deterministic and cross-engine verifiable.
     */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    // norms are per-VECTOR quantities: compute them once on each scan
+    // side, never per pair
     val q = queries.select(col("id").as("query_id"), col("vec").as("qvec"))
+      .withColumn("qn", l2Norm(col("qvec")))
     val c = corpus.select(col("id").as("neighbor_id"), col("vec").as("cvec"))
+      .withColumn("cn", l2Norm(col("cvec")))
     val w = Window.partitionBy("query_id")
       .orderBy(col("cosine").desc, col("neighbor_id"))
     c.crossJoin(broadcast(q))
       .filter(col("neighbor_id") =!= col("query_id"))
-      .withColumn("cosine", round(cosine(col("qvec"), col("cvec")), 9))
+      .withColumn("cosine", round(cosineWithNorms(col("qvec"), col("cvec"),
+        col("qn"), col("cn")), 9))
       .withColumn("rnk", row_number().over(w).cast("long"))
       .filter(col("rnk") <= k)
       .select(col("query_id"), col("neighbor_id"), col("cosine"), col("rnk"))
@@ -66,9 +71,12 @@ object Similarity {
     */
   def cosineNearDupPairs(corpus: DataFrame, threshold: Double): DataFrame = {
     val a = corpus.select(col("id").as("id_a"), col("vec").as("va"))
+      .withColumn("na", l2Norm(col("va")))
     val b = corpus.select(col("id").as("id_b"), col("vec").as("vb"))
+      .withColumn("nb", l2Norm(col("vb")))
     a.join(b, col("id_a") < col("id_b"))
-      .withColumn("cosine", round(cosine(col("va"), col("vb")), 9))
+      .withColumn("cosine", round(cosineWithNorms(col("va"), col("vb"),
+        col("na"), col("nb")), 9))
       .filter(col("cosine") >= threshold)
       .select(col("id_a"), col("id_b"), col("cosine"))
   }
@@ -92,7 +100,7 @@ object Similarity {
       .setFeaturesCol("fv").setPredictionCol("list_id").fit(fc)
     val assigned = model.transform(fc)
       .select(col("id").as("neighbor_id"), col("vec").as("cvec"),
-        col("list_id"))
+        l2Norm(col("vec")).as("cn"), col("list_id"))
     val centroids = model.clusterCenters.map(_.toArray.toSeq).toSeq
     // nProbe nearest centroids per query (centroids are tiny — plan
     // literals, no join)
@@ -100,16 +108,17 @@ object Similarity {
       struct(l2Sq(col("vec"), typedlit(c)).as("d"), lit(i).as("idx"))
     }: _*)
     val qprobes = queries.select(col("id").as("query_id"),
-        col("vec").as("qvec"),
+        col("vec").as("qvec"), l2Norm(col("vec")).as("qn"),
         explode(slice(array_sort(distStructs), 1, nProbe)).as("p"))
-      .select(col("query_id"), col("qvec"), col("p.idx").as("list_id"))
+      .select(col("query_id"), col("qvec"), col("qn"), col("p.idx").as("list_id"))
     val w = Window.partitionBy("query_id")
       .orderBy(col("cosine").desc, col("neighbor_id"))
     // each corpus vector lives in exactly one list → pairs are unique,
     // no dedupe exchange needed
     assigned.join(broadcast(qprobes), Seq("list_id"))
       .filter(col("neighbor_id") =!= col("query_id"))
-      .withColumn("cosine", round(cosine(col("qvec"), col("cvec")), 9))
+      .withColumn("cosine", round(cosineWithNorms(col("qvec"), col("cvec"),
+        col("qn"), col("cn")), 9))
       .withColumn("rnk", row_number().over(w).cast("long"))
       .filter(col("rnk") <= k)
       .select(col("query_id"), col("neighbor_id"), col("cosine"), col("rnk"))
@@ -147,14 +156,15 @@ object Similarity {
       val bucketCols = array(tables.map { case (t, planes) =>
         struct(lit(t).as("tbl"), hyperplaneBucket(col("vec"), planes).as("bucket"))
       }: _*)
-      df.select(col("id").as(idName), col("vec"),
+      df.select(col("id").as(idName), col("vec"), l2Norm(col("vec")).as("nrm"),
         explode(bucketCols).as("tb"))
-        .select(col(idName), col("vec"), col("tb.tbl"), col("tb.bucket"))
+        .select(col(idName), col("vec"), col("nrm"),
+          col("tb.tbl"), col("tb.bucket"))
     }
     val cb = withBuckets(corpus, "neighbor_id")
-      .withColumnRenamed("vec", "cvec")
+      .withColumnRenamed("vec", "cvec").withColumnRenamed("nrm", "cn")
     val qb = withBuckets(queries, "query_id")
-      .withColumnRenamed("vec", "qvec")
+      .withColumnRenamed("vec", "qvec").withColumnRenamed("nrm", "qn")
     val w = Window.partitionBy("query_id")
       .orderBy(col("cosine").desc, col("neighbor_id"))
     cb.join(broadcast(qb), Seq("tbl", "bucket"))
@@ -164,8 +174,10 @@ object Similarity {
       // sort-comparisons of) the embedding payloads; vectors ride
       // through as first() payload bytes.
       .groupBy(col("query_id"), col("neighbor_id"))
-      .agg(first(col("qvec")).as("qvec"), first(col("cvec")).as("cvec"))
-      .withColumn("cosine", round(cosine(col("qvec"), col("cvec")), 9))
+      .agg(first(col("qvec")).as("qvec"), first(col("cvec")).as("cvec"),
+        first(col("qn")).as("qn"), first(col("cn")).as("cn"))
+      .withColumn("cosine", round(cosineWithNorms(col("qvec"), col("cvec"),
+        col("qn"), col("cn")), 9))
       .withColumn("rnk", row_number().over(w).cast("long"))
       .filter(col("rnk") <= k)
       .select(col("query_id"), col("neighbor_id"), col("cosine"), col("rnk"))
