@@ -1,0 +1,77 @@
+package graft.functions.expr
+
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, LongType}
+
+/** SimHash sign bits from per-token hash chunks: input is one
+  * `array<array<bigint>>` row — per token, four 16-bit chunks of its
+  * 64-bit hash (chunk 0 = most significant). Output: array<int>[64]
+  * of 0/1 — bit j is the sign of Σ_tokens (±1 by bit j of the token
+  * hash), bit j = bit (15 - j%16) of chunk j/16, identical to the
+  * md5-hex definition mirrored by the DuckDB oracle.
+  *
+  * Why a custom Expression: the lambda formulation ran a 64-element
+  * zip_with allocation per TOKEN; this is one codegen'd two-level
+  * loop per row.
+  */
+case class SimHashBits(child: Expression) extends UnaryExpression {
+  override def prettyName: String = "simhash_bits"
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(ArrayType(LongType, _), _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case t =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"simhash_bits expects array<array<bigint>>, got ${t.sql}")
+    }
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val toks = input.asInstanceOf[ArrayData]
+    val sums = new Array[Long](64)
+    var t = 0
+    while (t < toks.numElements()) {
+      val chunks = toks.getArray(t)
+      var j = 0
+      while (j < 64) {
+        val bit = (chunks.getLong(j >> 4) >> (15 - (j & 15))) & 1L
+        sums(j) += (if (bit == 1L) 1L else -1L)
+        j += 1
+      }
+      t += 1
+    }
+    new GenericArrayData(sums.map(s => if (s > 0) 1 else 0))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, toks => {
+      val sums = ctx.freshName("sums")
+      val bits = ctx.freshName("bits")
+      val t = ctx.freshName("t")
+      val j = ctx.freshName("j")
+      val chunks = ctx.freshName("chunks")
+      val bit = ctx.freshName("bit")
+      s"""
+         |long[] $sums = new long[64];
+         |for (int $t = 0; $t < $toks.numElements(); $t++) {
+         |  org.apache.spark.sql.catalyst.util.ArrayData $chunks =
+         |    $toks.getArray($t);
+         |  for (int $j = 0; $j < 64; $j++) {
+         |    long $bit = ($chunks.getLong($j >> 4) >> (15 - ($j & 15))) & 1L;
+         |    $sums[$j] += ($bit == 1L) ? 1L : -1L;
+         |  }
+         |}
+         |int[] $bits = new int[64];
+         |for (int $j = 0; $j < 64; $j++) $bits[$j] = ($sums[$j] > 0) ? 1 : 0;
+         |${ev.value} = org.apache.spark.sql.catalyst.expressions
+         |  .UnsafeArrayData.fromPrimitiveArray($bits);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}

@@ -37,15 +37,18 @@ object MinHashDedup {
       .otherwise(array(concat_ws(" ", toks)))
   }
 
-  /** doc → (id, shingles, sig: array<long>[numHashes]) */
+  /** doc → (id, shingles, sig: array<long>[numHashes]).
+    * The 128-permutation min pass is one codegen'd two-level loop
+    * (MinHashSig) — not 128 interpreted lambda passes.
+    */
   def signatures(docs: DataFrame, idCol: String, textCol: String,
       numHashes: Int = 128, shingleSize: Int = 3): DataFrame = {
     val base = docs.select(col(idCol).as("id"),
       shingles(col(textCol), shingleSize).as("shingles"))
       .withColumn("hs", transform(col("shingles"), s => xxhash64(s)))
-    val sig = array((0 until numHashes).map { i =>
-      array_min(transform(col("hs"), h => xxhash64(h, lit(i))))
-    }: _*)
+    val sig = org.apache.spark.sql.GraftSqlBridge.column(
+      graft.functions.expr.MinHashSig(
+        org.apache.spark.sql.GraftSqlBridge.expression(col("hs")), numHashes))
     base.select(col("id"), col("shingles"), sig.as("sig"))
   }
 

@@ -36,29 +36,31 @@ object SimHashDedup {
     * sign → bits. Output: array<int>[64] of 0/1, bit 0 first.
     * One SQL lambda expression — codegen-friendly, ANSI-safe.
     */
-  def simhashBits(textColName: String, portable: Boolean = true): Column = {
-    val (tokenHash, bitOfHash) =
-      if (portable)
-        // h = array of four 16-bit chunks of md5's first 16 hex chars;
-        // bit j (MSB-first) = getbit(chunk[j/16], 15 - j%16)
-        ("""transform(sequence(0, 3), c ->
-              CAST(conv(substring(md5(t), CAST(1 + c * 4 AS INT), 4), 16, 10)
-                   AS BIGINT))""",
-          """CASE WHEN getbit(element_at(h, CAST(j DIV 16 AS INT) + 1),
-                         CAST(15 - j % 16 AS INT)) = 1
-                  THEN 1 ELSE -1 END""")
-      else
-        ("xxhash64(t)",
-          "CASE WHEN getbit(h, CAST(j AS INT)) = 1 THEN 1 ELSE -1 END")
-    val sums =
-      s"""aggregate(
-           transform(split($textColName, ' '), t -> $tokenHash),
-           array_repeat(CAST(0 AS BIGINT), 64),
-           (acc, h) -> zip_with(acc,
-             transform(sequence(0, 63), j -> $bitOfHash),
-             (a, b) -> a + CAST(b AS BIGINT)))"""
-    transform(expr(sums), c => when(c > 0, lit(1)).otherwise(lit(0)))
-  }
+  def simhashBits(textColName: String, portable: Boolean = true): Column =
+    if (portable) {
+      // per token: four 16-bit chunks of md5's first 16 hex chars
+      // (chunk 0 most significant); the sign accumulation is one
+      // codegen'd loop (SimHashBits expression) — not a 64-element
+      // zip_with allocation per token
+      val chunks = expr(
+        s"""transform(split($textColName, ' '), t ->
+              transform(sequence(0, 3), c ->
+                CAST(conv(substring(md5(t), CAST(1 + c * 4 AS INT), 4), 16, 10)
+                     AS BIGINT)))""")
+      org.apache.spark.sql.GraftSqlBridge.column(
+        graft.functions.expr.SimHashBits(
+          org.apache.spark.sql.GraftSqlBridge.expression(chunks)))
+    } else {
+      val sums =
+        s"""aggregate(
+             transform(split($textColName, ' '), t -> xxhash64(t)),
+             array_repeat(CAST(0 AS BIGINT), 64),
+             (acc, h) -> zip_with(acc,
+               transform(sequence(0, 63),
+                 j -> CASE WHEN getbit(h, CAST(j AS INT)) = 1 THEN 1 ELSE -1 END),
+               (a, b) -> a + CAST(b AS BIGINT)))"""
+      transform(expr(sums), c => when(c > 0, lit(1)).otherwise(lit(0)))
+    }
 
   /** Pack the 0/1 bit array column into one BIGINT (bit 0 → bit 63 of
     * the long), the engine-internal fingerprint form.
