@@ -56,6 +56,32 @@ class FunctionsSpec extends SparkSpec {
     assert(m == Map("a" -> 2L, "b" -> 1L))
   }
 
+  test("VariantType handles dynamic payloads (Spark 4 parse_json)") {
+    // SURVEY §1.2: truly dynamic JSON-ish values map to VariantType;
+    // the engine's JSON-string path ops coexist with it.
+    val r = spark.sql(
+      """SELECT variant_get(parse_json('{"k": 87, "tags": ["a","b"]}'),
+        |                   '$.k', 'long') AS k,
+        |       variant_get(parse_json('{"k": 87, "tags": ["a","b"]}'),
+        |                   '$.tags[1]', 'string') AS t""".stripMargin).head
+    assert(r.getLong(0) == 87L && r.getString(1) == "b")
+  }
+
+  test("property: groupBy auto-nest then explode restores the multiset") {
+    // SURVEY §5 test plan: group-then-flatten round-trip invariant
+    for (seed <- 0 until 5) {
+      val rnd = new scala.util.Random(seed)
+      val rows = Seq.fill(30)((rnd.nextInt(4).toString, rnd.nextInt(10)))
+      val df = rows.toDF("k", "v")
+      val back = Query.forIn("t", df)
+        .groupBy("key" -> col("t.k"))
+        .forIn("e", col("t")) // explode the nested list
+        .toDF.select(col("e.k"), col("e.v"))
+        .collect().map(r => (r.getString(0), r.getInt(1))).toSeq
+      assert(back.sorted == rows.sorted, s"seed=$seed")
+    }
+  }
+
   test("DSL window clause over a keyed stream") {
     val df = Seq(("u1", 1, 10), ("u1", 2, 20), ("u1", 3, 30),
       ("u2", 1, 5), ("u2", 2, 6)).toDF("user", "seq", "amt")
