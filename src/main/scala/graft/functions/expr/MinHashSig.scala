@@ -24,8 +24,15 @@ case class MinHashSig(child: Expression, numHashes: Int)
   override def checkInputDataTypes()
       : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
     child.dataType match {
-      case ArrayType(LongType, _) =>
+      case ArrayType(LongType, false) =>
         org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case ArrayType(LongType, true) =>
+        // eval/codegen read elements with getLong and would silently
+        // treat a null element as 0, corrupting the signature — reject
+        // at analysis (the producing transform/xxhash64 chain emits
+        // containsNull=false arrays).
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          "minhash_sig requires array<bigint> with non-null elements")
       case t =>
         org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
           s"minhash_sig expects array<bigint>, got ${t.sql}")

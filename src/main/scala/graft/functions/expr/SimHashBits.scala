@@ -23,8 +23,14 @@ case class SimHashBits(child: Expression) extends UnaryExpression {
   override def checkInputDataTypes()
       : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
     child.dataType match {
-      case ArrayType(ArrayType(LongType, _), _) =>
+      case ArrayType(ArrayType(LongType, false), false) =>
         org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case ArrayType(ArrayType(LongType, _), _) =>
+        // getArray/getLong would NPE or read null as 0 — reject null
+        // elements at analysis (the producing md5-chunk transform
+        // emits containsNull=false at both levels).
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          "simhash_bits requires array<array<bigint>> with non-null elements")
       case t =>
         org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
           s"simhash_bits expects array<array<bigint>>, got ${t.sql}")

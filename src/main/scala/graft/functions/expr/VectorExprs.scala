@@ -19,6 +19,10 @@ case class VecDot(left: Expression, right: Expression)
     extends BinaryExpression {
   override def prettyName: String = "vec_dot"
   override def dataType: DataType = DoubleType
+  // Mismatched vector lengths are a data error, not a truncation: the
+  // result is NULL (matching the null-propagating zip_with formulation
+  // this expression replaced) rather than a plausible partial sum.
+  override def nullable: Boolean = true
 
   private def elemIsFloat(e: Expression): Boolean = e.dataType match {
     case ArrayType(FloatType, _) => true
@@ -42,7 +46,8 @@ case class VecDot(left: Expression, right: Expression)
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (n != y.numElements()) return null
     val lf = elemIsFloat(left)
     val rf = elemIsFloat(right)
     var sum = 0.0
@@ -64,12 +69,16 @@ case class VecDot(left: Expression, right: Expression)
       val n = ctx.freshName("n")
       val sum = ctx.freshName("sum")
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double $sum = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  $sum += (double) $a.$lGet($i) * (double) $b.$rGet($i);
+         |int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $sum = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $sum += (double) $a.$lGet($i) * (double) $b.$rGet($i);
+         |  }
+         |  ${ev.value} = $sum;
          |}
-         |${ev.value} = $sum;
        """.stripMargin
     })
   }

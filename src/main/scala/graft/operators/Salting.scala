@@ -22,6 +22,14 @@ object Salting {
   def saltedJoin(big: DataFrame, small: DataFrame, key: String,
       saltFactor: Int, joinType: String = "inner"): DataFrame = {
     require(saltFactor > 0, "saltFactor must be positive")
+    // The small side is replicated once per salt value, so any join
+    // type that can emit unmatched SMALL-side rows (right/full outer)
+    // would emit them saltFactor times. Only inner/left-side types are
+    // salt-correct.
+    val normalized = joinType.toLowerCase.replace("outer", "").replace("_", "")
+    require(Set("inner", "left", "leftsemi", "semi", "leftanti", "anti")
+        .contains(normalized),
+      s"saltedJoin supports inner/left/left_semi/left_anti, got $joinType")
     val bigS = big.withColumn("_salt",
       pmod(xxhash64(big.columns.map(col).toIndexedSeq: _*), lit(saltFactor))
         .cast("int"))

@@ -42,11 +42,15 @@ object SimHashDedup {
       // (chunk 0 most significant); the sign accumulation is one
       // codegen'd loop (SimHashBits expression) — not a 64-element
       // zip_with allocation per token
+      // conv() is nullable in Catalyst (can return null on bad input);
+      // md5 hex never triggers that, so coalesce to 0 purely to make
+      // the element type non-null — SimHashBits rejects containsNull
+      // arrays (its getLong would silently read null as 0).
       val chunks = expr(
         s"""transform(split($textColName, ' '), t ->
               transform(sequence(0, 3), c ->
-                CAST(conv(substring(md5(t), CAST(1 + c * 4 AS INT), 4), 16, 10)
-                     AS BIGINT)))""")
+                coalesce(CAST(conv(substring(md5(t), CAST(1 + c * 4 AS INT), 4),
+                              16, 10) AS BIGINT), CAST(0 AS BIGINT))))""")
       org.apache.spark.sql.GraftSqlBridge.column(
         graft.functions.expr.SimHashBits(
           org.apache.spark.sql.GraftSqlBridge.expression(chunks)))
@@ -103,7 +107,10 @@ object SimHashDedup {
     // extracted by shift+mask — the bucket id IS the slice value
     val bandBuckets = array((0 until numBands).map { j =>
       val width = bounds(j + 1) - bounds(j)
-      val mask = (1L << width) - 1
+      // JVM shift counts are mod 64: `1L << 64` is 1, so the width-64
+      // band (maxHamming = 0, one band = whole fingerprint) needs the
+      // explicit all-ones mask or every doc lands in bucket 0.
+      val mask = if (width == 64) -1L else (1L << width) - 1
       expr(s"shiftrightunsigned(fp, ${64 - bounds(j + 1)})")
         .bitwiseAND(lit(mask))
     }: _*)

@@ -64,16 +64,21 @@ object NestAggRewrite extends Rule[LogicalPlan] {
 
   /** collect_list(c), optionally wrapped in transform(_, x -> f(x)) —
     * yields the per-ROW element expression (f applied to c). The
-    * mapped form is only safe when f(c) cannot be null: collect_list
-    * already dropped null elements, but a transform can INTRODUCE
-    * nulls, which `aggregate`'s `+` propagates while sum/count/max
-    * skip.
+    * mapped form is only safe when BOTH
+    *   - f(c) cannot be null: collect_list already dropped null
+    *     elements, but a transform can INTRODUCE nulls, which
+    *     `aggregate`'s `+` propagates while sum/count/max skip; and
+    *   - c itself cannot be null: collect_list drops null c BEFORE f
+    *     runs, so a null-ABSORBING f (e.g. x -> coalesce(x, 0)) sees
+    *     fewer elements in the list form than the substituted f(c)
+    *     per-row form would — count/max/min over f(c) would include
+    *     rows the list never contained.
     */
   private object CollectListMapped {
     def unapply(e: Expression): Option[Expression] = e match {
       case PlainCollectList(c) => Some(c)
       case ArrayTransform(PlainCollectList(c),
-          LambdaFunction(f, Seq(v: NamedLambdaVariable), _)) =>
+          LambdaFunction(f, Seq(v: NamedLambdaVariable), _)) if !c.nullable =>
         val substituted = f.transformUp {
           case nv: NamedLambdaVariable if nv.exprId == v.exprId => c
         }
