@@ -6,9 +6,10 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * Each query is forced with a `noop`-format write (Spark's built-in
   * benchmarking sink): every output column is computed and serialized,
   * unlike `.count()` which lets Catalyst prune unused projections and
-  * under-measures projection-heavy queries. One untimed warmup run of
-  * the first query amortizes JVM/codegen startup; errors are recorded
-  * per query instead of being swallowed.
+  * under-measures projection-heavy queries. One untimed FULL sweep
+  * precedes the timed one, so each query's number reflects plan cost,
+  * not its own first-codegen/classload/parquet-footer charges; errors
+  * are recorded per query instead of being swallowed.
   */
 object Bench {
   private def force(df: DataFrame): Unit =
@@ -30,9 +31,9 @@ object Bench {
     Metrics.register(spark)
 
     val queries = SparkEntry.queries.toSeq.sortBy(_._1)
-    // Warmup: run the first query once untimed (JVM + codegen + parquet
-    // footer caches); per-query numbers then reflect plan cost.
-    queries.headOption.foreach { case (_, fn) =>
+    // Warmup: one untimed full sweep (JVM + per-query codegen +
+    // parquet footer caches); the timed sweep then measures plan cost.
+    queries.foreach { case (_, fn) =>
       try force(fn(spark, sfDir)) catch { case _: Throwable => () }
     }
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()

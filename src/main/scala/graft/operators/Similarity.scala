@@ -81,6 +81,54 @@ object Similarity {
       .select(col("id_a"), col("id_b"), col("cosine"))
   }
 
+  /** Embedding near-dup pairs at corpus scale: random-hyperplane LSH
+    * candidate generation → exact cosine verification. Same
+    * single-exchange shape as `SimHashDedup.nearDuplicatePairs`: each
+    * vector's buckets are computed scan-local, the ONLY corpus
+    * exchange is the (band, bucket) groupBy (member payload = id +
+    * vector + precomputed norm), in-bucket pairs are generated
+    * post-shuffle by exploding member lists — no join of any kind in
+    * the plan, in particular no nested-loop/cartesian (the q41
+    * scale bug this replaces).
+    *
+    * Approximate by construction: a true pair is found iff it shares
+    * all `bitsPerTable` sign bits in ≥1 of `numTables` tables —
+    * P[found | cos θ] = 1 - (1 - (1-θ/π)^bits)^tables. At the 0.35
+    * threshold (θ≈69°, per-bit p≈0.614) the defaults give ≈0.975
+    * per-pair recall, gated ≥0.95 vs the exact baseline in AnnSpec.
+    * Scale knobs: 2^bitsPerTable is the bucket count per table — grow
+    * `bitsPerTable` with the corpus so E|bucket| stays bounded, and
+    * grow `numTables` to buy recall back (cost is linear in tables).
+    *
+    * The exchanged payload is numTables copies of the vector
+    * (dim·4 B each). For very wide embeddings prefer id-only members
+    * plus two hash-join lookups of the vectors — here the single
+    * exchange is cheaper than three.
+    */
+  def lshNearDupPairs(corpus: DataFrame, threshold: Double, dim: Int,
+      bitsPerTable: Int = 4, numTables: Int = 24, seed: Long = 7L,
+      maxBucketSize: Int = 2000): DataFrame = {
+    val tables = (0 until numTables).map { t =>
+      t -> gaussianPlanes(bitsPerTable, dim, seed + t)
+    }
+    val bucketCols = array(tables.map { case (t, planes) =>
+      struct(lit(t).as("band"), hyperplaneBucket(col("vec"), planes).as("bucket"))
+    }: _*)
+    val buckets = corpus.select(
+      struct(col("id"), col("vec"), l2Norm(col("vec")).as("nrm")).as("m"),
+      explode(bucketCols).as("tb"))
+      .select(col("m"), col("tb.band"), col("tb.bucket"))
+    val capped = LshSkew.groupCapped(buckets, maxBucketSize, "embed_lsh_skew")
+    LshSkew.bucketPairs(capped)
+      .withColumn("cosine", round(cosineWithNorms(col("m1.vec"), col("m2.vec"),
+        col("m1.nrm"), col("m2.nrm")), 9))
+      .filter(col("cosine") >= threshold)
+      // a pair can collide in several tables; cosine is a pure function
+      // of the pair, so distinct on the projected row dedupes exactly
+      .select(col("m1.id").as("id_a"), col("m2.id").as("id_b"), col("cosine"))
+      .distinct()
+  }
+
   /** IVF (inverted-file) ANN: a KMeans coarse quantizer partitions the
     * corpus into `nLists` cells; each query probes its `nProbe`
     * nearest centroids and ranks only those cells' vectors by exact
@@ -136,6 +184,21 @@ object Similarity {
     val lsh = lshTopK(corpus, queries, k, dim, bitsPerTable, numTables, seed)
       .select(col("query_id"), col("neighbor_id")).withColumn("hit", lit(1L))
     exact.join(lsh, Seq("query_id", "neighbor_id"), "left_outer")
+      .groupBy(col("query_id"))
+      .agg((sum(coalesce(col("hit"), lit(0L))).cast("double") / count(lit(1)))
+        .as(s"recall_at_$k"))
+  }
+
+  /** Per-query recall@k of the IVF plan against the exact top-k —
+    * same acceptance shape as `lshRecallAtK` (q29): the approximate
+    * index's driver-facing output IS its recall metric.
+    */
+  def ivfRecallAtK(corpus: DataFrame, queries: DataFrame, k: Int,
+      nLists: Int, nProbe: Int, seed: Long = 7L): DataFrame = {
+    val exact = bruteForceTopK(corpus, queries, k)
+    val ivf = ivfTopK(corpus, queries, k, nLists, nProbe, seed)
+      .select(col("query_id"), col("neighbor_id")).withColumn("hit", lit(1L))
+    exact.join(ivf, Seq("query_id", "neighbor_id"), "left_outer")
       .groupBy(col("query_id"))
       .agg((sum(coalesce(col("hit"), lit(0L))).cast("double") / count(lit(1)))
         .as(s"recall_at_$k"))

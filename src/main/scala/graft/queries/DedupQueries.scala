@@ -202,6 +202,40 @@ object DedupQueries {
         FROM e a JOIN e b ON a.id < b.id
         WHERE round(list_dot_product(a.v, b.v) /
                 (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 9) >= 0.35
-        ORDER BY id_a, id_b"""))
+        ORDER BY id_a, id_b""")),
+
+    // ---- q45: embedding near-dup pairs, LSH scale path ----
+    // The 100 TB shape for q41: hyperplane-bucket candidates + exact
+    // cosine verify, no join in the plan (single bucket exchange).
+    // Approximate (≈0.975 per-pair recall at the 0.35 floor of this
+    // corpus), so no SQL oracle — determinism comes from the seeded
+    // hyperplanes; the acceptance gate is recall ≥ 0.95 vs q41's
+    // exact result plus a no-nested-loop plan assert in AnnSpec.
+    QueryDef(
+      "q45_embedding_neardup_lsh",
+      (s, dir) => {
+        val emb = Tables.load(s, dir, "embeddings")
+          .select(col("vec_id").as("id"), col("embedding").as("vec"))
+        Similarity.lshNearDupPairs(emb, threshold = 0.35, dim = 64)
+          .orderBy(col("id_a"), col("id_b"))
+      },
+      None),
+
+    // ---- q46: IVF ANN, reported as recall@5 vs the exact baseline ----
+    // KMeans coarse quantizer (seeded → deterministic), nProbe of
+    // nLists cells ranked by exact cosine. Like q29 the candidate set
+    // is not SQL-expressible, so the output is the acceptance metric
+    // itself; AnnSpec proves probe-all ≡ brute force and recall
+    // monotone in nProbe.
+    QueryDef(
+      "q46_ann_ivf",
+      (s, dir) => {
+        val emb = Tables.load(s, dir, "embeddings")
+          .select(col("vec_id").as("id"), col("embedding").as("vec"))
+        Similarity.ivfRecallAtK(emb, emb.filter(col("id") < 20), k = 5,
+          nLists = 16, nProbe = 8)
+          .orderBy(col("query_id"))
+      },
+      None)
   )
 }

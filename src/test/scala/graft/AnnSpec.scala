@@ -52,6 +52,32 @@ class AnnSpec extends SparkSpec {
     assert(r12 >= 0.5, s"recall@12/16 lists too low: $r12")
   }
 
+  test("LSH near-dup pairs: recall >= 0.95 vs exact, zero false " +
+      "positives (q45 gate)") {
+    val exact = Similarity.cosineNearDupPairs(emb, threshold = 0.35)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Similarity.lshNearDupPairs(emb, threshold = 0.35, dim = 64)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // exact-cosine verification ⇒ every reported pair is a true pair
+    assert(lsh.subsetOf(exact), s"false positives: ${lsh.diff(exact)}")
+    val recall = lsh.intersect(exact).size.toDouble / exact.size
+    assert(recall >= 0.95, s"recall = $recall over ${exact.size} true pairs")
+  }
+
+  test("LSH near-dup pairs plan: no nested-loop/cartesian join, no " +
+      "vector-keyed exchange (q41's scale bug stays fixed)") {
+    val plan = Similarity.lshNearDupPairs(emb, threshold = 0.35, dim = 64)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"), s"nested-loop join in plan:\n$plan")
+    val partitionings = "hashpartitioning\\([^)]*\\)".r.findAllIn(plan).toList
+    assert(partitionings.nonEmpty)
+    partitionings.foreach(p =>
+      assert(!p.contains("vec"), s"vector-keyed exchange: $p"))
+  }
+
   test("brute-force top-k is reproducible run to run") {
     val a = Similarity.bruteForceTopK(emb, emb.filter(col("id") < 5), k = 3)
       .collect().map(_.toString).sorted.toSeq
