@@ -19,11 +19,13 @@ import org.apache.spark.sql.functions._
   *     at EVERY level (the reference threads isExact through the
   *     recursion).
   *
-  * Compilation target: ONE boolean predicate + N extraction columns
-  * over a JSON-string column, all codegen'd built-ins
-  * (json_object_keys / get_json_object) — the matcher runs inside the
-  * scan projection with no UDF and no shuffle, so at 100 TB it is a
-  * free rider on the scan.
+  * Compilation target: ONE Generator expression (MatchGenerate) that
+  * parses the document a single time per row and emits zero rows (no
+  * match) or one row of binding values — predicate and extraction
+  * collapse into one Generate node, no UDF, no shuffle, so at 100 TB
+  * the matcher is a free rider on the scan. (The previous compilation
+  * to per-conjunct get_json_object/json_object_keys built-ins
+  * re-parsed the document O(pattern fields) times per row.)
   *
   * Scalars bind as their JSON-unquoted text (get_json_object
   * semantics); objects bind as JSON text — cast numerics at use sites.
@@ -53,46 +55,38 @@ object MatchPattern {
     def obj(nested: Pat): Field = f.copy(nested = Some(nested))
   }
 
-  /** Structural conjuncts + extraction columns for `pat` applied to
-    * JSON-string column `json`. `wherePreds` are returned separately:
-    * they reference binding NAMES, so callers materialize bindings as
-    * columns first, then filter (same conjunction semantics as the
-    * reference's short-circuit order).
+  /** Compile `pat` over JSON-string column `json` into
+    * (generator column, binding names in pattern order, where preds).
+    * The generator emits 0 rows (no match) or 1 row
+    * (`_match_ok` + one string column per binding) — alias it with
+    * `.as("_match_ok" +: names)`. `wherePreds` are returned
+    * separately: they reference binding NAMES, so callers let the
+    * generator materialize the bindings first, then filter (same
+    * conjunction semantics as the reference's short-circuit order).
     */
   def compile(pat: Pat, json: Column, exact: Boolean)
-      : (Column, Seq[(String, Column)], Seq[Column]) = {
-    def objAt(path: String): Column =
-      if (path == "$") json else get_json_object(json, path)
+      : (Column, Seq[String], Seq[Column]) = {
+    import graft.functions.expr.{MatchGen, MatchGenerate}
 
-    def rec(p: Pat, path: String)
-        : (Seq[Column], Seq[(String, Column)], Seq[Column]) = {
-      val keysHere = json_object_keys(objAt(path))
-      // every pattern key exists (json_object_keys is null for
-      // non-objects → conjunct null → row dropped, like the
-      // reference's failed `in` on a non-dict)
-      val existence = p.fields.map(f => array_contains(keysHere, f.key))
-      val exactness =
-        if (exact)
-          Seq(array_sort(keysHere) ===
-            array(p.fields.map(_.key).sorted.map(lit): _*))
-        else Nil
-      val perField = p.fields.map { f =>
-        val fPath = s"$path.${f.key}"
-        val value = get_json_object(json, fPath)
-        val constC = f.const.map(c => value === lit(c)).toSeq
-        val bind = f.bindTo.map(_ -> value).toSeq
-        val whereP = f.where.toSeq
-        val (nc, nb, nw) = f.nested.map(rec(_, fPath))
-          .getOrElse((Nil, Nil, Nil))
-        (constC ++ nc, bind ++ nb, whereP ++ nw)
-      }
-      val parentBind = p.bindParentTo.map(_ -> objAt(path)).toSeq
-      (existence ++ exactness ++ perField.flatMap(_._1),
-        perField.flatMap(_._2) ++ parentBind,
-        perField.flatMap(_._3))
-    }
+    // binding order mirrors the reference's scope-extension order:
+    // per field its own binding then its nested pattern's, parent
+    // binding last at each level
+    def names(p: Pat): Seq[String] =
+      p.fields.flatMap(f =>
+        f.bindTo.toSeq ++ f.nested.toSeq.flatMap(names)) ++
+        p.bindParentTo.toSeq
+    def wheres(p: Pat): Seq[Column] =
+      p.fields.flatMap(f => f.where.toSeq ++ f.nested.toSeq.flatMap(wheres))
+    def toSpec(p: Pat): MatchGen.Pat =
+      MatchGen.Pat(
+        p.fields.map(f =>
+          MatchGen.Field(f.key, f.const, f.bindTo, f.nested.map(toSpec))),
+        p.bindParentTo)
 
-    val (conjuncts, bindings, wheres) = rec(pat, "$")
-    (conjuncts.reduceOption(_ && _).getOrElse(lit(true)), bindings, wheres)
+    val bindNames = names(pat)
+    val gen = org.apache.spark.sql.GraftSqlBridge.column(
+      MatchGenerate(org.apache.spark.sql.GraftSqlBridge.expression(json),
+        toSpec(pat), exact, bindNames))
+    (gen, bindNames, wheres(pat))
   }
 }

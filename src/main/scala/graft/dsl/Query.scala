@@ -213,8 +213,8 @@ final class Query private (
   /** The reference's `match {pattern} [as z] in seq` clause
     * (`Executor.py:316-388`): explode the per-tuple sequence of JSON
     * objects, keep elements matching the pattern, extend the binding
-    * stream with the pattern's `as` variables. All filtering/extraction
-    * compiles to codegen'd JSON expressions — see MatchPattern.
+    * stream with the pattern's `as` variables. Filtering + extraction
+    * compile to ONE single-parse Generator — see MatchPattern.
     */
   def matchIn(seq: Column, pattern: MatchPattern.Pat,
       exact: Boolean = false): Query =
@@ -229,15 +229,16 @@ final class Query private (
 
   private def matchImpl(d0: DataFrame, pattern: MatchPattern.Pat,
       exact: Boolean): Query = {
-    val (pred, bindings, wheres) =
+    val (gen, bindNames, wheres) =
       MatchPattern.compile(pattern, col("_match_elem"), exact)
-    bindings.foreach { case (n, _) =>
+    bindNames.foreach { n =>
       require(!vars.contains(n), s"variable '$n' already bound") }
-    val bound = bindings.foldLeft(d0.filter(pred)) {
-      case (d, (n, e)) => d.withColumn(n, e)
-    }
-    val filtered = wheres.foldLeft(bound)(_ filter _).drop("_match_elem")
-    next(filtered, vars ++ bindings.map(_._1))
+    // the generator emits 0 rows (no match) or 1 row of bindings:
+    // predicate + extraction in one Generate node, one JSON parse/row
+    val bound = d0.select(col("*"), gen.as("_match_ok" +: bindNames))
+    val filtered = wheres.foldLeft(bound)(_ filter _)
+      .drop("_match_elem", "_match_ok")
+    next(filtered, vars ++ bindNames)
   }
 
   // ---- select (terminals) ------------------------------------------

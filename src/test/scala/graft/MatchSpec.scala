@@ -48,6 +48,19 @@ class MatchSpec extends SparkSpec {
     assert(res(0).getAs[String]("z").contains(""""number":123"""))
   }
 
+  test("single-parse plan: one match_pattern generator, zero " +
+      "get_json_object / json_object_keys") {
+    val q = Query.forIn("p", people.toDF("doc"))
+      .matchRow(col("p.doc"), pat)
+      .select("x" -> col("x"), "y" -> col("y"), "w" -> col("w"), "z" -> col("z"))
+    val plan = q.queryExecution.optimizedPlan.toString
+    assert(!plan.contains("get_json_object") &&
+      !plan.contains("json_object_keys"),
+      s"per-field re-parse in plan:\n$plan")
+    assert("match_pattern".r.findAllIn(plan).length == 1,
+      s"expected exactly one generator:\n$plan")
+  }
+
   test("missing pattern key rejects (age where over unbound would never fire)") {
     val patPhone = MP.Pat(Seq(MP.field("phone").as("ph")))
     val res = Query.forIn("p", people.toDF("doc"))
