@@ -12,6 +12,7 @@ import graft.windows.XQueryWindows
   * next lookahead).
   */
 case class Ev(user: String, seq: Long, v: Int)
+case class EvT(user: String, seq: Long, ts: java.sql.Timestamp, v: Int)
 
 object StreamingWindowSpecFns {
   // sliding windows: open when v is even, close at index span >= 2
@@ -19,6 +20,12 @@ object StreamingWindowSpecFns {
   def endP(s: (Ev, Long), c: (Ev, Long)): Boolean = c._2 - s._2 >= 2
   def keyOf(e: Ev): String = e.user
   def orderOf(e: Ev): Long = e.seq
+
+  def startT(e: EvT, prev: Option[EvT], idx: Long): Boolean = e.v % 2 == 0
+  def endT(s: (EvT, Long), c: (EvT, Long)): Boolean = c._2 - s._2 >= 2
+  def keyT(e: EvT): String = e.user
+  def orderT(e: EvT): Long = e.seq
+  def etT(e: EvT): Long = e.ts.getTime
 }
 
 class StreamingWindowSpec extends SparkSpec {
@@ -62,6 +69,59 @@ class StreamingWindowSpec extends SparkSpec {
         .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
         .toSet
       assert(got == batchRes)
+    } finally q.stop()
+  }
+
+  test("abandoned open window is evicted after the event-time TTL " +
+      "(state does not grow forever)") {
+    implicit val sqlCtx = spark.sqlContext
+    def t(sec: Long) = new java.sql.Timestamp(sec * 1000L)
+    val ms = MemoryStream[EvT]
+    val out = StreamWindows.xqueryWindows[String, EvT](
+      ms.toDS().withWatermark("ts", "5 seconds"), keyT, orderT, startT, endT,
+      evictAfter = Some(10000L), eventTimeOf = etT)
+    val q = out.writeStream.format("memory").queryName("xw_evict")
+      .outputMode("append").start()
+    try {
+      // u1 opens a window (v=2) that never closes in this batch
+      ms.addData(EvT("u1", 0, t(0), 2), EvT("u1", 1, t(1), 3))
+      q.processAllAvailable()
+      // u2 traffic advances the watermark far past u1's TTL …
+      ms.addData(EvT("u2", 0, t(120), 1))
+      q.processAllAvailable()
+      // … and the next batch processes u1's event-time timeout
+      ms.addData(EvT("u2", 1, t(121), 1))
+      q.processAllAvailable()
+      // u1 reappears with the event that WOULD have closed the window
+      // (fresh timestamp, index span >= 2 if state had survived)
+      ms.addData(EvT("u1", 2, t(122), 5))
+      q.processAllAvailable()
+      val u1Rows = spark.table("xw_evict").where(col("key") === "u1").count()
+      assert(u1Rows == 0,
+        "evicted window was emitted — state survived past the TTL")
+    } finally q.stop()
+  }
+
+  test("without eviction the same sequence closes the window " +
+      "(control for the TTL test)") {
+    implicit val sqlCtx = spark.sqlContext
+    def t(sec: Long) = new java.sql.Timestamp(sec * 1000L)
+    val ms = MemoryStream[EvT]
+    val out = StreamWindows.xqueryWindows[String, EvT](
+      ms.toDS(), keyT, orderT, startT, endT)
+    val q = out.writeStream.format("memory").queryName("xw_noevict")
+      .outputMode("append").start()
+    try {
+      ms.addData(EvT("u1", 0, t(0), 2), EvT("u1", 1, t(1), 3))
+      q.processAllAvailable()
+      ms.addData(EvT("u2", 0, t(120), 1))
+      q.processAllAvailable()
+      ms.addData(EvT("u1", 2, t(122), 5))
+      q.processAllAvailable()
+      val u1 = spark.table("xw_noevict").where(col("key") === "u1")
+        .select(col("s_idx"), col("e_idx")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(u1 == Set((0L, 2L)))
     } finally q.stop()
   }
 }
