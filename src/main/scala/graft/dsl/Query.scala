@@ -85,6 +85,55 @@ final class Query private (
     next(df.withColumn(name, explode(seq)), vars :+ name)
   }
 
+  /** Multi-variable unpacking `for (a, b) in seq` (reference
+    * `Executor.py:174-186`: tuple targets are unpacked into the
+    * binding stream via a synthesized comprehension): explode the
+    * per-tuple collection, then bind each name positionally from the
+    * element — struct elements by field position (arity enforced,
+    * like Python tuple unpack), array elements by index (missing →
+    * NULL, SQL semantics).
+    */
+  def forIn(names: Seq[String], seq: Column): Query = {
+    names.foreach(n => require(!vars.contains(n),
+      s"variable '$n' already bound"))
+    unpackInto(df.withColumn("_unpack", explode(seq)), names)
+  }
+
+  /** Multi-variable unpacking over a tabular source: `for (a, b) in
+    * pairs` where `pairs` is a 2-column relation — each column binds
+    * positionally as its own scalar variable.
+    */
+  def forIn(names: Seq[String], src: DataFrame): Query = {
+    names.foreach(n => require(!vars.contains(n),
+      s"variable '$n' already bound"))
+    require(names.length == src.columns.length,
+      s"cannot unpack ${src.columns.length} columns into " +
+        s"${names.length} variables")
+    val w = src.select(src.columns.zip(names).map { case (c, n) =>
+      col(c).as(n) }.toIndexedSeq: _*)
+    next(dfOpt.fold(w)(_.crossJoin(w)), vars ++ names)
+  }
+
+  /** Positional unpack of `_unpack` (struct or array) into `names`. */
+  private def unpackInto(d: DataFrame, names: Seq[String]): Query = {
+    import org.apache.spark.sql.types.{ArrayType, StructType}
+    val cols: Seq[(String, Column)] = d.schema("_unpack").dataType match {
+      case st: StructType =>
+        require(st.fields.length == names.length,
+          s"cannot unpack struct of ${st.fields.length} fields into " +
+            s"${names.length} variables")
+        names.zipWithIndex.map { case (n, i) =>
+          n -> col("_unpack").getField(st.fields(i).name) }
+      case _: ArrayType =>
+        // get() (not getItem) so a short array binds NULL under ANSI
+        names.zipWithIndex.map { case (n, i) =>
+          n -> get(col("_unpack"), lit(i)) }
+      case t => throw new IllegalArgumentException(
+        s"cannot unpack ${t.simpleString}: need a struct or array")
+    }
+    next(d.withColumns(cols.toMap).drop("_unpack"), vars ++ names)
+  }
+
   /** `for x in outer(subquery)` — the reference's manual left-outer
     * idiom ([] → [None]): rows with no match bind `name` to NULL.
     */
@@ -103,6 +152,17 @@ final class Query private (
   def let(name: String, e: Column): Query = {
     require(!vars.contains(name), s"variable '$name' already bound")
     next(df.withColumn(name, e), vars :+ name)
+  }
+
+  /** Multi-variable `let (x, y) = e` (reference `Executor.py:208-218`):
+    * evaluate the tuple expression ONCE, bind each name positionally —
+    * struct fields by position (arity enforced), array elements by
+    * index.
+    */
+  def let(names: Seq[String], e: Column): Query = {
+    names.foreach(n => require(!vars.contains(n),
+      s"variable '$n' already bound"))
+    unpackInto(df.withColumn("_unpack", e), names)
   }
 
   /** Filter; placed after groupBy it is HAVING (the reference's `where`

@@ -113,6 +113,30 @@ object TextQueries {
       },
       Some(s"""
         SELECT $fpSql AS fp, MIN(doc_id) AS keeper_id, COUNT(*) AS n_copies
-        FROM documents GROUP BY fp ORDER BY keeper_id"""))
+        FROM documents GROUP BY fp ORDER BY keeper_id""")),
+
+    // ---- q47: multi-variable unpacking `for (tok, pos) in zip(…)` ----
+    // (reference Executor.py:174-186 tuple targets). Leading-token
+    // frequencies: zip tokens with their 1-based positions, unpack the
+    // pair into two variables in one clause, keep pos <= 3.
+    QueryDef(
+      "q47_multivar_unpack",
+      (s, dir) => {
+        graft.dsl.Query.forIn("d", Tables.load(s, dir, "documents"))
+          .let("w", split(col("d.text"), " "))
+          .forIn(Seq("tok", "pos"),
+            arrays_zip(col("w"), sequence(lit(1), size(col("w")))))
+          .where(col("pos") <= 3)
+          .groupByAgg(Seq("tok" -> col("tok")),
+            Seq("n" -> count(lit(1))))
+          .orderBy(col("n").desc, col("tok"))
+          .limit(20)
+          .select("tok" -> col("tok"), "n" -> col("n"))
+      },
+      Some("""
+        WITH tok AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        lead AS (SELECT doc_id, unnest(w[1:3]) AS tok FROM tok)
+        SELECT tok, count(*) AS n
+        FROM lead GROUP BY tok ORDER BY n DESC, tok LIMIT 20"""))
   )
 }

@@ -140,4 +140,53 @@ class DslSpec extends SparkSpec {
       .collect()
     assert(res.toSeq == Seq(Row("a", 1, 0L), Row("a", 3, 1L), Row("b", 2, 0L)))
   }
+
+  test("multi-variable unpack: for (a, b) in seq of structs / arrays " +
+      "(ref Executor.py:174-186)") {
+    val df = Seq((1, Seq(("x", 10), ("y", 20)))).toDF("id", "pairs")
+    val res = Query.forIn("t", df)
+      .forIn(Seq("k", "v"), col("t.pairs"))
+      .orderBy(col("k"))
+      .select("k" -> col("k"), "v" -> col("v"))
+      .collect()
+    assert(res.toSeq == Seq(Row("x", 10), Row("y", 20)))
+
+    // array elements unpack by index; missing index binds NULL
+    val arr = Seq((1, Seq(Seq("a", "b"), Seq("c")))).toDF("id", "xs")
+    val res2 = Query.forIn("t", arr)
+      .forIn(Seq("first", "second"), col("t.xs"))
+      .orderBy(col("first"))
+      .select("first" -> col("first"), "second" -> col("second"))
+      .collect()
+    assert(res2.toSeq == Seq(Row("a", "b"), Row("c", null)))
+
+    // struct arity is enforced like Python tuple unpack
+    intercept[IllegalArgumentException] {
+      Query.forIn("t", df).forIn(Seq("k", "v", "extra"), col("t.pairs"))
+    }
+  }
+
+  test("multi-variable let: let (x, y) = e evaluates the tuple once " +
+      "(ref Executor.py:208-218)") {
+    val df = Seq((3, 4)).toDF("a", "b")
+    val res = Query.forIn("t", df)
+      .let(Seq("hi", "lo"), struct(greatest(col("t.a"), col("t.b")),
+        least(col("t.a"), col("t.b"))))
+      .select("hi" -> col("hi"), "lo" -> col("lo"))
+      .collect()
+    assert(res.toSeq == Seq(Row(4, 3)))
+  }
+
+  test("multi-variable for over a 2-column relation binds columns " +
+      "positionally") {
+    val pairs = Seq(("x", 1), ("y", 2)).toDF("c1", "c2")
+    val res = Query().forIn(Seq("name", "num"), pairs)
+      .where(col("num") > 1)
+      .select("name" -> col("name"), "num" -> col("num"))
+      .collect()
+    assert(res.toSeq == Seq(Row("y", 2)))
+    intercept[IllegalArgumentException] {
+      Query().forIn(Seq("only_one"), pairs)
+    }
+  }
 }
