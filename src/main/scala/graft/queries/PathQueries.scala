@@ -19,6 +19,8 @@ object PathQueries {
     // doc = {"key": okey, "lines": [{"ln":…, "qty":…}, …]}
     // doc ./ lines ./ qty — the second step flattens the lines array
     // and yields one qty per line (the reference's list-of-maps case).
+    // Variant route: ONE parse_json per doc, both steps navigate the
+    // Variant encoding, strings materialize only at pathText.
     QueryDef(
       "q34_child_path",
       (s, dir) => {
@@ -29,7 +31,8 @@ object PathQueries {
               col("l.l_linenumber").as("ln"), col("l.l_quantity").as("qty")))))
           .let("doc", to_json(struct(col("okey").as("key"),
             col("lines").as("lines"))))
-          .let("qtys", childPath(childPath(pathSeq(col("doc")), "lines"), "qty"))
+          .let("qtys", pathText(
+            childPathV(childPathV(pathSeqV(col("doc")), "lines"), "qty")))
           .forIn("q", col("qtys"))
           .orderBy(col("okey"), col("q").cast("double"))
           .select("o_orderkey" -> col("okey"), "qty" -> col("q").cast("double"))
@@ -61,7 +64,7 @@ object PathQueries {
             col("c.c_custkey").as("key"),
             struct(col("c.c_acctbal").as("price")).as("profile"),
             col("oc.olist").as("orders"))))
-          .let("prices", descPath(pathSeq(col("doc")), "price"))
+          .let("prices", pathText(descPathV(pathSeqV(col("doc")), "price")))
           .forIn("pv", col("prices"))
           .orderBy(col("c.c_custkey"), col("pv").cast("double"))
           .select("c_custkey" -> col("c.c_custkey"),

@@ -74,6 +74,86 @@ class PathFuzzSpec extends SparkSpec {
   private def docs(n: Int): Seq[String] =
     (0 until n).flatMap(i => docGen.apply(Gen.Parameters.default, Seed(100L + i)))
 
+  // ---- variant-route reference: same semantics, but object fields
+  // iterate in KEY-SORTED order (the Variant binary format stores
+  // them sorted — the route's declared order contract) and container
+  // values render with sorted keys for the same reason.
+  private def sortNode(n: JsonNode): JsonNode = n match {
+    case o if o.isObject =>
+      val out = mapper.createObjectNode()
+      o.properties().asScala.toSeq.sortBy(_.getKey)
+        .foreach(e => out.set[JsonNode](e.getKey, sortNode(e.getValue)))
+      out
+    case a if a.isArray =>
+      val out = mapper.createArrayNode()
+      a.elements().asScala.foreach(e => out.add(sortNode(e)))
+      out
+    case other => other
+  }
+  private def renderV(n: JsonNode): String = render(sortNode(n))
+
+  private def childVRef(values: Seq[JsonNode], key: String): Seq[JsonNode] = {
+    def flat(n: JsonNode): Seq[JsonNode] =
+      if (n.isArray) n.elements().asScala.toSeq.flatMap(flat) else Seq(n)
+    values.flatMap(flat).flatMap { el =>
+      if (!el.isObject) Nil
+      else if (key == "_")
+        el.properties().asScala.toSeq.sortBy(_.getKey).map(_.getValue)
+      else if (el.has(key)) Seq(el.get(key))
+      else Nil
+    }
+  }
+
+  private def descVRef(values: Seq[JsonNode], key: String): Seq[JsonNode] = {
+    def walk(n: JsonNode): Seq[JsonNode] =
+      if (n.isArray) n.elements().asScala.toSeq.flatMap(walk)
+      else if (n.isObject)
+        n.properties().asScala.toSeq.sortBy(_.getKey).flatMap { e =>
+          val hit = if (key == "_" || e.getKey == key) Seq(e.getValue) else Nil
+          hit ++ walk(e.getValue)
+        }
+      else Nil
+    values.flatMap(walk)
+  }
+
+  test("variant route ≡ key-sorted reference semantics; multiset-equal " +
+      "to the string route") {
+    val corpus = docs(80)
+    val df = corpus.zipWithIndex.toDF("doc", "i")
+    for (key <- Seq("box", "region", "_")) {
+      val rows = df.select(col("i"),
+        pathText(childPathV(pathSeqV(col("doc")), key)).as("c"),
+        pathText(descPathV(pathSeqV(col("doc")), key)).as("d"),
+        pathText(childPathV(childPathV(pathSeqV(col("doc")), "region"), key))
+          .as("c2"),
+        childPath(pathSeq(col("doc")), key).as("cs"),
+        descPath(pathSeq(col("doc")), key).as("ds"))
+        .collect()
+      for (r <- rows) {
+        val i = r.getInt(0)
+        val node = mapper.readTree(corpus(i))
+        val ctx = s"key=$key doc=${corpus(i)}"
+        assert(r.getSeq[String](1) == childVRef(Seq(node), key).map(renderV),
+          s"variant child: $ctx")
+        assert(r.getSeq[String](2) == descVRef(Seq(node), key).map(renderV),
+          s"variant desc: $ctx")
+        assert(r.getSeq[String](3) ==
+          childVRef(childVRef(Seq(node), "region"), key).map(renderV),
+          s"variant chain: $ctx")
+        // the two routes agree as multisets (order contracts differ
+        // only in object-field iteration; scalar renderings coincide
+        // on this alphabet, containers modulo key order)
+        def canon(s: String): String = String.valueOf(
+          Option(s).map(v => scala.util.Try(
+            renderV(mapper.readTree(v))).getOrElse(v)).orNull)
+        assert(r.getSeq[String](1).map(canon).sorted ==
+          r.getSeq[String](4).map(canon).sorted, s"route child multiset: $ctx")
+        assert(r.getSeq[String](2).map(canon).sorted ==
+          r.getSeq[String](5).map(canon).sorted, s"route desc multiset: $ctx")
+      }
+    }
+  }
+
   test("childPath/descPath ≡ reference semantics on 80 random docs") {
     val corpus = docs(80)
     val df = corpus.zipWithIndex.toDF("doc", "i")
