@@ -21,6 +21,14 @@ import org.apache.spark.sql.functions._
   * recall at every radius, so the pair query is
   * brute-force-oracle-checkable.
   *
+  * Scale law (measured in ScaleStress / PERF.md): a band of
+  * `64/(maxHamming+1)` bits has only `2^(64/(maxHamming+1))` possible
+  * buckets, so the radius bounds the blocking capacity — radius 8
+  * (~128 buckets/band) saturates the bucket cap around 10⁵ docs,
+  * radius 4 (~4096/band) is healthy at 2.5×10⁵. Shrink the radius as
+  * the corpus grows (or widen the fingerprint); the LshSkew drop
+  * metrics are the alarm that says when.
+  *
   * Two token-hash families:
   *   - md5-hex (default): bit j of a token's hash = bit (3 - j%4) of
   *     hex digit j/4 of md5(token) — identical arithmetic is

@@ -57,4 +57,17 @@ class PathSpec extends SparkSpec {
       .head.getInt(0)
     assert(n == 5)
   }
+
+  test("variant SQL surface: single-parse chain agrees with the " +
+      "string route (multiset)") {
+    val doc = db.replace("\n", " ")
+    val vs = spark.sql(
+      s"""SELECT variant_render_seq(
+            variant_desc_path(array(try_parse_json('$doc')), 'box')) AS r""")
+      .head.getSeq[String](0)
+    val ss = spark.sql(
+      s"""SELECT json_desc_path(array('$doc'), 'box') AS r""")
+      .head.getSeq[String](0)
+    assert(vs.length == 5 && vs.sorted == ss.sorted)
+  }
 }
