@@ -129,48 +129,90 @@ object Similarity {
       .distinct()
   }
 
-  /** IVF (inverted-file) ANN: a KMeans coarse quantizer partitions the
-    * corpus into `nLists` cells; each query probes its `nProbe`
-    * nearest centroids and ranks only those cells' vectors by exact
-    * cosine. The scan-side exchange is one partition pass at assign
-    * time; at query time the probed cells are the only data touched —
-    * the classic IVF trade: recall grows with nProbe, cost with
-    * nProbe·|corpus|/nLists. Probing all lists is exactly brute force
-    * (asserted in AnnSpec).
+  /** Offline-built IVF (inverted-file) index: a KMeans coarse
+    * quantizer partitions the corpus into `nLists` cells ONCE (train +
+    * assign are the expensive passes); queries then probe their
+    * `nProbe` nearest centroids and rank only those cells' vectors by
+    * exact cosine. Production shape: `build` (or `load`) once, `topK`
+    * many times — the index persists as two parquet tables
+    * (`save`/`load`), so at corpus scale the quantizer never retrains
+    * inside a query. Classic IVF trade: recall grows with nProbe, cost
+    * with nProbe·|corpus|/nLists; probing all lists is exactly brute
+    * force (asserted in AnnSpec).
+    */
+  final class IvfIndex private[Similarity] (
+      val assigned: DataFrame, val centroids: Seq[Seq[Double]]) {
+    def nLists: Int = centroids.length
+
+    def topK(queries: DataFrame, k: Int, nProbe: Int): DataFrame = {
+      // nProbe nearest centroids per query (centroids are tiny — plan
+      // literals, no join)
+      val distStructs = array(centroids.zipWithIndex.map { case (c, i) =>
+        struct(l2Sq(col("vec"), typedlit(c)).as("d"), lit(i).as("idx"))
+      }: _*)
+      val qprobes = queries.select(col("id").as("query_id"),
+          col("vec").as("qvec"), l2Norm(col("vec")).as("qn"),
+          explode(slice(array_sort(distStructs), 1, nProbe)).as("p"))
+        .select(col("query_id"), col("qvec"), col("qn"),
+          col("p.idx").as("list_id"))
+      val w = Window.partitionBy("query_id")
+        .orderBy(col("cosine").desc, col("neighbor_id"))
+      // each corpus vector lives in exactly one list → pairs are
+      // unique, no dedupe exchange needed
+      assigned.join(broadcast(qprobes), Seq("list_id"))
+        .filter(col("neighbor_id") =!= col("query_id"))
+        .withColumn("cosine", round(cosineWithNorms(col("qvec"), col("cvec"),
+          col("qn"), col("cn")), 9))
+        .withColumn("rnk", row_number().over(w).cast("long"))
+        .filter(col("rnk") <= k)
+        .select(col("query_id"), col("neighbor_id"), col("cosine"), col("rnk"))
+    }
+
+    /** Persist both halves of the index (assigned postings + centroid
+      * table). At scale, partition the postings by list_id so a probe
+      * reads only its cells' files.
+      */
+    def save(path: String): Unit = {
+      assigned.write.mode("overwrite")
+        .partitionBy("list_id").parquet(s"$path/assigned")
+      val spark = assigned.sparkSession
+      import spark.implicits._
+      centroids.zipWithIndex.map { case (c, i) => (i, c) }
+        .toDF("list_id", "centroid")
+        .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
+    }
+  }
+
+  object IvfIndex {
+    /** Train the quantizer and assign the corpus (the offline pass). */
+    def build(corpus: DataFrame, nLists: Int, seed: Long = 7L): IvfIndex = {
+      import org.apache.spark.ml.clustering.KMeans
+      import org.apache.spark.ml.functions.array_to_vector
+      val fc = corpus.withColumn("fv",
+        array_to_vector(col("vec").cast("array<double>")))
+      val model = new KMeans().setK(nLists).setSeed(seed).setMaxIter(10)
+        .setFeaturesCol("fv").setPredictionCol("list_id").fit(fc)
+      val assigned = model.transform(fc)
+        .select(col("id").as("neighbor_id"), col("vec").as("cvec"),
+          l2Norm(col("vec")).as("cn"), col("list_id"))
+      new IvfIndex(assigned, model.clusterCenters.map(_.toArray.toSeq).toSeq)
+    }
+
+    def load(spark: org.apache.spark.sql.SparkSession, path: String): IvfIndex = {
+      val assigned = spark.read.parquet(s"$path/assigned")
+      val centroids = spark.read.parquet(s"$path/centroids")
+        .orderBy(col("list_id")).collect()
+        .map(_.getAs[scala.collection.Seq[Double]]("centroid").toSeq).toSeq
+      new IvfIndex(assigned, centroids)
+    }
+  }
+
+  /** One-shot convenience: build the index inline and query it (tests
+    * and small corpora; production uses IvfIndex.build/save/load).
     */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
-      nLists: Int, nProbe: Int, seed: Long = 7L): DataFrame = {
-    import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.functions.array_to_vector
-    val fc = corpus.withColumn("fv",
-      array_to_vector(col("vec").cast("array<double>")))
-    val model = new KMeans().setK(nLists).setSeed(seed).setMaxIter(10)
-      .setFeaturesCol("fv").setPredictionCol("list_id").fit(fc)
-    val assigned = model.transform(fc)
-      .select(col("id").as("neighbor_id"), col("vec").as("cvec"),
-        l2Norm(col("vec")).as("cn"), col("list_id"))
-    val centroids = model.clusterCenters.map(_.toArray.toSeq).toSeq
-    // nProbe nearest centroids per query (centroids are tiny — plan
-    // literals, no join)
-    val distStructs = array(centroids.zipWithIndex.map { case (c, i) =>
-      struct(l2Sq(col("vec"), typedlit(c)).as("d"), lit(i).as("idx"))
-    }: _*)
-    val qprobes = queries.select(col("id").as("query_id"),
-        col("vec").as("qvec"), l2Norm(col("vec")).as("qn"),
-        explode(slice(array_sort(distStructs), 1, nProbe)).as("p"))
-      .select(col("query_id"), col("qvec"), col("qn"), col("p.idx").as("list_id"))
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("cosine").desc, col("neighbor_id"))
-    // each corpus vector lives in exactly one list → pairs are unique,
-    // no dedupe exchange needed
-    assigned.join(broadcast(qprobes), Seq("list_id"))
-      .filter(col("neighbor_id") =!= col("query_id"))
-      .withColumn("cosine", round(cosineWithNorms(col("qvec"), col("cvec"),
-        col("qn"), col("cn")), 9))
-      .withColumn("rnk", row_number().over(w).cast("long"))
-      .filter(col("rnk") <= k)
-      .select(col("query_id"), col("neighbor_id"), col("cosine"), col("rnk"))
-  }
+      nLists: Int, nProbe: Int, seed: Long = 7L): DataFrame =
+    IvfIndex.build(corpus, nLists, seed).topK(queries, k, nProbe)
 
   /** Per-query recall@k of the LSH plan against the exact top-k: the
     * standard acceptance check for an approximate index (the LSH

@@ -115,6 +115,66 @@ object TextQueries {
         SELECT $fpSql AS fp, MIN(doc_id) AS keeper_id, COUNT(*) AS n_copies
         FROM documents GROUP BY fp ORDER BY keeper_id""")),
 
+    // ---- q48: end-to-end corpus cleaning pipeline ----
+    // The canonical training-data shape, composed from this engine's
+    // operators in one DataFrame program: quality gate → language
+    // agreement gate → exact dedup (keep-min per fingerprint) →
+    // MinHash near-dup removal (greedy drop-higher-id). Every stage
+    // is deterministic and SQL-mirrorable, so the WHOLE pipeline is
+    // oracle-checked end to end — the "could a user run their
+    // pipeline on this" proof, not just per-operator demos.
+    QueryDef(
+      "q48_clean_pipeline",
+      (s, dir) => {
+        import graft.operators.MinHashDedup
+        val scored = Tables.load(s, dir, "documents")
+          .select(col("doc_id"), col("text"), col("lang"),
+            qualityScore(col("text")).as("quality"),
+            langId(col("text")).as("lang_pred"),
+            fingerprintMd5(col("text")).as("fp"))
+        val filtered = scored
+          .filter(col("quality") >= 0.5 && col("lang_pred") === col("lang"))
+        // exact dedup: keep the min doc_id of each fingerprint group
+        val keepers = filtered.groupBy(col("fp"))
+          .agg(min(col("doc_id")).as("doc_id")).select("doc_id")
+        val exactDeduped = filtered.join(keepers, Seq("doc_id"), "left_semi")
+        // near-dup removal: greedy drop of the higher id of each pair
+        val drops = MinHashDedup.nearDuplicatePairs(
+          exactDeduped.select(col("doc_id"), col("text")),
+          "doc_id", "text", threshold = 0.8)
+          .select(col("doc_b").as("doc_id")).distinct()
+        exactDeduped.join(drops, Seq("doc_id"), "left_anti")
+          .select(col("doc_id"), col("quality"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""
+        WITH scored AS (
+          SELECT doc_id, text, lang, $qualitySql AS quality,
+                 $langIdSql AS lang_pred, $fpSql AS fp
+          FROM documents),
+        filtered AS (
+          SELECT * FROM scored WHERE quality >= 0.5 AND lang_pred = lang),
+        keepers AS (SELECT min(doc_id) AS doc_id FROM filtered GROUP BY fp),
+        exact AS (
+          SELECT f.* FROM filtered f
+          WHERE f.doc_id IN (SELECT doc_id FROM keepers)),
+        tok AS (SELECT doc_id, string_split(text, ' ') AS w FROM exact),
+        sh AS (
+          SELECT doc_id,
+                 CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
+                      ELSE list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                                          for i in generate_series(1, len(w) - 2)])
+                 END AS shingles
+          FROM tok),
+        drops AS (
+          SELECT DISTINCT b.doc_id
+          FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+          WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+                  / len(list_distinct(a.shingles || b.shingles)) >= 0.8)
+        SELECT doc_id, quality FROM exact
+        WHERE doc_id NOT IN (SELECT doc_id FROM drops)
+        ORDER BY doc_id""")),
+
     // ---- q47: multi-variable unpacking `for (tok, pos) in zip(…)` ----
     // (reference Executor.py:174-186 tuple targets). Leading-token
     // frequencies: zip tokens with their 1-based positions, unpack the

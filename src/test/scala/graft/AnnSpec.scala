@@ -78,6 +78,21 @@ class AnnSpec extends SparkSpec {
       assert(!p.contains("vec"), s"vector-keyed exchange: $p"))
   }
 
+  test("IVF index: save/load round-trip answers queries identically " +
+      "(offline-build, online-query split)") {
+    val queries = emb.filter(col("id") < 10)
+    val idx = Similarity.IvfIndex.build(emb, nLists = 16)
+    val direct = idx.topK(queries, k = 5, nProbe = 8)
+      .collect().map(_.toString).sorted.toSeq
+    val dir = new java.io.File("target/ivf_idx_spec").getAbsolutePath
+    idx.save(dir)
+    val loaded = Similarity.IvfIndex.load(spark, dir)
+    assert(loaded.nLists == 16)
+    val viaDisk = loaded.topK(queries, k = 5, nProbe = 8)
+      .collect().map(_.toString).sorted.toSeq
+    assert(viaDisk == direct)
+  }
+
   test("brute-force top-k is reproducible run to run") {
     val a = Similarity.bruteForceTopK(emb, emb.filter(col("id") < 5), k = 3)
       .collect().map(_.toString).sorted.toSeq
