@@ -100,33 +100,59 @@ object Similarity {
     * `bitsPerTable` with the corpus so E|bucket| stays bounded, and
     * grow `numTables` to buy recall back (cost is linear in tables).
     *
-    * The exchanged payload is numTables copies of the vector
-    * (dim·4 B each). For very wide embeddings prefer id-only members
-    * plus two hash-join lookups of the vectors — here the single
-    * exchange is cheaper than three.
+    * Exchange-payload trade, chosen by `carryVectors`:
+    *   - true (default): members carry (id, vec, norm) — ONE exchange
+    *     total, each doc shipped numTables times (dim·4 B per copy).
+    *     Cheapest for moderate dims like the 64-float test corpus.
+    *   - false: members carry ids only (~8 B × numTables); candidate
+    *     id-pairs are deduped FIRST and the two vector lookups join
+    *     after — three exchanges, but the wide payload moves at most
+    *     once per surviving candidate. Prefer for wide embeddings
+    *     (≥ ~512 dims) or large numTables.
+    * Both produce identical results (asserted in AnnSpec).
     */
   def lshNearDupPairs(corpus: DataFrame, threshold: Double, dim: Int,
       bitsPerTable: Int = 4, numTables: Int = 24, seed: Long = 7L,
-      maxBucketSize: Int = 2000): DataFrame = {
+      maxBucketSize: Int = 2000, carryVectors: Boolean = true): DataFrame = {
     val tables = (0 until numTables).map { t =>
       t -> gaussianPlanes(bitsPerTable, dim, seed + t)
     }
     val bucketCols = array(tables.map { case (t, planes) =>
       struct(lit(t).as("band"), hyperplaneBucket(col("vec"), planes).as("bucket"))
     }: _*)
-    val buckets = corpus.select(
-      struct(col("id"), col("vec"), l2Norm(col("vec")).as("nrm")).as("m"),
-      explode(bucketCols).as("tb"))
-      .select(col("m"), col("tb.band"), col("tb.bucket"))
-    val capped = LshSkew.groupCapped(buckets, maxBucketSize, "embed_lsh_skew")
-    LshSkew.bucketPairs(capped)
-      .withColumn("cosine", round(cosineWithNorms(col("m1.vec"), col("m2.vec"),
-        col("m1.nrm"), col("m2.nrm")), 9))
-      .filter(col("cosine") >= threshold)
-      // a pair can collide in several tables; cosine is a pure function
-      // of the pair, so distinct on the projected row dedupes exactly
-      .select(col("m1.id").as("id_a"), col("m2.id").as("id_b"), col("cosine"))
-      .distinct()
+    if (carryVectors) {
+      val buckets = corpus.select(
+        struct(col("id"), col("vec"), l2Norm(col("vec")).as("nrm")).as("m"),
+        explode(bucketCols).as("tb"))
+        .select(col("m"), col("tb.band"), col("tb.bucket"))
+      val capped = LshSkew.groupCapped(buckets, maxBucketSize, "embed_lsh_skew")
+      LshSkew.bucketPairs(capped)
+        .withColumn("cosine", round(cosineWithNorms(col("m1.vec"), col("m2.vec"),
+          col("m1.nrm"), col("m2.nrm")), 9))
+        .filter(col("cosine") >= threshold)
+        // a pair can collide in several tables; cosine is a pure
+        // function of the pair, so distinct on the projected row
+        // dedupes exactly
+        .select(col("m1.id").as("id_a"), col("m2.id").as("id_b"), col("cosine"))
+        .distinct()
+    } else {
+      val buckets = corpus.select(struct(col("id")).as("m"),
+        explode(bucketCols).as("tb"))
+        .select(col("m"), col("tb.band"), col("tb.bucket"))
+      val capped = LshSkew.groupCapped(buckets, maxBucketSize, "embed_lsh_skew")
+      val cands = LshSkew.bucketPairs(capped)
+        .select(col("m1.id").as("id_a"), col("m2.id").as("id_b"))
+        .distinct()
+      val va = corpus.select(col("id").as("id_a"), col("vec").as("va"),
+        l2Norm(col("vec")).as("na"))
+      val vb = corpus.select(col("id").as("id_b"), col("vec").as("vb"),
+        l2Norm(col("vec")).as("nb"))
+      cands.join(va, "id_a").join(vb, "id_b")
+        .withColumn("cosine", round(cosineWithNorms(col("va"), col("vb"),
+          col("na"), col("nb")), 9))
+        .filter(col("cosine") >= threshold)
+        .select(col("id_a"), col("id_b"), col("cosine"))
+    }
   }
 
   /** Offline-built IVF (inverted-file) index: a KMeans coarse

@@ -46,6 +46,20 @@ object Streams {
       .select(col("w.start").as("bucket_start"), col("event_type"),
         col("n"), col("total_value"))
 
+  /** Streaming exact dedup — the incremental dual of q20: emit only
+    * the first-seen document per normalized-text fingerprint, with
+    * bounded state (`dropDuplicatesWithinWatermark` evicts a
+    * fingerprint's dedup state once the watermark passes its event
+    * time + the watermark delay — the streaming analog of the batch
+    * keep-first policy, scoped to the dedup horizon a stream can
+    * actually afford). Input needs (doc_id, text, ts timestamp).
+    */
+  def dedupExactStream(docs: DataFrame, watermark: String = "1 hour"): DataFrame =
+    docs
+      .withWatermark("ts", watermark)
+      .withColumn("fp", graft.functions.TextFunctions.fingerprintMd5(col("text")))
+      .dropDuplicatesWithinWatermark("fp")
+
   final case class UserEvent(user_id: Long, value: Double)
   final case class UserTotals(user_id: Long, n_events: Long, total: Double)
 

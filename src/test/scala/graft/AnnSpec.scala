@@ -66,6 +66,16 @@ class AnnSpec extends SparkSpec {
     assert(recall >= 0.95, s"recall = $recall over ${exact.size} true pairs")
   }
 
+  test("LSH near-dup pairs: id-only exchange variant (wide-embedding " +
+      "path) is result-identical") {
+    val carried = Similarity.lshNearDupPairs(emb, threshold = 0.35, dim = 64)
+      .collect().map(_.toString).sorted.toSeq
+    val idJoin = Similarity.lshNearDupPairs(emb, threshold = 0.35, dim = 64,
+      carryVectors = false)
+      .collect().map(_.toString).sorted.toSeq
+    assert(idJoin == carried)
+  }
+
   test("LSH near-dup pairs plan: no nested-loop/cartesian join, no " +
       "vector-keyed exchange (q41's scale bug stays fixed)") {
     val plan = Similarity.lshNearDupPairs(emb, threshold = 0.35, dim = 64)

@@ -71,4 +71,24 @@ class StreamingSpec extends SparkSpec {
     val out = Streams.tumblingCounts(df).orderBy(col("bucket_start")).collect()
     assert(out.map(_.getLong(2)).sum == 7L)
   }
+
+  test("streaming exact dedup: first-seen doc per fingerprint wins, " +
+      "cross-batch, bounded state") {
+    implicit val sqlCtx = spark.sqlContext
+    val ms = MemoryStream[(Long, String, Timestamp)]
+    val q = Streams.dedupExactStream(
+      ms.toDF().toDF("doc_id", "text", "ts"))
+      .writeStream.format("memory").queryName("dedup_s")
+      .outputMode("append").start()
+    try {
+      ms.addData((1L, "hello world", ts(0)), (2L, "other text", ts(1)))
+      q.processAllAvailable()
+      // duplicate arrives in a LATER batch, within the watermark
+      ms.addData((3L, "hello world", ts(2)), (4L, "third text", ts(3)))
+      q.processAllAvailable()
+      val ids = spark.table("dedup_s").select("doc_id")
+        .collect().map(_.getLong(0)).toSet
+      assert(ids == Set(1L, 2L, 4L), s"got $ids")
+    } finally q.stop()
+  }
 }
