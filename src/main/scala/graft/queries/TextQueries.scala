@@ -127,6 +127,7 @@ object TextQueries {
       "q48_clean_pipeline",
       (s, dir) => {
         import graft.operators.MinHashDedup
+        import org.apache.spark.sql.expressions.Window
         val scored = Tables.load(s, dir, "documents")
           .select(col("doc_id"), col("text"), col("lang"),
             qualityScore(col("text")).as("quality"),
@@ -135,9 +136,18 @@ object TextQueries {
         val filtered = scored
           .filter(col("quality") >= 0.5 && col("lang_pred") === col("lang"))
         // exact dedup: keep the min doc_id of each fingerprint group
-        val keepers = filtered.groupBy(col("fp"))
-          .agg(min(col("doc_id")).as("doc_id")).select("doc_id")
-        val exactDeduped = filtered.join(keepers, Seq("doc_id"), "left_semi")
+        // (window keep-min = one fp shuffle over one scan), then
+        // MATERIALIZE the surviving corpus — the downstream near-dup
+        // pass reads it four times (signatures + two verify sides +
+        // the final anti-join), and without the persist each branch
+        // would recompute the expensive quality/lang-id scoring scan.
+        // In production this stage boundary is a written table; the
+        // persist is its in-query analog.
+        val exactDeduped = filtered
+          .withColumn("min_id", min(col("doc_id")).over(Window.partitionBy("fp")))
+          .filter(col("doc_id") === col("min_id"))
+          .select(col("doc_id"), col("text"), col("quality"))
+          .persist()
         // near-dup removal: greedy drop of the higher id of each pair
         val drops = MinHashDedup.nearDuplicatePairs(
           exactDeduped.select(col("doc_id"), col("text")),

@@ -84,9 +84,14 @@ class MatchFuzzSpec extends SparkSpec {
     ("exact-two-keys", MP.Pat(Seq(
       MP.field("a").as("x"), MP.field("b").as("y"))), true),
     ("parent-bind", MP.Pat(Seq(MP.field("c").as("x")),
-      bindParentTo = Some("z")), false))
+      bindParentTo = Some("z")), false),
+    // exact threads through the recursion: nested level must ALSO
+    // have no extra keys
+    ("exact-nested", MP.Pat(Seq(
+      MP.field("zip").obj(MP.Pat(Seq(MP.field("a").as("w")))),
+      MP.field("b").as("y"))), true))
 
-  test("compiled match ≡ reference matcher on 60 random docs × 5 patterns") {
+  test("compiled match ≡ reference matcher on 60 random docs × 6 patterns") {
     val corpus = docs(60)
     val df = corpus.zipWithIndex.toDF("doc", "i")
     for ((label, pat, exact) <- patterns) {
