@@ -239,6 +239,17 @@ final class Query private (
     next(d, (keys.map(_._1) ++ aggs.map(_._1)).toVector)
   }
 
+  /** Full cube aggregation — all 2^k grouping sets (SURVEY §2.3
+    * freebie, same NULL-key convention as rollup).
+    */
+  def groupByCube(keys: Seq[(String, Column)],
+      aggs: Seq[(String, Column)]): Query = {
+    val aggCols = aggs.map { case (n, e) => e.as(n) }
+    val d = df.cube(keys.map { case (n, e) => e.as(n) }: _*)
+      .agg(aggCols.head, aggCols.tail: _*)
+    next(d, (keys.map(_._1) ++ aggs.map(_._1)).toVector)
+  }
+
   // ---- order by / limit / distinct ---------------------------------
   /** Multi-key sort. The reference implements this as N successive
     * stable sorts (`Executor.py:464-488`) — equivalent to one

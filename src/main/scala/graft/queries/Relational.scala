@@ -409,6 +409,56 @@ object Relational {
       },
       Some("""
         SELECT COUNT(DISTINCT o_custkey) AS n_exact, true AS approx_ok
-        FROM orders"""))
+        FROM orders""")),
+
+    // ---- q49: exact interpolated percentiles per group (§2.3
+    // analytics freebie; Spark `percentile` and DuckDB `quantile_cont`
+    // both linearly interpolate, so the values are oracle-comparable
+    // — rounded to 6 decimals to wash interpolation-arithmetic ulps) ----
+    QueryDef(
+      "q49_percentile",
+      (s, dir) => {
+        Query.forIn("l", Tables.load(s, dir, "lineitem"))
+          .groupByAgg(
+            Seq("rf" -> col("l.l_returnflag")),
+            Seq(
+              "median_qty" -> round(expr("percentile(l.l_quantity, 0.5)"), 6),
+              "p90_qty" -> round(expr("percentile(l.l_quantity, 0.9)"), 6),
+              "n" -> count(lit(1))))
+          .orderBy(col("rf"))
+          .select("rf" -> col("rf"), "median_qty" -> col("median_qty"),
+            "p90_qty" -> col("p90_qty"), "n" -> col("n"))
+      },
+      Some("""
+        SELECT l_returnflag AS rf,
+               round(quantile_cont(l_quantity, 0.5), 6) AS median_qty,
+               round(quantile_cont(l_quantity, 0.9), 6) AS p90_qty,
+               COUNT(*) AS n
+        FROM lineitem GROUP BY rf ORDER BY rf""")),
+
+    // ---- q50: full cube — all 2^k grouping sets (§2.3 freebie) ----
+    QueryDef(
+      "q50_cube",
+      (s, dir) => {
+        Query.forIn("o", Tables.load(s, dir, "orders"))
+          .groupByCube(
+            Seq("st0" -> col("o.o_orderstatus"),
+              "pr0" -> col("o.o_orderpriority")),
+            Seq("total" -> sum(dec(col("o.o_totalprice"))).cast("double"),
+              "n" -> count(lit(1))))
+          .let("st", coalesce(col("st0"), lit("@ALL")))
+          .let("pr", coalesce(col("pr0"), lit("@ALL")))
+          .orderBy(col("st"), col("pr"))
+          .select("st" -> col("st"), "pr" -> col("pr"),
+            "total" -> col("total"), "n" -> col("n"))
+      },
+      Some("""
+        SELECT COALESCE(o_orderstatus, '@ALL') AS st,
+               COALESCE(o_orderpriority, '@ALL') AS pr,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total,
+               COUNT(*) AS n
+        FROM orders
+        GROUP BY CUBE(o_orderstatus, o_orderpriority)
+        ORDER BY st, pr"""))
   )
 }
