@@ -74,4 +74,47 @@ object Multimodal {
       rows.grouped(64).flatMap(batch => batch.iterator.map(decodeStub))
     }
   }
+
+  /** Resize pass: fit decoded dimensions into a target box preserving
+    * aspect ratio (never upscale). The arithmetic is real; a
+    * production impl writes the resampled pixels into a new payload in
+    * the same partition pass — the transform's schema and plan shape
+    * (narrow map, no exchange) don't change.
+    */
+  def resize(decoded: Dataset[Decoded], maxW: Int, maxH: Int): Dataset[Decoded] = {
+    implicit val enc = Encoders.product[Decoded]
+    decoded.map { d =>
+      val scale = math.min(1.0,
+        math.min(maxW.toDouble / d.width, maxH.toDouble / d.height))
+      d.copy(width = math.max(1, (d.width * scale).toInt),
+        height = math.max(1, (d.height * scale).toInt))
+    }
+  }
+
+  final case class Frame(
+      doc_id: Long, frame_idx: Long, offset: Long, frame_bytes: Array[Byte])
+
+  /** Frame sampling: every `step`-th frame of each video payload —
+    * the 1→N partition-local explode a video pipeline needs (no
+    * exchange; output size is bounded by n_frames/step per row). The
+    * stub slices the payload into equal byte ranges where a real
+    * demuxer would seek keyframes; slicing arithmetic is deterministic
+    * (oracle-mirrored in q51).
+    */
+  def frameSample(media: DataFrame, step: Int): Dataset[Frame] = {
+    require(step > 0, "step must be positive")
+    implicit val encIn = Encoders.product[MediaRow]
+    implicit val encOut = Encoders.product[Frame]
+    media.as[MediaRow].filter(_.modality == "video").mapPartitions { rows =>
+      rows.flatMap { m =>
+        val d = decodeStub(m)
+        val sz = m.payload.length / d.n_frames
+        (0 until d.n_frames by step).iterator.map { f =>
+          val off = f.toLong * sz
+          Frame(m.doc_id, f.toLong, off,
+            m.payload.slice(off.toInt, off.toInt + sz))
+        }
+      }
+    }
+  }
 }

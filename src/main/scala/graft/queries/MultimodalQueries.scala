@@ -35,6 +35,31 @@ object MultimodalQueries {
                480 - strlen(text) % 240 AS height,
                1 + strlen(text) % 24 AS n_frames
         FROM documents
-        ORDER BY doc_id"""))
+        ORDER BY doc_id""")),
+
+    // ---- q51: video frame sampling (every 4th frame) ----
+    // 1→N partition-local explode; the stub's equal-byte-range slicing
+    // is deterministic arithmetic over the payload length, so DuckDB
+    // mirrors frame indices, offsets and slice lengths exactly.
+    QueryDef(
+      "q51_frame_sample",
+      (s, dir) => {
+        Multimodal.frameSample(
+          Multimodal.mediaTable(Tables.load(s, dir, "documents")), step = 4)
+          .toDF()
+          .select(col("doc_id"), col("frame_idx"), col("offset"),
+            length(col("frame_bytes")).cast("long").as("frame_len"))
+          .orderBy(col("doc_id"), col("frame_idx"))
+      },
+      Some("""
+        WITH v AS (
+          SELECT doc_id, strlen(text) AS n, 1 + strlen(text) % 24 AS nf
+          FROM documents WHERE doc_id % 3 = 2),
+        frames AS (
+          SELECT doc_id, unnest(range(0, nf, 4)) AS frame_idx, n // nf AS sz
+          FROM v)
+        SELECT doc_id, frame_idx, frame_idx * sz AS offset, sz AS frame_len
+        FROM frames
+        ORDER BY doc_id, frame_idx"""))
   )
 }

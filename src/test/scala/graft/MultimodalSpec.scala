@@ -31,6 +31,42 @@ class MultimodalSpec extends SparkSpec {
     assert(!plan.contains("Exchange"), s"decode should not shuffle:\n$plan")
   }
 
+  test("resize fits the target box, preserves aspect, never upscales") {
+    val media = Multimodal.mediaTable(Tables.load(spark, sf0001, "documents"))
+    val decoded = Multimodal.decode(media)
+    val resized = Multimodal.resize(decoded, maxW = 320, maxH = 240).collect()
+    val orig = decoded.collect().map(d => d.doc_id -> d).toMap
+    resized.foreach { r =>
+      val o = orig(r.doc_id)
+      assert(r.width <= 320 && r.height <= 240, s"doc ${r.doc_id}")
+      assert(r.width <= o.width && r.height <= o.height) // no upscale
+      // aspect preserved within integer truncation
+      val s = math.min(1.0, math.min(320.0 / o.width, 240.0 / o.height))
+      assert(r.width == math.max(1, (o.width * s).toInt))
+      assert(r.height == math.max(1, (o.height * s).toInt))
+    }
+  }
+
+  test("frameSample: every step-th frame, contiguous deterministic " +
+      "slices, scan-local") {
+    val media = Multimodal.mediaTable(Tables.load(spark, sf0001, "documents"))
+    val frames = Multimodal.frameSample(media, step = 4)
+    assert(!frames.queryExecution.executedPlan.toString.contains("Exchange"))
+    val byDoc = frames.collect().groupBy(_.doc_id)
+    val meta = Multimodal.decode(media).collect().map(d => d.doc_id -> d).toMap
+    byDoc.foreach { case (id, fs) =>
+      val d = meta(id)
+      assert(d.modality == "video")
+      assert(fs.map(_.frame_idx).sorted.toSeq ==
+        (0L until d.n_frames.toLong by 4L).toSeq)
+      val sz = (d.n_bytes / d.n_frames).toInt
+      fs.foreach { f =>
+        assert(f.offset == f.frame_idx * sz)
+        assert(f.frame_bytes.length == sz)
+      }
+    }
+  }
+
   test("features feed the ANN operators (array<float> compatible)") {
     val feats = Multimodal.decode(
       Multimodal.mediaTable(Tables.load(spark, sf0001, "documents")))
