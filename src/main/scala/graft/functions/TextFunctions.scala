@@ -18,6 +18,18 @@ object TextFunctions {
   /** Whitespace token count: number of single-space-split fields. */
   def tokenCount(text: Column): Column = size(split(text, " "))
 
+  /** BPE-style pre-tokenization (GPT-2 pretokenizer family, without
+    * the lookahead clauses so the pattern is RE2-compatible and
+    * DuckDB-mirrorable): letter runs, digit runs, and punctuation
+    * runs, each optionally absorbing one leading space — the unit a
+    * byte-pair vocabulary is trained over, and the token count that
+    * tracks LLM context cost far better than whitespace splitting.
+    */
+  private val bpeishPattern = " ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+"
+  def bpeTokens(text: Column): Column =
+    regexp_extract_all(text, lit(bpeishPattern), lit(0))
+  def bpeTokenCount(text: Column): Column = size(bpeTokens(text))
+
   /** Occurrence count of a literal substring via the length/replace
     * trick — exact, engine-portable integer arithmetic.
     */

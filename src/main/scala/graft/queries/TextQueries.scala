@@ -115,6 +115,25 @@ object TextQueries {
         SELECT $fpSql AS fp, MIN(doc_id) AS keeper_id, COUNT(*) AS n_copies
         FROM documents GROUP BY fp ORDER BY keeper_id""")),
 
+    // ---- q52: BPE-ish pre-tokenization counts (brief: "whitespace +
+    // a BPE-ish regex"). Same RE2-compatible pattern on both engines. ----
+    QueryDef(
+      "q52_bpe_tokens",
+      (s, dir) => {
+        Tables.load(s, dir, "documents")
+          .select(col("doc_id"),
+            bpeTokenCount(col("text")).cast("long").as("n_bpe"),
+            tokenCount(col("text")).cast("long").as("n_ws"),
+            element_at(bpeTokens(col("text")), 1).as("first_tok"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""
+        SELECT doc_id,
+               len(regexp_extract_all(text, ' ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+')) AS n_bpe,
+               len(string_split(text, ' ')) AS n_ws,
+               regexp_extract_all(text, ' ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+')[1] AS first_tok
+        FROM documents ORDER BY doc_id""")),
+
     // ---- q48: end-to-end corpus cleaning pipeline ----
     // The canonical training-data shape, composed from this engine's
     // operators in one DataFrame program: quality gate → language
