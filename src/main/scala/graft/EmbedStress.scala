@@ -1,0 +1,98 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.operators.Similarity
+
+/** Scale-stress for the embedding near-dup LSH path (q45's operator)
+  * with MEASURABLE ground truth: replicate the sf0.1 embeddings N×
+  * and plant known near-duplicate twins.
+  *
+  * Corpus synthesis:
+  *   - copy `cp` of vector v is D_cp·v, where D_cp is a deterministic
+  *     per-copy ±1 diagonal (an orthogonal transform): within-copy
+  *     cosines are EXACTLY preserved, cross-copy cosines are
+  *     scrambled to the noise floor — true pairs stay within a copy;
+  *   - every 25th base vector gets a planted twin: per-element
+  *     multiplicative jitter u ∈ [1−0.4, 1+0.4] (deterministic, keyed
+  *     on (oid, cp, element)), giving twin cosines ≈ 0.97;
+  *   - source ids are even (2·(oid·f+cp)), twin ids odd (+1), so the
+  *     ground-truth pair set is {(2k, 2k+1)} — recall is a direct
+  *     count, no oracle join needed.
+  *
+  * At threshold 0.9 the natural corpus has zero pairs (max natural
+  * cosine ≈ 0.6), so found pairs ≈ planted pairs and every found pair
+  * is exact-cosine verified. Bucket bits are sized for the largest
+  * factor (2^14 buckets/table — the documented "grow bits with the
+  * corpus" knob); recall comes from the 24 tables.
+  */
+object EmbedStress {
+  private def time[A](f: => A): (A, Double) = {
+    val t0 = System.nanoTime()
+    val a = f
+    (a, (System.nanoTime() - t0) / 1e9)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
+    val factors = (if (args.length > 1) args(1) else "1,10,50")
+      .split(",").map(_.trim.toInt).toSeq
+    val outBase = if (args.length > 2) args(2) else "/tmp/graft_embstress"
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.extensions", "graft.GraftExtensions")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    Metrics.register(spark)
+
+    val base = Tables.load(spark, sfDir, "embeddings")
+      .select(col("vec_id").as("oid"), col("embedding").as("v"))
+
+    factors.foreach { f =>
+      val copies = base.crossJoin(spark.range(f).toDF("cp"))
+      // per-copy ±1 diagonal: orthogonal, deterministic
+      val flip = transform(col("v"), (x, i) =>
+        (x * when(pmod(xxhash64(col("cp"), i), lit(2)) === 0, lit(1.0f))
+          .otherwise(lit(-1.0f))).cast("float"))
+      val srcs = copies.select(
+        ((col("oid") * f + col("cp")) * 2).as("id"), flip.as("vec"))
+      val twins = copies.filter(col("oid") % 25 === 0)
+        .select(((col("oid") * f + col("cp")) * 2 + 1).as("id"),
+          transform(flip, (x, i) =>
+            (x * (lit(1.0f) +
+              (pmod(xxhash64(col("oid"), col("cp"), i, lit(7)), lit(1000))
+                .cast("double") / 500.0 - 1.0).cast("float") * lit(0.4f)))
+              .cast("float")).as("vec"))
+      val path = s"$outBase/emb_x$f"
+      srcs.union(twins).write.mode("overwrite").parquet(path)
+      val corpus = spark.read.parquet(path)
+      val n = corpus.count()
+      val nTwins = corpus.filter(col("id") % 2 === 1).count()
+
+      val (pairs, sec) = time {
+        Similarity.lshNearDupPairs(corpus, threshold = 0.9, dim = 64,
+          bitsPerTable = 14, numTables = 24, maxBucketSize = 2000)
+          .cache()
+      }
+      // trigger + stats inside the timed region would double-count the
+      // cache; count() here is the action the timer wraps via cache+count
+      val (found, secCount) = time(pairs.count())
+      val planted = pairs
+        .filter(col("id_b") === col("id_a") + 1 && col("id_a") % 2 === 0)
+        .count()
+      pairs.unpersist()
+      val recall = planted.toDouble / nTwins
+      println(s"""{"factor":$f,"vectors":$n,"planted":$nTwins,""" +
+        s""""sec":${sec + secCount},"found":$found,"planted_found":$planted,""" +
+        s""""recall":$recall}""")
+    }
+    spark.stop()
+  }
+}

@@ -141,6 +141,18 @@ class DslSpec extends SparkSpec {
     assert(res.toSeq == Seq(Row("a", 1, 0L), Row("a", 3, 1L), Row("b", 2, 0L)))
   }
 
+  test("groupByCube emits all 2^k grouping sets") {
+    val df = Seq(("a", "x", 1L), ("a", "y", 2L), ("b", "x", 3L))
+      .toDF("g1", "g2", "v")
+    val res = Query.forIn("t", df)
+      .groupByCube(Seq("g1" -> col("t.g1"), "g2" -> col("t.g2")),
+        Seq("s" -> sum(col("t.v"))))
+      .toDF.collect()
+    // 3 (g1,g2) + 2 (g1) + 2 (g2) + 1 grand total
+    assert(res.length == 8)
+    assert(res.find(r => r.isNullAt(0) && r.isNullAt(1)).get.getLong(2) == 6L)
+  }
+
   test("multi-variable unpack: for (a, b) in seq of structs / arrays " +
       "(ref Executor.py:174-186)") {
     val df = Seq((1, Seq(("x", 10), ("y", 20)))).toDF("id", "pairs")
