@@ -156,6 +156,74 @@ object EventsQueries {
                COUNT(*) AS n_events,
                CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS session_value
         FROM sess GROUP BY user_id, sid
-        ORDER BY user_id, start_ms"""))
+        ORDER BY user_id, start_ms""")),
+
+    // ---- q53: retention cohorts (product-analytics staple) ----
+    // cohort = first active day per user; per cohort, how many users
+    // are active again at day offsets 1 / 7 / 14. Day-level
+    // truncation of the ns timestamps agrees across engines.
+    QueryDef(
+      "q53_retention",
+      (s, dir) => {
+        val days = Tables.load(s, dir, "events")
+          .select(col("user_id"),
+            to_date(timestamp_millis(expr("ts DIV 1000000"))).as("day"))
+          .distinct()
+        val cohorts = days.groupBy(col("user_id"))
+          .agg(min(col("day")).as("cohort"))
+        days.join(cohorts, "user_id")
+          .withColumn("off", datediff(col("day"), col("cohort")))
+          .groupBy(col("cohort"))
+          .agg(countDistinct(col("user_id")).as("n_users"),
+            countDistinct(when(col("off") === 1, col("user_id"))).as("d1"),
+            countDistinct(when(col("off") === 7, col("user_id"))).as("d7"),
+            countDistinct(when(col("off") === 14, col("user_id"))).as("d14"))
+          .orderBy(col("cohort"))
+      },
+      Some("""
+        WITH days AS (
+          SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+        cohorts AS (
+          SELECT user_id, MIN(day) AS cohort FROM days GROUP BY user_id),
+        j AS (
+          SELECT d.user_id, c.cohort, d.day - c.cohort AS off
+          FROM days d JOIN cohorts c ON d.user_id = c.user_id)
+        SELECT cohort, COUNT(DISTINCT user_id) AS n_users,
+               COUNT(DISTINCT CASE WHEN off = 1 THEN user_id END) AS d1,
+               COUNT(DISTINCT CASE WHEN off = 7 THEN user_id END) AS d7,
+               COUNT(DISTINCT CASE WHEN off = 14 THEN user_id END) AS d14
+        FROM j GROUP BY cohort ORDER BY cohort""")),
+
+    // ---- q54: ordered funnel signup → click → purchase ----
+    // first-occurrence ordering per user, compared at millisecond
+    // granularity on BOTH engines (the ns/µs truncation gotcha).
+    QueryDef(
+      "q54_funnel",
+      (s, dir) => {
+        Tables.load(s, dir, "events")
+          .groupBy(col("user_id"))
+          .agg(
+            min(when(col("event_type") === "signup",
+              expr("ts DIV 1000000"))).as("s"),
+            min(when(col("event_type") === "click",
+              expr("ts DIV 1000000"))).as("c"),
+            min(when(col("event_type") === "purchase",
+              expr("ts DIV 1000000"))).as("p"))
+          .agg(count(col("s")).as("n_signup"),
+            count(when(col("c") > col("s"), 1)).as("n_sig_click"),
+            count(when(col("c") > col("s") && col("p") > col("c"), 1))
+              .as("n_funnel"))
+      },
+      Some("""
+        WITH m AS (
+          SELECT user_id,
+                 MIN(CASE WHEN event_type = 'signup' THEN epoch_ms(ts) END) AS s,
+                 MIN(CASE WHEN event_type = 'click' THEN epoch_ms(ts) END) AS c,
+                 MIN(CASE WHEN event_type = 'purchase' THEN epoch_ms(ts) END) AS p
+          FROM events GROUP BY user_id)
+        SELECT COUNT(s) AS n_signup,
+               COUNT(CASE WHEN c > s THEN 1 END) AS n_sig_click,
+               COUNT(CASE WHEN c > s AND p > c THEN 1 END) AS n_funnel
+        FROM m"""))
   )
 }
