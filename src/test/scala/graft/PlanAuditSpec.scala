@@ -1,0 +1,50 @@
+package graft
+
+/** Whole-battery plan audit: structural invariants asserted over the
+  * PHYSICAL plan of every registered query, so a future edit that
+  * regresses a plan shape (a stray cartesian, an exchange keyed on an
+  * embedding) fails CI instead of surfacing as a 100 TB incident.
+  */
+class PlanAuditSpec extends SparkSpec {
+
+  /** Queries whose nested-loop/cartesian is the documented intent:
+    * q10 is the reference's cross-product `for` clause; q28/q41 are
+    * the exact all-pairs baselines (broadcast NLJ by design); q29/q46
+    * embed the exact baseline to report recall against it.
+    */
+  private val exactBaselines = Set("q10_cross_for", "q28_ann_bruteforce",
+    "q29_ann_lsh", "q41_embedding_neardup", "q46_ann_ivf")
+
+  private lazy val plans: Map[String, String] =
+    SparkEntry.queries.map { case (name, fn) =>
+      name -> fn(spark, sf0001).queryExecution.executedPlan.toString
+    }
+
+  test("no cartesian/nested-loop join outside the documented exact " +
+      "baselines") {
+    for ((name, plan) <- plans if !exactBaselines.contains(name)) {
+      assert(!plan.contains("CartesianProduct") &&
+        !plan.contains("BroadcastNestedLoopJoin"),
+        s"$name grew a nested-loop/cartesian join:\n$plan")
+    }
+  }
+
+  test("no exchange is ever keyed on an embedding/vector column") {
+    for ((name, plan) <- plans) {
+      val partitionings = "hashpartitioning\\([^)]*\\)".r.findAllIn(plan)
+      partitionings.foreach { p =>
+        assert(!p.contains("vec") && !p.contains("embedding"),
+          s"$name has a vector-keyed exchange: $p")
+      }
+    }
+  }
+
+  test("parquet filter queries push predicates into the scan") {
+    // spot-invariant on the classic filter query: the quantity/flag
+    // predicates must reach the parquet reader
+    val plan = plans("q02_filter_project")
+    assert(plan.contains("PushedFilters: [IsNotNull") &&
+      plan.contains("l_quantity"),
+      s"q02 lost parquet pushdown:\n$plan")
+  }
+}
