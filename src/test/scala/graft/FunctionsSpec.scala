@@ -99,4 +99,28 @@ class FunctionsSpec extends SparkSpec {
     assert(res.map(r => (r.getString(0), r.getLong(1), r.getInt(2))).toSeq ==
       Seq(("u1", 0L, 2), ("u1", 2L, 1), ("u2", 0L, 2)))
   }
+
+  test("typed Aggregator escape hatch: weighted mean + bounded " +
+      "consistent sample (udaf surface)") {
+    import graft.functions.Aggregators
+    val wm = udaf(Aggregators.weightedMean)
+    val df = Seq(("a", 10.0, 1.0), ("a", 20.0, 3.0), ("b", 5.0, 0.0))
+      .toDF("g", "v", "w")
+    val got = df.groupBy($"g").agg(wm($"v", $"w").as("m"))
+      .orderBy($"g").collect()
+    assert(got(0).getDouble(1) == 17.5)   // (10+60)/4
+    assert(got(1).isNullAt(1))            // all-zero weights → null
+
+    // consistent sample: bounded buffer, deterministic across
+    // repartitionings (hash-ranked, not random)
+    val cs = udaf(Aggregators.consistentSample(3))
+    val ids = (1L to 100L).map(i => ("g", i))
+    def sample(parts: Int) = ids.toDF("g", "id")
+      .repartition(parts)
+      .withColumn("h", xxhash64($"id"))
+      .groupBy($"g").agg(cs($"h", $"id").as("s"))
+      .head.getSeq[Long](1)
+    val s4 = sample(4)
+    assert(s4.length == 3 && sample(13) == s4)
+  }
 }
