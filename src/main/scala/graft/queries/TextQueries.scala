@@ -204,6 +204,31 @@ object TextQueries {
         WHERE doc_id NOT IN (SELECT doc_id FROM drops)
         ORDER BY doc_id""")),
 
+    // ---- q55: consistent per-group sampling (typed-UDAF surface) ----
+    // 3 docs per language, ranked by a Knuth multiplicative hash both
+    // engines can compute — the bounded-buffer Aggregator from
+    // graft.functions.Aggregators driven through the driver gate.
+    QueryDef(
+      "q55_consistent_sample",
+      (s, dir) => {
+        val cs = udaf(graft.functions.Aggregators.consistentSample(3))
+        Tables.load(s, dir, "documents")
+          .withColumn("h",
+            pmod(col("doc_id") * lit(2654435761L), lit(2147483647L)))
+          .groupBy(col("lang"))
+          .agg(cs(col("h"), col("doc_id")).as("sample"))
+          .select(col("lang"), explode(col("sample")).as("doc_id"))
+          .orderBy(col("lang"), col("doc_id"))
+      },
+      Some("""
+        WITH ranked AS (
+          SELECT lang, doc_id,
+                 ROW_NUMBER() OVER (PARTITION BY lang
+                   ORDER BY (doc_id * 2654435761) % 2147483647, doc_id) AS rnk
+          FROM documents)
+        SELECT lang, doc_id FROM ranked WHERE rnk <= 3
+        ORDER BY lang, doc_id""")),
+
     // ---- q47: multi-variable unpacking `for (tok, pos) in zip(…)` ----
     // (reference Executor.py:174-186 tuple targets). Leading-token
     // frequencies: zip tokens with their 1-based positions, unpack the
