@@ -72,6 +72,35 @@ class StreamingSpec extends SparkSpec {
     assert(out.map(_.getLong(2)).sum == 7L)
   }
 
+  test("streaming simhash near-dup: duplicate arriving batches later " +
+      "is caught; pair set equals the batch operator") {
+    implicit val sqlCtx = spark.sqlContext
+    val d1 = "the quick brown fox jumps over the lazy dog again and again"
+    val d2 = d1.replace("dog", "cat") // near-dup of d1
+    val d3 = "completely different text about spark physical plans here"
+    val ms = MemoryStream[(Long, String)]
+    val q = graft.streaming.StreamDedup.simhashPairsStream(
+      ms.toDF().toDF("doc_id", "text"), maxHamming = 16)
+      .writeStream.format("memory").queryName("sh_stream")
+      .outputMode("append").start()
+    try {
+      ms.addData((1L, d1), (3L, d3))
+      q.processAllAvailable()
+      ms.addData((2L, d2)) // near-dup arrives a batch later
+      q.processAllAvailable()
+      val got = spark.table("sh_stream")
+        .select(col("doc_a"), col("doc_b"), col("hamming"))
+        .distinct() // per-band at-least-once → dedupe like the batch op
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      val batch = graft.operators.SimHashDedup.nearDuplicatePairs(
+        Seq((1L, d1), (2L, d2), (3L, d3)).toDF("doc_id", "text"),
+        "doc_id", "text", maxHamming = 16)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      assert(got == batch && got.exists(p => p._1 == 1L && p._2 == 2L),
+        s"stream=$got batch=$batch")
+    } finally q.stop()
+  }
+
   test("streaming exact dedup: first-seen doc per fingerprint wins, " +
       "cross-batch, bounded state") {
     implicit val sqlCtx = spark.sqlContext
