@@ -17,10 +17,15 @@ import org.apache.spark.sql.functions._
   *      capped at `maxBucketSize` to keep the candidate join from
   *      going quadratic on skew — the standard large-corpus guard.
   *
-  * Hash family: h_i(s) = xxhash64(xxhash64(s), i) — i-indexed rehash
-  * of a base shingle hash. ANSI-safe (no overflowing multiplies) and
-  * cheap: the string is hashed once, the per-permutation rehash works
-  * on 16 bytes.
+  * Hash family: the engine never BUILDS shingle strings — profiling
+  * showed `concat_ws`-per-shingle string construction dominating the
+  * whole pipeline (PERF.md round 3). A shingle's base hash is
+  * xxhash64 over the sliding window of its tokens' xxhash64 values,
+  * and h_i = XXH64.hashLong(base, i) is the i-indexed permutation
+  * rehash. Set identity is preserved modulo 64-bit hash collisions
+  * (P ≈ |shingles|²·2⁻⁶⁴ per doc — vanishing), so distinct-shingle
+  * counts and exact-Jaccard verification still match the DuckDB
+  * oracle's string-shingle arithmetic.
   *
   * With numHashes=128 / 32 bands of 4 rows, recall at Jaccard 0.9 is
   * 1 - (1-0.9⁴)³² ≈ 1 - 1.4e-15 — effectively exact, which is why the
@@ -28,28 +33,45 @@ import org.apache.spark.sql.functions._
   */
 object MinHashDedup {
 
-  /** Distinct k-token shingles of a whitespace-tokenized text. */
-  def shingles(text: Column, k: Int = 3): Column = {
-    val toks = split(text, " ")
-    when(size(toks) >= k,
-      array_distinct(transform(sequence(lit(0), size(toks) - k),
-        i => concat_ws(" ", slice(toks, i + lit(1), lit(k))))))
-      .otherwise(array(concat_ws(" ", toks)))
-  }
+  /** One xxhash64 per whitespace token. Materialize this as its own
+    * column BEFORE windowing (withColumn, kept un-collapsed because
+    * it is non-cheap and multiply referenced) so the per-window
+    * expressions read an attribute instead of re-evaluating the
+    * tokenize+hash subtree.
+    */
+  def tokenHashes(text: Column): Column =
+    transform(split(text, " "), t => xxhash64(t))
 
-  /** doc → (id, shingles, sig: array<long>[numHashes]).
+  /** Distinct k-token shingle HASHES from a token-hash array column:
+    * each window hashes k scalar longs with one multi-arg xxhash64 —
+    * no shingle strings, no per-window array allocation. Under k
+    * tokens, the whole token-hash array is the single shingle
+    * (mirrors the reference's whole-text fallback).
+    */
+  def shingleHashesFromTokens(th: Column, k: Int = 3): Column =
+    when(size(th) >= k,
+      array_distinct(transform(sequence(lit(0), size(th) - k),
+        i => xxhash64((1 to k).map(j => element_at(th, i + lit(j))): _*))))
+      .otherwise(array(xxhash64(th)))
+
+  /** docs → (id, <out> = distinct shingle hashes). */
+  private def withShingleHashes(docs: DataFrame, idCol: String,
+      textCol: String, k: Int, out: String): DataFrame =
+    docs.withColumn("_th", tokenHashes(col(textCol)))
+      .select(col(idCol).as("id"),
+        shingleHashesFromTokens(col("_th"), k).as(out))
+
+  /** doc → (id, sig: array<long>[numHashes]).
     * The 128-permutation min pass is one codegen'd two-level loop
     * (MinHashSig) — not 128 interpreted lambda passes.
     */
   def signatures(docs: DataFrame, idCol: String, textCol: String,
       numHashes: Int = 128, shingleSize: Int = 3): DataFrame = {
-    val base = docs.select(col(idCol).as("id"),
-      shingles(col(textCol), shingleSize).as("shingles"))
-      .withColumn("hs", transform(col("shingles"), s => xxhash64(s)))
+    val base = withShingleHashes(docs, idCol, textCol, shingleSize, "hs")
     val sig = org.apache.spark.sql.GraftSqlBridge.column(
       graft.functions.expr.MinHashSig(
         org.apache.spark.sql.GraftSqlBridge.expression(col("hs")), numHashes))
-    base.select(col("id"), col("shingles"), sig.as("sig"))
+    base.select(col("id"), sig.as("sig"))
   }
 
   /** Candidate pairs (id_a < id_b) sharing ≥1 LSH band bucket.
@@ -83,12 +105,10 @@ object MinHashDedup {
     require(numHashes % numBands == 0, "numBands must divide numHashes")
     val sigs = signatures(docs, idCol, textCol, numHashes, shingleSize)
     val cands = candidatePairs(sigs, numBands, numHashes / numBands, maxBucketSize)
-    // verification needs only the shingle sets — rebuild them without
-    // the 128-hash signature computation (this subtree is evaluated
-    // twice for the two sides of the verification join; shingling is
-    // cheap next to the minhash pass)
-    val sh = docs.select(col(idCol).as("id"),
-      shingles(col(textCol), shingleSize).as("shingles"))
+    // verification needs only the shingle-hash sets — rebuilt (hashes,
+    // not strings) without the 128-permutation pass; this subtree is
+    // evaluated once per side of the verification join
+    val sh = withShingleHashes(docs, idCol, textCol, shingleSize, "shingles")
     cands
       .join(sh.select(col("id").as("id_a"), col("shingles").as("sh_a")), "id_a")
       .join(sh.select(col("id").as("id_b"), col("shingles").as("sh_b")), "id_b")
