@@ -84,6 +84,12 @@ object MatchPattern {
         p.bindParentTo)
 
     val bindNames = names(pat)
+    // a repeated name would emit two identically-named columns from
+    // the generator (ambiguous downstream); the reference's dict
+    // overwrite semantics are better served by renaming in the pattern
+    require(bindNames.distinct.size == bindNames.size,
+      s"duplicate binding names in match pattern: " +
+        bindNames.diff(bindNames.distinct).distinct.mkString(", "))
     val gen = org.apache.spark.sql.GraftSqlBridge.column(
       MatchGenerate(org.apache.spark.sql.GraftSqlBridge.expression(json),
         toSpec(pat), exact, bindNames))

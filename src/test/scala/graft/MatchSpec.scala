@@ -61,6 +61,13 @@ class MatchSpec extends SparkSpec {
       s"expected exactly one generator:\n$plan")
   }
 
+  test("duplicate binding names are rejected at compile") {
+    val dup = MP.Pat(Seq(MP.field("first").as("x"), MP.field("last").as("x")))
+    intercept[IllegalArgumentException] {
+      Query.forIn("p", people.toDF("doc")).matchRow(col("p.doc"), dup)
+    }
+  }
+
   test("missing pattern key rejects (age where over unbound would never fire)") {
     val patPhone = MP.Pat(Seq(MP.field("phone").as("ph")))
     val res = Query.forIn("p", people.toDF("doc"))
