@@ -106,6 +106,8 @@ final class Query private (
   def forIn(names: Seq[String], src: DataFrame): Query = {
     names.foreach(n => require(!vars.contains(n),
       s"variable '$n' already bound"))
+    require(names.distinct.length == names.length,
+      s"duplicate names in unpack target: ${names.mkString(", ")}")
     require(names.length == src.columns.length,
       s"cannot unpack ${src.columns.length} columns into " +
         s"${names.length} variables")
@@ -116,14 +118,21 @@ final class Query private (
 
   /** Positional unpack of `_unpack` (struct or array) into `names`. */
   private def unpackInto(d: DataFrame, names: Seq[String]): Query = {
+    import org.apache.spark.sql.GraftSqlBridge
+    import org.apache.spark.sql.catalyst.expressions.GetStructField
     import org.apache.spark.sql.types.{ArrayType, StructType}
+    require(names.distinct.length == names.length,
+      s"duplicate names in unpack target: ${names.mkString(", ")}")
     val cols: Seq[(String, Column)] = d.schema("_unpack").dataType match {
       case st: StructType =>
         require(st.fields.length == names.length,
           s"cannot unpack struct of ${st.fields.length} fields into " +
             s"${names.length} variables")
+        // extract by ORDINAL, not name: a struct with duplicate field
+        // names (easy via arrays_zip) must still unpack positionally
         names.zipWithIndex.map { case (n, i) =>
-          n -> col("_unpack").getField(st.fields(i).name) }
+          n -> GraftSqlBridge.column(GetStructField(
+            GraftSqlBridge.expression(col("_unpack")), i)) }
       case _: ArrayType =>
         // get() (not getItem) so a short array binds NULL under ANSI
         names.zipWithIndex.map { case (n, i) =>

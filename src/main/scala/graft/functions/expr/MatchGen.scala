@@ -114,6 +114,12 @@ case class MatchGenerate(child: Expression, pat: MatchGen.Pat,
     val binds = new Array[Any](bindNames.length)
     if (!matches(pat, root, binds)) Nil
     else {
+      // root-level `as z` binds the ORIGINAL document text verbatim
+      // (matches the reference, which binds the input value at $ —
+      // nested parent binds are Jackson-canonicalized, documented)
+      pat.bindParentTo.foreach { n =>
+        binds(bindIdx(n)) = UTF8String.fromString(j.toString)
+      }
       val row = new Array[Any](1 + bindNames.length)
       row(0) = true
       System.arraycopy(binds, 0, row, 1, binds.length)

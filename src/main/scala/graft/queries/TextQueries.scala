@@ -158,15 +158,18 @@ object TextQueries {
         // (window keep-min = one fp shuffle over one scan), then
         // MATERIALIZE the surviving corpus — the downstream near-dup
         // pass reads it four times (signatures + two verify sides +
-        // the final anti-join), and without the persist each branch
+        // the final anti-join), and without the boundary each branch
         // would recompute the expensive quality/lang-id scoring scan.
-        // In production this stage boundary is a written table; the
-        // persist is its in-query analog.
+        // In production this stage boundary is a written table; a lazy
+        // localCheckpoint is its in-query analog — unlike persist() it
+        // holds no CacheManager entry, so the blocks are released by
+        // the ContextCleaner once the plan is dereferenced (no
+        // session-lifetime cache leak across bench sweeps).
         val exactDeduped = filtered
           .withColumn("min_id", min(col("doc_id")).over(Window.partitionBy("fp")))
           .filter(col("doc_id") === col("min_id"))
           .select(col("doc_id"), col("text"), col("quality"))
-          .persist()
+          .localCheckpoint(eager = false)
         // near-dup removal: greedy drop of the higher id of each pair
         val drops = MinHashDedup.nearDuplicatePairs(
           exactDeduped.select(col("doc_id"), col("text")),

@@ -34,7 +34,8 @@ import graft.operators.SimHashDedup
   */
 object StreamDedup {
 
-  final case class DocFp(band: Int, bucket: Long, id: Long, fp: Long, et: Long)
+  final case class DocFp(band: Int, bucket: Long, id: Long, fp: Long,
+      et: Long, ts: java.sql.Timestamp)
   final case class BucketState(members: List[(Long, Long)])
   final case class PairHit(doc_a: Long, doc_b: Long, hamming: Int, band: Int)
 
@@ -57,14 +58,22 @@ object StreamDedup {
         expr(s"shiftrightunsigned(fp, ${64 - bounds(j + 1)})")
           .bitwiseAND(lit(mask)).as("bucket"))
     }: _*)
-    val et = if (evictAfter.isDefined) unix_millis(col("ts")) else lit(0L)
+    // the WATERMARKED ts column must survive into the operator input:
+    // EventTimeTimeout is rejected at analysis without it, and its
+    // presence lets FlatMapGroupsWithStateExec drop late rows before
+    // they reach the function (a derived unix_millis long carries no
+    // event-time metadata and would get neither)
+    val (et, tsCol) =
+      if (evictAfter.isDefined) (unix_millis(col("ts")), col("ts"))
+      else (lit(0L), lit(null).cast("timestamp"))
     implicit val inEnc = Encoders.product[DocFp]
     implicit val stEnc = Encoders.product[BucketState]
     implicit val outEnc = Encoders.product[PairHit]
     implicit val keyEnc = Encoders.tuple(Encoders.scalaInt, Encoders.scalaLong)
     val exploded = fp.select(explode(bandBuckets).as("bb"),
-        col("doc_id").as("id"), col("fp"), et.as("et"))
-      .select(col("bb.band"), col("bb.bucket"), col("id"), col("fp"), col("et"))
+        col("doc_id").as("id"), col("fp"), et.as("et"), tsCol.as("ts"))
+      .select(col("bb.band"), col("bb.bucket"), col("id"), col("fp"),
+        col("et"), col("ts"))
       .as[DocFp]
     val timeoutConf =
       if (evictAfter.isDefined) GroupStateTimeout.EventTimeTimeout()
@@ -94,7 +103,13 @@ object StreamDedup {
             }
             state.update(BucketState(members))
             evictAfter.foreach { ttl =>
-              if (maxEt > Long.MinValue) state.setTimeoutTimestamp(maxEt + ttl)
+              // et is a derived long (no event-time metadata), so late
+              // rows DO reach this function; a batch of only-late rows
+              // would make maxEt + ttl <= watermark and
+              // setTimeoutTimestamp would throw — clamp to just past
+              // the current watermark
+              if (maxEt > Long.MinValue) state.setTimeoutTimestamp(
+                math.max(state.getCurrentWatermarkMs() + 1, maxEt + ttl))
             }
             out.iterator
           }

@@ -116,7 +116,11 @@ object StreamWindows {
             }
             state.update(st)
             evictAfter.foreach { ttl =>
-              if (maxEt > Long.MinValue) state.setTimeoutTimestamp(maxEt + ttl)
+              // clamp past the watermark: when the element type does
+              // not retain the watermarked column, late rows reach
+              // here and maxEt + ttl could be <= watermark (throws)
+              if (maxEt > Long.MinValue) state.setTimeoutTimestamp(
+                math.max(state.getCurrentWatermarkMs() + 1, maxEt + ttl))
             }
             out.iterator
           }

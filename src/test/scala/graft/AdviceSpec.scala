@@ -81,4 +81,68 @@ class AdviceSpec extends SparkSpec {
         expr("array(array(cast(1 as bigint)), cast(null as array<bigint>))"))))
     intercept[AnalysisException] { df.select(badSh).collect() }
   }
+
+  // ---- round-3 advisor findings ------------------------------------
+
+  test("unpack extracts struct fields by ORDINAL: duplicate field " +
+      "names bind positionally") {
+    // struct(k, k) has two same-named fields; name-based getField would
+    // resolve both targets to the first field (or be ambiguous)
+    val df = Seq((1, 2)).toDF("x", "y")
+      .select(struct(col("x").as("k"), col("y").as("k")).as("s"))
+    val out = graft.dsl.Query.forIn("r", df)
+      .let(Seq("p", "q"), col("r.s"))
+      .select("p" -> col("p"), "q" -> col("q"))
+      .collect()(0)
+    assert(out.getInt(0) == 1 && out.getInt(1) == 2, out.toString)
+  }
+
+  test("duplicate names within one forIn/let unpack are rejected") {
+    val df = Seq((1, 2)).toDF("x", "y")
+    intercept[IllegalArgumentException] {
+      graft.dsl.Query().forIn(Seq("a", "a"), df)
+    }
+    intercept[IllegalArgumentException] {
+      graft.dsl.Query.forIn("r", df)
+        .let(Seq("b", "b"), struct(col("r.x"), col("r.y")))
+    }
+  }
+
+  test("match root-level 'as z' binds the ORIGINAL document text " +
+      "verbatim (no Jackson re-rendering)") {
+    import graft.dsl.MatchPattern._
+    val raw = """{"a": 1.50}""" // re-render would give {"a":1.5}
+    val df = Seq(raw).toDF("j")
+    val out = graft.dsl.Query.forIn("r", df)
+      .matchRow(col("r.j"),
+        Pat(Seq(field("a").as("x")), bindParentTo = Some("z")))
+      .select("z" -> col("z")).collect()
+    assert(out.length == 1 && out(0).getString(0) == raw,
+      out.map(_.getString(0)).mkString(","))
+  }
+
+  test("streaming TTL survives a batch of only-late rows (timeout " +
+      "clamped past the watermark)") {
+    import java.sql.Timestamp
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    def ts(m: Long) = new Timestamp(1700000000000L + m * 60000L)
+    val ms = MemoryStream[(Long, String, Timestamp)]
+    val q = graft.streaming.StreamDedup.simhashPairsStream(
+      ms.toDF().toDF("doc_id", "text", "ts")
+        .withWatermark("ts", "0 seconds"),
+      maxHamming = 4, evictAfter = Some(1000L))
+      .writeStream.format("memory").queryName("late_clamp")
+      .outputMode("append").start()
+    try {
+      ms.addData((1L, "some document text here", ts(100)))
+      q.processAllAvailable() // watermark advances to ts(100)
+      // derived et column carries no event-time metadata, so this
+      // late-only batch reaches the function; maxEt + ttl is far
+      // below the watermark — unclamped setTimeoutTimestamp threw
+      ms.addData((2L, "entirely different words now", ts(0)))
+      q.processAllAvailable()
+      assert(q.isActive, "query must survive a late-only batch")
+    } finally q.stop()
+  }
 }
