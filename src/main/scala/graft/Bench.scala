@@ -30,7 +30,11 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
     Metrics.register(spark)
 
-    val queries = SparkEntry.queries.toSeq.sortBy(_._1)
+    // bench-exempt queries (the deliberate O(n²) oracle anchors) stay
+    // in the correctness registry but out of the timed suite
+    val queries = SparkEntry.queries
+      .filterNot { case (n, _) => SparkEntry.benchExempt(n) }
+      .toSeq.sortBy(_._1)
     // Warmup: one untimed full sweep (JVM + per-query codegen +
     // parquet footer caches); the timed sweep then measures plan cost.
     queries.foreach { case (_, fn) =>

@@ -73,6 +73,12 @@ object ScaleStress {
       // so the production setting for this corpus size is h=4
       val (p27r4, t27r4) = time(SimHashDedup.nearDuplicatePairs(
         docs, "doc_id", "text", maxHamming = 4).count())
+      // the width fix for large radii: 128-bit fingerprints give
+      // radius 8 ~14-bit bands (~16k buckets/band) — this run is the
+      // evidence that radius 8 survives 50x without bucket drops
+      // (watch the simhash128_lsh_skew metric lines)
+      val (p56, t56) = time(SimHashDedup.nearDuplicatePairs(
+        docs, "doc_id", "text", maxHamming = 8, fpBits = 128).count())
       val (_, t42) = time(MinHashDedup.topKSimilarPairs(
         docs, "doc_id", "text", k = 10).count())
 
@@ -80,6 +86,7 @@ object ScaleStress {
         s""""q25_sec":$t25,"q25_pairs":$p25,""" +
         s""""q27_sec":$t27,"q27_pairs":$p27,""" +
         s""""q27r4_sec":$t27r4,"q27r4_pairs":$p27r4,""" +
+        s""""q56_sec":$t56,"q56_pairs":$p56,""" +
         s""""q42_sec":$t42}""")
     }
     spark.stop()

@@ -44,6 +44,12 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     QueryDef.toMaps(allDefs)._1
 
+  /** Registered-but-not-benched names (deliberate O(n²) oracle
+    * anchors like q41 — correctness-checked, excluded from the timed
+    * sweep).
+    */
+  def benchExempt: Set[String] = QueryDef.benchExempt(allDefs)
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] = QueryDef.toMaps(allDefs)._2

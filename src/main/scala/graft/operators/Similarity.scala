@@ -210,6 +210,31 @@ object Similarity {
   }
 
   object IvfIndex {
+    // loaded-index cache so a bench/verify sweep builds each index at
+    // most once per JVM; the cached object's `assigned` is a PARQUET
+    // SCAN (from load), never the in-memory KMeans lineage — reusing
+    // the built DataFrame directly would silently re-run training on
+    // every probe.
+    private val loadedCache =
+      scala.collection.concurrent.TrieMap[String, IvfIndex]()
+
+    /** Production probe entry: load the index at `path`, building and
+      * saving it first IFF absent (the offline pass, run once — in a
+      * real deployment by a separate indexing job). Every returned
+      * index reads postings from parquet, so repeated probes cost
+      * probe work only, never training.
+      */
+    def buildIfAbsent(spark: org.apache.spark.sql.SparkSession,
+        corpus: => DataFrame, path: String, nLists: Int,
+        seed: Long = 7L): IvfIndex =
+      loadedCache.getOrElseUpdate(path, {
+        val success =
+          new org.apache.hadoop.fs.Path(s"$path/assigned/_SUCCESS")
+        val fs = success.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        if (!fs.exists(success)) build(corpus, nLists, seed).save(path)
+        load(spark, path)
+      })
+
     /** Train the quantizer and assign the corpus (the offline pass). */
     def build(corpus: DataFrame, nLists: Int, seed: Long = 7L): IvfIndex = {
       import org.apache.spark.ml.clustering.KMeans
@@ -262,9 +287,18 @@ object Similarity {
     * index's driver-facing output IS its recall metric.
     */
   def ivfRecallAtK(corpus: DataFrame, queries: DataFrame, k: Int,
-      nLists: Int, nProbe: Int, seed: Long = 7L): DataFrame = {
+      nLists: Int, nProbe: Int, seed: Long = 7L): DataFrame =
+    ivfRecallAtK(IvfIndex.build(corpus, nLists, seed), corpus, queries,
+      k, nProbe)
+
+  /** Recall@k of a PREBUILT index's probe path — the production shape
+    * (q46): training cost lives in the offline build, this measures
+    * probing only.
+    */
+  def ivfRecallAtK(idx: IvfIndex, corpus: DataFrame, queries: DataFrame,
+      k: Int, nProbe: Int): DataFrame = {
     val exact = bruteForceTopK(corpus, queries, k)
-    val ivf = ivfTopK(corpus, queries, k, nLists, nProbe, seed)
+    val ivf = idx.topK(queries, k, nProbe)
       .select(col("query_id"), col("neighbor_id")).withColumn("hit", lit(1L))
     exact.join(ivf, Seq("query_id", "neighbor_id"), "left_outer")
       .groupBy(col("query_id"))

@@ -18,10 +18,11 @@ import graft.operators.{MinHashDedup, SimHashDedup, Similarity}
 object DedupQueries {
 
   /** DuckDB mirror of SimHashDedup.simhashBits (portable md5 family):
-    * bit j of a token's 64-bit hash = bit (3 - j%4) of hex digit j/4
-    * of md5(token); fingerprint bit = sign of the ±1 sum over tokens.
+    * bit j of a token's hash = bit (3 - j%4) of hex digit j/4 of
+    * md5(token); fingerprint bit = sign of the ±1 sum over tokens.
+    * Generalizes to any width ≤ 128 (md5 has 32 hex digits).
     */
-  private val simhashFpCte = """
+  private def simhashFpCteW(width: Int) = s"""
         WITH tok AS (
           SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),
         h AS (SELECT doc_id, md5(t) AS hx FROM tok),
@@ -30,11 +31,13 @@ object DedupQueries {
                  SUM(CASE WHEN ((strpos('0123456789abcdef', substring(hx, (g.j // 4) + 1, 1)) - 1)
                                 // (CASE g.j % 4 WHEN 0 THEN 8 WHEN 1 THEN 4 WHEN 2 THEN 2 ELSE 1 END)) % 2 = 1
                           THEN 1 ELSE -1 END) AS s
-          FROM h CROSS JOIN generate_series(0, 63) AS g(j)
+          FROM h CROSS JOIN generate_series(0, ${width - 1}) AS g(j)
           GROUP BY doc_id, g.j),
         fp AS (
           SELECT doc_id, string_agg(CASE WHEN s > 0 THEN '1' ELSE '0' END, '' ORDER BY j) AS bits
           FROM bitsums GROUP BY doc_id)"""
+
+  private val simhashFpCte = simhashFpCteW(64)
 
   val defs: Seq[QueryDef] = Seq(
 
@@ -132,6 +135,30 @@ object DedupQueries {
           FROM fp a JOIN fp b ON a.doc_id < b.doc_id)
         WHERE hamming <= 8 ORDER BY doc_a, doc_b""")),
 
+    // ---- q56: 128-bit SimHash near-dup pairs (Hamming ≤ 8) ----
+    // The scale fix for the measured radius-8 band saturation: all 128
+    // md5 bits instead of the first 64, so the 9 pigeonhole bands are
+    // ~14 bits wide (~16k buckets/band vs ~128). Same brute-force
+    // oracle construction as q27 — candidate recall is still perfect,
+    // so the LSH plan provably equals the O(n²) DuckDB result.
+    QueryDef(
+      "q56_simhash128",
+      (s, dir) => {
+        SimHashDedup.nearDuplicatePairs(
+          Tables.load(s, dir, "documents"), "doc_id", "text",
+          maxHamming = 8, fpBits = 128)
+          .withColumn("hamming", col("hamming").cast("long"))
+          .orderBy(col("doc_a"), col("doc_b"))
+      },
+      Some(s"""
+        ${simhashFpCteW(128)}
+        SELECT doc_a, doc_b, hamming FROM (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                 len(list_filter(generate_series(1, 128),
+                     i -> substring(a.bits, i, 1) <> substring(b.bits, i, 1))) AS hamming
+          FROM fp a JOIN fp b ON a.doc_id < b.doc_id)
+        WHERE hamming <= 8 ORDER BY doc_a, doc_b""")),
+
     // ---- q28: brute-force cosine top-k (ANN exactness baseline) ----
     // Exact same double arithmetic in DuckDB (dot/norm over DOUBLE[],
     // rank on cosine rounded to 9 — see Similarity's determinism note).
@@ -185,6 +212,12 @@ object DedupQueries {
 
     // ---- q41: embedding-cosine near-dup pairs (dedup battery) ----
     // Exact threshold pairs, rounded-cosine determinism as in q28.
+    // DELIBERATELY an upper-triangle cartesian: this is the oracle
+    // anchor that q45's ≥0.95 recall gate (AnnSpec) is measured
+    // against, kept registered so the driver hash-checks it at sf0.01.
+    // `inBench = false`: an O(n²) exactness baseline has no place in a
+    // throughput suite (it was 13% of round-3 bench time); the scale
+    // path users should run is q45.
     QueryDef(
       "q41_embedding_neardup",
       (s, dir) => {
@@ -193,7 +226,8 @@ object DedupQueries {
         Similarity.cosineNearDupPairs(emb, threshold = 0.35)
           .orderBy(col("id_a"), col("id_b"))
       },
-      Some("""
+      inBench = false,
+      oracle = Some("""
         WITH e AS (
           SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings)
         SELECT a.id AS id_a, b.id AS id_b,
@@ -221,19 +255,30 @@ object DedupQueries {
       },
       None),
 
-    // ---- q46: IVF ANN, reported as recall@5 vs the exact baseline ----
+    // ---- q46: IVF ANN probe, reported as recall@5 vs exact ----
     // KMeans coarse quantizer (seeded → deterministic), nProbe of
     // nLists cells ranked by exact cosine. Like q29 the candidate set
     // is not SQL-expressible, so the output is the acceptance metric
-    // itself; AnnSpec proves probe-all ≡ brute force and recall
-    // monotone in nProbe.
+    // itself; AnnSpec proves probe-all ≡ brute force, recall monotone
+    // in nProbe, and loaded-index ≡ inline-built parity.
+    //
+    // Production shape (round-3 verdict #2): the index is built+saved
+    // ONCE per corpus (`IvfIndex.buildIfAbsent` — in the bench, during
+    // the untimed warmup sweep; in a deployment, by the offline
+    // indexing job) and the registered query LOADS it — postings come
+    // off parquet partitioned by list_id, so the timed number is probe
+    // cost, never KMeans training.
     QueryDef(
       "q46_ann_ivf",
       (s, dir) => {
         val emb = Tables.load(s, dir, "embeddings")
           .select(col("vec_id").as("id"), col("embedding").as("vec"))
-        Similarity.ivfRecallAtK(emb, emb.filter(col("id") < 20), k = 5,
-          nLists = 16, nProbe = 8)
+        val idxPath = "/tmp/graft_ivf/" +
+          dir.replaceAll("[^A-Za-z0-9]", "_") + "_n16"
+        val idx = Similarity.IvfIndex.buildIfAbsent(s, emb, idxPath,
+          nLists = 16)
+        Similarity.ivfRecallAtK(idx, emb, emb.filter(col("id") < 20),
+          k = 5, nProbe = 8)
           .orderBy(col("query_id"))
       },
       None)

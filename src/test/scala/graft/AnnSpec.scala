@@ -103,6 +103,28 @@ class AnnSpec extends SparkSpec {
     assert(viaDisk == direct)
   }
 
+  test("q46 probe path: buildIfAbsent loads a parquet-backed index and " +
+      "its recall output equals the inline-built one") {
+    val queries = emb.filter(col("id") < 20)
+    val path = new java.io.File("target/ivf_idx_q46_spec").getAbsolutePath
+    val idx = Similarity.IvfIndex.buildIfAbsent(spark, emb, path, nLists = 16)
+    // the probe must read postings from parquet — training lineage
+    // (KMeansModel.transform) must not appear in the plan
+    val probePlan = idx.topK(queries, k = 5, nProbe = 8)
+      .queryExecution.optimizedPlan.toString
+    assert(probePlan.toLowerCase.contains("parquet"),
+      s"probe does not scan the saved index:\n$probePlan")
+    val viaIndex = Similarity.ivfRecallAtK(idx, emb, queries, k = 5, nProbe = 8)
+      .collect().map(_.toString).sorted.toSeq
+    val inline = Similarity.ivfRecallAtK(emb, queries, k = 5,
+      nLists = 16, nProbe = 8)
+      .collect().map(_.toString).sorted.toSeq
+    assert(viaIndex == inline)
+    // second call returns the JVM-cached loaded index, not a rebuild
+    assert(Similarity.IvfIndex.buildIfAbsent(spark, emb, path, nLists = 16)
+      eq idx)
+  }
+
   test("brute-force top-k is reproducible run to run") {
     val a = Similarity.bruteForceTopK(emb, emb.filter(col("id") < 5), k = 3)
       .collect().map(_.toString).sorted.toSeq

@@ -1,0 +1,92 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.SimHashDedup
+
+/** 128-bit SimHash (the radius-8 band-saturation fix, round-3 verdict
+  * #1): band blocking at fpBits=128 must keep the pigeonhole recall
+  * guarantee — including bands that span the hi/lo long boundary —
+  * and must discriminate into far more buckets than the 64-bit layout
+  * at the same radius.
+  */
+class SimHash128Spec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs = Tables.load(spark, sf0001, "documents")
+    .select(col("doc_id"), col("text"))
+
+  test("hi/lo packing matches the bits array") {
+    val row = SimHashDedup.fingerprints(docs.limit(8), "doc_id", "text",
+        width = 128)
+      .withColumn("hi", SimHashDedup.packBits("slice(bits, 1, 64)"))
+      .withColumn("lo", SimHashDedup.packBits("slice(bits, 65, 64)"))
+      .collect()
+    row.foreach { r =>
+      val bits = r.getSeq[Int](1)
+      assert(bits.length == 128)
+      val hi = bits.take(64).zipWithIndex
+        .map { case (b, i) => if (b == 1) 1L << (63 - i) else 0L }
+        .reduce(_ | _)
+      val lo = bits.drop(64).zipWithIndex
+        .map { case (b, i) => if (b == 1) 1L << (63 - i) else 0L }
+        .reduce(_ | _)
+      assert(r.getAs[Long]("hi") == hi && r.getAs[Long]("lo") == lo)
+    }
+  }
+
+  test("pairs at radius 8 equal the brute-force 128-bit Hamming result " +
+      "(band slicing across the hi/lo boundary is lossless)") {
+    val corpus = docs.limit(120)
+    val lsh = SimHashDedup.nearDuplicatePairs(corpus, "doc_id", "text",
+        maxHamming = 8, fpBits = 128)
+      .select($"doc_a", $"doc_b", $"hamming".cast("long"))
+      .as[(Long, Long, Long)].collect().toSet
+    val fp = SimHashDedup.fingerprintsPacked128(corpus, "doc_id", "text")
+      .as[(Long, Long, Long)].collect()
+    val brute = (for {
+      (a, ahi, alo) <- fp; (b, bhi, blo) <- fp if a < b
+      d = java.lang.Long.bitCount(ahi ^ bhi) + java.lang.Long.bitCount(alo ^ blo)
+      if d <= 8
+    } yield (a, b, d.toLong)).toSet
+    assert(lsh == brute, s"lsh=${lsh.size} brute=${brute.size}")
+  }
+
+  test("odd band counts (radius 2 -> 3 bands of ~42 bits) still " +
+      "pigeonhole-exact vs brute force") {
+    // bounds 0,42,85,128: band 1 spans the 64-bit boundary — exercises
+    // the two-long stitch path specifically.
+    val corpus = docs.limit(120)
+    val lsh = SimHashDedup.nearDuplicatePairs(corpus, "doc_id", "text",
+        maxHamming = 2, fpBits = 128)
+      .select($"doc_a", $"doc_b").as[(Long, Long)].collect().toSet
+    val fp = SimHashDedup.fingerprintsPacked128(corpus, "doc_id", "text")
+      .as[(Long, Long, Long)].collect()
+    val brute = (for {
+      (a, ahi, alo) <- fp; (b, bhi, blo) <- fp if a < b
+      if java.lang.Long.bitCount(ahi ^ bhi) +
+        java.lang.Long.bitCount(alo ^ blo) <= 2
+    } yield (a, b)).toSet
+    assert(lsh == brute)
+  }
+
+  test("radius-8 bucket capacity: 128-bit layout spreads what 64-bit " +
+      "saturates") {
+    // 64-bit at radius 8 has 7-bit bands (<=128 buckets/band, 1152
+    // total); 128-bit has ~14-bit bands. Distinct observed (band,
+    // bucket) keys must be strictly larger under the wide layout.
+    def buckets(bits: Seq[Seq[Int]], width: Int): Set[(Int, String)] = {
+      val numBands = 9
+      val bounds = (0 to numBands).map(j => j * width / numBands)
+      (for {
+        b <- bits; j <- 0 until numBands
+      } yield (j, b.slice(bounds(j), bounds(j + 1)).mkString)).toSet
+    }
+    val wideBits = SimHashDedup.fingerprints(docs, "doc_id", "text",
+      width = 128).select($"bits").as[Seq[Int]].collect().toSeq
+    val narrowBits = wideBits.map(_.take(64))
+    val narrow = buckets(narrowBits, 64).size
+    val wide = buckets(wideBits, 128).size
+    assert(wide > narrow,
+      s"128-bit layout must discriminate more: narrow=$narrow wide=$wide")
+  }
+}
