@@ -61,17 +61,29 @@ object MinHashDedup {
       .select(col(idCol).as("id"),
         shingleHashesFromTokens(col("_th"), k).as(out))
 
-  /** doc → (id, sig: array<long>[numHashes]).
-    * The 128-permutation min pass is one codegen'd two-level loop
-    * (MinHashSig) — not 128 interpreted lambda passes.
+  /** MinHash signature column over a shingle-hash array column — the
+    * 128-permutation min pass as one codegen'd two-level loop
+    * (MinHashSig), not 128 interpreted lambda passes.
     */
+  def signatureCol(shingleHashes: Column, numHashes: Int = 128): Column =
+    org.apache.spark.sql.GraftSqlBridge.column(
+      graft.functions.expr.MinHashSig(
+        org.apache.spark.sql.GraftSqlBridge.expression(shingleHashes),
+        numHashes))
+
+  /** Band-bucket hash columns over a signature column (band j =
+    * xxhash64 of its `rowsPerBand` signature slice, salted by j).
+    */
+  def bandHashCols(sig: Column, numBands: Int, rowsPerBand: Int): Seq[Column] =
+    (0 until numBands).map { j =>
+      xxhash64(slice(sig, j * rowsPerBand + 1, rowsPerBand), lit(j))
+    }
+
+  /** doc → (id, sig: array<long>[numHashes]). */
   def signatures(docs: DataFrame, idCol: String, textCol: String,
       numHashes: Int = 128, shingleSize: Int = 3): DataFrame = {
     val base = withShingleHashes(docs, idCol, textCol, shingleSize, "hs")
-    val sig = org.apache.spark.sql.GraftSqlBridge.column(
-      graft.functions.expr.MinHashSig(
-        org.apache.spark.sql.GraftSqlBridge.expression(col("hs")), numHashes))
-    base.select(col("id"), sig.as("sig"))
+    base.select(col("id"), signatureCol(col("hs"), numHashes).as("sig"))
   }
 
   /** Candidate pairs (id_a < id_b) sharing ≥1 LSH band bucket.
@@ -83,9 +95,7 @@ object MinHashDedup {
     */
   def candidatePairs(sigs: DataFrame, numBands: Int, rowsPerBand: Int,
       maxBucketSize: Int = 1000): DataFrame = {
-    val bandHashes = array((0 until numBands).map { j =>
-      xxhash64(slice(col("sig"), j * rowsPerBand + 1, rowsPerBand), lit(j))
-    }: _*)
+    val bandHashes = array(bandHashCols(col("sig"), numBands, rowsPerBand): _*)
     val buckets = sigs.select(
       struct(col("id")).as("m"),
       posexplode(bandHashes).as(Seq("band", "bucket")))

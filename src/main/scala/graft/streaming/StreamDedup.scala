@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
 
-import graft.operators.SimHashDedup
+import graft.operators.{MinHashDedup, SimHashDedup}
 
 /** Streaming near-duplicate detection — the incremental dual of
   * `SimHashDedup.nearDuplicatePairs`: fingerprints are computed
@@ -114,5 +114,114 @@ object StreamDedup {
             out.iterator
           }
       }
+  }
+
+  final case class DocBand(band: Int, bucket: Long, id: Long,
+      et: Long, ts: java.sql.Timestamp)
+  final case class IdMembers(members: List[Long])
+  final case class CandHit(id_a: Long, id_b: Long, band: Int)
+
+  /** Streaming MinHash near-dup CANDIDATES — the incremental dual of
+    * `MinHashDedup.candidatePairs`. Signatures (shingle-hash →
+    * 128-permutation MinHashSig) are computed scan-local per
+    * micro-batch with the same codegen'd expressions as the batch
+    * operator; band buckets explode statelessly; per-(band, bucket)
+    * state holds member doc IDS ONLY — 8 bytes per doc per band,
+    * exactly the batch plan's exchange payload (the signature itself
+    * never enters state, unlike the SimHash stream where the whole
+    * 8-byte fingerprint IS the payload). A new arrival pairs with its
+    * bucket's members immediately, so a near-dup of a document
+    * ingested hours ago is caught in the batch it arrives in.
+    *
+    * Same documented deltas as `simhashPairsStream`: per-band
+    * at-least-once emission, `maxBucketSize` state cap, optional
+    * watermark-driven TTL eviction.
+    */
+  def minhashCandidatesStream(docs: DataFrame, numHashes: Int = 128,
+      numBands: Int = 32, shingleSize: Int = 3, maxBucketSize: Int = 1000,
+      evictAfter: Option[Long] = None): Dataset[CandHit] = {
+    require(numHashes % numBands == 0, "numBands must divide numHashes")
+    val sig = docs
+      .withColumn("_th", MinHashDedup.tokenHashes(col("text")))
+      .withColumn("_hs", MinHashDedup.shingleHashesFromTokens(col("_th"),
+        shingleSize))
+      .withColumn("sig", MinHashDedup.signatureCol(col("_hs"), numHashes))
+      .drop("_th", "_hs")
+    val bandBuckets = array(MinHashDedup.bandHashCols(col("sig"), numBands,
+      numHashes / numBands).zipWithIndex.map { case (h, j) =>
+      struct(lit(j).as("band"), h.as("bucket"))
+    }: _*)
+    // same watermark-survival requirement as simhashPairsStream: the
+    // watermarked ts column must reach the operator input
+    val (et, tsCol) =
+      if (evictAfter.isDefined) (unix_millis(col("ts")), col("ts"))
+      else (lit(0L), lit(null).cast("timestamp"))
+    implicit val inEnc = Encoders.product[DocBand]
+    implicit val stEnc = Encoders.product[IdMembers]
+    implicit val outEnc = Encoders.product[CandHit]
+    implicit val keyEnc = Encoders.tuple(Encoders.scalaInt, Encoders.scalaLong)
+    val exploded = sig.select(explode(bandBuckets).as("bb"),
+        col("doc_id").as("id"), et.as("et"), tsCol.as("ts"))
+      .select(col("bb.band"), col("bb.bucket"), col("id"), col("et"), col("ts"))
+      .as[DocBand]
+    val timeoutConf =
+      if (evictAfter.isDefined) GroupStateTimeout.EventTimeTimeout()
+      else GroupStateTimeout.NoTimeout()
+    exploded.groupByKey(d => (d.band, d.bucket))
+      .flatMapGroupsWithState[IdMembers, CandHit](
+        OutputMode.Append(), timeoutConf) {
+        (key, rows, state) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            var members = state.getOption.getOrElse(IdMembers(Nil)).members
+            val out = scala.collection.mutable.ListBuffer[CandHit]()
+            var maxEt = Long.MinValue
+            rows.foreach { d =>
+              maxEt = math.max(maxEt, d.et)
+              members.foreach { mid =>
+                if (mid != d.id) {
+                  val (a, b) = if (mid < d.id) (mid, d.id) else (d.id, mid)
+                  out += CandHit(a, b, key._1)
+                }
+              }
+              if (members.length < maxBucketSize) members = d.id :: members
+            }
+            state.update(IdMembers(members))
+            evictAfter.foreach { ttl =>
+              if (maxEt > Long.MinValue) state.setTimeoutTimestamp(
+                math.max(state.getCurrentWatermarkMs() + 1, maxEt + ttl))
+            }
+            out.iterator
+          }
+      }
+  }
+
+  /** Streaming MinHash near-dup PAIRS: candidates from
+    * `minhashCandidatesStream`, verified with EXACT shingle Jaccard by
+    * a stream-static join against `corpus` (doc_id, text) — the
+    * production shape where ingested documents also land in the corpus
+    * table, so verification reads the text from storage instead of
+    * carrying shingle sets (doc-sized!) in streaming state. Output
+    * matches the batch operator's (doc_a, doc_b, jaccard) modulo the
+    * per-band at-least-once delta (dedupe downstream).
+    */
+  def minhashPairsStream(docs: DataFrame, corpus: DataFrame,
+      threshold: Double = 0.8, numHashes: Int = 128, numBands: Int = 32,
+      shingleSize: Int = 3, maxBucketSize: Int = 1000,
+      evictAfter: Option[Long] = None): DataFrame = {
+    val cands = minhashCandidatesStream(docs, numHashes, numBands,
+      shingleSize, maxBucketSize, evictAfter).toDF()
+    val sh = corpus
+      .withColumn("_th", MinHashDedup.tokenHashes(col("text")))
+      .select(col("doc_id"),
+        MinHashDedup.shingleHashesFromTokens(col("_th"), shingleSize).as("sh"))
+    cands
+      .join(sh.select(col("doc_id").as("id_a"), col("sh").as("sh_a")), "id_a")
+      .join(sh.select(col("doc_id").as("id_b"), col("sh").as("sh_b")), "id_b")
+      .withColumn("jaccard",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b"))))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"), col("jaccard"))
   }
 }

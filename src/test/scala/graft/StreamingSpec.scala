@@ -101,6 +101,40 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming minhash near-dup: cross-batch candidate detection; " +
+      "verified pair set equals the batch operator") {
+    implicit val sqlCtx = spark.sqlContext
+    // docs from the real corpus so jaccard arithmetic is exercised on
+    // natural text; doc 2 is a shingle-level near-dup of doc 1
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+      "lambda mu nu xi omicron pi rho sigma tau upsilon"
+    val corpus = Seq(
+      (1L, base),
+      (2L, base + " phi"),                       // jaccard >= 0.8 vs 1
+      (3L, "unrelated words entirely different document content here"),
+      (4L, "another distinct document with its own vocabulary set"))
+    val corpusDf = corpus.toDF("doc_id", "text")
+    val ms = MemoryStream[(Long, String)]
+    val q = graft.streaming.StreamDedup.minhashPairsStream(
+      ms.toDF().toDF("doc_id", "text"), corpusDf, threshold = 0.8)
+      .writeStream.format("memory").queryName("mh_stream")
+      .outputMode("append").start()
+    try {
+      ms.addData(corpus(0), corpus(2))
+      q.processAllAvailable()
+      ms.addData(corpus(1), corpus(3)) // near-dup arrives a batch later
+      q.processAllAvailable()
+      val got = spark.table("mh_stream")
+        .distinct() // per-band at-least-once → dedupe like the batch op
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      val batch = graft.operators.MinHashDedup.nearDuplicatePairs(
+        corpusDf, "doc_id", "text", threshold = 0.8)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(got == batch && got.exists(p => p._1 == 1L && p._2 == 2L),
+        s"stream=$got batch=$batch")
+    } finally q.stop()
+  }
+
   test("streaming exact dedup: first-seen doc per fingerprint wins, " +
       "cross-batch, bounded state") {
     implicit val sqlCtx = spark.sqlContext
