@@ -1,5 +1,7 @@
 package graft.functions.expr
 
+import java.time.ZoneOffset
+
 import scala.util.control.NonFatal
 
 import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
@@ -7,8 +9,9 @@ import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Expression, Generator, GenericInternalRow, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
-import org.apache.spark.sql.types.{BooleanType, StringType, StructField, StructType}
-import org.apache.spark.unsafe.types.UTF8String
+import org.apache.spark.sql.types.{BooleanType, StringType, StructField, StructType, VariantType}
+import org.apache.spark.types.variant.{Variant, VariantUtil}
+import org.apache.spark.unsafe.types.{UTF8String, VariantVal}
 
 /** Serializable mirror of `MatchPattern.Pat` (no Column fields —
   * `where` predicates are applied by the caller over the emitted
@@ -31,14 +34,24 @@ object MatchGen {
   * `get_json_object`/`json_object_keys` compilation, which re-parsed
   * the document O(pattern fields) times per row.
   *
-  * Semantics (differential-fuzzed in MatchFuzzSpec):
+  * Input is a JSON STRING column (Jackson single-parse) or a VARIANT
+  * column (Spark 4's binary dynamic type): a corpus stored as Variant
+  * is matched by navigating the encoding directly — `getFieldByKey`
+  * is a binary search over the sorted field directory, no JSON text
+  * is rendered or re-parsed (same route as VariantPathSteps).
+  *
+  * Semantics (differential-fuzzed in MatchFuzzSpec, both routes):
   *   - a level matches only an OBJECT node; every pattern key must
   *     exist (a JSON null value still counts as present);
   *   - string-const equality compares the rendered value;
   *   - `exact` rejects objects with keys outside the pattern, at the
   *     level where it applies (threaded through the recursion);
   *   - values render get_json_object-style: scalars as unquoted text,
-  *     containers as compact JSON, JSON null as SQL NULL.
+  *     containers as compact JSON, JSON null as SQL NULL. Container
+  *     renders differ between routes ONLY in object key order: the
+  *     string route preserves document order, the Variant route emits
+  *     key-sorted order (the Variant format stores fields sorted —
+  *     document order no longer exists after parse_json).
   *
   * Output row layout: `_match_ok: boolean` (always true on emitted
   * rows — gives zero-binding patterns a non-empty schema) followed by
@@ -56,12 +69,15 @@ case class MatchGenerate(child: Expression, pat: MatchGen.Pat,
   override def checkInputDataTypes()
       : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
     child.dataType match {
-      case StringType =>
+      case StringType | VariantType =>
         org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
       case t =>
         org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
-          s"match_pattern expects a JSON string column, got ${t.sql}")
+          s"match_pattern expects a JSON string or variant column, got ${t.sql}")
     }
+
+  @transient private lazy val variantInput: Boolean =
+    child.dataType == VariantType
 
   @transient private lazy val mapper = new ObjectMapper()
   @transient private lazy val bindIdx: Map[String, Int] =
@@ -105,21 +121,73 @@ case class MatchGenerate(child: Expression, pat: MatchGen.Pat,
     true
   }
 
+  /** Variant-route rendering (mirrors VariantRenderSeq). */
+  private def renderV(v: Variant): String = v.getType match {
+    case VariantUtil.Type.NULL => null
+    case VariantUtil.Type.STRING => v.getString
+    case _ => v.toJson(ZoneOffset.UTC)
+  }
+
+  private def matchesV(p: MatchGen.Pat, v: Variant,
+      binds: Array[Any]): Boolean = {
+    if (v == null || v.getType != VariantUtil.Type.OBJECT) return false
+    for (f <- p.fields) {
+      val value = v.getFieldByKey(f.key) // binary search, no render
+      if (value == null) return false
+      f.const match {
+        case Some(c) =>
+          val r = renderV(value)
+          if (r == null || r != c) return false
+        case None =>
+      }
+      f.bindTo.foreach { n =>
+        val r = renderV(value)
+        binds(bindIdx(n)) = if (r == null) null else UTF8String.fromString(r)
+      }
+      f.nested match {
+        case Some(np) => if (!matchesV(np, value, binds)) return false
+        case None =>
+      }
+    }
+    if (exact) {
+      val heads = p.fields.map(_.key).toSet
+      var i = 0
+      while (i < v.objectSize()) {
+        if (!heads.contains(v.getFieldAtIndex(i).key)) return false
+        i += 1
+      }
+    }
+    p.bindParentTo.foreach { n =>
+      binds(bindIdx(n)) = UTF8String.fromString(renderV(v))
+    }
+    true
+  }
+
   override def eval(input: InternalRow): IterableOnce[InternalRow] = {
     val j = child.eval(input)
     if (j == null) return Nil
-    val root =
-      try mapper.readTree(j.toString)
-      catch { case NonFatal(_) => return Nil } // invalid JSON: no match
     val binds = new Array[Any](bindNames.length)
-    if (!matches(pat, root, binds)) Nil
-    else {
-      // root-level `as z` binds the ORIGINAL document text verbatim
-      // (matches the reference, which binds the input value at $ —
-      // nested parent binds are Jackson-canonicalized, documented)
-      pat.bindParentTo.foreach { n =>
-        binds(bindIdx(n)) = UTF8String.fromString(j.toString)
+    val ok =
+      if (variantInput) {
+        val vv = j.asInstanceOf[VariantVal]
+        matchesV(pat, new Variant(vv.getValue, vv.getMetadata), binds)
+      } else {
+        val root =
+          try mapper.readTree(j.toString)
+          catch { case NonFatal(_) => return Nil } // invalid JSON: no match
+        val m = matches(pat, root, binds)
+        // root-level `as z` binds the ORIGINAL document text verbatim
+        // (matches the reference, which binds the input value at $ —
+        // nested parent binds are Jackson-canonicalized, documented).
+        // The variant route has no original text: root binds render
+        // key-sorted like every other variant container.
+        if (m) pat.bindParentTo.foreach { n =>
+          binds(bindIdx(n)) = UTF8String.fromString(j.toString)
+        }
+        m
       }
+    if (!ok) Nil
+    else {
       val row = new Array[Any](1 + bindNames.length)
       row(0) = true
       System.arraycopy(binds, 0, row, 1, binds.length)

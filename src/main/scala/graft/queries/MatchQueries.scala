@@ -89,6 +89,38 @@ object MatchQueries {
         SELECT c_name AS nm, c_acctbal AS bal, n_name AS nat, n_nationkey AS nkey
         FROM customer JOIN nation ON c_nationkey = n_nationkey
         WHERE c_mktsegment = 'AUTOMOBILE' AND c_acctbal < 5000
+        ORDER BY nm""")),
+
+    // ---- q57: match over VARIANT (Spark 4 dynamic-type route) ----
+    // Same pattern shape as q32, but the corpus is stored as Variant
+    // (try_parse_json) and the matcher navigates the binary encoding
+    // directly — no JSON text is rendered or re-parsed per field.
+    // Observable delta vs the string route, pinned by the oracle: the
+    // whole-object binding `znat` renders in KEY-SORTED order
+    // ("key" before "name"), because the Variant format stores object
+    // fields sorted and document order no longer exists after parse.
+    QueryDef(
+      "q57_match_variant",
+      (s, dir) => {
+        Query.forIn("p", persons(s, dir))
+          .let("vdoc", try_parse_json(col("p.doc")))
+          .matchRow(col("vdoc"), MP.Pat(Seq(
+            MP.field("name").as("nm"),
+            MP.field("segment").is("BUILDING"),
+            MP.field("acctbal").as("bal").where(col("bal").cast("double") < 7500),
+            MP.field("vip").as("v"),
+            MP.field("nation").obj(MP.Pat(
+              Seq(MP.field("name").as("nat")),
+              bindParentTo = Some("znat"))))))
+          .orderBy(col("nm"))
+          .select("nm" -> col("nm"), "bal" -> col("bal").cast("double"),
+            "v" -> col("v"), "nat" -> col("nat"), "znat" -> col("znat"))
+      },
+      Some("""
+        SELECT c_name AS nm, c_acctbal AS bal, 'yes' AS v, n_name AS nat,
+               '{"key":' || n_nationkey || ',"name":"' || n_name || '"}' AS znat
+        FROM customer JOIN nation ON c_nationkey = n_nationkey
+        WHERE c_mktsegment = 'BUILDING' AND c_acctbal < 7500 AND c_acctbal >= 5000
         ORDER BY nm"""))
   )
 }

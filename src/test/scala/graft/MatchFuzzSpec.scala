@@ -91,6 +91,50 @@ class MatchFuzzSpec extends SparkSpec {
       MP.field("zip").obj(MP.Pat(Seq(MP.field("a").as("w")))),
       MP.field("b").as("y"))), true))
 
+  test("variant route ≡ string route on 60 random docs × 6 patterns " +
+      "(modulo key-sorted container rendering)") {
+    val corpus = docs(60)
+    val df = corpus.zipWithIndex.toDF("doc", "i")
+    for ((label, pat, exact) <- patterns) {
+      val bindNames = {
+        def names(p: MP.Pat): Seq[String] =
+          p.fields.flatMap(f => f.bindTo.toSeq ++
+            f.nested.toSeq.flatMap(names)) ++ p.bindParentTo.toSeq
+        names(pat)
+      }
+      def run(q: Query): Map[Int, Map[String, String]] =
+        q.toDF
+          .select(col("d.i").as("i") +: bindNames.map(col): _*)
+          .collect()
+          .map(r => r.getInt(0) ->
+            bindNames.zipWithIndex.map { case (n, ix) =>
+              n -> r.getString(ix + 1) }.toMap)
+          .toMap
+      val viaString = run(Query.forIn("d", df)
+        .matchRow(col("d.doc"), pat, exact))
+      val viaVariant = run(Query.forIn("d", df)
+        .matchRow(try_parse_json(col("d.doc")), pat, exact))
+      assert(viaVariant.keySet == viaString.keySet,
+        s"[$label] matched-doc sets differ: " +
+          s"variant=${viaVariant.keySet.toSeq.sorted} " +
+          s"string=${viaString.keySet.toSeq.sorted}")
+      for ((i, sb) <- viaString; (n, sv) <- sb) {
+        val vv = viaVariant(i)(n)
+        // container binds render key-sorted on the variant route —
+        // compare semantically (ObjectNode.equals is order-insensitive)
+        val same =
+          if (sv == vv) true
+          else if (sv == null || vv == null) false
+          else if (sv.startsWith("{") || sv.startsWith("["))
+            try mapper.readTree(sv) == mapper.readTree(vv)
+            catch { case _: Exception => false }
+          else false
+        assert(same, s"[$label] binding $n differs for doc $i: " +
+          s"variant=$vv string=$sv doc=${corpus(i)}")
+      }
+    }
+  }
+
   test("compiled match ≡ reference matcher on 60 random docs × 6 patterns") {
     val corpus = docs(60)
     val df = corpus.zipWithIndex.toDF("doc", "i")
