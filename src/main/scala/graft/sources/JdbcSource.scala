@@ -4,20 +4,40 @@ import java.io.File
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.jdbc.{GraftDerbyDialect, JdbcDialects}
 
 /** RDBMS source (SURVEY §2.1 #14). The reference hand-rolls SQL
   * generation + pushdown for PostgreSQL/MySQL
   * (`sources/postgresql.py:437-610`); on Spark the same capability is
-  * `spark.read.jdbc`, where the DataSource pushes filters and column
-  * pruning into the generated SQL (PushedFilters in the scan plan —
-  * asserted in JdbcSpec).
+  * the JDBC DataSource — three access depths, shallow to deep:
+  *
+  *   1. `read` (V1): filters + column pruning push into the generated
+  *      SQL (PushedFilters — asserted in JdbcSpec).
+  *   2. `readCatalog` (DSv2 JDBCTableCatalog): adds AGGREGATE and
+  *      LIMIT pushdown — a `groupBy().agg()` over the table compiles
+  *      to `SELECT g, SUM(v) ... GROUP BY g` INSIDE the database
+  *      (PushedAggregates / PushedGroupByExpressions / PushedLimit,
+  *      asserted in JdbcSpec). At scale only the aggregated rows cross
+  *      the wire.
+  *   3. `readQuery`: pushes a WHOLE subquery — joins (incl. LEFT
+  *      JOIN), computed columns, anything the database's SQL speaks —
+  *      the idiom matching the reference's subquery pushdown
+  *      (`postgresql.py:466-600`): Spark treats the result as the
+  *      relation and still prunes/filters on top of it.
   *
   * The demo engine is embedded Derby (in Spark's classpath, zero
   * network); the access path is identical for any JDBC database —
-  * swap the URL/driver.
+  * swap the URL/driver/dialect. Two Derby-specific gaps in Spark's
+  * built-in dialect are closed by [[GraftDerbyDialect]]:
+  * StringType mapped to VARCHAR instead of CLOB (Derby cannot GROUP
+  * BY/compare CLOB, which silently disabled aggregate pushdown), and
+  * LIMIT pushdown via Derby's `FETCH FIRST n ROWS ONLY`.
   */
 object JdbcSource {
   private val driver = "org.apache.derby.jdbc.EmbeddedDriver"
+
+  private lazy val dialectRegistered: Unit =
+    JdbcDialects.registerDialect(GraftDerbyDialect.instance)
 
   /** Local Derby database under target/ (never outside the repo). */
   def derbyUrl(name: String): String = {
@@ -27,15 +47,57 @@ object JdbcSource {
     s"jdbc:derby:$path;create=true"
   }
 
-  def write(df: DataFrame, url: String, table: String): Unit =
+  def write(df: DataFrame, url: String, table: String): Unit = {
+    dialectRegistered
     df.write.mode("overwrite").format("jdbc")
       .option("url", url).option("dbtable", table)
       .option("driver", driver).save()
+  }
 
-  def read(spark: SparkSession, url: String, table: String): DataFrame =
+  def read(spark: SparkSession, url: String, table: String): DataFrame = {
+    dialectRegistered
     spark.read.format("jdbc")
       .option("url", url).option("dbtable", table)
       .option("driver", driver).load()
+  }
+
+  /** Whole-subquery pushdown (depth 3): `sql` — joins, expressions,
+    * grouping, whatever the database dialect supports — executes
+    * INSIDE the database; Spark reads its result set as the relation.
+    */
+  def readQuery(spark: SparkSession, url: String, sql: String): DataFrame = {
+    dialectRegistered
+    spark.read.format("jdbc")
+      .option("url", url).option("query", sql)
+      .option("driver", driver).load()
+  }
+
+  /** Register the DSv2 JDBCTableCatalog for the graft Derby database
+    * under catalog name `graftjdbc` (idempotent; catalog options are
+    * plain session confs, so no session-construction hook is needed).
+    * Aggregate + limit pushdown are enabled — the point of the DSv2
+    * route.
+    */
+  def ensureCatalog(spark: SparkSession, name: String = "graftjdbc",
+      db: String = "graftdb"): Unit = {
+    dialectRegistered
+    val base = s"spark.sql.catalog.$name"
+    spark.conf.set(base,
+      "org.apache.spark.sql.execution.datasources.v2.jdbc.JDBCTableCatalog")
+    spark.conf.set(s"$base.url", derbyUrl(db))
+    spark.conf.set(s"$base.driver", driver)
+    spark.conf.set(s"$base.pushDownAggregate", "true")
+    spark.conf.set(s"$base.pushDownLimit", "true")
+  }
+
+  /** DSv2 read (depth 2): aggregates/limits over the result push into
+    * the database.
+    */
+  def readCatalog(spark: SparkSession, table: String,
+      name: String = "graftjdbc"): DataFrame = {
+    ensureCatalog(spark, name)
+    spark.read.table(s"$name.$table")
+  }
 
   /** Round-trip a DataFrame through the RDBMS and read it back with a
     * filter — the q37 shape: predicate + projection run INSIDE the
