@@ -9,12 +9,15 @@ import org.apache.spark.sql.functions._
   * mapInPandas plumbing: one JVM pass per partition, rows decoded in
   * chunks, no per-row UDF dispatch).
   *
-  * The DECODER IS A STUB — image/audio codecs are not available in
-  * this environment, so `decodeStub` derives deterministic fake
-  * dimensions/frames from the payload bytes. The Spark-side plumbing
-  * (schema, encoders, partition pass, batch shape, feature vector
-  * output) is real and tested; swap `decodeStub` for a JNI/codec call
-  * in production and nothing else changes.
+  * Decoding is PLUGGABLE via [[MediaDecoder]] — a serializable batch
+  * interface whose instances ship to executors with the task closure.
+  * The default [[StubDecoder]] is an honest stand-in (image/audio
+  * codecs are not available in this environment): deterministic fake
+  * dimensions/frames derived from payload bytes. A production codec
+  * (JNI/FFI) implements the same trait and drops in; the Spark-side
+  * plumbing (schema, encoders, partition pass, batch shape, feature
+  * vector output) is decoder-agnostic and tested against TWO decoder
+  * implementations in MultimodalSpec.
   *
   * Scale notes: payloads never act as join/shuffle keys; the decode
   * pass is scan-local (pipeline stage, no exchange); features are
@@ -27,6 +30,26 @@ object Multimodal {
   final case class Decoded(
       doc_id: Long, modality: String, n_bytes: Long,
       width: Int, height: Int, n_frames: Int, feature: Array[Float])
+
+  /** Pluggable codec boundary. Implementations must be Serializable
+    * (instances are captured in task closures); heavy native handles
+    * belong in `@transient lazy val`s so each executor initializes its
+    * own. `decodeBatch` is the amortization point — a real codec
+    * processes the whole buffer in one native call.
+    */
+  trait MediaDecoder extends Serializable {
+    def decodeOne(m: MediaRow): Decoded
+    def decodeBatch(batch: Seq[MediaRow]): Seq[Decoded] =
+      batch.map(decodeOne)
+  }
+
+  /** Default decoder — the environment-forced stub: deterministic
+    * pseudo-metadata plus an 8-bucket byte histogram as the feature
+    * vector. Arithmetic is oracle-mirrored in q38/q51.
+    */
+  object StubDecoder extends MediaDecoder {
+    override def decodeOne(m: MediaRow): Decoded = decodeStub(m)
+  }
 
   /** documents → media table (doc_id, modality, payload binary).
     * Text bytes stand in for media payloads; modality is assigned
@@ -65,13 +88,14 @@ object Multimodal {
     * the iterator (the mapInPandas batch shape). Output is a typed
     * Dataset so downstream keeps a real schema.
     */
-  def decode(media: DataFrame): Dataset[Decoded] = {
+  def decode(media: DataFrame,
+      decoder: MediaDecoder = StubDecoder): Dataset[Decoded] = {
     implicit val encIn = Encoders.product[MediaRow]
     implicit val encOut = Encoders.product[Decoded]
     media.as[MediaRow].mapPartitions { rows =>
-      // grouped() = explicit batch boundary where a real codec would
-      // process a buffer of payloads in one native call
-      rows.grouped(64).flatMap(batch => batch.iterator.map(decodeStub))
+      // grouped() = explicit batch boundary where a real codec
+      // processes a buffer of payloads in one native call
+      rows.grouped(64).flatMap(batch => decoder.decodeBatch(batch))
     }
   }
 
@@ -101,13 +125,14 @@ object Multimodal {
     * demuxer would seek keyframes; slicing arithmetic is deterministic
     * (oracle-mirrored in q51).
     */
-  def frameSample(media: DataFrame, step: Int): Dataset[Frame] = {
+  def frameSample(media: DataFrame, step: Int,
+      decoder: MediaDecoder = StubDecoder): Dataset[Frame] = {
     require(step > 0, "step must be positive")
     implicit val encIn = Encoders.product[MediaRow]
     implicit val encOut = Encoders.product[Frame]
     media.as[MediaRow].filter(_.modality == "video").mapPartitions { rows =>
       rows.flatMap { m =>
-        val d = decodeStub(m)
+        val d = decoder.decodeOne(m)
         val sz = m.payload.length / d.n_frames
         (0 until d.n_frames by step).iterator.map { f =>
           val off = f.toLong * sz

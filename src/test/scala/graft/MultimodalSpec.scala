@@ -67,6 +67,33 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("MediaDecoder is pluggable: a second implementation drives the " +
+      "same decode/frameSample plumbing (production codec drop-in)") {
+    // fixed-metadata decoder: what a real container-header parser
+    // would return — distinct from the stub on every field it touches
+    object FixedDecoder extends Multimodal.MediaDecoder {
+      override def decodeOne(m: Multimodal.MediaRow): Multimodal.Decoded =
+        Multimodal.Decoded(m.doc_id, m.modality, m.payload.length.toLong,
+          width = 128, height = 64, n_frames = 2,
+          feature = Array(1f, 0f, 0f, 0f))
+    }
+    val media = Multimodal.mediaTable(
+      Tables.load(spark, sf0001, "documents").limit(30))
+    val decoded = Multimodal.decode(media, FixedDecoder).collect()
+    assert(decoded.nonEmpty)
+    assert(decoded.forall(d => d.width == 128 && d.height == 64 &&
+      d.feature.sameElements(Array(1f, 0f, 0f, 0f))))
+    // frameSample consults the injected decoder's n_frames (2), so
+    // step=1 yields exactly 2 frames per video payload
+    val frames = Multimodal.frameSample(media, step = 1, FixedDecoder)
+      .collect().groupBy(_.doc_id)
+    val videos = media.filter(col("modality") === "video").count()
+    assert(frames.size == videos && frames.values.forall(_.length == 2))
+    // and the default stub still yields its own shape on the same rows
+    val stubDecoded = Multimodal.decode(media).collect()
+    assert(stubDecoded.exists(d => d.width != 128))
+  }
+
   test("features feed the ANN operators (array<float> compatible)") {
     val feats = Multimodal.decode(
       Multimodal.mediaTable(Tables.load(spark, sf0001, "documents")))
