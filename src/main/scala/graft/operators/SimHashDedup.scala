@@ -119,6 +119,18 @@ object SimHashDedup {
 
   private def bandMask(w: Int): Long = if (w >= 64) -1L else (1L << w) - 1
 
+  /** The `maxHamming + 1` band-bucket columns over a (hi, lo) packed
+    * 128-bit fingerprint (shared by the batch operator and the
+    * streaming dual).
+    */
+  def bandBucketCols128(maxHamming: Int): Seq[Column] = {
+    val numBands = maxHamming + 1
+    require(numBands >= 2,
+      "128-bit simhash needs maxHamming >= 1 (band width must fit a long)")
+    val bounds = (0 to numBands).map(j => j * 128 / numBands)
+    (0 until numBands).map(j => bandSlice128(bounds(j), bounds(j + 1)))
+  }
+
   /** Bucket id for fingerprint bits [start, end) of a (hi, lo)
     * 128-bit fingerprint — shift+mask on one long, or a two-long
     * stitch when the band spans the hi/lo boundary. Band width must
@@ -184,13 +196,8 @@ object SimHashDedup {
           col("hamming"))
         .distinct()
     } else {
-      require(numBands >= 2,
-        "128-bit simhash needs maxHamming >= 1 (band width must fit a long)")
-      val bounds = (0 to numBands).map(j => j * 128 / numBands)
       val fp = fingerprintsPacked128(docs, idCol, textCol, portable)
-      val bandBuckets = array((0 until numBands).map { j =>
-        bandSlice128(bounds(j), bounds(j + 1))
-      }: _*)
+      val bandBuckets = array(bandBucketCols128(maxHamming): _*)
       // Same single-exchange shape as the 64-bit path; the member
       // payload is 16 bytes (hi, lo) instead of 8.
       val buckets = fp.select(

@@ -40,12 +40,18 @@ object StreamDedup {
   final case class PairHit(doc_a: Long, doc_b: Long, hamming: Int, band: Int)
 
   /** `docs` needs (doc_id, text[, ts]); ts (timestamp) is required
-    * only with `evictAfter`.
+    * only with `evictAfter`. `fpBits` 64 or 128 — same width trade as
+    * the batch operator (128 buys band capacity at large radii; state
+    * member is 24 B instead of 16 B).
     */
   def simhashPairsStream(docs: DataFrame, maxHamming: Int = 8,
       maxBucketSize: Int = 1000, portable: Boolean = true,
-      evictAfter: Option[Long] = None): Dataset[PairHit] = {
-    require(maxHamming >= 0 && maxHamming < 64, "maxHamming in [0, 64)")
+      evictAfter: Option[Long] = None, fpBits: Int = 64): Dataset[PairHit] = {
+    require(fpBits == 64 || fpBits == 128, "fpBits must be 64 or 128")
+    require(maxHamming >= 0 && maxHamming < fpBits, s"maxHamming in [0, $fpBits)")
+    if (fpBits == 128)
+      return simhashPairsStream128(docs, maxHamming, maxBucketSize,
+        portable, evictAfter)
     val numBands = maxHamming + 1
     val bounds = (0 to numBands).map(j => j * 64 / numBands)
     val fp = docs
@@ -108,6 +114,75 @@ object StreamDedup {
               // would make maxEt + ttl <= watermark and
               // setTimeoutTimestamp would throw — clamp to just past
               // the current watermark
+              if (maxEt > Long.MinValue) state.setTimeoutTimestamp(
+                math.max(state.getCurrentWatermarkMs() + 1, maxEt + ttl))
+            }
+            out.iterator
+          }
+      }
+  }
+
+  final case class DocFp2(band: Int, bucket: Long, id: Long, hi: Long,
+      lo: Long, et: Long, ts: java.sql.Timestamp)
+  final case class BucketState2(members: List[(Long, Long, Long)])
+
+  /** 128-bit branch of `simhashPairsStream` — identical state machine,
+    * (id, hi, lo) members (24 B/doc/band), two-long `bitCount` verify.
+    */
+  private def simhashPairsStream128(docs: DataFrame, maxHamming: Int,
+      maxBucketSize: Int, portable: Boolean,
+      evictAfter: Option[Long]): Dataset[PairHit] = {
+    val fp = docs
+      .withColumn("_bits", SimHashDedup.simhashBits("text", portable, 128))
+      .withColumn("hi", SimHashDedup.packBits("slice(_bits, 1, 64)"))
+      .withColumn("lo", SimHashDedup.packBits("slice(_bits, 65, 64)"))
+      .drop("_bits")
+    val bandBuckets = array(
+      SimHashDedup.bandBucketCols128(maxHamming).zipWithIndex.map {
+        case (b, j) => struct(lit(j).as("band"), b.as("bucket"))
+      }: _*)
+    val (et, tsCol) =
+      if (evictAfter.isDefined) (unix_millis(col("ts")), col("ts"))
+      else (lit(0L), lit(null).cast("timestamp"))
+    implicit val inEnc = Encoders.product[DocFp2]
+    implicit val stEnc = Encoders.product[BucketState2]
+    implicit val outEnc = Encoders.product[PairHit]
+    implicit val keyEnc = Encoders.tuple(Encoders.scalaInt, Encoders.scalaLong)
+    val exploded = fp.select(explode(bandBuckets).as("bb"),
+        col("doc_id").as("id"), col("hi"), col("lo"),
+        et.as("et"), tsCol.as("ts"))
+      .select(col("bb.band"), col("bb.bucket"), col("id"), col("hi"),
+        col("lo"), col("et"), col("ts"))
+      .as[DocFp2]
+    val timeoutConf =
+      if (evictAfter.isDefined) GroupStateTimeout.EventTimeTimeout()
+      else GroupStateTimeout.NoTimeout()
+    exploded.groupByKey(d => (d.band, d.bucket))
+      .flatMapGroupsWithState[BucketState2, PairHit](
+        OutputMode.Append(), timeoutConf) {
+        (key, rows, state) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            var members = state.getOption.getOrElse(BucketState2(Nil)).members
+            val out = scala.collection.mutable.ListBuffer[PairHit]()
+            var maxEt = Long.MinValue
+            rows.foreach { d =>
+              maxEt = math.max(maxEt, d.et)
+              members.foreach { case (mid, mhi, mlo) =>
+                if (mid != d.id) {
+                  val h = java.lang.Long.bitCount(mhi ^ d.hi) +
+                    java.lang.Long.bitCount(mlo ^ d.lo)
+                  if (h <= maxHamming) {
+                    val (a, b) = if (mid < d.id) (mid, d.id) else (d.id, mid)
+                    out += PairHit(a, b, h, key._1)
+                  }
+                }
+              }
+              if (members.length < maxBucketSize)
+                members = (d.id, d.hi, d.lo) :: members
+            }
+            state.update(BucketState2(members))
+            evictAfter.foreach { ttl =>
               if (maxEt > Long.MinValue) state.setTimeoutTimestamp(
                 math.max(state.getCurrentWatermarkMs() + 1, maxEt + ttl))
             }

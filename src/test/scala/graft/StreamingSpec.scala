@@ -101,6 +101,35 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming simhash at 128-bit: cross-batch pair set equals the " +
+      "batch operator at the same width") {
+    implicit val sqlCtx = spark.sqlContext
+    val d1 = "the quick brown fox jumps over the lazy dog again and again"
+    val d2 = d1.replace("dog", "cat")
+    val d3 = "completely different text about spark physical plans here"
+    val ms = MemoryStream[(Long, String)]
+    val q = graft.streaming.StreamDedup.simhashPairsStream(
+      ms.toDF().toDF("doc_id", "text"), maxHamming = 24, fpBits = 128)
+      .writeStream.format("memory").queryName("sh128_stream")
+      .outputMode("append").start()
+    try {
+      ms.addData((1L, d1), (3L, d3))
+      q.processAllAvailable()
+      ms.addData((2L, d2)) // near-dup arrives a batch later
+      q.processAllAvailable()
+      val got = spark.table("sh128_stream")
+        .select(col("doc_a"), col("doc_b"), col("hamming"))
+        .distinct()
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      val batch = graft.operators.SimHashDedup.nearDuplicatePairs(
+        Seq((1L, d1), (2L, d2), (3L, d3)).toDF("doc_id", "text"),
+        "doc_id", "text", maxHamming = 24, fpBits = 128)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      assert(got == batch && got.exists(p => p._1 == 1L && p._2 == 2L),
+        s"stream=$got batch=$batch")
+    } finally q.stop()
+  }
+
   test("streaming minhash near-dup: cross-batch candidate detection; " +
       "verified pair set equals the batch operator") {
     implicit val sqlCtx = spark.sqlContext
