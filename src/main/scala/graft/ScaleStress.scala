@@ -79,6 +79,12 @@ object ScaleStress {
       // (watch the simhash128_lsh_skew metric lines)
       val (p56, t56) = time(SimHashDedup.nearDuplicatePairs(
         docs, "doc_id", "text", maxHamming = 8, fpBits = 128).count())
+      // same layout on the xxhash production family: the md5 hex
+      // parse dominates the portable pipeline (3x the fingerprint
+      // cost), so this is the number a non-oracle deployment sees
+      val (p56x, t56x) = time(SimHashDedup.nearDuplicatePairs(
+        docs, "doc_id", "text", maxHamming = 8, fpBits = 128,
+        portable = false).count())
       val (_, t42) = time(MinHashDedup.topKSimilarPairs(
         docs, "doc_id", "text", k = 10).count())
 
@@ -87,6 +93,7 @@ object ScaleStress {
         s""""q27_sec":$t27,"q27_pairs":$p27,""" +
         s""""q27r4_sec":$t27r4,"q27r4_pairs":$p27r4,""" +
         s""""q56_sec":$t56,"q56_pairs":$p56,""" +
+        s""""q56x_sec":$t56x,"q56x_pairs":$p56x,""" +
         s""""q42_sec":$t42}""")
     }
     spark.stop()

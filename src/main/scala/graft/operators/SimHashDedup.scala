@@ -37,8 +37,9 @@ import org.apache.spark.sql.functions._
   *     expressible in DuckDB SQL, making fingerprints cross-engine
   *     verifiable at BOTH widths. Parsed 4 hex chars at a time via
   *     conv() + getbit (width/16 string ops per token, not width).
-  *   - xxhash64 + getbit: cheaper still; use in production where
-  *     cross-engine verifiability is not needed (64-bit only).
+  *   - xxhash64 (salted per 64-bit word): pure long arithmetic, no
+  *     hex parsing — the production family where cross-engine
+  *     verifiability is not needed; both widths.
   */
 object SimHashDedup {
 
@@ -68,16 +69,23 @@ object SimHashDedup {
         graft.functions.expr.SimHashBits(
           org.apache.spark.sql.GraftSqlBridge.expression(chunks), width))
     } else {
-      require(width == 64, "xxhash64 simhash family is 64-bit only")
-      val sums =
-        s"""aggregate(
-             transform(split($textColName, ' '), t -> xxhash64(t)),
-             array_repeat(CAST(0 AS BIGINT), 64),
-             (acc, h) -> zip_with(acc,
-               transform(sequence(0, 63),
-                 j -> CASE WHEN getbit(h, CAST(j AS INT)) = 1 THEN 1 ELSE -1 END),
-               (a, b) -> a + CAST(b AS BIGINT)))"""
-      transform(expr(sums), c => when(c > 0, lit(1)).otherwise(lit(0)))
+      require(width % 64 == 0 && width > 0 && width <= 128,
+        s"xxhash simhash family widths: 64, 128 — got $width")
+      // per token: width/64 salted xxhash64 words (salt = word index),
+      // each split into four 16-bit chunks (chunk 0 most significant)
+      // — pure long arithmetic, no hex parsing, same codegen'd
+      // SimHashBits accumulator as the md5 family. The coalesce is
+      // for the element-nullability contract only (see above).
+      val chunks = expr(
+        s"""transform(split($textColName, ' '), t ->
+              flatten(transform(sequence(0, ${width / 64 - 1}), w ->
+                transform(sequence(0, 3), c ->
+                  coalesce(shiftrightunsigned(xxhash64(t, w),
+                             CAST((3 - c) * 16 AS INT)) & CAST(65535 AS BIGINT),
+                    CAST(0 AS BIGINT))))))""")
+      org.apache.spark.sql.GraftSqlBridge.column(
+        graft.functions.expr.SimHashBits(
+          org.apache.spark.sql.GraftSqlBridge.expression(chunks), width))
     }
 
   /** Pack a 64-element 0/1 bit-array SQL expression into one BIGINT

@@ -69,6 +69,30 @@ class SimHash128Spec extends SparkSpec {
     assert(lsh == brute)
   }
 
+  test("xxhash production family: pairs equal brute force at both " +
+      "widths (no md5 hex parsing in the scan)") {
+    val corpus = docs.limit(120)
+    for (width <- Seq(64, 128)) {
+      val lsh = SimHashDedup.nearDuplicatePairs(corpus, "doc_id", "text",
+          maxHamming = 6, portable = false, fpBits = width)
+        .select($"doc_a", $"doc_b").as[(Long, Long)].collect().toSet
+      val fps = SimHashDedup.fingerprints(corpus, "doc_id", "text",
+          portable = false, width = width)
+        .select($"id", $"bits").as[(Long, Seq[Int])].collect()
+      def packed(bits: Seq[Int]): Seq[Long] =
+        bits.grouped(64).map(_.zipWithIndex
+          .map { case (b, i) => if (b == 1) 1L << (63 - i) else 0L }
+          .reduce(_ | _)).toSeq
+      val brute = (for {
+        (a, ab) <- fps; (b, bb) <- fps if a < b
+        d = packed(ab).zip(packed(bb))
+          .map { case (x, y) => java.lang.Long.bitCount(x ^ y) }.sum
+        if d <= 6
+      } yield (a, b)).toSet
+      assert(lsh == brute, s"width=$width lsh=${lsh.size} brute=${brute.size}")
+    }
+  }
+
   test("radius-8 bucket capacity: 128-bit layout spreads what 64-bit " +
       "saturates") {
     // 64-bit at radius 8 has 7-bit bands (<=128 buckets/band, 1152
