@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.operators.{MinHashDedup, SimHashDedup, Similarity}
+import graft.operators.{DupClusters, MinHashDedup, SimHashDedup, Similarity}
 
 /** Near-duplicate detection + similarity-search battery — the
   * training-data-pipeline operators, each expressed as the scalable
@@ -134,6 +134,53 @@ object DedupQueries {
                      i -> substring(a.bits, i, 1) <> substring(b.bits, i, 1))) AS hamming
           FROM fp a JOIN fp b ON a.doc_id < b.doc_id)
         WHERE hamming <= 8 ORDER BY doc_a, doc_b""")),
+
+    // ---- q59: duplicate-cluster resolution (the dedup endgame) ----
+    // MinHash near-dup pairs induce a graph; every doc gets the min
+    // doc_id of its connected component as cluster_id, is_rep marks
+    // the kept representative. Spark: min-label propagation to
+    // fixpoint (O(diameter) rounds, one keyed join each). Oracle:
+    // DuckDB recursive CTE computing reachability over the same
+    // brute-force pair set — checks the ENTIRE path end to end
+    // (shingles → pairs → transitive closure).
+    QueryDef(
+      "q59_dup_clusters",
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        val pairs = MinHashDedup.nearDuplicatePairs(
+          docs, "doc_id", "text", threshold = 0.8)
+        DupClusters.resolve(docs, "doc_id", pairs)
+          .orderBy(col("doc_id"))
+      },
+      Some("""
+        WITH RECURSIVE tok AS (
+          SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        sh AS (
+          SELECT doc_id,
+                 CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
+                      ELSE list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                                          for i in generate_series(1, len(w) - 2)])
+                 END AS shingles
+          FROM tok),
+        p AS (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+          FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+          WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+                  / len(list_distinct(a.shingles || b.shingles)) >= 0.8),
+        edges AS (
+          SELECT doc_a AS a, doc_b AS b FROM p
+          UNION SELECT doc_b, doc_a FROM p),
+        reach AS (
+          SELECT a, b FROM edges
+          UNION
+          SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+        comp AS (
+          SELECT d.doc_id,
+                 LEAST(d.doc_id, coalesce(MIN(r.b), d.doc_id)) AS cluster_id
+          FROM documents d LEFT JOIN reach r ON r.a = d.doc_id
+          GROUP BY d.doc_id)
+        SELECT doc_id, cluster_id, (doc_id = cluster_id) AS is_rep
+        FROM comp ORDER BY doc_id""")),
 
     // ---- q56: 128-bit SimHash near-dup pairs (Hamming ≤ 8) ----
     // The scale fix for the measured radius-8 band saturation: all 128

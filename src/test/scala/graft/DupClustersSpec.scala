@@ -1,0 +1,82 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+import graft.operators.{DupClusters, MinHashDedup}
+
+/** Connected-component resolution over near-dup pair graphs: the
+  * min-label propagation must equal an independent BFS union-find on
+  * random graphs, converge on chains (worst-case diameter), and mark
+  * exactly one representative per component.
+  */
+class DupClustersSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def bfsComponents(n: Long, edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    val adj = (edges ++ edges.map(_.swap))
+      .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val label = scala.collection.mutable.Map[Long, Long]()
+    for (start <- 0L until n if !label.contains(start)) {
+      val seen = scala.collection.mutable.Set(start)
+      val queue = scala.collection.mutable.Queue(start)
+      while (queue.nonEmpty) {
+        val v = queue.dequeue()
+        adj.getOrElse(v, Nil).foreach { u =>
+          if (!seen(u)) { seen += u; queue += u }
+        }
+      }
+      val m = seen.min
+      seen.foreach(v => label(v) = m)
+    }
+    label.toMap
+  }
+
+  test("property: components equal BFS reference on random graphs") {
+    val gen = for {
+      n <- Gen.chooseNum(1, 40)
+      m <- Gen.chooseNum(0, 60)
+      es <- Gen.listOfN(m, for {
+        a <- Gen.chooseNum(0, n - 1); b <- Gen.chooseNum(0, n - 1)
+      } yield (a.toLong, b.toLong))
+    } yield (n.toLong, es.filter(e => e._1 != e._2)) // drop self-loops
+    for (i <- 0 until 12) {
+      val (n, es) = gen.apply(Gen.Parameters.default, Seed(i.toLong)).get
+      val ids = (0L until n).toDF("id")
+      val pairs = es.toDF("id_a", "id_b")
+      val got = DupClusters.components(ids, pairs)
+        .as[(Long, Long)].collect().toMap
+      assert(got == bfsComponents(n, es), s"seed $i: n=$n edges=$es")
+    }
+  }
+
+  test("chain graph (worst-case diameter) still converges to one " +
+      "component") {
+    val n = 20L
+    val ids = (0L until n).toDF("id")
+    val chain = (0L until n - 1).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val got = DupClusters.components(ids, chain).as[(Long, Long)].collect()
+    assert(got.forall(_._2 == 0L))
+  }
+
+  test("resolve: exactly one representative per cluster; singletons " +
+      "are their own") {
+    val docs = Tables.load(spark, sf0001, "documents")
+    val pairs = MinHashDedup.nearDuplicatePairs(docs, "doc_id", "text",
+      threshold = 0.8)
+    val res = DupClusters.resolve(docs, "doc_id", pairs)
+      .as[(Long, Long, Boolean)].collect()
+    assert(res.length == docs.count())
+    val byCluster = res.groupBy(_._2)
+    byCluster.foreach { case (c, members) =>
+      assert(members.count(_._3) == 1, s"cluster $c reps != 1")
+      assert(members.filter(_._3).head._1 == c)
+      assert(members.map(_._1).min == c, s"cluster $c not labeled by min")
+    }
+    // the pair graph's edges are honored: both ends share a cluster
+    val cl = res.map(r => r._1 -> r._2).toMap
+    pairs.select($"doc_a", $"doc_b").as[(Long, Long)].collect()
+      .foreach { case (a, b) => assert(cl(a) == cl(b)) }
+  }
+}
