@@ -195,8 +195,9 @@ object Similarity {
     }
 
     /** Persist both halves of the index (assigned postings + centroid
-      * table). At scale, partition the postings by list_id so a probe
-      * reads only its cells' files.
+      * table). Postings are partitioned by list_id, and the probe
+      * join triggers dynamic partition pruning (asserted in AnnSpec):
+      * a query reads only its nProbe cells' files, never the corpus.
       */
     def save(path: String): Unit = {
       assigned.write.mode("overwrite")

@@ -114,6 +114,13 @@ class AnnSpec extends SparkSpec {
       .queryExecution.optimizedPlan.toString
     assert(probePlan.toLowerCase.contains("parquet"),
       s"probe does not scan the saved index:\n$probePlan")
+    // the probed-cells promise at scale: postings are partitioned by
+    // list_id, and the probe join carries a dynamic-partition-pruning
+    // subquery — only the nProbe cells' files are read, not the corpus
+    val executed = idx.topK(queries, k = 5, nProbe = 8)
+      .queryExecution.executedPlan.toString
+    assert(executed.contains("dynamicpruning"),
+      s"no dynamic partition pruning on the postings scan:\n$executed")
     val viaIndex = Similarity.ivfRecallAtK(idx, emb, queries, k = 5, nProbe = 8)
       .collect().map(_.toString).sorted.toSeq
     val inline = Similarity.ivfRecallAtK(emb, queries, k = 5,
