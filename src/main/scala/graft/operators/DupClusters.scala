@@ -76,4 +76,24 @@ object DupClusters {
       .select(col("id").as(idCol), col("cluster").as("cluster_id"),
         (col("id") === col("cluster")).as("is_rep"))
   }
+
+  /** Leakage-safe train/test split: the split key is the CLUSTER, not
+    * the document, so near-duplicates can never straddle train and
+    * test (the classic eval-leakage bug: a test doc's near-copy in the
+    * training set). Assignment is a Knuth multiplicative hash of the
+    * cluster id — deterministic, cross-engine computable (same
+    * arithmetic as the q55 consistent sampler), and stable under
+    * re-partitioning and corpus growth (an existing cluster keeps its
+    * split when new members join it, as long as its min id is stable).
+    * Output: (idCol, cluster_id, split = 'train' | 'test').
+    */
+  def leakageSafeSplit(docs: DataFrame, idCol: String, pairs: DataFrame,
+      trainPct: Int = 80): DataFrame = {
+    require(trainPct >= 0 && trainPct <= 100, "trainPct in [0, 100]")
+    resolve(docs, idCol, pairs)
+      .select(col(idCol), col("cluster_id"),
+        when(pmod(pmod(col("cluster_id") * lit(2654435761L),
+          lit(2147483647L)), lit(100)) < trainPct, "train")
+          .otherwise("test").as("split"))
+  }
 }

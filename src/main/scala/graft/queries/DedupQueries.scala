@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.operators.{DupClusters, MinHashDedup, SimHashDedup, Similarity}
+import graft.operators.{Contamination, DupClusters, MinHashDedup, SimHashDedup, Similarity}
 
 /** Near-duplicate detection + similarity-search battery — the
   * training-data-pipeline operators, each expressed as the scalable
@@ -181,6 +181,75 @@ object DedupQueries {
           GROUP BY d.doc_id)
         SELECT doc_id, cluster_id, (doc_id = cluster_id) AS is_rep
         FROM comp ORDER BY doc_id""")),
+
+    // ---- q60: leakage-safe train/test split ----
+    // Split key = near-dup CLUSTER (q59's components), so a test doc
+    // can never have a near-copy in train — the classic eval-leakage
+    // bug. Assignment = Knuth hash of cluster_id (q55's cross-engine
+    // arithmetic); oracle recomputes closure + hash relationally.
+    QueryDef(
+      "q60_leak_safe_split",
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        val pairs = MinHashDedup.nearDuplicatePairs(
+          docs, "doc_id", "text", threshold = 0.8)
+        DupClusters.leakageSafeSplit(docs, "doc_id", pairs, trainPct = 80)
+          .orderBy(col("doc_id"))
+      },
+      Some("""
+        WITH RECURSIVE tok AS (
+          SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        sh AS (
+          SELECT doc_id,
+                 CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
+                      ELSE list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                                          for i in generate_series(1, len(w) - 2)])
+                 END AS shingles
+          FROM tok),
+        p AS (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+          FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+          WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+                  / len(list_distinct(a.shingles || b.shingles)) >= 0.8),
+        edges AS (
+          SELECT doc_a AS a, doc_b AS b FROM p
+          UNION SELECT doc_b, doc_a FROM p),
+        reach AS (
+          SELECT a, b FROM edges
+          UNION
+          SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+        comp AS (
+          SELECT d.doc_id,
+                 LEAST(d.doc_id, coalesce(MIN(r.b), d.doc_id)) AS cluster_id
+          FROM documents d LEFT JOIN reach r ON r.a = d.doc_id
+          GROUP BY d.doc_id)
+        SELECT doc_id, cluster_id,
+               CASE WHEN ((cluster_id * 2654435761) % 2147483647) % 100 < 80
+                    THEN 'train' ELSE 'test' END AS split
+        FROM comp ORDER BY doc_id""")),
+
+    // ---- q61: benchmark-contamination flags ----
+    // Every 50th doc stands in as the eval set; a corpus doc is
+    // contaminated iff its normalized fingerprint matches any eval
+    // doc (catches both the eval docs themselves and their exact
+    // near-copies). Broadcast digest lookup — no corpus shuffle.
+    QueryDef(
+      "q61_contamination",
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        val benchmark = docs.filter(col("doc_id") % 50 === 0)
+        Contamination.flag(docs, benchmark, "doc_id", "text")
+          .orderBy(col("doc_id"))
+      },
+      Some("""
+        WITH fp AS (
+          SELECT doc_id,
+                 md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS f
+          FROM documents),
+        bench AS (SELECT DISTINCT f FROM fp WHERE doc_id % 50 = 0)
+        SELECT fp.doc_id, (bench.f IS NOT NULL) AS contaminated
+        FROM fp LEFT JOIN bench ON fp.f = bench.f
+        ORDER BY fp.doc_id""")),
 
     // ---- q56: 128-bit SimHash near-dup pairs (Hamming ≤ 8) ----
     // The scale fix for the measured radius-8 band saturation: all 128

@@ -60,6 +60,46 @@ class DupClustersSpec extends SparkSpec {
     assert(got.forall(_._2 == 0L))
   }
 
+  test("leakageSafeSplit: paired docs never straddle the split; both " +
+      "splits are populated at 80/20") {
+    val docs = Tables.load(spark, sf0001, "documents")
+    val pairs = MinHashDedup.nearDuplicatePairs(docs, "doc_id", "text",
+      threshold = 0.8)
+    val split = DupClusters.leakageSafeSplit(docs, "doc_id", pairs)
+      .as[(Long, Long, String)].collect()
+    assert(split.length == docs.count())
+    val sp = split.map(r => r._1 -> r._3).toMap
+    pairs.select($"doc_a", $"doc_b").as[(Long, Long)].collect()
+      .foreach { case (a, b) =>
+        assert(sp(a) == sp(b), s"near-dup pair ($a,$b) straddles the split") }
+    val train = split.count(_._3 == "train").toDouble / split.length
+    assert(train > 0.6 && train < 0.95, s"train fraction $train")
+    // split is a pure function of cluster_id
+    split.groupBy(_._2).values.foreach(g => assert(g.map(_._3).toSet.size == 1))
+  }
+
+  test("contamination: benchmark docs and their exact normalized " +
+      "copies are flagged; remove() drops exactly the flagged set") {
+    import graft.operators.Contamination
+    val docs = Seq(
+      (1L, "The quick   brown fox"),  // normalized copy of benchmark
+      (2L, "the quick brown fox"),
+      (3L, "something else entirely"),
+      (4L, "ANOTHER doc")).toDF("doc_id", "text")
+    val benchmark = Seq(Tuple1("the QUICK brown fox")).toDF("text")
+      .select(lit(0L).as("doc_id"), col("text"))
+    val flags = Contamination.flag(docs, benchmark, "doc_id", "text")
+      .as[(Long, Boolean)].collect().toMap
+    assert(flags == Map(1L -> true, 2L -> true, 3L -> false, 4L -> false))
+    val kept = Contamination.remove(docs, benchmark, "doc_id", "text")
+      .select($"doc_id").as[Long].collect().toSet
+    assert(kept == Set(3L, 4L))
+    // broadcast shape: the corpus side must not shuffle
+    val plan = Contamination.flag(docs, benchmark, "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"not a broadcast lookup:\n$plan")
+  }
+
   test("resolve: exactly one representative per cluster; singletons " +
       "are their own") {
     val docs = Tables.load(spark, sf0001, "documents")
