@@ -207,6 +207,92 @@ object TextQueries {
         WHERE doc_id NOT IN (SELECT doc_id FROM drops)
         ORDER BY doc_id""")),
 
+    // ---- q62: corpus prep v2 — the round-4 endgame composition ----
+    // q48's cleaning front half (quality → lang → exact dedup) feeding
+    // the full dedup endgame: near-dup pairs → connected components →
+    // keep ONE representative per cluster (not the greedy pair drop) →
+    // remove benchmark contamination (broadcast digest lookup) →
+    // cluster-keyed leakage-safe train/test split. Every stage is the
+    // registered operator itself, and the WHOLE pipeline is checked by
+    // one recursive-CTE oracle — the complete "prep a training corpus"
+    // story in a single verified query.
+    QueryDef(
+      "q62_corpus_prep",
+      (s, dir) => {
+        import graft.operators.{Contamination, DupClusters, MinHashDedup}
+        import org.apache.spark.sql.expressions.Window
+        val docs = Tables.load(s, dir, "documents")
+        val benchmark = docs.filter(col("doc_id") % 50 === 0) // eval stand-in
+        val filtered = docs
+          .select(col("doc_id"), col("text"), col("lang"),
+            qualityScore(col("text")).as("quality"),
+            langId(col("text")).as("lang_pred"),
+            fingerprintMd5(col("text")).as("fp"))
+          .filter(col("quality") >= 0.5 && col("lang_pred") === col("lang"))
+        val exactDeduped = filtered
+          .withColumn("min_id", min(col("doc_id")).over(Window.partitionBy("fp")))
+          .filter(col("doc_id") === col("min_id"))
+          .select(col("doc_id"), col("text"))
+          .localCheckpoint(eager = false)
+        val pairs = MinHashDedup.nearDuplicatePairs(
+          exactDeduped, "doc_id", "text", threshold = 0.8)
+        val reps = DupClusters.resolve(exactDeduped, "doc_id", pairs)
+          .filter(col("is_rep")).select(col("doc_id"), col("cluster_id"))
+        val decont = Contamination.remove(
+          reps.join(exactDeduped, "doc_id"), benchmark, "doc_id", "text")
+        decont.select(col("doc_id"),
+            when(pmod(pmod(col("cluster_id") * lit(2654435761L),
+              lit(2147483647L)), lit(100)) < 80, "train")
+              .otherwise("test").as("split"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""
+        WITH RECURSIVE scored AS (
+          SELECT doc_id, text, lang, $qualitySql AS quality,
+                 $langIdSql AS lang_pred, $fpSql AS fp
+          FROM documents),
+        filtered AS (
+          SELECT * FROM scored WHERE quality >= 0.5 AND lang_pred = lang),
+        keepers AS (SELECT min(doc_id) AS doc_id FROM filtered GROUP BY fp),
+        exact AS (
+          SELECT f.* FROM filtered f
+          WHERE f.doc_id IN (SELECT doc_id FROM keepers)),
+        tok AS (SELECT doc_id, string_split(text, ' ') AS w FROM exact),
+        sh AS (
+          SELECT doc_id,
+                 CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
+                      ELSE list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                                          for i in generate_series(1, len(w) - 2)])
+                 END AS shingles
+          FROM tok),
+        p AS (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+          FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+          WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+                  / len(list_distinct(a.shingles || b.shingles)) >= 0.8),
+        edges AS (
+          SELECT doc_a AS a, doc_b AS b FROM p
+          UNION SELECT doc_b, doc_a FROM p),
+        reach AS (
+          SELECT a, b FROM edges
+          UNION
+          SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+        comp AS (
+          SELECT e.doc_id,
+                 LEAST(e.doc_id, coalesce(MIN(r.b), e.doc_id)) AS cluster_id
+          FROM exact e LEFT JOIN reach r ON r.a = e.doc_id
+          GROUP BY e.doc_id),
+        reps AS (SELECT doc_id, cluster_id FROM comp WHERE doc_id = cluster_id),
+        bench AS (SELECT DISTINCT fp FROM scored WHERE doc_id % 50 = 0),
+        decont AS (
+          SELECT r.doc_id, r.cluster_id FROM reps r
+          JOIN exact e ON e.doc_id = r.doc_id
+          WHERE e.fp NOT IN (SELECT fp FROM bench))
+        SELECT doc_id,
+               CASE WHEN ((cluster_id * 2654435761) % 2147483647) % 100 < 80
+                    THEN 'train' ELSE 'test' END AS split
+        FROM decont ORDER BY doc_id""")),
+
     // ---- q55: consistent per-group sampling (typed-UDAF surface) ----
     // 3 docs per language, ranked by a Knuth multiplicative hash both
     // engines can compute — the bounded-buffer Aggregator from
