@@ -104,6 +104,66 @@ object TextFunctions {
     }
   }
 
+  // ---- Gopher-style repetition statistics ---------------------------
+  //
+  // Repetition filters from the Gopher corpus-prep recipe (Rae et al.
+  // 2021, "Scaling Language Models", table A1): documents dominated by
+  // one token or by repeated tokens are boilerplate/spam and get cut
+  // before training. Both stats below are scan-local higher-order
+  // functions over the token array — no shuffle, no UDF — computed in
+  // one pass per document. They are O(L²) in tokens-per-document, which
+  // is the right trade for typical web documents (L ≤ a few thousand);
+  // for unbounded documents use the explode route in
+  // `operators.CorpusOps.repetitionStatsExploded`, which is O(L) per
+  // doc at the price of one (doc_id, token) shuffle.
+
+  /** Fraction of tokens taken by the single most frequent token. */
+  def topWordFrac(text: Column): Column = {
+    val t = split(text, " ")
+    array_max(transform(t, x => size(filter(t, u => u === x))))
+      .cast("double") / size(t)
+  }
+
+  /** Fraction of token positions whose token occurs more than once. */
+  def dupWordFrac(text: Column): Column = {
+    val t = split(text, " ")
+    size(filter(t, x => size(filter(t, u => u === x)) > 1))
+      .cast("double") / size(t)
+  }
+
+  // ---- PII detection / redaction -------------------------------------
+  //
+  // Regex families deliberately restricted to syntax with identical
+  // semantics in Java regex (Spark) and RE2 (DuckDB oracle): character
+  // classes, bounded repetition, and ASCII word boundaries only — no
+  // lookaround. Redaction is a scan-local regexp_replace chain, so a
+  // corpus-wide scrub is a single map pass with no shuffle.
+
+  /** (label, pattern, replacement) for each supported PII family. The
+    * order matters and is fixed: email first (its local part may
+    * contain digits and dots that the looser patterns would claim),
+    * then IPv4, then phone.
+    */
+  val piiPatterns: Seq[(String, String, String)] = Seq(
+    ("email", "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ip", "\\b\\d{1,3}(\\.\\d{1,3}){3}\\b", "<IP>"),
+    ("phone", "\\b\\d{3}[-.]\\d{3}[-.]\\d{4}\\b", "<PHONE>"))
+
+  /** Number of matches of one PII family in `text`. */
+  def piiCount(text: Column, label: String): Column = {
+    val pat = piiPatterns.find(_._1 == label)
+      .getOrElse(sys.error(s"unknown PII family: $label"))._2
+    size(regexp_extract_all(text, lit(pat), lit(0)))
+  }
+
+  /** `text` with every supported PII family replaced by its
+    * placeholder, applied in the fixed `piiPatterns` order.
+    */
+  def redactPii(text: Column): Column =
+    piiPatterns.foldLeft(text) { case (c, (_, pat, rep)) =>
+      regexp_replace(c, lit(pat), lit(rep))
+    }
+
   /** Stable document fingerprint: md5 of the lower-cased,
     * whitespace-collapsed text. Engine-portable (md5 exists in both
     * Spark and DuckDB with identical hex output).

@@ -1,0 +1,165 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Corpus-preparation operators a large-scale training-data pipeline
+  * needs beyond dedup/similarity: repetition-based quality filters
+  * (Gopher rules), deterministic mixture resampling, context-window
+  * chunking, and corpus-level boilerplate detection.
+  *
+  * These go beyond the reference's own operator set (the builder brief
+  * names them first-class alongside SURVEY §2); each is shaped for the
+  * 100 TB case — scan-local where possible, and where a corpus-wide
+  * statistic forces a shuffle, the exchange carries ids and 8-byte
+  * hashes, never document text.
+  */
+object CorpusOps {
+
+  // ---- Gopher repetition stats, explode route -----------------------
+
+  /** Per-document repetition stats via explode + two-level aggregation:
+    * O(L) per document vs the O(L²) scan-local higher-order-function
+    * route in `TextFunctions.topWordFrac`/`dupWordFrac`. Returns one
+    * row per document: (id, n_tokens, top_word_frac, dup_word_frac).
+    *
+    * Scale shape: the exchange is (id, token-hash) pairs — 16 bytes per
+    * token position after map-side partial aggregation collapses
+    * repeats within a partition. Documents of unbounded length stay
+    * distributed (a single pathological 1 GB document never needs to
+    * fit one executor's HOF evaluation). Prefer the HOF route when the
+    * corpus bounds document length; prefer this when it doesn't.
+    */
+  def repetitionStatsExploded(df: DataFrame, idCol: String, textCol: String)
+      : DataFrame = {
+    val perTok = df
+      .select(col(idCol), explode(split(col(textCol), " ")).as("tok"))
+      // hash before the shuffle: 8-byte key, not the token string
+      .select(col(idCol), xxhash64(col("tok")).as("t"))
+      .groupBy(col(idCol), col("t"))
+      .agg(count(lit(1)).as("c"))
+    perTok
+      .groupBy(col(idCol))
+      .agg(
+        sum(col("c")).as("n_tokens"),
+        max(col("c")).as("max_c"),
+        sum(when(col("c") > 1, col("c")).otherwise(lit(0L))).as("dup_c"))
+      .select(
+        col(idCol),
+        col("n_tokens"),
+        (col("max_c").cast("double") / col("n_tokens")).as("top_word_frac"),
+        (col("dup_c").cast("double") / col("n_tokens")).as("dup_word_frac"))
+  }
+
+  // ---- Deterministic mixture resampling ------------------------------
+
+  /** Down-sample each class to a target keep-rate with a deterministic
+    * Bernoulli draw: row kept iff
+    * `((id * 2654435761) mod 2147483647) mod 10000 < rate * 10000`
+    * (Knuth multiplicative hash — the same cross-engine hash as q55's
+    * consistent sampler). Classes absent from `rates` keep everything.
+    *
+    * Scale shape: a scan-local filter — no shuffle, no sort, no state.
+    * Determinism is the point: the draw depends only on the row id, so
+    * the sample is identical across retries, repartitioning, and
+    * engines — a training-mixture rebalance (e.g. 'cap web text at 30%,
+    * keep all code') that reproduces bit-for-bit, unlike
+    * `df.sample()` whose outcome changes with partitioning.
+    */
+  def weightedResample(
+      df: DataFrame,
+      idCol: String,
+      classCol: String,
+      rates: Map[String, Double]): DataFrame = {
+    require(rates.values.forall(r => r >= 0.0 && r <= 1.0),
+      s"rates must be in [0,1]: $rates")
+    val h = pmod(col(idCol) * lit(2654435761L), lit(2147483647L)) % 10000
+    val rate = rates.foldLeft(lit(1.0)) { case (acc, (k, r)) =>
+      when(col(classCol) === k, lit(r)).otherwise(acc)
+    }
+    df.filter(h < rate * 10000)
+  }
+
+  // ---- Context-window chunking ---------------------------------------
+
+  /** Split each document into token windows of `window` tokens with
+    * `stride` tokens between window starts (stride < window ⇒
+    * overlapping windows, the LLM-training idiom for long documents).
+    * Output: (id, chunk_id, n_chunk_tokens, chunk_text), one row per
+    * window; the final window may be short.
+    *
+    * Scale shape: scan-local generate — sequence + explode + slice are
+    * all codegen'd builtins, no shuffle, and peak memory per row is one
+    * document plus one window. The explode multiplies rows by
+    * ceil(L/stride), which is exactly the output size — nothing is
+    * materialized beyond what the sink receives.
+    */
+  def chunkByTokens(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      window: Int,
+      stride: Int): DataFrame = {
+    require(window > 0 && stride > 0, s"window=$window stride=$stride")
+    val t = split(col(textCol), " ")
+    df.select(
+        col(idCol),
+        posexplode(sequence(lit(0), greatest(size(t) - 1, lit(0)), lit(stride)))
+          .as(Seq("chunk_id", "start")),
+        t.as("t"))
+      .select(
+        col(idCol),
+        col("chunk_id").cast("long").as("chunk_id"),
+        size(slice(col("t"), col("start") + 1, lit(window))).cast("long")
+          .as("n_chunk_tokens"),
+        array_join(slice(col("t"), col("start") + 1, lit(window)), " ")
+          .as("chunk_text"))
+  }
+
+  // ---- Corpus-level boilerplate detection ----------------------------
+
+  /** Fraction of each document's distinct word `n`-grams that also
+    * appear in at least `minDocs - 1` OTHER documents — high values
+    * mean the document is assembled from corpus-common phrasing
+    * (templates, navigation chrome, licence blocks). One row per
+    * document with ≥ n tokens: (id, n_grams, dup_grams, dup_gram_frac).
+    *
+    * This is inherently a corpus-level statistic, so a shuffle is
+    * honest — but the exchange carries (id, xxhash64(gram)) pairs, 16
+    * bytes per distinct gram position, never gram text. Plan: explode →
+    * distinct (id, gram-hash) → gram doc-frequency (map-side partial
+    * agg) → join doc-frequency back. The doc-frequency side is
+    * gram-cardinality rows of 16 bytes; at corpus scale AQE picks the
+    * join strategy, and the final aggregation re-uses the (id,) key.
+    */
+  def boilerplateNgrams(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 3,
+      minDocs: Int = 2): DataFrame = {
+    require(n >= 1 && minDocs >= 1, s"n=$n minDocs=$minDocs")
+    val t = split(col(textCol), " ")
+    val grams = when(size(t) >= n,
+      transform(sequence(lit(1), size(t) - (n - 1)),
+        i => xxhash64(concat_ws(" ",
+          (0 until n).map(k => element_at(t, i + k)): _*))))
+      .otherwise(array().cast("array<bigint>"))
+    val docGrams = df
+      .select(col(idCol), explode(grams).as("g"))
+      .distinct()
+    val docFreq = docGrams
+      .groupBy(col("g"))
+      .agg(count(lit(1)).as("df"))
+    docGrams
+      .join(docFreq, "g")
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_grams"),
+        sum(when(col("df") >= minDocs, 1L).otherwise(0L)).as("dup_grams"))
+      .select(
+        col(idCol), col("n_grams"), col("dup_grams"),
+        (col("dup_grams").cast("double") / col("n_grams"))
+          .as("dup_gram_frac"))
+  }
+}

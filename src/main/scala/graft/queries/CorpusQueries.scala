@@ -1,0 +1,169 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.TextFunctions._
+import graft.operators.CorpusOps
+
+/** Training-corpus preparation battery (q63–q67): Gopher repetition
+  * filters, PII redaction, deterministic mixture resampling,
+  * context-window chunking, and corpus-level boilerplate detection.
+  * Each oracle spells the same arithmetic in DuckDB SQL (list lambdas
+  * and LATERAL unnest mirror the Spark higher-order functions).
+  */
+object CorpusQueries {
+
+  // regex literals shared between the Spark side (TextFunctions
+  // .piiPatterns) and the DuckDB oracle. DuckDB single-quoted strings
+  // pass backslashes through verbatim, so the Java pattern embeds
+  // unchanged (the patterns contain no single quotes by construction).
+  private def piiSql(label: String): String =
+    graft.functions.TextFunctions.piiPatterns.find(_._1 == label).get._2
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // ---- q63: Gopher-style repetition quality filters ----
+    // Rae et al. 2021 (Gopher), appendix A1: cut documents dominated
+    // by one token or by repeated tokens. Scan-local HOFs (O(L²) per
+    // doc, no shuffle); CorpusSpec proves parity with the O(L)
+    // explode route (CorpusOps.repetitionStatsExploded) that covers
+    // unbounded document lengths.
+    QueryDef(
+      "q63_repetition_filter",
+      (s, dir) => {
+        val d = Tables.load(s, dir, "documents")
+        d.select(
+            col("doc_id"),
+            tokenCount(col("text")).cast("long").as("n_tokens"),
+            topWordFrac(col("text")).as("top_word_frac"),
+            dupWordFrac(col("text")).as("dup_word_frac"))
+          .withColumn("gopher_ok",
+            col("top_word_frac") <= 0.1 && col("dup_word_frac") <= 0.85)
+          .orderBy(col("doc_id"))
+      },
+      Some("""
+        WITH d AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+        SELECT doc_id,
+               len(t) AS n_tokens,
+               CAST(list_max(list_transform(t, x -> len(list_filter(t, u -> u = x)))) AS DOUBLE) / len(t) AS top_word_frac,
+               CAST(len(list_filter(t, x -> len(list_filter(t, u -> u = x)) > 1)) AS DOUBLE) / len(t) AS dup_word_frac,
+               CAST(list_max(list_transform(t, x -> len(list_filter(t, u -> u = x)))) AS DOUBLE) / len(t) <= 0.1
+                 AND CAST(len(list_filter(t, x -> len(list_filter(t, u -> u = x)) > 1)) AS DOUBLE) / len(t) <= 0.85 AS gopher_ok
+        FROM d ORDER BY doc_id""")),
+
+    // ---- q64: PII detection + redaction ----
+    // The corpus is synthetic and PII-free, so the query plants
+    // deterministic PII (derived from doc_id, same construction in
+    // both engines) into every even document, then counts and redacts
+    // it — proving the scrub non-trivially under the hash gate. The
+    // scrub itself is a scan-local regexp_replace chain (no shuffle);
+    // patterns are the Java-regex ∩ RE2 subset so Spark and DuckDB
+    // agree byte-for-byte.
+    QueryDef(
+      "q64_pii_redact",
+      (s, dir) => {
+        val d = Tables.load(s, dir, "documents")
+        val seeded = when(col("doc_id") % 2 === 0,
+          concat(col("text"),
+            lit(" reach user"), col("doc_id").cast("string"),
+            lit("@example.com ph 415-555-"),
+            lpad((col("doc_id") % 10000).cast("string"), 4, "0"),
+            lit(" ip 10.0."), (col("doc_id") % 256).cast("string"),
+            lit("."), ((col("doc_id") * 7) % 256).cast("string")))
+          .otherwise(col("text"))
+        d.select(col("doc_id"), seeded.as("s"))
+          .select(
+            col("doc_id"),
+            piiCount(col("s"), "email").cast("long").as("n_email"),
+            piiCount(col("s"), "ip").cast("long").as("n_ip"),
+            piiCount(col("s"), "phone").cast("long").as("n_phone"),
+            redactPii(col("s")).as("redacted"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""
+        WITH seeded AS (
+          SELECT doc_id,
+                 CASE WHEN doc_id % 2 = 0 THEN
+                   concat(text, ' reach user', doc_id, '@example.com ph 415-555-',
+                          lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0'),
+                          ' ip 10.0.', doc_id % 256, '.', (doc_id * 7) % 256)
+                 ELSE text END AS s
+          FROM documents)
+        SELECT doc_id,
+               len(regexp_extract_all(s, '${piiSql("email")}')) AS n_email,
+               len(regexp_extract_all(s, '${piiSql("ip")}')) AS n_ip,
+               len(regexp_extract_all(s, '${piiSql("phone")}')) AS n_phone,
+               regexp_replace(regexp_replace(regexp_replace(s,
+                 '${piiSql("email")}', '<EMAIL>', 'g'),
+                 '${piiSql("ip")}', '<IP>', 'g'),
+                 '${piiSql("phone")}', '<PHONE>', 'g') AS redacted
+        FROM seeded ORDER BY doc_id""")),
+
+    // ---- q65: deterministic mixture resampling ----
+    // Rebalance the language mixture with per-class keep-rates and a
+    // Knuth-hash Bernoulli draw (q55's cross-engine hash): scan-local
+    // filter, bit-reproducible across retries/partitioning/engines.
+    QueryDef(
+      "q65_mixture_resample",
+      (s, dir) => {
+        CorpusOps.weightedResample(
+            Tables.load(s, dir, "documents"), "doc_id", "lang",
+            Map("en" -> 0.8, "de" -> 0.5, "es" -> 0.25, "zh" -> 0.1))
+          .select(col("doc_id"), col("lang"), col("source"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""
+        SELECT doc_id, lang, source FROM documents
+        WHERE ((doc_id * 2654435761) % 2147483647) % 10000 <
+              (CASE lang WHEN 'en' THEN 0.8 WHEN 'de' THEN 0.5
+                         WHEN 'es' THEN 0.25 WHEN 'zh' THEN 0.1
+                         ELSE 1.0 END) * 10000
+        ORDER BY doc_id""")),
+
+    // ---- q66: context-window chunking ----
+    // Split documents into 8-token windows every 6 tokens (2-token
+    // overlap) — the long-document → training-sequence transform.
+    // sequence + posexplode + slice, all codegen'd, no shuffle.
+    QueryDef(
+      "q66_chunk_windows",
+      (s, dir) => {
+        CorpusOps.chunkByTokens(
+            Tables.load(s, dir, "documents"), "doc_id", "text",
+            window = 8, stride = 6)
+          .orderBy(col("doc_id"), col("chunk_id"))
+      },
+      Some("""
+        WITH d AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+        SELECT doc_id,
+               s // 6 AS chunk_id,
+               len(t[s + 1 : least(s + 8, len(t))]) AS n_chunk_tokens,
+               array_to_string(t[s + 1 : least(s + 8, len(t))], ' ') AS chunk_text
+        FROM d, LATERAL unnest(range(0, greatest(len(t), 1), 6)) AS u(s)
+        ORDER BY doc_id, chunk_id""")),
+
+    // ---- q67: corpus-level boilerplate detection ----
+    // Fraction of each doc's distinct 3-grams appearing in ≥2 docs.
+    // The Spark exchange carries (doc_id, xxhash64(gram)) — 16 B per
+    // distinct gram, never gram text; the oracle groups the gram
+    // strings themselves (equal up to 64-bit collisions).
+    QueryDef(
+      "q67_boilerplate",
+      (s, dir) => {
+        CorpusOps.boilerplateNgrams(
+            Tables.load(s, dir, "documents"), "doc_id", "text",
+            n = 3, minDocs = 2)
+          .orderBy(col("doc_id"))
+      },
+      Some("""
+        WITH d AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        g AS (SELECT DISTINCT doc_id, array_to_string(t[i : i + 2], ' ') AS gram
+              FROM d, LATERAL unnest(range(1, greatest(len(t) - 1, 1))) AS u(i)),
+        f AS (SELECT gram, count(*) AS df FROM g GROUP BY gram)
+        SELECT g.doc_id,
+               count(*) AS n_grams,
+               CAST(sum(CASE WHEN f.df >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS dup_grams,
+               CAST(sum(CASE WHEN f.df >= 2 THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS dup_gram_frac
+        FROM g JOIN f USING (gram)
+        GROUP BY g.doc_id ORDER BY doc_id"""))
+  )
+}

@@ -1,0 +1,127 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions._
+import graft.operators.CorpusOps
+
+/** Corpus-prep operators (q63–q67): repetition stats (HOF route vs
+  * explode route parity), PII redaction on crafted strings, chunking
+  * boundary cases, deterministic resampling, and boilerplate fractions
+  * against hand-computed expectations.
+  */
+class CorpusSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (0L, "a a a a"),                    // one token: top=1.0 dup=1.0
+    (1L, "a b c d"),                    // all unique: top=.25 dup=0
+    (2L, "a b a b c"),                  // top=2/5, dup=4/5
+    (3L, "x"),                          // single token
+    (4L, "the cat sat on the mat")      // top=2/6, dup=2/6
+  ).toDF("doc_id", "text")
+
+  test("repetition stats: HOF route matches hand-computed values") {
+    val got = docs.select(col("doc_id"),
+        topWordFrac(col("text")).as("top"), dupWordFrac(col("text")).as("dup"))
+      .orderBy("doc_id").as[(Long, Double, Double)].collect()
+    val want = Seq(
+      (0L, 1.0, 1.0), (1L, 0.25, 0.0), (2L, 0.4, 0.8),
+      (3L, 1.0, 0.0), (4L, 2.0 / 6, 2.0 / 6))
+    got.zip(want).foreach { case ((id, t, d), (wid, wt, wd)) =>
+      assert(id == wid)
+      assert(math.abs(t - wt) < 1e-12, s"top_word_frac doc $id")
+      assert(math.abs(d - wd) < 1e-12, s"dup_word_frac doc $id")
+    }
+  }
+
+  test("repetition stats: explode route agrees with the HOF route") {
+    val corpus = Tables.load(spark, sf0001, "documents")
+    val hof = corpus.select(col("doc_id"),
+      tokenCount(col("text")).cast("long").as("n_tokens"),
+      topWordFrac(col("text")).as("top_word_frac"),
+      dupWordFrac(col("text")).as("dup_word_frac"))
+    val exploded = CorpusOps.repetitionStatsExploded(corpus, "doc_id", "text")
+    assert(hof.exceptAll(exploded).isEmpty && exploded.exceptAll(hof).isEmpty)
+  }
+
+  test("PII redaction replaces every family and counts match") {
+    val rows = Seq(
+      (1L, "mail bob.smith+x@sub.example.co.uk and eve@x.io now"),
+      (2L, "call 415-555-0042 or 800.555.1234 today"),
+      (3L, "host 10.0.255.3 and 192.168.1.1"),
+      (4L, "mixed a@b.com 1.2.3.4 555-123-4567"),
+      (5L, "clean text with no pii at all 1234")
+    ).toDF("id", "s")
+    val got = rows.select(col("id"),
+        piiCount(col("s"), "email").as("e"),
+        piiCount(col("s"), "ip").as("i"),
+        piiCount(col("s"), "phone").as("p"),
+        redactPii(col("s")).as("r"))
+      .orderBy("id").as[(Long, Int, Int, Int, String)].collect()
+    assert(got(0) == ((1L, 2, 0, 0, "mail <EMAIL> and <EMAIL> now")))
+    assert(got(1) == ((2L, 0, 0, 2, "call <PHONE> or <PHONE> today")))
+    assert(got(2) == ((3L, 0, 2, 0, "host <IP> and <IP>")))
+    assert(got(3) == ((4L, 1, 1, 1, "mixed <EMAIL> <IP> <PHONE>")))
+    assert(got(4) == ((5L, 0, 0, 0, "clean text with no pii at all 1234")))
+  }
+
+  test("chunking covers every token with the configured overlap") {
+    val d = Seq((1L, "t0 t1 t2 t3 t4 t5 t6 t7 t8 t9"), (2L, "a"), (3L, "a b c"))
+      .toDF("doc_id", "text")
+    val got = CorpusOps.chunkByTokens(d, "doc_id", "text", window = 4, stride = 3)
+      .orderBy("doc_id", "chunk_id")
+      .as[(Long, Long, Long, String)].collect()
+    assert(got.toSeq == Seq(
+      (1L, 0L, 4L, "t0 t1 t2 t3"),
+      (1L, 1L, 4L, "t3 t4 t5 t6"),
+      (1L, 2L, 4L, "t6 t7 t8 t9"),
+      (1L, 3L, 1L, "t9"),
+      (2L, 0L, 1L, "a"),
+      (3L, 0L, 3L, "a b c")))
+    // every token index appears in at least one chunk
+    val covered = got.filter(_._1 == 1L).flatMap(_._4.split(" ")).toSet
+    assert(covered == (0 until 10).map(i => s"t$i").toSet)
+  }
+
+  test("weighted resample is deterministic, rate-accurate, and total for missing classes") {
+    val n = 4000
+    val d = (0 until n).map(i => (i.toLong, if (i % 2 == 0) "keepish" else "cutish"))
+      .toDF("id", "cls")
+    val rates = Map("keepish" -> 0.9, "cutish" -> 0.1)
+    val a = CorpusOps.weightedResample(d, "id", "cls", rates)
+    val b = CorpusOps.weightedResample(d.repartition(13), "id", "cls", rates)
+    // identical under repartitioning
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
+    val byCls = a.groupBy("cls").count().as[(String, Long)].collect().toMap
+    assert(math.abs(byCls("keepish").toDouble / (n / 2) - 0.9) < 0.05)
+    assert(math.abs(byCls("cutish").toDouble / (n / 2) - 0.1) < 0.05)
+    // class not in the rate map keeps everything
+    val e = Seq((1L, "other"), (2L, "other")).toDF("id", "cls")
+    assert(CorpusOps.weightedResample(e, "id", "cls", rates).count() == 2)
+  }
+
+  test("boilerplate n-gram fractions match a hand-built corpus") {
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps"),   // shares "the quick brown"+"quick brown fox" with doc 2
+      (2L, "the quick brown fox sleeps"),
+      (3L, "entirely novel words here now"),
+      (4L, "xs")                           // < 3 tokens: no output row
+    ).toDF("doc_id", "text")
+    val got = CorpusOps.boilerplateNgrams(corpus, "doc_id", "text", n = 3, minDocs = 2)
+      .orderBy("doc_id").as[(Long, Long, Long, Double)].collect()
+    assert(got.toSeq == Seq(
+      (1L, 3L, 2L, 2.0 / 3),
+      (2L, 3L, 2L, 2.0 / 3),
+      (3L, 3L, 0L, 0.0)))
+  }
+
+  test("boilerplate counts distinct grams once per document") {
+    // "a b a b a b" has 4 3-gram positions but only 2 distinct grams,
+    // none shared with another doc
+    val corpus = Seq((1L, "a b a b a b"), (2L, "c d e")).toDF("doc_id", "text")
+    val got = CorpusOps.boilerplateNgrams(corpus, "doc_id", "text", 3, 2)
+      .orderBy("doc_id").as[(Long, Long, Long, Double)].collect()
+    assert(got.toSeq == Seq((1L, 2L, 0L, 0.0), (2L, 1L, 0L, 0.0)))
+  }
+}
