@@ -131,6 +131,13 @@ object CorpusOps {
     * agg) → join doc-frequency back. The doc-frequency side is
     * gram-cardinality rows of 16 bytes; at corpus scale AQE picks the
     * join strategy, and the final aggregation re-uses the (id,) key.
+    *
+    * The distinct (id, gram) stage feeds BOTH join sides, so it is
+    * localCheckpoint-ed: without the boundary Spark re-derives it from
+    * the scan on each side — two full corpus explodes + exchanges
+    * instead of one (observed in the q67 plan audit). In a production
+    * pipeline this boundary is a written stage table; localCheckpoint
+    * is its in-query analog (same argument as q48's stage boundary).
     */
   def boilerplateNgrams(
       df: DataFrame,
@@ -148,6 +155,7 @@ object CorpusOps {
     val docGrams = df
       .select(col(idCol), explode(grams).as("g"))
       .distinct()
+      .localCheckpoint()
     val docFreq = docGrams
       .groupBy(col("g"))
       .agg(count(lit(1)).as("df"))
