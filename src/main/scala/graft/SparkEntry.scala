@@ -13,7 +13,7 @@ object SparkEntry {
     Relational.defs ++ TextQueries.defs ++ EventsQueries.defs ++
       DedupQueries.defs ++ WindowQueries.defs ++ MatchQueries.defs ++
       PathQueries.defs ++ JdbcQueries.defs ++ MultimodalQueries.defs ++
-      NestedQueries.defs ++ CorpusQueries.defs
+      NestedQueries.defs ++ CorpusQueries.defs ++ TemporalQueries.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * TPC-H Q3 shape: 3-way join, grouped revenue, top-k — exercises scan
