@@ -116,6 +116,54 @@ object CorpusOps {
           .as("chunk_text"))
   }
 
+  // ---- Greedy sequence packing ---------------------------------------
+
+  /** Pack documents into training sequences: within each shard
+    * (`id mod nShards`), walk documents in id order and append each to
+    * the current pack unless it would push the pack past `budget`
+    * tokens, in which case it starts a new pack. A single document
+    * larger than `budget` gets its own pack. Output: (id, shard,
+    * n_tokens, pack_id) with pack_id dense per shard.
+    *
+    * Greedy next-fit is inherently sequential, so this is the one
+    * operator in the engine that earns `mapPartitions`: shards are
+    * hash-partitioned (one exchange), sorted within partitions, and
+    * walked with O(1) state per task. Parallelism is nShards — set it
+    * to a multiple of the cluster's cores at scale; the assignment
+    * depends only on (id, nShards, budget), so results are
+    * deterministic under retries and repartitioning, and the DuckDB
+    * recursive-CTE oracle (q70) reproduces them exactly.
+    */
+  def packGreedy(
+      df: DataFrame,
+      idCol: String,
+      nTokCol: String,
+      budget: Long,
+      nShards: Int): DataFrame = {
+    require(budget > 0 && nShards > 0, s"budget=$budget nShards=$nShards")
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(
+        pmod(col(idCol), lit(nShards.toLong)).as("shard"),
+        col(idCol).cast("long").as("id"),
+        col(nTokCol).cast("long").as("n"))
+      .as[(Long, Long, Long)]
+      .repartition(col("shard"))
+      .sortWithinPartitions(col("shard"), col("id"))
+      .mapPartitions { it =>
+        var shard = -1L
+        var acc = 0L
+        var pack = 0L
+        it.map { case (s, id, n) =>
+          if (s != shard) { shard = s; pack = 0L; acc = n }
+          else if (acc + n <= budget) acc += n
+          else { pack += 1L; acc = n }
+          (id, s, n, pack)
+        }
+      }
+      .toDF(idCol, "shard", "n_tokens", "pack_id")
+  }
+
   // ---- Corpus-level boilerplate detection ----------------------------
 
   /** Fraction of each document's distinct word `n`-grams that also

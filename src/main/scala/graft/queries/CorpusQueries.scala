@@ -24,19 +24,19 @@ object CorpusQueries {
 
     // ---- q63: Gopher-style repetition quality filters ----
     // Rae et al. 2021 (Gopher), appendix A1: cut documents dominated
-    // by one token or by repeated tokens. Scan-local HOFs (O(L²) per
-    // doc, no shuffle); CorpusSpec proves parity with the O(L)
-    // explode route (CorpusOps.repetitionStatsExploded) that covers
-    // unbounded document lengths.
+    // by one token or by repeated tokens. The REGISTERED query is the
+    // O(L) explode route (CorpusOps.repetitionStatsExploded) — the
+    // scan-local HOF route (TextFunctions.topWordFrac/dupWordFrac) is
+    // O(L²) per doc AND CollapseProject re-inlines it per consumer,
+    // which benched 7.4 s vs ~1 s here; CorpusSpec proves the two
+    // routes equal. The oracle spells the HOF arithmetic (DuckDB list
+    // lambdas), so the cross-route equality is itself driver-gated.
     QueryDef(
       "q63_repetition_filter",
       (s, dir) => {
         val d = Tables.load(s, dir, "documents")
-        d.select(
-            col("doc_id"),
-            tokenCount(col("text")).cast("long").as("n_tokens"),
-            topWordFrac(col("text")).as("top_word_frac"),
-            dupWordFrac(col("text")).as("dup_word_frac"))
+        graft.operators.CorpusOps
+          .repetitionStatsExploded(d, "doc_id", "text")
           .withColumn("gopher_ok",
             col("top_word_frac") <= 0.1 && col("dup_word_frac") <= 0.85)
           .orderBy(col("doc_id"))
@@ -140,6 +140,35 @@ object CorpusQueries {
                array_to_string(t[s + 1 : least(s + 8, len(t))], ' ') AS chunk_text
         FROM d, LATERAL unnest(range(0, greatest(len(t), 1), 6)) AS u(s)
         ORDER BY doc_id, chunk_id""")),
+
+    // ---- q70: greedy sequence packing ----
+    // Pack documents into ≤256-token training sequences, 8 shards.
+    // The oracle replays the same greedy walk as a recursive CTE —
+    // exact assignment parity, not just aggregate stats.
+    QueryDef(
+      "q70_sequence_pack",
+      (s, dir) => {
+        val d = Tables.load(s, dir, "documents")
+          .withColumn("n_tok", tokenCount(col("text")).cast("long"))
+        CorpusOps.packGreedy(d, "doc_id", "n_tok", budget = 256, nShards = 8)
+          .orderBy(col("doc_id"))
+      },
+      Some("""
+        WITH RECURSIVE ord AS (
+          SELECT doc_id, doc_id % 8 AS shard,
+                 CAST(len(string_split(text, ' ')) AS BIGINT) AS n,
+                 row_number() OVER (PARTITION BY doc_id % 8 ORDER BY doc_id) AS rn
+          FROM documents),
+        packed AS (
+          SELECT shard, rn, doc_id, n, CAST(0 AS BIGINT) AS pack_id, n AS acc
+          FROM ord WHERE rn = 1
+          UNION ALL
+          SELECT o.shard, o.rn, o.doc_id, o.n,
+                 CASE WHEN p.acc + o.n <= 256 THEN p.pack_id ELSE p.pack_id + 1 END,
+                 CASE WHEN p.acc + o.n <= 256 THEN p.acc + o.n ELSE o.n END
+          FROM packed p JOIN ord o ON o.shard = p.shard AND o.rn = p.rn + 1)
+        SELECT doc_id, shard, n AS n_tokens, pack_id
+        FROM packed ORDER BY doc_id""")),
 
     // ---- q67: corpus-level boilerplate detection ----
     // Fraction of each doc's distinct 3-grams appearing in ≥2 docs.

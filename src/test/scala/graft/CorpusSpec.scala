@@ -116,6 +116,42 @@ class CorpusSpec extends SparkSpec {
       (3L, 3L, 0L, 0.0)))
   }
 
+  test("greedy packing matches a sequential brute force and its invariants") {
+    val rng = new scala.util.Random(42)
+    val docs = (0L until 500L).map(i => (i, 1L + rng.nextInt(120)))
+    val df = docs.toDF("id", "n")
+    val budget = 256L
+    val nShards = 7
+    val got = CorpusOps.packGreedy(df, "id", "n", budget, nShards)
+      .as[(Long, Long, Long, Long)].collect()
+      .map { case (id, sh, n, p) => id -> ((sh, n, p)) }.toMap
+    // sequential reference walk
+    val want = docs.groupBy(_._1 % nShards).flatMap { case (sh, ds) =>
+      var acc = 0L; var pack = -1L
+      ds.sortBy(_._1).map { case (id, n) =>
+        if (pack < 0 || acc + n > budget) { pack += 1; acc = n } else acc += n
+        id -> ((sh, n, pack))
+      }
+    }
+    assert(got == want)
+    // every pack within budget unless it holds a single oversized doc
+    val packSums = got.values.groupBy(v => (v._1, v._3))
+      .map { case (_, vs) => (vs.map(_._2).sum, vs.size) }
+    assert(packSums.forall { case (sum, cnt) => sum <= budget || cnt == 1 })
+    // deterministic under input repartitioning
+    val again = CorpusOps.packGreedy(df.repartition(17), "id", "n", budget, nShards)
+      .as[(Long, Long, Long, Long)].collect()
+      .map { case (id, sh, n, p) => id -> ((sh, n, p)) }.toMap
+    assert(again == got)
+  }
+
+  test("greedy packing gives an oversized document its own pack") {
+    val df = Seq((0L, 10L), (7L, 999L), (14L, 10L)).toDF("id", "n")
+    val got = CorpusOps.packGreedy(df, "id", "n", budget = 100, nShards = 1)
+      .orderBy("id").as[(Long, Long, Long, Long)].collect()
+    assert(got.map(_._4).toSeq == Seq(0L, 1L, 2L))
+  }
+
   test("boilerplate counts distinct grams once per document") {
     // "a b a b a b" has 4 3-gram positions but only 2 distinct grams,
     // none shared with another doc
