@@ -164,6 +164,63 @@ object CorpusOps {
       .toDF(idCol, "shard", "n_tokens", "pack_id")
   }
 
+  // ---- Bigram language-model scoring ---------------------------------
+
+  /** Per-document cross-entropy under the corpus's own bigram language
+    * model — the CCNet-style fluency signal (Wenzek et al. 2020): low
+    * average −ln P(wᵢ₊₁|wᵢ) means common, fluent phrasing; high means
+    * rare or garbled text. P(w2|w1) = c(w1 w2) / c(w1 ·), both counted
+    * over bigram POSITIONS corpus-wide; no smoothing is needed because
+    * every scored bigram occurs at least once (in the document
+    * itself). Output: (id, n_bigrams, avg_ce), with nulls for
+    * documents that have no bigram.
+    *
+    * Cross-engine exactness: ln is the one step IEEE-754 does not pin
+    * down, so each bigram TYPE's term is rounded to 4 decimals and the
+    * per-document sum runs in DECIMAL — order-independent and
+    * bit-reproducible; the final divide is exact double division.
+    *
+    * Scale shape: the exchange carries (doc_id, h1, h12) 8-byte token
+    * hashes, never text; per-doc bigram counts are one
+    * map-side-combined groupBy, localCheckpoint-ed because they feed
+    * three consumers (the two model aggregations and the scoring
+    * join) — without the boundary the corpus would explode three
+    * times (same argument as q67's stage boundary). The model tables
+    * cb/cu are vocabulary-sized (≪ corpus); at 100 TB they are written
+    * once, reused across scoring runs, and the scoring joins hash on
+    * the 8-byte gram key — broadcastable whenever the vocabulary fits.
+    */
+  def bigramCrossEntropy(df: DataFrame, idCol: String, textCol: String)
+      : DataFrame = {
+    val t = split(col(textCol), " ")
+    val pairs = when(size(t) >= 2,
+      transform(sequence(lit(1), size(t) - 1),
+        i => struct(
+          xxhash64(element_at(t, i)).as("h1"),
+          xxhash64(element_at(t, i), element_at(t, i + 1)).as("h12"))))
+      .otherwise(array().cast("array<struct<h1:bigint,h12:bigint>>"))
+    val docBi = df
+      .select(col(idCol), explode(pairs).as("p"))
+      .select(col(idCol), col("p.h1"), col("p.h12"))
+      .groupBy(col(idCol), col("h1"), col("h12"))
+      .agg(count(lit(1)).as("k"))
+      .localCheckpoint(eager = false)
+    val cb = docBi.groupBy(col("h12")).agg(sum(col("k")).as("cb"))
+    val cu = docBi.groupBy(col("h1")).agg(sum(col("k")).as("cu"))
+    val term = round(-log(col("cb").cast("double") / col("cu").cast("double")), 4)
+      .cast("decimal(18,4)")
+    val perDoc = docBi
+      .join(cb, "h12")
+      .join(cu, "h1")
+      .groupBy(col(idCol))
+      .agg(
+        sum(col("k")).as("n_bigrams"),
+        sum(term * col("k")).as("ce"))
+      .select(col(idCol), col("n_bigrams"),
+        (col("ce").cast("double") / col("n_bigrams")).as("avg_ce"))
+    df.select(col(idCol)).join(perDoc, Seq(idCol), "left")
+  }
+
   // ---- Corpus-level boilerplate detection ----------------------------
 
   /** Fraction of each document's distinct word `n`-grams that also

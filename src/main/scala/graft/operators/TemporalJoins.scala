@@ -43,11 +43,44 @@ object TemporalJoins {
       right: DataFrame,
       keyCols: Seq[String],
       tsCol: String,
-      toleranceMs: Option[Long] = None): DataFrame = {
+      toleranceMs: Option[Long] = None): DataFrame =
+    asof(left, right, keyCols, tsCol, toleranceMs, forward = false)
+
+  /** Forward as-of join: each left row picks up the value columns of
+    * the EARLIEST right row with the same key and `right.ts >= left.ts`
+    * (inclusive), or nulls if none (or none within `toleranceMs`) —
+    * the "next event after" direction (e.g. first purchase after a
+    * click). Same uniqueness requirement and union-tag plan shape as
+    * [[asofBackward]], mirrored: the carried column is
+    * `first(payload)` over the FOLLOWING window frame, with right
+    * rows sorting after left rows at equal ts so the inclusive bound
+    * holds.
+    */
+  def asofForward(
+      left: DataFrame,
+      right: DataFrame,
+      keyCols: Seq[String],
+      tsCol: String,
+      toleranceMs: Option[Long] = None): DataFrame =
+    asof(left, right, keyCols, tsCol, toleranceMs, forward = true)
+
+  private def asof(
+      left: DataFrame,
+      right: DataFrame,
+      keyCols: Seq[String],
+      tsCol: String,
+      toleranceMs: Option[Long],
+      forward: Boolean): DataFrame = {
     val rightVals = right.columns.filterNot(c => keyCols.contains(c) || c == tsCol)
     require(rightVals.nonEmpty, "right side has no value columns")
     val clash = rightVals.toSet.intersect(left.columns.toSet)
     require(clash.isEmpty, s"right value columns collide with left: $clash")
+
+    // Left/right sort order at equal ts decides inclusivity: backward
+    // carries last(...) up to the current row, so the right row must
+    // sort BEFORE the left one; forward carries first(...) from the
+    // current row on, so it must sort AFTER.
+    val (lSide, rSide) = if (forward) (0, 1) else (1, 0)
 
     // carried payload: right ts (for tolerance) + right value columns
     val rPayload = struct(col(tsCol).cast("long").as("_rt") +: rightVals.map(col): _*)
@@ -55,28 +88,35 @@ object TemporalJoins {
 
     val lTagged = left.select(
       keyCols.map(col) ++ Seq(
-        col(tsCol).cast("long").as("_t"), lit(1).as("_side"),
+        col(tsCol).cast("long").as("_t"), lit(lSide).as("_side"),
         struct(left.columns.map(col): _*).as("_l"),
         lit(null).cast(rPayloadType).as("_r")): _*)
     val rTagged = right.select(
       keyCols.map(col) ++ Seq(
-        col(tsCol).cast("long").as("_t"), lit(0).as("_side"),
+        col(tsCol).cast("long").as("_t"), lit(rSide).as("_side"),
         lit(null).cast(lTagged.schema("_l").dataType).as("_l"),
         rPayload.as("_r")): _*)
 
-    val w = Window
+    val ordered = Window
       .partitionBy(keyCols.map(col): _*)
       .orderBy(col("_t").asc, col("_side").asc)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val carried = last(col("_r"), ignoreNulls = true).over(w)
+    val carried =
+      if (forward)
+        first(col("_r"), ignoreNulls = true)
+          .over(ordered.rowsBetween(Window.currentRow, Window.unboundedFollowing))
+      else
+        last(col("_r"), ignoreNulls = true)
+          .over(ordered.rowsBetween(Window.unboundedPreceding, Window.currentRow))
 
+    val dist =
+      if (forward) carried("_rt") - col("_t") else col("_t") - carried("_rt")
     val inReach = toleranceMs match {
-      case Some(tol) => carried.isNotNull && col("_t") - carried("_rt") <= tol
+      case Some(tol) => carried.isNotNull && dist <= tol
       case None      => carried.isNotNull
     }
     lTagged.unionByName(rTagged)
       .withColumn("_c", when(inReach, carried))
-      .filter(col("_side") === 1)
+      .filter(col("_side") === lSide)
       .select(col("_l.*") +: rightVals.map(v => col("_c")(v).as(v)): _*)
   }
 

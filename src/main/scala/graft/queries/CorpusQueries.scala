@@ -170,6 +170,44 @@ object CorpusQueries {
         SELECT doc_id, shard, n AS n_tokens, pack_id
         FROM packed ORDER BY doc_id""")),
 
+    // ---- q71: bigram language-model cross-entropy ----
+    // CCNet-style fluency scoring under the corpus's own bigram LM.
+    // ln is the one non-IEEE-pinned step, so per-bigram terms are
+    // rounded to 4 decimals and summed in DECIMAL on BOTH engines —
+    // the hash gate then checks the whole model build, not a fuzzy
+    // approximation of it.
+    QueryDef(
+      "q71_bigram_ce",
+      (s, dir) => {
+        val d = Tables.load(s, dir, "documents")
+        CorpusOps.bigramCrossEntropy(d, "doc_id", "text")
+          .orderBy(col("doc_id"))
+      },
+      Some("""
+        WITH t AS (
+          SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+        pos AS (
+          SELECT doc_id, tk[i] AS w1, tk[i+1] AS w2
+          FROM t, LATERAL unnest(range(1, greatest(len(tk), 1))) AS u(i)),
+        db AS (
+          SELECT doc_id, w1, w2, count(*) AS k FROM pos GROUP BY ALL),
+        cb AS (
+          SELECT w1, w2, CAST(sum(k) AS BIGINT) AS cb FROM db GROUP BY ALL),
+        cu AS (
+          SELECT w1, CAST(sum(k) AS BIGINT) AS cu FROM db GROUP BY 1),
+        per AS (
+          SELECT db.doc_id,
+                 CAST(sum(db.k) AS BIGINT) AS n_bigrams,
+                 sum(CAST(round(-ln(cb.cb / cu.cu), 4) AS DECIMAL(18,4)) * db.k) AS ce
+          FROM db
+          JOIN cb ON db.w1 = cb.w1 AND db.w2 = cb.w2
+          JOIN cu ON db.w1 = cu.w1
+          GROUP BY 1)
+        SELECT d.doc_id, per.n_bigrams,
+               CAST(per.ce AS DOUBLE) / per.n_bigrams AS avg_ce
+        FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id
+        ORDER BY d.doc_id""")),
+
     // ---- q67: corpus-level boilerplate detection ----
     // Fraction of each doc's distinct 3-grams appearing in ≥2 docs.
     // The Spark exchange carries (doc_id, xxhash64(gram)) — 16 B per

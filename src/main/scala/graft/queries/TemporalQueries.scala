@@ -53,6 +53,42 @@ object TemporalQueries {
           ON l.user_id = r.user_id AND l.ms >= r.ms
         ORDER BY l.event_id""")),
 
+    // ---- q72: forward as-of join ----
+    // Mirror of q68: each click picks up the user's NEXT purchase at
+    // or after the click, if it happens within the following 24 hours
+    // — the attribution direction ("did the click convert?"). Oracle
+    // is DuckDB's native ASOF with the inequality flipped.
+    QueryDef(
+      "q72_asof_forward",
+      (s, dir) => {
+        val ev = Tables.load(s, dir, "events")
+        val clicks = ev.filter(col("event_type") === "click")
+          .select(col("event_id"), col("user_id"),
+            expr("ts DIV 1000000").as("ms"))
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select(col("user_id"), expr("ts DIV 1000000").as("ms"),
+            col("value"))
+          .groupBy(col("user_id"), col("ms"))
+          .agg(max(col("value")).as("purchase_value"))
+        TemporalJoins.asofForward(
+            clicks, purchases, Seq("user_id"), "ms",
+            toleranceMs = Some(86400000L))
+          .orderBy(col("event_id"))
+      },
+      Some("""
+        WITH l AS (
+          SELECT event_id, user_id, epoch_ms(ts) AS ms
+          FROM events WHERE event_type = 'click'),
+        r AS (
+          SELECT user_id, epoch_ms(ts) AS ms, max(value) AS purchase_value
+          FROM events WHERE event_type = 'purchase' GROUP BY 1, 2)
+        SELECT l.event_id, l.user_id, l.ms,
+               CASE WHEN r.ms - l.ms <= 86400000 THEN r.purchase_value END
+                 AS purchase_value
+        FROM l ASOF LEFT JOIN r
+          ON l.user_id = r.user_id AND l.ms <= r.ms
+        ORDER BY l.event_id""")),
+
     // ---- q69: banded time-range join ----
     // All (click, purchase) pairs by the same user within one hour of
     // each other. The oracle spells the naive range predicate; the

@@ -152,6 +152,35 @@ class CorpusSpec extends SparkSpec {
     assert(got.map(_._4).toSeq == Seq(0L, 1L, 2L))
   }
 
+  test("bigram cross-entropy matches hand-computed corpus LM values") {
+    // corpus positions: (a,b)×3 [2 in d0, 1 in d1], (b,a)×1, (b,c)×1
+    // cu: a·=3, b·=2  →  P(b|a)=1, P(a|b)=P(c|b)=1/2
+    val df = Seq(
+      (0L, "a b a b"), (1L, "a b c"), (2L, "x")).toDF("id", "text")
+    val got = CorpusOps.bigramCrossEntropy(df, "id", "text")
+      .orderBy("id")
+      .as[(Long, Option[Long], Option[Double])].collect()
+    val half = BigDecimal(math.log(2.0))
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble // 0.6931
+    assert(got(0) == ((0L, Some(3L), Some(half / 3))))
+    assert(got(1) == ((1L, Some(2L), Some(half / 2))))
+    assert(got(2) == ((2L, None, None)))
+  }
+
+  test("bigram cross-entropy is invariant under repartitioning") {
+    val rng = new scala.util.Random(7)
+    val words = Array("the", "cat", "sat", "on", "mat", "dog", "ran")
+    val docs = (0L until 60L).map(i =>
+      (i, Seq.fill(3 + rng.nextInt(30))(words(rng.nextInt(words.length)))
+        .mkString(" ")))
+    val df = docs.toDF("id", "text")
+    val a = CorpusOps.bigramCrossEntropy(df, "id", "text")
+      .orderBy("id").collect().toSeq
+    val b = CorpusOps.bigramCrossEntropy(df.repartition(13), "id", "text")
+      .orderBy("id").collect().toSeq
+    assert(a == b)
+  }
+
   test("boilerplate counts distinct grams once per document") {
     // "a b a b a b" has 4 3-gram positions but only 2 distinct grams,
     // none shared with another doc

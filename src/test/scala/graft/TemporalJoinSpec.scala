@@ -66,6 +66,38 @@ class TemporalJoinSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     assert(tolGot(150L).contains(7.0) && tolGot(151L).isEmpty)
   }
 
+  private def bruteAsofFwd(
+      left: Seq[(Long, Long, Double)],
+      right: Seq[(Long, Long, Double)],
+      tol: Option[Long]): Seq[(Long, Long, Option[Double])] =
+    left.map { case (k, t, _) =>
+      val best = right.filter(r => r._1 == k && r._2 >= t &&
+          tol.forall(w => r._2 - t <= w))
+        .sortBy(_._2).headOption
+      (k, t, best.map(_._3))
+    }
+
+  test("forward as-of join matches brute force on random data") {
+    for (seed <- 4L to 6L; tol <- Seq(None, Some(40L))) {
+      val l = rows(seed, 300, 12, 200L)
+      val r = rows(seed + 100, 200, 12, 200L)
+        .groupBy(x => (x._1, x._2)).map(_._2.maxBy(_._3)).toSeq
+      val got = TemporalJoins.asofForward(
+          l.toDF("k", "ms", "x"), r.toDF("k", "ms", "v"), Seq("k"), "ms", tol)
+        .select("k", "ms", "v").as[(Long, Long, Option[Double])]
+        .collect().sorted
+      assert(got.toSeq == bruteAsofFwd(l, r, tol).sorted, s"seed=$seed tol=$tol")
+    }
+  }
+
+  test("forward as-of join: equal ts matches inclusively, earlier rows don't") {
+    val l = Seq((1L, 100L, 0.0), (1L, 101L, 0.0)).toDF("k", "ms", "x")
+    val r = Seq((1L, 100L, 7.0)).toDF("k", "ms", "v")
+    val got = TemporalJoins.asofForward(l, r, Seq("k"), "ms", None)
+      .select("ms", "v").as[(Long, Option[Double])].collect().toMap
+    assert(got(100L).contains(7.0) && got(101L).isEmpty)
+  }
+
   test("as-of join: empty right side yields all-null carries") {
     val l = Seq((1L, 10L, 1.0)).toDF("k", "ms", "x")
     val r = Seq.empty[(Long, Long, Double)].toDF("k", "ms", "v")
