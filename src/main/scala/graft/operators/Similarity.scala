@@ -259,6 +259,55 @@ object Similarity {
     }
   }
 
+  /** SemDeDup-style semantic near-dup pairs (Abbas et al. 2023,
+    * arXiv:2303.09540): candidates are generated ONLY within a cell of
+    * the IVF coarse quantizer (semantic duplicates land in the same
+    * k-means cluster at any reasonable k), then verified with exact
+    * cosine — so false positives are zero by construction, and the
+    * approximation is purely cross-cell recall loss (gated with
+    * planted twins in AnnSpec).
+    *
+    * Plan shape at 100 TB: the quantizer is the PREBUILT [[IvfIndex]]
+    * (the offline job of q46's build/probe split — never trained
+    * here), so this pass pays one exchange grouping postings by cell
+    * id (postings already live partitioned by list_id on disk; cells
+    * are capped with observed drop metrics) and generates in-cell
+    * pairs post-shuffle by exploding member lists — no join node, the
+    * same no-cartesian guarantee as `lshNearDupPairs`. Cell
+    * granularity is the scale knob: grow nLists with the corpus so
+    * E|cell| stays bounded; pair cost is Σ|cell|²/2.
+    */
+  def semDedupPairs(idx: IvfIndex, threshold: Double,
+      maxCellSize: Int = 20000): DataFrame = {
+    val members = idx.assigned.select(
+      struct(col("neighbor_id").as("id"), col("cvec").as("vec"),
+        col("cn").as("nrm")).as("m"),
+      lit(0).as("band"), col("list_id").as("bucket"))
+    val capped = LshSkew.groupCapped(members, maxCellSize, "semdedup_skew")
+    LshSkew.bucketPairs(capped)
+      .withColumn("cosine", round(cosineWithNorms(col("m1.vec"), col("m2.vec"),
+        col("m1.nrm"), col("m2.nrm")), 9))
+      .filter(col("cosine") >= threshold)
+      // one cell per vector → each pair arises at most once, no dedupe
+      .select(col("m1.id").as("id_a"), col("m2.id").as("id_b"), col("cosine"))
+  }
+
+  /** Full SemDeDup resolution: every vector labeled with its semantic
+    * duplicate group (min id of its in-cell near-dup component, via
+    * [[DupClusters.components]] min-label propagation) and whether it
+    * is the kept representative. Downstream dedup is `filter(keep)`.
+    * Output: (id, list_id, group_id, keep).
+    */
+  def semDedup(idx: IvfIndex, threshold: Double,
+      maxCellSize: Int = 20000): DataFrame = {
+    val pairs = semDedupPairs(idx, threshold, maxCellSize)
+    val ids = idx.assigned.select(col("neighbor_id").as("id"), col("list_id"))
+    DupClusters.components(ids.select(col("id")), pairs)
+      .join(ids, "id")
+      .select(col("id"), col("list_id"), col("cluster").as("group_id"),
+        (col("id") === col("cluster")).as("keep"))
+  }
+
   /** One-shot convenience: build the index inline and query it (tests
     * and small corpora; production uses IvfIndex.build/save/load).
     */

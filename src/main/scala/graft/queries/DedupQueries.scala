@@ -397,6 +397,28 @@ object DedupQueries {
           k = 5, nProbe = 8)
           .orderBy(col("query_id"))
       },
+      None),
+
+    // ---- q73: SemDeDup — semantic dedup blocked by the IVF cells ----
+    // Cluster-blocked exact-cosine pairs over the SAME prebuilt
+    // quantizer as q46 (one offline artifact serves both ANN and
+    // dedup), resolved to keep-one-per-group via min-label connected
+    // components. Approximate only in cross-cell recall (planted-twin
+    // gate + zero-false-positive subset assert in AnnSpec), so no SQL
+    // oracle; output is deterministic given the saved index and
+    // covers every vector (rows = corpus size).
+    QueryDef(
+      "q73_semdedup",
+      (s, dir) => {
+        val emb = Tables.load(s, dir, "embeddings")
+          .select(col("vec_id").as("id"), col("embedding").as("vec"))
+        val idxPath = "/tmp/graft_ivf/" +
+          dir.replaceAll("[^A-Za-z0-9]", "_") + "_n16"
+        val idx = Similarity.IvfIndex.buildIfAbsent(s, emb, idxPath,
+          nLists = 16)
+        Similarity.semDedup(idx, threshold = 0.35)
+          .orderBy(col("id"))
+      },
       None)
   )
 }

@@ -88,6 +88,56 @@ class AnnSpec extends SparkSpec {
       assert(!p.contains("vec"), s"vector-keyed exchange: $p"))
   }
 
+  test("SemDeDup pairs: zero false positives — every reported pair is " +
+      "in the exact pair set with the same cosine (q73 gate)") {
+    val idx = Similarity.IvfIndex.build(emb, nLists = 16)
+    val sem = Similarity.semDedupPairs(idx, threshold = 0.35)
+      .collect().map(_.toString).toSet
+    val exact = Similarity.cosineNearDupPairs(emb, threshold = 0.35)
+      .collect().map(_.toString).toSet
+    assert(sem.subsetOf(exact), s"false positives: ${sem.diff(exact)}")
+    assert(sem.nonEmpty, "cell-blocked pair set is empty on the test corpus")
+  }
+
+  test("SemDeDup: planted twins resolve to one kept representative " +
+      "per group (q73 gate)") {
+    import spark.implicits._
+    val rng = new scala.util.Random(11)
+    val dim = 64
+    // 200 base vectors; every 4th gets a twin at cosine ≈ 0.999
+    // (0.05-sigma element noise). Random 64-dim gaussians concentrate
+    // pair cosines near 0 (sd ≈ 1/8), so at threshold 0.9 the true
+    // pair set IS the twin set.
+    val rows = (0 until 200).flatMap { i =>
+      val v = Array.fill(dim)(rng.nextGaussian().toFloat)
+      val src = (2L * i, v.toSeq)
+      if (i % 4 == 0)
+        Seq(src, (2L * i + 1,
+          v.map(x => x + 0.05f * rng.nextGaussian().toFloat).toSeq))
+      else Seq(src)
+    }
+    val df = rows.toDF("id", "vec")
+    val idx = Similarity.IvfIndex.build(df, nLists = 8)
+    val out = Similarity.semDedup(idx, threshold = 0.9)
+    val got = out.collect().map(r =>
+      (r.getLong(0), r.getLong(2), r.getBoolean(3)))
+    assert(got.length == rows.length, "every vector labeled exactly once")
+    // twin recall: both halves share a group (lost only when k-means
+    // splits a twin across cells — rare at 0.05 sigma)
+    val byId = got.map(g => g._1 -> g._2).toMap
+    val twinIds = (0 until 200 by 4).map(i => 2L * i)
+    val found = twinIds.count(s => byId(s) == byId(s + 1))
+    val recall = found.toDouble / twinIds.size
+    assert(recall >= 0.8, s"twin recall = $recall (${found}/${twinIds.size})")
+    // resolution invariants: group id is the min member id, exactly
+    // one keeper per group, keep ⇔ id == group
+    got.groupBy(_._2).foreach { case (g, ms) =>
+      assert(ms.map(_._1).min == g, s"group $g label is not the min id")
+      assert(ms.count(_._3) == 1, s"group $g has ${ms.count(_._3)} keepers")
+    }
+    got.foreach { case (id, g, keep) => assert(keep == (id == g)) }
+  }
+
   test("IVF index: save/load round-trip answers queries identically " +
       "(offline-build, online-query split)") {
     val queries = emb.filter(col("id") < 10)
