@@ -231,11 +231,13 @@ object CorpusOps {
     *
     * This is inherently a corpus-level statistic, so a shuffle is
     * honest — but the exchange carries (id, xxhash64(gram)) pairs, 16
-    * bytes per distinct gram position, never gram text. Plan: explode →
-    * distinct (id, gram-hash) → gram doc-frequency (map-side partial
-    * agg) → join doc-frequency back. The doc-frequency side is
-    * gram-cardinality rows of 16 bytes; at corpus scale AQE picks the
-    * join strategy, and the final aggregation re-uses the (id,) key.
+    * bytes per distinct gram position, never gram text. Plan:
+    * array_distinct (per-doc dedup is doc-local — scan-side, no
+    * corpus-wide distinct exchange) → explode → gram doc-frequency
+    * (map-side partial agg) → join doc-frequency back. The
+    * doc-frequency side is gram-cardinality rows of 16 bytes; at
+    * corpus scale AQE picks the join strategy (skew-splitting hot
+    * grams), and the final aggregation re-uses the (id,) key.
     *
     * The distinct (id, gram) stage feeds BOTH join sides, so it is
     * localCheckpoint-ed: without the boundary Spark re-derives it from
@@ -252,14 +254,16 @@ object CorpusOps {
       minDocs: Int = 2): DataFrame = {
     require(n >= 1 && minDocs >= 1, s"n=$n minDocs=$minDocs")
     val t = split(col(textCol), " ")
+    // multi-arg hash per window, no gram-string construction — the
+    // same strings→hashes rewrite that bought minhash 3-4× in round 3
     val grams = when(size(t) >= n,
       transform(sequence(lit(1), size(t) - (n - 1)),
-        i => xxhash64(concat_ws(" ",
-          (0 until n).map(k => element_at(t, i + k)): _*))))
+        i => xxhash64((0 until n).map(k => element_at(t, i + k)): _*)))
       .otherwise(array().cast("array<bigint>"))
+    // per-doc dedup is doc-LOCAL: array_distinct before the explode
+    // keeps it scan-side — no corpus-wide distinct exchange at all
     val docGrams = df
-      .select(col(idCol), explode(grams).as("g"))
-      .distinct()
+      .select(col(idCol), explode(array_distinct(grams)).as("g"))
       .localCheckpoint()
     val docFreq = docGrams
       .groupBy(col("g"))
