@@ -60,6 +60,39 @@ object Streams {
       .withColumn("fp", graft.functions.TextFunctions.fingerprintMd5(col("text")))
       .dropDuplicatesWithinWatermark("fp")
 
+  /** Stream-stream interval join — the incremental dual of q69's
+    * banded time-range join: all (left, right) pairs with equal keys
+    * and |left.ts − right.ts| ≤ `window`. In batch the range predicate
+    * must be banded into an equi-join to avoid a nested loop; in
+    * streaming, Spark's symmetric state-store hash join IS the scale
+    * shape: both sides hash-exchange on the key columns, each side's
+    * state retains only rows the range condition could still match
+    * (watermark + the time bound drive eviction — both watermarks are
+    * mandatory here, or state grows without bound). Output columns:
+    * left's, then right's non-key columns; non-key names must be
+    * disjoint, as in the batch operator.
+    */
+  def intervalJoinStream(
+      left: DataFrame,
+      right: DataFrame,
+      keyCols: Seq[String],
+      leftTsCol: String,
+      rightTsCol: String,
+      window: String,
+      watermark: String = "1 hour"): DataFrame = {
+    val clash = left.columns.toSet.intersect(right.columns.toSet) -- keyCols
+    require(clash.isEmpty,
+      s"non-key columns present on both sides (rename first): $clash")
+    val l = left.withWatermark(leftTsCol, watermark)
+    val r = right.withWatermark(rightTsCol, watermark)
+    val keyCond = keyCols.map(k => l(k) === r(k)).reduce(_ && _)
+    val w = expr(s"INTERVAL $window")
+    val range = r(rightTsCol).between(l(leftTsCol) - w, l(leftTsCol) + w)
+    l.join(r, keyCond && range)
+      .select(left.columns.map(l(_)) ++
+        right.columns.filterNot(keyCols.contains).map(r(_)): _*)
+  }
+
   final case class UserEvent(user_id: Long, value: Double)
   final case class UserTotals(user_id: Long, n_events: Long, total: Double)
 

@@ -45,6 +45,45 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("interval join: stream pair set equals the batch banded join, " +
+      "across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = Seq(
+      (100L, 1L, ts(0)), (101L, 1L, ts(30)), (102L, 2L, ts(10)))
+    val buys = Seq(
+      (200L, 1L, ts(5)), (201L, 1L, ts(90)), (202L, 2L, ts(25)),
+      (203L, 3L, ts(10)))
+    // batch truth via the banded operator (15-minute window)
+    val batch = graft.operators.TemporalJoins.bandedTimeJoin(
+        clicks.toDF("click_id", "user_id", "cts")
+          .withColumn("cms", unix_millis(col("cts"))).drop("cts"),
+        buys.toDF("buy_id", "user_id", "bts")
+          .withColumn("bms", unix_millis(col("bts"))).drop("bts"),
+        Seq("user_id"), "cms", "bms", windowMs = 15L * 60000L)
+      .select("click_id", "buy_id").as[(Long, Long)].collect().sorted.toSeq
+
+    val msL = MemoryStream[(Long, Long, Timestamp)]
+    val msR = MemoryStream[(Long, Long, Timestamp)]
+    val joined = Streams.intervalJoinStream(
+      msL.toDF().toDF("click_id", "user_id", "cts"),
+      msR.toDF().toDF("buy_id", "user_id", "bts"),
+      Seq("user_id"), "cts", "bts", window = "15 minutes")
+    val q = joined.writeStream.format("memory").queryName("ivj")
+      .outputMode("append").start()
+    try {
+      // matching rows arrive in DIFFERENT batches — the state store
+      // must hold each side until the watermark passes the window
+      msL.addData(clicks.head); msR.addData(buys.take(2): _*)
+      q.processAllAvailable()
+      msL.addData(clicks.tail: _*); msR.addData(buys.drop(2): _*)
+      q.processAllAvailable()
+      val stream = spark.table("ivj").select("click_id", "buy_id")
+        .as[(Long, Long)].collect().sorted.toSeq
+      assert(stream == batch, s"stream=$stream batch=$batch")
+      assert(batch.nonEmpty)
+    } finally q.stop()
+  }
+
   test("runningTotals: custom keyed state accumulates across batches") {
     implicit val sqlCtx = spark.sqlContext
     val ms = MemoryStream[Streams.UserEvent]
