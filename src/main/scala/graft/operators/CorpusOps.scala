@@ -221,6 +221,46 @@ object CorpusOps {
     df.select(col(idCol)).join(perDoc, Seq(idCol), "left")
   }
 
+  // ---- Feature-hashed document embeddings ----------------------------
+
+  /** Bag-of-words document embedding via the hashing trick (Weinberger
+    * et al. 2009): each token lands in slot `(first 8 md5 hex chars
+    * mod dim)` with sign ± from the 9th hex char's parity, and
+    * vec[j] = signed token count of slot j. No vocabulary and no
+    * training — a deterministic featurizer that bridges the documents
+    * table into the embedding operator family (the output feeds
+    * bruteForceTopK / lshNearDupPairs / semDedup unchanged).
+    *
+    * md5 rather than xxhash64 because the oracle must reproduce the
+    * embedding bit-for-bit and md5 is the hash both engines share
+    * (q19's portability argument); counts are integers, so the double
+    * vector is exact.
+    *
+    * Scale shape: entirely scan-local — one md5 per token,
+    * materialized once per row as a (slot, sign) array (withColumn
+    * keeps the non-cheap, multiply-referenced subtree un-collapsed —
+    * the round-3 expression-reuse lesson), then `dim` conditional
+    * sums over that array. No shuffle, no state.
+    */
+  def hashedBowEmbedding(df: DataFrame, idCol: String, textCol: String,
+      dim: Int = 32): DataFrame = {
+    require(dim >= 2 && dim <= 4096, s"dim=$dim")
+    val bucketed = transform(split(col(textCol), " "), t => {
+      val h = md5(t)
+      struct(
+        (conv(substring(h, 1, 8), 16, 10).cast("long") % dim).as("j"),
+        when(conv(substring(h, 9, 1), 16, 10).cast("long") % 2 === 0, 1L)
+          .otherwise(-1L).as("s"))
+    })
+    df.withColumn("_b", bucketed)
+      .select(col(idCol),
+        transform(sequence(lit(0), lit(dim - 1)), j =>
+          aggregate(col("_b"), lit(0L),
+            (acc, x) => acc + when(x("j") === j, x("s")).otherwise(0L))
+            .cast("double"))
+          .as("vec"))
+  }
+
   // ---- Corpus-level boilerplate detection ----------------------------
 
   /** Fraction of each document's distinct word `n`-grams that also

@@ -208,6 +208,39 @@ object CorpusQueries {
         FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id
         ORDER BY d.doc_id""")),
 
+    // ---- q74: feature-hashed bag-of-words embeddings ----
+    // The hashing-trick featurizer: documents → dim-32 signed-count
+    // vectors, bit-exact across engines (md5 slots, integer counts),
+    // so the oracle checks every vector element. Bridges the text
+    // tables into the ANN/SemDeDup family without a model.
+    QueryDef(
+      "q74_hashed_embedding",
+      (s, dir) => {
+        val d = Tables.load(s, dir, "documents")
+        CorpusOps.hashedBowEmbedding(d, "doc_id", "text", dim = 32)
+          .orderBy(col("doc_id"))
+      },
+      Some("""
+        WITH tok AS (
+          SELECT doc_id, unnest(string_split(text, ' ')) AS w
+          FROM documents),
+        h AS (
+          SELECT doc_id,
+                 ('0x' || substr(md5(w), 1, 8))::BIGINT % 32 AS j,
+                 CASE WHEN ('0x' || substr(md5(w), 9, 1))::BIGINT % 2 = 0
+                      THEN 1 ELSE -1 END AS s
+          FROM tok),
+        slot AS (
+          SELECT doc_id, j, CAST(sum(s) AS BIGINT) AS v
+          FROM h GROUP BY 1, 2),
+        grid AS (
+          SELECT d.doc_id, dims.j, coalesce(slot.v, 0) AS v
+          FROM (SELECT DISTINCT doc_id FROM documents) d
+          CROSS JOIN (SELECT unnest(range(0, 32)) AS j) dims
+          LEFT JOIN slot ON slot.doc_id = d.doc_id AND slot.j = dims.j)
+        SELECT doc_id, list(CAST(v AS DOUBLE) ORDER BY j) AS vec
+        FROM grid GROUP BY doc_id ORDER BY doc_id""")),
+
     // ---- q67: corpus-level boilerplate detection ----
     // Fraction of each doc's distinct 3-grams appearing in ≥2 docs.
     // The Spark exchange carries (doc_id, xxhash64(gram)) — 16 B per

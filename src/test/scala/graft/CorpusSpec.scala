@@ -181,6 +181,44 @@ class CorpusSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("hashed BoW embedding matches a reference computation and sums " +
+      "to the signed token count") {
+    val df = Seq((0L, "a b a"), (1L, "c"), (2L, "a c")).toDF("id", "text")
+    val dim = 8
+    val got = CorpusOps.hashedBowEmbedding(df, "id", "text", dim)
+      .orderBy("id").as[(Long, Seq[Double])].collect()
+    // reference: same md5 slot/sign arithmetic in plain Scala
+    def slotSign(w: String): (Int, Long) = {
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(w.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      ((java.lang.Long.parseLong(h.substring(0, 8), 16) % dim).toInt,
+        if (java.lang.Long.parseLong(h.substring(8, 9), 16) % 2 == 0) 1L else -1L)
+    }
+    val want = Seq(0L -> "a b a", 1L -> "c", 2L -> "a c").map { case (id, t) =>
+      val v = Array.fill(dim)(0L)
+      t.split(" ").foreach { w => val (j, s) = slotSign(w); v(j) += s }
+      (id, v.map(_.toDouble).toSeq)
+    }
+    assert(got.toSeq == want)
+    // each vector's abs-sum ≤ token count, equality when no collisions
+    got.zip(want).foreach { case ((_, v), _) =>
+      assert(v.map(math.abs).sum <= 3.0)
+    }
+  }
+
+  test("hashed BoW embeddings feed the ANN operators directly") {
+    val docs = Seq(
+      (0L, "the cat sat on the mat"),
+      (1L, "the cat sat on the mat"), // exact dup → cosine 1
+      (2L, "a completely different document here")).toDF("id", "text")
+    val emb = CorpusOps.hashedBowEmbedding(docs, "id", "text", dim = 16)
+      .select(col("id"), col("vec"))
+    val pairs = graft.operators.Similarity
+      .cosineNearDupPairs(emb, threshold = 0.99)
+      .as[(Long, Long, Double)].collect()
+    assert(pairs.map(p => (p._1, p._2)).toSeq == Seq((0L, 1L)))
+  }
+
   test("boilerplate counts distinct grams once per document") {
     // "a b a b a b" has 4 3-gram positions but only 2 distinct grams,
     // none shared with another doc
