@@ -236,11 +236,14 @@ object CorpusOps {
     * (q19's portability argument); counts are integers, so the double
     * vector is exact.
     *
-    * Scale shape: entirely scan-local — one md5 per token,
-    * materialized once per row as a (slot, sign) array (withColumn
-    * keeps the non-cheap, multiply-referenced subtree un-collapsed —
-    * the round-3 expression-reuse lesson), then `dim` conditional
-    * sums over that array. No shuffle, no state.
+    * Scale shape: explode the per-token (slot, sign) pairs and run
+    * two codegen'd hash aggregations — (id, slot) partial sums, then
+    * per-doc map assembly — exactly `repetitionStatsExploded`'s
+    * unbounded-document shape. The exchange carries 24-byte rows,
+    * collapsed by map-side combine. A scan-local `dim` conditional
+    * sums variant was tried and REJECTED by measurement: higher-order
+    * function lambdas are interpreted, not codegen'd, and O(dim·L)
+    * interpreted evals benched 28 s vs ~1 s for this route at sf0.1.
     */
   def hashedBowEmbedding(df: DataFrame, idCol: String, textCol: String,
       dim: Int = 32): DataFrame = {
@@ -252,11 +255,14 @@ object CorpusOps {
         when(conv(substring(h, 9, 1), 16, 10).cast("long") % 2 === 0, 1L)
           .otherwise(-1L).as("s"))
     })
-    df.withColumn("_b", bucketed)
+    df.select(col(idCol), explode(bucketed).as("x"))
+      .groupBy(col(idCol), col("x.j").as("j"))
+      .agg(sum(col("x.s")).as("v"))
+      .groupBy(col(idCol))
+      .agg(map_from_entries(collect_list(struct(col("j"), col("v")))).as("m"))
       .select(col(idCol),
         transform(sequence(lit(0), lit(dim - 1)), j =>
-          aggregate(col("_b"), lit(0L),
-            (acc, x) => acc + when(x("j") === j, x("s")).otherwise(0L))
+          coalesce(element_at(col("m"), j.cast("long")), lit(0L))
             .cast("double"))
           .as("vec"))
   }

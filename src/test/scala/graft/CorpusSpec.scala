@@ -219,6 +219,19 @@ class CorpusSpec extends SparkSpec {
     assert(pairs.map(p => (p._1, p._2)).toSeq == Seq((0L, 1L)))
   }
 
+  test("hashed BoW embedding plans codegen'd aggregation, one md5 per " +
+      "token") {
+    val df = Seq((0L, "a b"), (1L, "c d")).toDF("id", "text")
+    val plan = CorpusOps.hashedBowEmbedding(df, "id", "text", dim = 16)
+      .queryExecution.executedPlan.toString
+    // two-level agg: at most the (id, slot) exchange + the (id) one
+    assert("Exchange".r.findAllIn(plan).size <= 2, s"extra shuffles:\n$plan")
+    // the md5 bucketing evaluates once per token in the scan, not per
+    // slot (the expression-reuse trap)
+    assert("\\bmd5\\b".r.findAllIn(plan.toLowerCase).size <= 2,
+      s"md5 re-inlined per slot:\n$plan")
+  }
+
   test("boilerplate counts distinct grams once per document") {
     // "a b a b a b" has 4 3-gram positions but only 2 distinct grams,
     // none shared with another doc
