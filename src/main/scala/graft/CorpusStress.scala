@@ -1,0 +1,89 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.CorpusOps
+
+/** Local scale-stress for the round-4 corpus-prep operators, the
+  * companion of `ScaleStress` (LSH family) and `EmbedStress`
+  * (embeddings): replicate the sf0.1 documents corpus N× with
+  * token-disjoint copies (every token suffixed `~cp`, so corpus-level
+  * statistics stay per-copy — gram doc-frequencies, the bigram model,
+  * and boilerplate fractions replicate instead of interfering) and
+  * measure the corpus-wide operators whose cost is NOT trivially
+  * scan-local:
+  *   - boilerplateNgrams (q67): id+hash exchange, doc-frequency join;
+  *   - bigramCrossEntropy (q71): model build + scoring joins;
+  *   - hashedBowEmbedding (q74): explode + two-level aggregation;
+  *   - packGreedy (q70): the one sequential-walk mapPartitions op —
+  *     nShards scales with the corpus, so the walk stays parallel.
+  *
+  * Linearity checks ride on the output row counts: every operator
+  * returns one row per document (boilerplate: per doc with ≥n
+  * tokens), so rows must scale exactly with the factor; wall time
+  * near-linear is the scale argument.
+  */
+object CorpusStress {
+  private def time[A](f: => A): (A, Double) = {
+    val t0 = System.nanoTime()
+    val a = f
+    (a, (System.nanoTime() - t0) / 1e9)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
+    val factors = (if (args.length > 1) args(1) else "1,10,50")
+      .split(",").map(_.trim.toInt).toSeq
+    val outBase = if (args.length > 2) args(2) else "/tmp/graft_corpus_stress"
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.extensions", "graft.GraftExtensions")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    Metrics.register(spark)
+
+    val base = Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id"), col("text"))
+
+    factors.foreach { f =>
+      val path = s"$outBase/docs_x$f"
+      val corpus: DataFrame =
+        if (f == 1) base
+        else base.crossJoin(spark.range(f).select(col("id").as("cp")))
+          .select((col("doc_id") * f + col("cp")).as("doc_id"),
+            when(col("cp") === 0, col("text"))
+              .otherwise(concat_ws(" ", transform(split(col("text"), " "),
+                t => concat(t, lit("~"), col("cp"))))).as("text"))
+      corpus.write.mode("overwrite").parquet(path)
+      val docs = spark.read.parquet(path)
+      val n = docs.count()
+
+      val (r67, t67) = time(
+        CorpusOps.boilerplateNgrams(docs, "doc_id", "text").count())
+      val (r71, t71) = time(
+        CorpusOps.bigramCrossEntropy(docs, "doc_id", "text").count())
+      val (r74, t74) = time(
+        CorpusOps.hashedBowEmbedding(docs, "doc_id", "text").count())
+      val withTok = docs.withColumn("n_tok",
+        graft.functions.TextFunctions.tokenCount(col("text")).cast("long"))
+      val shards = 32 * f // parallelism grows with the corpus
+      val (r70, t70) = time(
+        CorpusOps.packGreedy(withTok, "doc_id", "n_tok",
+          budget = 256, nShards = shards).count())
+
+      println(s"""{"factor":$f,"docs":$n,""" +
+        s""""q67_sec":$t67,"q67_rows":$r67,""" +
+        s""""q71_sec":$t71,"q71_rows":$r71,""" +
+        s""""q74_sec":$t74,"q74_rows":$r74,""" +
+        s""""q70_sec":$t70,"q70_rows":$r70,"q70_shards":$shards}""")
+    }
+    spark.stop()
+  }
+}
