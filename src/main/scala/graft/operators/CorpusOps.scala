@@ -221,6 +221,40 @@ object CorpusOps {
     df.select(col(idCol)).join(perDoc, Seq(idCol), "left")
   }
 
+  // ---- Vocabulary construction ---------------------------------------
+
+  /** Corpus-wide top-`k` word `n`-grams by occurrence count, with a
+    * dense deterministic rank (count desc, gram asc) — the vocabulary
+    * statistic a tokenizer-training pass starts from.
+    *
+    * This is the one corpus-prep operator whose exchange payload is
+    * legitimately TEXT: the vocabulary is the output, so gram strings
+    * can't be hashed away. The plan keeps that honest at scale:
+    * map-side partial aggregation collapses the exchange to (distinct
+    * grams per partition) before any shuffle, the final aggregate is
+    * vocabulary-sized, and the top-k is TakeOrdered (no global sort
+    * of the vocabulary).
+    */
+  def topNgrams(df: DataFrame, textCol: String, n: Int, k: Int): DataFrame = {
+    require(n >= 1 && k >= 1, s"n=$n k=$k")
+    val t = split(col(textCol), " ")
+    val grams =
+      if (n == 1) t
+      else when(size(t) >= n,
+        transform(sequence(lit(1), size(t) - (n - 1)),
+          i => concat_ws(" ", (0 until n).map(j => element_at(t, i + j)): _*)))
+        .otherwise(array().cast("array<string>"))
+    val counted = df
+      .select(explode(grams).as("gram"))
+      .groupBy(col("gram"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("gram"))
+      .limit(k)
+    counted.withColumn("rank",
+      row_number().over(org.apache.spark.sql.expressions.Window
+        .orderBy(col("cnt").desc, col("gram"))).cast("long"))
+  }
+
   // ---- Feature-hashed document embeddings ----------------------------
 
   /** Bag-of-words document embedding via the hashing trick (Weinberger

@@ -208,6 +208,44 @@ object CorpusQueries {
         FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id
         ORDER BY d.doc_id""")),
 
+    // ---- q75: top-k unigram vocabulary ----
+    // Tokenizer-training corpus statistic: the 100 most frequent
+    // words with deterministic (count desc, gram asc) ranks.
+    QueryDef(
+      "q75_vocab_topk",
+      (s, dir) => {
+        val d = Tables.load(s, dir, "documents")
+        CorpusOps.topNgrams(d, "text", n = 1, k = 100)
+          .orderBy(col("rank"))
+      },
+      Some("""
+        WITH g AS (
+          SELECT unnest(string_split(text, ' ')) AS gram FROM documents),
+        c AS (SELECT gram, count(*) AS cnt FROM g GROUP BY 1)
+        SELECT gram, cnt,
+               row_number() OVER (ORDER BY cnt DESC, gram) AS rank
+        FROM c ORDER BY cnt DESC, gram LIMIT 100""")),
+
+    // ---- q76: top-k trigram vocabulary ----
+    // The windowed form (multi-word units for merge candidates).
+    QueryDef(
+      "q76_trigram_topk",
+      (s, dir) => {
+        val d = Tables.load(s, dir, "documents")
+        CorpusOps.topNgrams(d, "text", n = 3, k = 100)
+          .orderBy(col("rank"))
+      },
+      Some("""
+        WITH t AS (
+          SELECT string_split(text, ' ') AS tk FROM documents),
+        g AS (
+          SELECT tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] AS gram
+          FROM t, LATERAL unnest(range(1, greatest(len(tk) - 1, 1))) AS u(i)),
+        c AS (SELECT gram, count(*) AS cnt FROM g GROUP BY 1)
+        SELECT gram, cnt,
+               row_number() OVER (ORDER BY cnt DESC, gram) AS rank
+        FROM c ORDER BY cnt DESC, gram LIMIT 100""")),
+
     // ---- q74: feature-hashed bag-of-words embeddings ----
     // The hashing-trick featurizer: documents → dim-32 signed-count
     // vectors, bit-exact across engines (md5 slots, integer counts),

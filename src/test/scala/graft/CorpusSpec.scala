@@ -232,6 +232,19 @@ class CorpusSpec extends SparkSpec {
       s"md5 re-inlined per slot:\n$plan")
   }
 
+  test("top-k n-grams: counts, deterministic tie-break, windowed form") {
+    val df = Seq(
+      (0L, "b a b c"), (1L, "a c a")).toDF("id", "text")
+    // unigrams: a=3, b=2, c=2 → ties broken alphabetically
+    val uni = CorpusOps.topNgrams(df, "text", n = 1, k = 3)
+      .as[(String, Long, Long)].collect().toSeq
+    assert(uni == Seq(("a", 3L, 1L), ("b", 2L, 2L), ("c", 2L, 3L)))
+    // trigrams: "b a b", "a b c", "a c a" each once; k caps at 2
+    val tri = CorpusOps.topNgrams(df, "text", n = 3, k = 2)
+      .as[(String, Long, Long)].collect().toSeq
+    assert(tri == Seq(("a b c", 1L, 1L), ("a c a", 1L, 2L)))
+  }
+
   test("boilerplate counts distinct grams once per document") {
     // "a b a b a b" has 4 3-gram positions but only 2 distinct grams,
     // none shared with another doc
