@@ -279,6 +279,62 @@ object CorpusQueries {
         SELECT doc_id, list(CAST(v AS DOUBLE) ORDER BY j) AS vec
         FROM grid GROUP BY doc_id ORDER BY doc_id""")),
 
+    // ---- q77: corpus → training-sequence manifest ----
+    // The packing endgame as ONE verified program: Gopher repetition
+    // filter (q63's explode route) → 16-token non-overlapping chunks
+    // (q66's transform) → greedy packing of chunks into ≤64-token
+    // sequences over 8 shards (q70's walk, keyed by a composite
+    // chunk id). The oracle replays all three stages — the recursive
+    // CTE reproduces every (chunk → pack) assignment exactly, so the
+    // hash gate checks the composition, not just the pieces.
+    QueryDef(
+      "q77_training_manifest",
+      (s, dir) => {
+        val d = Tables.load(s, dir, "documents")
+        val kept = d.join(
+          CorpusOps.repetitionStatsExploded(d, "doc_id", "text")
+            .filter(col("top_word_frac") <= 0.1 &&
+              col("dup_word_frac") <= 0.85)
+            .select(col("doc_id")),
+          "doc_id")
+        val chunks = CorpusOps
+          .chunkByTokens(kept, "doc_id", "text", window = 16, stride = 16)
+          // composite id keeps the packing walk's order = (doc, chunk)
+          .withColumn("cid", col("doc_id") * 1000 + col("chunk_id"))
+        CorpusOps.packGreedy(chunks, "cid", "n_chunk_tokens",
+            budget = 64, nShards = 8)
+          .select(expr("cid DIV 1000").as("doc_id"),
+            (col("cid") % 1000).as("chunk_id"),
+            col("shard"), col("n_tokens"), col("pack_id"))
+          .orderBy(col("doc_id"), col("chunk_id"))
+      },
+      Some("""
+        WITH RECURSIVE d AS (
+          SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        keep AS (
+          SELECT doc_id, t FROM d
+          WHERE CAST(list_max(list_transform(t, x -> len(list_filter(t, u -> u = x)))) AS DOUBLE) / len(t) <= 0.1
+            AND CAST(len(list_filter(t, x -> len(list_filter(t, u -> u = x)) > 1)) AS DOUBLE) / len(t) <= 0.85),
+        chunks AS (
+          SELECT doc_id * 1000 + s // 16 AS cid,
+                 CAST(len(t[s + 1 : least(s + 16, len(t))]) AS BIGINT) AS n
+          FROM keep, LATERAL unnest(range(0, greatest(len(t), 1), 16)) AS u(s)),
+        ord AS (
+          SELECT cid, n, cid % 8 AS shard,
+                 row_number() OVER (PARTITION BY cid % 8 ORDER BY cid) AS rn
+          FROM chunks),
+        packed AS (
+          SELECT shard, rn, cid, n, CAST(0 AS BIGINT) AS pack_id, n AS acc
+          FROM ord WHERE rn = 1
+          UNION ALL
+          SELECT o.shard, o.rn, o.cid, o.n,
+                 CASE WHEN p.acc + o.n <= 64 THEN p.pack_id ELSE p.pack_id + 1 END,
+                 CASE WHEN p.acc + o.n <= 64 THEN p.acc + o.n ELSE o.n END
+          FROM packed p JOIN ord o ON o.shard = p.shard AND o.rn = p.rn + 1)
+        SELECT cid // 1000 AS doc_id, cid % 1000 AS chunk_id,
+               shard, n AS n_tokens, pack_id
+        FROM packed ORDER BY doc_id, chunk_id""")),
+
     // ---- q67: corpus-level boilerplate detection ----
     // Fraction of each doc's distinct 3-grams appearing in ≥2 docs.
     // The Spark exchange carries (doc_id, xxhash64(gram)) — 16 B per
