@@ -301,6 +301,59 @@ object CorpusOps {
           .as("vec"))
   }
 
+  // ---- TF-IDF weighted hashed embeddings -----------------------------
+
+  /** [[hashedBowEmbedding]] with TF-IDF weighting: each distinct term
+    * of a document contributes `tf · ln(N / df) · sign` to its md5
+    * slot instead of a raw signed count — the classic relevance
+    * weighting, so common corpus-wide terms stop dominating the
+    * vector and near-dup cosines sharpen. Combines q74's portable
+    * bucketing with q71's cross-engine ln discipline (per-term
+    * 4-decimal rounding, DECIMAL sums), so every vector element is
+    * still bit-exactly verifiable against the oracle.
+    *
+    * Scale shape: per-doc term counts are one map-side-combined
+    * groupBy, localCheckpoint-ed because they feed both the
+    * document-frequency aggregation and the scoring join (the q67/q71
+    * stage-boundary argument); the df table is vocabulary-sized. The
+    * exchange key is the md5 hex string — kept portable for the
+    * oracle; a production deployment would key on xxhash64 like the
+    * minhash family. N is one `count()` action — at deployment scale
+    * a metadata lookup, or a parameter from the stats store.
+    */
+  def tfidfHashedEmbedding(df: DataFrame, idCol: String, textCol: String,
+      dim: Int = 32): DataFrame = {
+    require(dim >= 2 && dim <= 4096, s"dim=$dim")
+    val nDocs = df.count()
+    val dt = df
+      .select(col(idCol), explode(split(col(textCol), " ")).as("w"))
+      .select(col(idCol), md5(col("w")).as("term"))
+      .select(col(idCol), col("term"),
+        (conv(substring(col("term"), 1, 8), 16, 10).cast("long") % dim)
+          .as("j"),
+        when(conv(substring(col("term"), 9, 1), 16, 10).cast("long") % 2
+          === 0, 1L).otherwise(-1L).as("s"))
+      .groupBy(col(idCol), col("term"), col("j"), col("s"))
+      .agg(count(lit(1)).as("tf"))
+      .localCheckpoint(eager = false)
+    val dfTab = dt.groupBy(col("term")).agg(count(lit(1)).as("dfc"))
+    val idf = round(log(lit(nDocs.toDouble) / col("dfc").cast("double")), 4)
+      .cast("decimal(18,4)")
+    val slotSums = dt.join(dfTab, "term")
+      .groupBy(col(idCol), col("j"))
+      .agg(sum(idf * col("tf") * col("s")).as("v"))
+    val perDoc = slotSums
+      .groupBy(col(idCol))
+      .agg(map_from_entries(collect_list(struct(col("j"), col("v"))))
+        .as("m"))
+      .select(col(idCol),
+        transform(sequence(lit(0), lit(dim - 1)), j =>
+          coalesce(element_at(col("m"), j.cast("long")), lit(0))
+            .cast("double"))
+          .as("vec"))
+    df.select(col(idCol)).join(perDoc, Seq(idCol), "left")
+  }
+
   // ---- Corpus-level boilerplate detection ----------------------------
 
   /** Fraction of each document's distinct word `n`-grams that also

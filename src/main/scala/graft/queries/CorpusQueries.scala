@@ -279,6 +279,45 @@ object CorpusQueries {
         SELECT doc_id, list(CAST(v AS DOUBLE) ORDER BY j) AS vec
         FROM grid GROUP BY doc_id ORDER BY doc_id""")),
 
+    // ---- q78: TF-IDF weighted hashed embeddings ----
+    // q74's featurizer with relevance weighting: tf·ln(N/df)·sign per
+    // term per slot, ln made cross-engine exact by the q71 rounding
+    // discipline — so the oracle checks the whole df-weighted model.
+    QueryDef(
+      "q78_tfidf_embedding",
+      (s, dir) => {
+        val d = Tables.load(s, dir, "documents")
+        CorpusOps.tfidfHashedEmbedding(d, "doc_id", "text", dim = 32)
+          .orderBy(col("doc_id"))
+      },
+      Some("""
+        WITH tok AS (
+          SELECT doc_id, unnest(string_split(text, ' ')) AS w
+          FROM documents),
+        dt AS (
+          SELECT doc_id, md5(w) AS term,
+                 ('0x' || substr(md5(w), 1, 8))::BIGINT % 32 AS j,
+                 CASE WHEN ('0x' || substr(md5(w), 9, 1))::BIGINT % 2 = 0
+                      THEN 1 ELSE -1 END AS s,
+                 count(*) AS tf
+          FROM tok GROUP BY 1, 2, 3, 4),
+        dfv AS (
+          SELECT term, CAST(count(*) AS BIGINT) AS dfc FROM dt GROUP BY 1),
+        nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+        slot AS (
+          SELECT dt.doc_id, dt.j,
+                 sum(CAST(round(ln(nn.n / dfv.dfc), 4) AS DECIMAL(18,4))
+                     * dt.tf * dt.s) AS v
+          FROM dt JOIN dfv ON dt.term = dfv.term CROSS JOIN nn
+          GROUP BY 1, 2),
+        grid AS (
+          SELECT d.doc_id, dims.j, coalesce(slot.v, 0) AS v
+          FROM (SELECT DISTINCT doc_id FROM documents) d
+          CROSS JOIN (SELECT unnest(range(0, 32)) AS j) dims
+          LEFT JOIN slot ON slot.doc_id = d.doc_id AND slot.j = dims.j)
+        SELECT doc_id, list(CAST(v AS DOUBLE) ORDER BY j) AS vec
+        FROM grid GROUP BY doc_id ORDER BY doc_id""")),
+
     // ---- q77: corpus → training-sequence manifest ----
     // The packing endgame as ONE verified program: Gopher repetition
     // filter (q63's explode route) → 16-token non-overlapping chunks

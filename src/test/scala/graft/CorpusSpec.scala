@@ -232,6 +232,41 @@ class CorpusSpec extends SparkSpec {
       s"md5 re-inlined per slot:\n$plan")
   }
 
+  test("TF-IDF hashed embedding matches a reference computation; " +
+      "corpus-wide terms vanish") {
+    val df = Seq((0L, "a b a"), (1L, "a c"), (2L, "a d")).toDF("id", "text")
+    val dim = 8
+    val got = CorpusOps.tfidfHashedEmbedding(df, "id", "text", dim)
+      .orderBy("id").as[(Long, Seq[Double])].collect()
+    def slotSign(w: String): (Int, Long) = {
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(w.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      ((java.lang.Long.parseLong(h.substring(0, 8), 16) % dim).toInt,
+        if (java.lang.Long.parseLong(h.substring(8, 9), 16) % 2 == 0) 1L else -1L)
+    }
+    val docs = Seq(0L -> "a b a", 1L -> "a c", 2L -> "a d")
+    val n = docs.size
+    val dfc = docs.flatMap(_._2.split(" ").distinct).groupBy(identity)
+      .map { case (w, ws) => w -> ws.size }
+    val want = docs.map { case (id, t) =>
+      val v = Array.fill(dim)(BigDecimal(0))
+      t.split(" ").groupBy(identity).foreach { case (w, ws) =>
+        val (j, s) = slotSign(w)
+        val idf = BigDecimal(math.log(n.toDouble / dfc(w)))
+          .setScale(4, BigDecimal.RoundingMode.HALF_UP)
+        v(j) += idf * ws.length * s
+      }
+      (id, v.map(_.toDouble).toSeq)
+    }
+    assert(got.toSeq == want)
+    // "a" appears in every doc → idf = ln(1) = 0 → no slot carries it
+    val aSlot = slotSign("a")._1
+    got.foreach { case (id, v) =>
+      val expectA = want.find(_._1 == id).get._2(aSlot)
+      assert(v(aSlot) == expectA) // already net of the zero idf
+    }
+  }
+
   test("top-k n-grams: counts, deterministic tie-break, windowed form") {
     val df = Seq(
       (0L, "b a b c"), (1L, "a c a")).toDF("id", "text")
