@@ -229,11 +229,14 @@ object CorpusOps {
     *
     * This is the one corpus-prep operator whose exchange payload is
     * legitimately TEXT: the vocabulary is the output, so gram strings
-    * can't be hashed away. The plan keeps that honest at scale:
-    * map-side partial aggregation collapses the exchange to (distinct
-    * grams per partition) before any shuffle, the final aggregate is
-    * vocabulary-sized, and the top-k is TakeOrdered (no global sort
-    * of the vocabulary).
+    * can't be hashed away. Map-side partial aggregation collapses the
+    * exchange to (distinct grams per partition) and the top-k is
+    * TakeOrdered — no global sort of the vocabulary. A hash-first
+    * two-pass (count by window hash, build strings only for top-k
+    * candidate positions) was tried and REJECTED by measurement:
+    * 13.4 s vs 3.6 s at sf0.1, because the candidate join re-shuffles
+    * every gram position and each carries its token array — the
+    * per-position concat_ws it avoids is cheaper than that.
     */
   def topNgrams(df: DataFrame, textCol: String, n: Int, k: Int): DataFrame = {
     require(n >= 1 && k >= 1, s"n=$n k=$k")

@@ -280,6 +280,26 @@ class CorpusSpec extends SparkSpec {
     assert(tri == Seq(("a b c", 1L, 1L), ("a c a", 1L, 2L)))
   }
 
+  test("top-k n-grams: hash-first route equals a brute-force string " +
+      "count on random corpora, ties included") {
+    val rng = new scala.util.Random(23)
+    val words = Array("aa", "bb", "cc", "dd", "ee")
+    val docs = (0L until 80L).map(i =>
+      (i, Seq.fill(4 + rng.nextInt(20))(words(rng.nextInt(words.length)))
+        .mkString(" ")))
+    val df = docs.toDF("id", "text")
+    for (n <- Seq(2, 3); k <- Seq(5, 1000)) {
+      val got = CorpusOps.topNgrams(df, "text", n, k)
+        .as[(String, Long, Long)].collect().toSeq
+      val brute = docs.flatMap(_._2.split(" ").sliding(n).filter(_.size == n)
+          .map(_.mkString(" ")))
+        .groupBy(identity).map { case (g, gs) => (g, gs.size.toLong) }
+        .toSeq.sortBy { case (g, c) => (-c, g) }.take(k)
+        .zipWithIndex.map { case ((g, c), i) => (g, c, i + 1L) }
+      assert(got == brute, s"n=$n k=$k")
+    }
+  }
+
   test("boilerplate counts distinct grams once per document") {
     // "a b a b a b" has 4 3-gram positions but only 2 distinct grams,
     // none shared with another doc
