@@ -203,6 +203,34 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming cleaning pipeline: quality filter composes with " +
+      "exact dedup in one incremental query") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.functions.TextFunctions.qualityScore
+    val ms = MemoryStream[(Long, String, Timestamp)]
+    // scan-local scoring + keyed dedup state in ONE streaming plan —
+    // the q48 front half running incrementally
+    val cleaned = Streams.dedupExactStream(
+      ms.toDF().toDF("doc_id", "text", "ts")
+        .withColumn("quality", qualityScore(col("text")))
+        .filter(col("quality") >= 0.2))
+    val q = cleaned.writeStream.format("memory").queryName("clean_s")
+      .outputMode("append").start()
+    try {
+      val junk = "!!! ??? !!! ??? !!! ??? !!! ???" // punct-heavy → filtered
+      ms.addData((1L, "the cat sat on the mat and then it sat again", ts(0)),
+        (2L, junk, ts(1)))
+      q.processAllAvailable()
+      ms.addData( // duplicate of doc 1 in a later batch + a keeper
+        (3L, "the cat sat on the mat and then it sat again", ts(2)),
+        (4L, "a second fluent document with many plain words", ts(3)))
+      q.processAllAvailable()
+      val ids = spark.table("clean_s").select("doc_id")
+        .collect().map(_.getLong(0)).toSet
+      assert(ids == Set(1L, 4L), s"got $ids")
+    } finally q.stop()
+  }
+
   test("streaming exact dedup: first-seen doc per fingerprint wins, " +
       "cross-batch, bounded state") {
     implicit val sqlCtx = spark.sqlContext

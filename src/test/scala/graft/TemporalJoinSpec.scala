@@ -98,6 +98,23 @@ class TemporalJoinSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     assert(got(100L).contains(7.0) && got(101L).isEmpty)
   }
 
+  test("as-of join: composite keys partition independently; duplicate " +
+      "left rows each carry") {
+    val l = Seq(
+      (1L, "a", 10L, 1.0), (1L, "a", 10L, 2.0), // duplicate (key, ts)
+      (1L, "b", 10L, 3.0), (2L, "a", 10L, 4.0))
+      .toDF("k1", "k2", "ms", "x")
+    val r = Seq(
+      (1L, "a", 5L, 100.0), (1L, "b", 7L, 200.0), (2L, "a", 9L, 300.0))
+      .toDF("k1", "k2", "ms", "v")
+    val got = TemporalJoins.asofBackward(l, r, Seq("k1", "k2"), "ms", None)
+      .select("k1", "k2", "x", "v")
+      .as[(Long, String, Double, Option[Double])].collect().sorted.toSeq
+    assert(got == Seq(
+      (1L, "a", 1.0, Some(100.0)), (1L, "a", 2.0, Some(100.0)),
+      (1L, "b", 3.0, Some(200.0)), (2L, "a", 4.0, Some(300.0))))
+  }
+
   test("as-of join: empty right side yields all-null carries") {
     val l = Seq((1L, 10L, 1.0)).toDF("k", "ms", "x")
     val r = Seq.empty[(Long, Long, Double)].toDF("k", "ms", "v")
