@@ -76,6 +76,43 @@ object TextQueries {
                $qualitySql AS quality
         FROM documents ORDER BY doc_id""")),
 
+    // ---- q79: per-language quantile-band quality filter ----
+    // Stratified outlier trimming: keep documents whose quality sits
+    // within [P10, P90] OF THEIR OWN LANGUAGE — the mixture-aware
+    // version of a global threshold (a global cut biases against
+    // whole languages whose score distribution sits lower). Two-pass
+    // shape: exact per-group percentiles (q49's cross-engine
+    // discipline, round 6) produce a languages-sized band table that
+    // joins back broadcast; at deployment scale swap percentile for
+    // approx_percentile and the band table is still tiny.
+    QueryDef(
+      "q79_quality_band",
+      (s, dir) => {
+        val scored = Tables.load(s, dir, "documents")
+          .select(col("doc_id"), col("lang"),
+            qualityScore(col("text")).as("quality"))
+        val bands = scored.groupBy(col("lang"))
+          .agg(round(expr("percentile(quality, 0.1)"), 6).as("p10"),
+            round(expr("percentile(quality, 0.9)"), 6).as("p90"))
+        scored.join(broadcast(bands), "lang")
+          .select(col("doc_id"), col("lang"), col("quality"),
+            col("p10"), col("p90"),
+            (col("quality") >= col("p10") && col("quality") <= col("p90"))
+              .as("in_band"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""
+        WITH scored AS (
+          SELECT doc_id, lang, $qualitySql AS quality FROM documents),
+        bands AS (
+          SELECT lang, round(quantile_cont(quality, 0.1), 6) AS p10,
+                 round(quantile_cont(quality, 0.9), 6) AS p90
+          FROM scored GROUP BY 1)
+        SELECT s.doc_id, s.lang, s.quality, b.p10, b.p90,
+               s.quality >= b.p10 AND s.quality <= b.p90 AS in_band
+        FROM scored s JOIN bands b USING (lang)
+        ORDER BY s.doc_id""")),
+
     // ---- q18: language ID (marker-word heuristic, argmax with
     // alphabetical tie-break) ----
     QueryDef(
