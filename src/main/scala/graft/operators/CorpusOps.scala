@@ -357,6 +357,87 @@ object CorpusOps {
     df.select(col(idCol)).join(perDoc, Seq(idCol), "left")
   }
 
+  // ---- Duplicated-span removal (ExactSubstr-style) -------------------
+
+  /** Splice corpus-duplicated token spans OUT of every document: any
+    * window of `n` consecutive tokens that occurs at least `minCount`
+    * times across the corpus (counting multiplicity — a span repeated
+    * inside one document counts twice) has all its token positions
+    * removed, and each document is rebuilt from the surviving tokens.
+    * This is the span-level companion to document-level dedup — the
+    * ExactSubstr idea of Lee et al. 2021 ("Deduplicating Training Data
+    * Makes Language Models Better") at word granularity: boilerplate,
+    * licence blocks and templated chrome disappear from otherwise
+    * unique documents instead of dragging whole documents into a
+    * near-dup cluster. Deliberately aggressive: ALL occurrences are
+    * removed (the canonical copy of a span a pipeline wants to keep
+    * should live in a curated table, not be an arbitrary winner of a
+    * corpus-order race). Output: (id, n_tokens, n_kept, n_removed,
+    * clean_text), one row per input document — fully-removed documents
+    * surface as n_kept=0 / clean_text='' rather than vanishing.
+    *
+    * Scale shape: window hashes are scan-local multi-arg xxhash64 over
+    * token slices (q67's no-gram-string discipline — the exchange
+    * never carries span text). The occurrence count is one map-side-
+    * combined groupBy on the 8-byte hash; duplicated-window starts
+    * come back via a hash join on that key (AQE skew-splits hot
+    * boilerplate hashes). Reconstruction is deliberately RELATIONAL —
+    * explode to (id, position, token), anti-join the covered
+    * positions, re-assemble with a doc-local sort — rather than a
+    * per-document higher-order-function scan: HOF lambdas are
+    * interpreted and O(L·|covered|) per doc (the q63/q74 lesson), and
+    * the relational route keeps a single pathological 1 GB document
+    * distributed across tasks. The windows stage feeds both the count
+    * and the join back, so it is localCheckpoint-ed (the q67/q71
+    * stage-boundary argument).
+    */
+  def removeDuplicateSpans(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 5,
+      minCount: Int = 2): DataFrame = {
+    require(n >= 2 && minCount >= 2, s"n=$n minCount=$minCount")
+    val t = split(col(textCol), " ")
+    val winHashes = when(size(t) >= n,
+      transform(sequence(lit(1), size(t) - (n - 1)),
+        i => xxhash64((0 until n).map(k => element_at(t, i + k)): _*)))
+      .otherwise(array().cast("array<bigint>"))
+    // every window occurrence with its 1-based start position
+    val wins = df
+      .select(col(idCol), posexplode(winHashes).as(Seq("p0", "h")))
+      .select(col(idCol), (col("p0") + 1).as("s"), col("h"))
+      .localCheckpoint(eager = false)
+    val dupH = wins.groupBy(col("h"))
+      .agg(count(lit(1)).as("c"))
+      .filter(col("c") >= minCount)
+      .select(col("h"))
+    // token positions covered by any duplicated window
+    val covered = wins.join(dupH, "h")
+      .select(col(idCol),
+        explode(sequence(col("s"), col("s") + (n - 1))).as("i"))
+      .distinct()
+    val posTok = df
+      .select(col(idCol), posexplode(t).as(Seq("p0", "tok")))
+      .select(col(idCol), (col("p0") + 1).as("i"), col("tok"))
+    val rebuilt = posTok
+      .join(covered, Seq(idCol, "i"), "left_anti")
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_kept"),
+        array_join(
+          transform(array_sort(collect_list(struct(col("i"), col("tok")))),
+            s => s.getField("tok")), " ").as("clean_text"))
+    df.select(col(idCol), size(t).cast("long").as("n_tokens"))
+      .join(rebuilt, Seq(idCol), "left")
+      .select(
+        col(idCol),
+        col("n_tokens"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        (col("n_tokens") - coalesce(col("n_kept"), lit(0L))).as("n_removed"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"))
+  }
+
   // ---- Corpus-level boilerplate detection ----------------------------
 
   /** Fraction of each document's distinct word `n`-grams that also

@@ -374,6 +374,49 @@ object CorpusQueries {
                shard, n AS n_tokens, pack_id
         FROM packed ORDER BY doc_id, chunk_id""")),
 
+    // ---- q80: duplicated-span removal (ExactSubstr-style) ----
+    // Splice every corpus-duplicated 5-token span out of the corpus
+    // (Lee et al. 2021's ExactSubstr at word granularity) — q67 only
+    // MEASURES boilerplate; this removes it. The Spark exchange
+    // carries window xxhash64s, the oracle groups the span strings
+    // themselves (equal up to 64-bit collisions, q67's argument), and
+    // the hash gate checks the rebuilt text byte-for-byte.
+    QueryDef(
+      "q80_span_removal",
+      (s, dir) => {
+        CorpusOps.removeDuplicateSpans(
+            Tables.load(s, dir, "documents"), "doc_id", "text",
+            n = 5, minCount = 2)
+          .orderBy(col("doc_id"))
+      },
+      Some("""
+        WITH d AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        wins AS (
+          SELECT doc_id, i AS s, array_to_string(t[i : i + 4], ' ') AS gram
+          FROM d, LATERAL unnest(range(1, greatest(len(t) - 3, 1))) AS u(i)
+          WHERE len(t) >= 5),
+        dup AS (SELECT gram FROM wins GROUP BY gram HAVING count(*) >= 2),
+        cov AS (
+          SELECT DISTINCT w.doc_id, c.i
+          FROM wins w JOIN dup USING (gram),
+               LATERAL unnest(range(w.s, w.s + 5)) AS c(i)),
+        pos AS (
+          SELECT doc_id, i, t[i] AS tok
+          FROM d, LATERAL unnest(range(1, len(t) + 1)) AS u(i)),
+        kept AS (
+          SELECT p.doc_id, p.i, p.tok FROM pos p
+          ANTI JOIN cov ON cov.doc_id = p.doc_id AND cov.i = p.i),
+        reb AS (
+          SELECT doc_id, count(*) AS n_kept,
+                 string_agg(tok, ' ' ORDER BY i) AS clean_text
+          FROM kept GROUP BY doc_id)
+        SELECT d.doc_id, CAST(len(t) AS BIGINT) AS n_tokens,
+               coalesce(reb.n_kept, 0) AS n_kept,
+               CAST(len(t) AS BIGINT) - coalesce(reb.n_kept, 0) AS n_removed,
+               coalesce(reb.clean_text, '') AS clean_text
+        FROM d LEFT JOIN reb USING (doc_id)
+        ORDER BY doc_id""")),
+
     // ---- q67: corpus-level boilerplate detection ----
     // Fraction of each doc's distinct 3-grams appearing in ≥2 docs.
     // The Spark exchange carries (doc_id, xxhash64(gram)) — 16 B per

@@ -308,4 +308,48 @@ class CorpusSpec extends SparkSpec {
       .orderBy("doc_id").as[(Long, Long, Long, Double)].collect()
     assert(got.toSeq == Seq((1L, 2L, 0L, 0.0), (2L, 1L, 0L, 0.0)))
   }
+
+  test("span removal splices cross-doc, in-doc, and overlapping " +
+      "duplicated spans; short and unique docs pass untouched") {
+    val corpus = Seq(
+      // docs 1/2 share the 5-token licence block at different offsets
+      (1L, "u1 u2 all rights reserved by corp u3"),
+      (2L, "all rights reserved by corp v1 v2 v3"),
+      // 3: the duplicated span occurs twice WITHIN one doc (positions
+      // 1 and 6 — windows overlap nothing, both removed)
+      (3L, "p q r s t p q r s t tail1"),
+      // 4: unique text, same length — untouched
+      (4L, "w1 w2 w3 w4 w5 w6 w7 w8"),
+      // 5: shorter than the window — untouched even though its tokens
+      // appear inside doc 1's span
+      (5L, "rights reserved")
+    ).toDF("doc_id", "text")
+    val got = CorpusOps.removeDuplicateSpans(corpus, "doc_id", "text",
+        n = 5, minCount = 2)
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, Long, String)].collect().toSeq
+    assert(got == Seq(
+      (1L, 8L, 3L, 5L, "u1 u2 u3"),
+      (2L, 8L, 3L, 5L, "v1 v2 v3"),
+      (3L, 11L, 1L, 10L, "tail1"),
+      (4L, 8L, 8L, 0L, "w1 w2 w3 w4 w5 w6 w7 w8"),
+      (5L, 2L, 2L, 0L, "rights reserved")))
+  }
+
+  test("span removal: a fully-boilerplate document survives as an " +
+      "empty row, and minCount raises the dup threshold") {
+    val corpus = Seq(
+      (1L, "a b c d e"), (2L, "a b c d e"), (3L, "a b c d e"))
+      .toDF("doc_id", "text")
+    val all = CorpusOps.removeDuplicateSpans(corpus, "doc_id", "text",
+        n = 5, minCount = 2)
+      .orderBy("doc_id").as[(Long, Long, Long, Long, String)].collect()
+    assert(all.toSeq == Seq(
+      (1L, 5L, 0L, 5L, ""), (2L, 5L, 0L, 5L, ""), (3L, 5L, 0L, 5L, "")))
+    // minCount=4 > multiplicity 3 ⇒ nothing is duplicated enough
+    val kept = CorpusOps.removeDuplicateSpans(corpus, "doc_id", "text",
+        n = 5, minCount = 4)
+      .orderBy("doc_id").as[(Long, Long, Long, Long, String)].collect()
+    assert(kept.forall(r => r._3 == 5L && r._5 == "a b c d e"))
+  }
 }
