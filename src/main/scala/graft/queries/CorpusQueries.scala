@@ -374,6 +374,24 @@ object CorpusQueries {
                shard, n AS n_tokens, pack_id
         FROM packed ORDER BY doc_id, chunk_id""")),
 
+    // ---- q81: BPE merge learning ----
+    // Tokenizer training: the top-12 byte-pair merges over the corpus
+    // vocabulary (Sennrich et al. 2016). Not SQL-expressible (the
+    // merge loop is iterative), so no DuckDB oracle — the semantics
+    // are differentially gated against a single-node reference BPE in
+    // BpeSpec (the q29/q45 justification pattern), and the exact-count
+    // + total-order tie-break makes the output deterministic for the
+    // driver's rows-only check.
+    QueryDef(
+      "q81_bpe_merges",
+      (s, dir) => {
+        graft.operators.BpeLearn
+          .learnMerges(Tables.load(s, dir, "documents"), "text",
+            numMerges = 12)
+          .orderBy(col("rank"))
+      },
+      None),
+
     // ---- q80: duplicated-span removal (ExactSubstr-style) ----
     // Splice every corpus-duplicated 5-token span out of the corpus
     // (Lee et al. 2021's ExactSubstr at word granularity) — q67 only

@@ -1,0 +1,111 @@
+package graft
+
+import graft.operators.BpeLearn
+
+/** Differential gate for the BPE merge learner: the distributed
+  * implementation must reproduce, merge for merge, a straightforward
+  * single-node BPE with the same conventions (all adjacent pairs
+  * counted with multiplicity; winner = (count desc, left asc, right
+  * asc); leftmost-non-overlapping merge application). This is the
+  * q29/q45-style justification for q81 shipping without a SQL oracle:
+  * the semantics are checked against an independent implementation,
+  * and determinism makes the driver's rows-only gate meaningful.
+  */
+class BpeSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Single-node reference BPE over a word-count map. */
+  private def refBpe(words: Map[String, Long], numMerges: Int,
+      minPairCount: Long = 2L): Seq[(Long, String, String, String, Long)] = {
+    var seqs: Seq[(Seq[String], Long)] =
+      words.toSeq.map { case (w, c) => (w.map(_.toString): Seq[String], c) }
+    val out = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, String, String, String, Long)]
+    var rank = 1L
+    var done = false
+    while (!done && rank <= numMerges) {
+      val counts = scala.collection.mutable.Map
+        .empty[(String, String), Long].withDefaultValue(0L)
+      seqs.foreach { case (s, c) =>
+        s.sliding(2).filter(_.lengthCompare(2) == 0)
+          .foreach(p => counts((p(0), p(1))) += c)
+      }
+      if (counts.isEmpty) done = true
+      else {
+        val ((a, b), cnt) = counts.minBy { case ((x, y), c) => (-c, x, y) }
+        if (cnt < minPairCount) done = true
+        else {
+          out += ((rank, a, b, a + b, cnt))
+          seqs = seqs.map { case (s, c) =>
+            (ref_merge(s, a, b), c)
+          }
+          rank += 1L
+        }
+      }
+    }
+    out.toSeq
+  }
+
+  /** Independent leftmost-non-overlapping merge (recursive, unlike the
+    * operator's imperative loop). */
+  private def ref_merge(s: Seq[String], a: String, b: String): Seq[String] =
+    s match {
+      case x +: y +: rest if x == a && y == b => (a + b) +: ref_merge(rest, a, b)
+      case x +: rest => x +: ref_merge(rest, a, b)
+      case _ => s
+    }
+
+  private def learned(df: org.apache.spark.sql.DataFrame, m: Int,
+      minCount: Long = 2L) =
+    BpeLearn.learnMerges(df, "text", m, minCount)
+      .as[(Long, String, String, String, Long)].collect().toSeq.sortBy(_._1)
+
+  test("hand-checked merges on a crafted corpus, including the " +
+      "overlapping-run rule and the lexicographic tie-break") {
+    val docs = Seq(
+      (1L, "low low low lower lowest"),
+      (2L, "aaa aaa")
+    ).toDF("doc_id", "text")
+    val got = learned(docs, 3)
+    // pair counts round 1: (l,o)=5, (o,w)=5, (w,e)=2, (e,r)=1, (e,s)=1,
+    // (s,t)=1, (a,a)=4 ["aaa" has 2 adjacent pairs, ×2 docs... ×2 words]
+    // winner = (5, "l", "o") — ties with (o,w) broken lexicographically
+    assert(got.head._2 == "l" && got.head._3 == "o" && got.head._5 == 5L)
+    // round 2: ("lo","w")=5 wins; round 3: (a,a) non-overlapping in
+    // "aaa" counts ONCE per word occurrence after merge? no — merging
+    // happens only when (a,a) wins; until then counts stay 4
+    assert(got(1)._4 == "low" && got(1)._5 == 5L)
+    assert(got(2)._2 == "a" && got(2)._3 == "a" && got(2)._5 == 4L)
+  }
+
+  test("distributed learner matches the single-node reference on " +
+      "random corpora, every rank and count") {
+    val rng = new scala.util.Random(7)
+    val alphabet = "abcde"
+    val words = (0 until 60).map { _ =>
+      (0 to rng.nextInt(6)).map(_ => alphabet(rng.nextInt(5))).mkString
+    }
+    val docs = (0L until 40L).map { i =>
+      (i, Seq.fill(3 + rng.nextInt(10))(words(rng.nextInt(words.length)))
+        .mkString(" "))
+    }
+    val df = docs.toDF("doc_id", "text")
+    val wordCounts = docs.flatMap(_._2.split(" ")).filter(_.length >= 2)
+      .groupBy(identity).map { case (w, ws) => w -> ws.size.toLong }
+    for (m <- Seq(1, 5, 12)) {
+      assert(learned(df, m) == refBpe(wordCounts, m), s"numMerges=$m")
+    }
+  }
+
+  test("learner is invariant under repartitioning and stops early " +
+      "when no pair reaches minPairCount") {
+    val docs = Seq((1L, "ab ab cd"), (2L, "ab xy")).toDF("doc_id", "text")
+    val one = learned(docs, 10)
+    val many = learned(docs.repartition(13), 10)
+    assert(one == many)
+    // (a,b) occurs 3 times; everything else < 2 ⇒ exactly one merge
+    assert(one.map(r => (r._2, r._3, r._5)) == Seq(("a", "b", 3L)))
+    // raising the floor above the best count learns nothing
+    assert(learned(docs, 10, minCount = 4L).isEmpty)
+  }
+}
