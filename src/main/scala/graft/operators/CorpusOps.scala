@@ -192,14 +192,21 @@ object CorpusOps {
     */
   def bigramCrossEntropy(df: DataFrame, idCol: String, textCol: String)
       : DataFrame = {
-    val t = split(col(textCol), " ")
-    val pairs = when(size(t) >= 2,
-      transform(sequence(lit(1), size(t) - 1),
+    // token hashes materialized ONCE (q80's anti-collapse discipline:
+    // element_at(split(...), i) inside the lambda re-splits the text
+    // per element — O(L²) per doc); h1 keeps its old value
+    // (xxhash64 of the token), h12 becomes a hash of two hashes —
+    // both are only grouping keys
+    val th = transform(split(col(textCol), " "), t => xxhash64(t))
+    val pairs = when(size(col("_th")) >= 2,
+      transform(sequence(lit(1), size(col("_th")) - 1),
         i => struct(
-          xxhash64(element_at(t, i)).as("h1"),
-          xxhash64(element_at(t, i), element_at(t, i + 1)).as("h12"))))
+          element_at(col("_th"), i).as("h1"),
+          xxhash64(element_at(col("_th"), i), element_at(col("_th"), i + 1))
+            .as("h12"))))
       .otherwise(array().cast("array<struct<h1:bigint,h12:bigint>>"))
     val docBi = df
+      .withColumn("_th", th)
       .select(col(idCol), explode(pairs).as("p"))
       .select(col(idCol), col("p.h1"), col("p.h12"))
       .groupBy(col(idCol), col("h1"), col("h12"))
@@ -240,14 +247,18 @@ object CorpusOps {
     */
   def topNgrams(df: DataFrame, textCol: String, n: Int, k: Int): DataFrame = {
     require(n >= 1 && k >= 1, s"n=$n k=$k")
-    val t = split(col(textCol), " ")
+    // token array materialized once (q80's anti-collapse discipline);
+    // the n-gram strings themselves are the output, so the concat is
+    // irreducible — but each element access must be O(1)
     val grams =
-      if (n == 1) t
-      else when(size(t) >= n,
-        transform(sequence(lit(1), size(t) - (n - 1)),
-          i => concat_ws(" ", (0 until n).map(j => element_at(t, i + j)): _*)))
+      if (n == 1) col("_t")
+      else when(size(col("_t")) >= n,
+        transform(sequence(lit(1), size(col("_t")) - (n - 1)),
+          i => concat_ws(" ",
+            (0 until n).map(j => element_at(col("_t"), i + j)): _*)))
         .otherwise(array().cast("array<string>"))
     val counted = df
+      .withColumn("_t", split(col(textCol), " "))
       .select(explode(grams).as("gram"))
       .groupBy(col("gram"))
       .agg(count(lit(1)).as("cnt"))
@@ -477,16 +488,19 @@ object CorpusOps {
       n: Int = 3,
       minDocs: Int = 2): DataFrame = {
     require(n >= 1 && minDocs >= 1, s"n=$n minDocs=$minDocs")
-    val t = split(col(textCol), " ")
     // multi-arg hash per window, no gram-string construction — the
-    // same strings→hashes rewrite that bought minhash 3-4× in round 3
-    val grams = when(size(t) >= n,
-      transform(sequence(lit(1), size(t) - (n - 1)),
-        i => xxhash64((0 until n).map(k => element_at(t, i + k)): _*)))
+    // same strings→hashes rewrite that bought minhash 3-4× in round 3;
+    // token hashes materialized ONCE (q80's anti-collapse discipline)
+    // so each window hashes n longs with O(1) element access
+    val th = transform(split(col(textCol), " "), t => xxhash64(t))
+    val grams = when(size(col("_th")) >= n,
+      transform(sequence(lit(1), size(col("_th")) - (n - 1)),
+        i => xxhash64((0 until n).map(k => element_at(col("_th"), i + k)): _*)))
       .otherwise(array().cast("array<bigint>"))
     // per-doc dedup is doc-LOCAL: array_distinct before the explode
     // keeps it scan-side — no corpus-wide distinct exchange at all
     val docGrams = df
+      .withColumn("_th", th)
       .select(col(idCol), explode(array_distinct(grams)).as("g"))
       .localCheckpoint()
     val docFreq = docGrams
