@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.{Column, GraftSqlBridge}
 import org.apache.spark.sql.functions._
 
-import graft.functions.expr.VecDot
+import graft.functions.expr.{VecDot, VecQuantize}
 
 /** Dense-vector column functions over `array<float>` embeddings.
   * The hot inner product is a custom codegen'd expression (VecDot);
@@ -35,6 +35,15 @@ object VectorFunctions {
     aggregate(zip_with(a, b, (x, y) => {
       val d = x.cast("double") - y.cast("double"); d * d
     }), lit(0.0), (acc, v) => acc + v)
+
+  /** Symmetric int8 quantization: round(x·127/max|x|) per element as
+    * array<tinyint> (codegen'd two-pass loop; all zeros for a zero
+    * vector). 4× smaller than float on the scan — the storage/IO
+    * trade behind the quantized ANN candidate path. No scale is
+    * emitted: cosine over quantized vectors is scale-invariant.
+    */
+  def quantizeInt8(a: Column): Column =
+    GraftSqlBridge.column(VecQuantize(GraftSqlBridge.expression(a)))
 
   /** Sign bucket of `a` against a fixed hyperplane (literal vector):
     * 1 if a·h ≥ 0 else 0. Building block for random-hyperplane LSH.

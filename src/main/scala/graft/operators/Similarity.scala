@@ -62,6 +62,71 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("cosine"), col("rnk"))
   }
 
+  /** Int8-quantized ANN top-k: candidate generation runs on
+    * `VecQuantize`d byte vectors (4× smaller than float on the scan —
+    * at 100 TB of embeddings the quantized copy is the one that fits
+    * page cache / local SSD), ranking candidates by quantized cosine
+    * (scale-invariant, so no scales are stored or shipped); the top
+    * `k·overfetch` per query are then RESCORED with exact float
+    * cosine and re-ranked, so the output ranking is exact over the
+    * candidate set. Same broadcast-query / no-corpus-shuffle shape as
+    * `bruteForceTopK`; the float vectors move only in the rescoring
+    * join, once per surviving candidate.
+    *
+    * Acceptance (AnnSpec): recall@k vs the exact baseline gated, and
+    * with `overfetch` covering the whole corpus the result is
+    * IDENTICAL to `bruteForceTopK` — the quantization error can
+    * reorder candidates but never the rescored ranking.
+    */
+  def quantizedTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      overfetch: Int = 4): DataFrame = {
+    require(k >= 1 && overfetch >= 1, s"k=$k overfetch=$overfetch")
+    val c = corpus.select(col("id").as("neighbor_id"),
+        quantizeInt8(col("vec")).as("cq"))
+      .withColumn("cqn", l2Norm(col("cq")))
+    val q = queries.select(col("id").as("query_id"),
+        quantizeInt8(col("vec")).as("qq"))
+      .withColumn("qqn", l2Norm(col("qq")))
+    val wq = Window.partitionBy("query_id")
+      .orderBy(col("qcos").desc, col("neighbor_id"))
+    val cands = c.crossJoin(broadcast(q))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("qcos", round(cosineWithNorms(col("cq"), col("qq"),
+        col("cqn"), col("qqn")), 9))
+      .withColumn("crnk", row_number().over(wq))
+      .filter(col("crnk") <= k * overfetch)
+      .select(col("query_id"), col("neighbor_id"))
+    val cv = corpus.select(col("id").as("neighbor_id"), col("vec").as("cvec"))
+      .withColumn("cn", l2Norm(col("cvec")))
+    val qv = queries.select(col("id").as("query_id"), col("vec").as("qvec"))
+      .withColumn("qn", l2Norm(col("qvec")))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    cands.join(cv, "neighbor_id")
+      .join(broadcast(qv), "query_id")
+      .withColumn("cosine", round(cosineWithNorms(col("qvec"), col("cvec"),
+        col("qn"), col("cn")), 9))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("cosine"), col("rnk"))
+  }
+
+  /** Per-query recall@k of the quantized plan against the exact top-k
+    * — same acceptance shape as `lshRecallAtK` (q29) / `ivfRecallAtK`
+    * (q46): the approximate index's driver-facing output IS its
+    * recall metric.
+    */
+  def quantizedRecallAtK(corpus: DataFrame, queries: DataFrame, k: Int,
+      overfetch: Int = 4): DataFrame = {
+    val exact = bruteForceTopK(corpus, queries, k)
+    val quant = quantizedTopK(corpus, queries, k, overfetch)
+      .select(col("query_id"), col("neighbor_id")).withColumn("hit", lit(1L))
+    exact.join(quant, Seq("query_id", "neighbor_id"), "left_outer")
+      .groupBy(col("query_id"))
+      .agg((sum(coalesce(col("hit"), lit(0L))).cast("double") / count(lit(1)))
+        .as(s"recall_at_$k"))
+  }
+
   /** Embedding-cosine near-duplicate PAIRS (the dedup-battery shape:
     * all pairs above a similarity threshold, not per-query top-k).
     * Exact upper-triangle self-join — the oracle-checkable baseline;

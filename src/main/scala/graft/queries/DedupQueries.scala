@@ -326,6 +326,25 @@ object DedupQueries {
       },
       None),
 
+    // ---- q82: int8-quantized ANN, reported as recall@5 vs exact ----
+    // Candidate generation scans VecQuantize'd byte vectors (4×
+    // smaller than float — the page-cache/SSD trade at 100 TB),
+    // candidates rank by scale-free quantized cosine, and the top
+    // k·overfetch are rescored with exact float cosine. Like q29/q46
+    // the driver-facing output IS the acceptance metric: per-query
+    // recall@5, gated ≥0.95 avg in AnnSpec, which also proves
+    // probe-all ≡ brute force exactly (justified no_oracle).
+    QueryDef(
+      "q82_ann_quantized",
+      (s, dir) => {
+        val emb = Tables.load(s, dir, "embeddings")
+          .select(col("vec_id").as("id"), col("embedding").as("vec"))
+        Similarity.quantizedRecallAtK(emb, emb.filter(col("id") < 20),
+            k = 5, overfetch = 4)
+          .orderBy(col("query_id"))
+      },
+      None),
+
     // ---- q41: embedding-cosine near-dup pairs (dedup battery) ----
     // Exact threshold pairs, rounded-cosine determinism as in q28.
     // DELIBERATELY an upper-triangle cartesian: this is the oracle

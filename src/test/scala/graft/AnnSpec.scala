@@ -8,6 +8,7 @@ import graft.operators.Similarity
   * payloads (the round-1 scale bug).
   */
 class AnnSpec extends SparkSpec {
+  import spark.implicits._
 
   private def emb = Tables.load(spark, sf0001, "embeddings")
     .select(col("vec_id").as("id"), col("embedding").as("vec"))
@@ -27,6 +28,39 @@ class AnnSpec extends SparkSpec {
     assert(partitionings.nonEmpty)
     partitionings.foreach(p =>
       assert(!p.contains("vec"), s"vector-keyed exchange: $p"))
+  }
+
+  test("quantized ANN: recall@5 >= 0.95 at overfetch 4; probe-all " +
+      "equals brute force exactly (q82 gate)") {
+    val queries = emb.filter(col("id") < 20)
+    val rec = Similarity.quantizedRecallAtK(emb, queries, k = 5,
+      overfetch = 4)
+    val a = rec.agg(avg(col("recall_at_5"))).head.getDouble(0)
+    assert(a >= 0.95, s"avg recall@5 = $a")
+    // overfetch covering the corpus ⇒ rescoring sees every vector ⇒
+    // int8 error cannot change the output at all
+    val n = emb.count().toInt
+    val full = Similarity.quantizedTopK(emb, queries, k = 5, overfetch = n)
+      .collect().map(_.toString).sorted.toSeq
+    val exact = Similarity.bruteForceTopK(emb, queries, k = 5)
+      .collect().map(_.toString).sorted.toSeq
+    assert(full == exact)
+  }
+
+  test("VecQuantize: unit behaviors and scale-invariance of the " +
+      "quantized cosine") {
+    import graft.functions.VectorFunctions._
+    val df = Seq(
+      (1L, Seq(0.0f, 0.0f, 0.0f)),          // zero vector → all zeros
+      (2L, Seq(1.0f, -0.5f, 0.25f)),
+      (3L, Seq(100.0f, -50.0f, 25.0f))      // same direction as 2
+    ).toDF("id", "vec")
+    val got = df.select(col("id"), quantizeInt8(col("vec")).as("q"))
+      .orderBy("id").as[(Long, Seq[Byte])].collect().toSeq
+    assert(got(0)._2 == Seq[Byte](0, 0, 0))
+    assert(got(1)._2 == Seq[Byte](127, -64, 32))   // rint(63.5)=64 (even)
+    // scale-invariance: ×100 input quantizes identically
+    assert(got(2)._2 == got(1)._2)
   }
 
   test("IVF: probing every list equals brute force; recall grows with nProbe") {
