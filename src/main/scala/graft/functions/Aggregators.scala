@@ -33,6 +33,32 @@ object Aggregators {
         org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
     }
 
+  final case class TopKBuf(items: Seq[(Double, Long)])
+
+  /** Bounded per-group top-k by (priority desc, id asc): the
+    * scale-shaped alternative to a row_number window for per-group
+    * caps — a window sorts EVERY row of a group in one task (a hot
+    * domain becomes a straggler), while this buffer keeps at most k
+    * pairs map-side, so the exchange carries ≤ k·partitions rows per
+    * group no matter how skewed the group is. Output ids are in
+    * priority order, so `posexplode` recovers the rank.
+    */
+  def topKByPriority(k: Int): Aggregator[(Double, Long), TopKBuf, Seq[Long]] =
+    new Aggregator[(Double, Long), TopKBuf, Seq[Long]] {
+      private def trim(xs: Seq[(Double, Long)]): Seq[(Double, Long)] =
+        xs.sortBy(p => (-p._1, p._2)).take(k)
+      override def zero: TopKBuf = TopKBuf(Nil)
+      override def reduce(b: TopKBuf, in: (Double, Long)): TopKBuf =
+        TopKBuf(trim(b.items :+ in))
+      override def merge(a: TopKBuf, b: TopKBuf): TopKBuf =
+        TopKBuf(trim(a.items ++ b.items))
+      override def finish(b: TopKBuf): Seq[Long] = b.items.map(_._2)
+      override def bufferEncoder: Encoder[TopKBuf] =
+        Encoders.product[TopKBuf]
+      override def outputEncoder: Encoder[Seq[Long]] =
+        org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
+    }
+
   final case class SampleBuf(items: Seq[(Long, Long)])
 
   /** Deterministic k-sample per group: keep the k ids with the

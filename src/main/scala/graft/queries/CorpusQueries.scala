@@ -374,6 +374,38 @@ object CorpusQueries {
                shard, n AS n_tokens, pack_id
         FROM packed ORDER BY doc_id, chunk_id""")),
 
+    // ---- q83: per-source document caps ----
+    // RefinedWeb-style domain capping: keep at most 20 documents per
+    // source, highest-priority first (longest doc wins, doc_id breaks
+    // ties). Deliberately NOT a row_number window: the bounded top-k
+    // Aggregator (Aggregators.topKByPriority) combines map-side, so a
+    // hot domain never concentrates its whole partition into one
+    // window sort — the exchange carries ≤ cap·partitions rows per
+    // source at any skew. The oracle spells the same cap as the
+    // window it replaces.
+    QueryDef(
+      "q83_source_cap",
+      (s, dir) => {
+        val topk = udaf(graft.functions.Aggregators.topKByPriority(20))
+        Tables.load(s, dir, "documents")
+          .groupBy(col("source"))
+          .agg(topk(col("n_chars").cast("double"), col("doc_id")).as("kept"))
+          .select(col("source"), posexplode(col("kept")).as(Seq("r", "doc_id")))
+          .select(col("source"),
+            (col("r") + 1).cast("long").as("rank_in_source"),
+            col("doc_id"))
+          .orderBy(col("source"), col("rank_in_source"))
+      },
+      Some("""
+        WITH ranked AS (
+          SELECT source, doc_id,
+                 ROW_NUMBER() OVER (PARTITION BY source
+                   ORDER BY n_chars DESC, doc_id) AS rnk
+          FROM documents)
+        SELECT source, rnk AS rank_in_source, doc_id
+        FROM ranked WHERE rnk <= 20
+        ORDER BY source, rank_in_source""")),
+
     // ---- q81: BPE merge learning ----
     // Tokenizer training: the top-12 byte-pair merges over the corpus
     // vocabulary (Sennrich et al. 2016). Not SQL-expressible (the

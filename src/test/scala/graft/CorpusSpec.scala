@@ -309,6 +309,27 @@ class CorpusSpec extends SparkSpec {
     assert(got.toSeq == Seq((1L, 2L, 0L, 0.0), (2L, 1L, 0L, 0.0)))
   }
 
+  test("bounded top-k per group equals the window formulation under " +
+      "heavy skew and many partitions") {
+    val rng = new scala.util.Random(41)
+    // one hot group with 3000 rows, several cold ones, duplicate
+    // priorities to exercise the id tie-break
+    val rows = (0L until 3000L).map(i => (i, "hot", rng.nextInt(50))) ++
+      (3000L until 3030L).map(i => (i, s"cold${i % 3}", rng.nextInt(50)))
+    val df = rows.toDF("id", "grp", "pri").repartition(17)
+    val topk = udaf(graft.functions.Aggregators.topKByPriority(5))
+    val got = df.groupBy(col("grp"))
+      .agg(topk(col("pri").cast("double"), col("id")).as("kept"))
+      .select(col("grp"), posexplode(col("kept")).as(Seq("r", "id")))
+      .select(col("grp"), (col("r") + 1).as("rnk"), col("id"))
+      .as[(String, Int, Long)].collect().toSet
+    val want = rows.groupBy(_._2).flatMap { case (g, gs) =>
+      gs.sortBy(r => (-r._3, r._1)).take(5).zipWithIndex
+        .map { case ((id, _, _), i) => (g, i + 1, id) }
+    }.toSet
+    assert(got == want)
+  }
+
   test("span removal splices cross-doc, in-doc, and overlapping " +
       "duplicated spans; short and unique docs pass untouched") {
     val corpus = Seq(
