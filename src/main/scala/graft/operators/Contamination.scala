@@ -36,6 +36,40 @@ object Contamination {
         coalesce(col("contaminated"), lit(false)).as("contaminated"))
   }
 
+  /** Windowed-overlap contamination — the GPT-3-style upgrade of
+    * [[flag]]: a corpus document is contaminated iff it shares ANY
+    * `n`-token window with an eval document (Brown et al. 2020 used
+    * 13-grams), which catches eval text EMBEDDED inside a larger
+    * training document, not just whole-document copies. Output:
+    * (id, n_overlap = distinct shared windows, contaminated).
+    *
+    * Shape at 100 TB: both sides' window hashes come from
+    * `CorpusOps.distinctWindowHashes` (scan-local, 8-byte keys, no
+    * gram text on any exchange). The eval side is small, so its
+    * distinct hash set BROADCASTS and the corpus-side join is
+    * map-side; only matching (id) rows reach the per-doc count
+    * exchange — contamination is rare by construction, so that
+    * exchange is near-empty. Documents under `n` tokens have no
+    * windows and come back clean (match the window length to the
+    * shortest eval item you care about).
+    */
+  def flagNgramOverlap(corpus: DataFrame, benchmark: DataFrame,
+      idCol: String, textCol: String, n: Int = 13): DataFrame = {
+    val benchGrams = CorpusOps
+      .distinctWindowHashes(benchmark, idCol, textCol, n)
+      .select(col("g")).distinct()
+    val matches = CorpusOps
+      .distinctWindowHashes(corpus, idCol, textCol, n)
+      .join(broadcast(benchGrams), "g")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_overlap"))
+    corpus.select(col(idCol))
+      .join(matches, Seq(idCol), "left_outer")
+      .select(col(idCol),
+        coalesce(col("n_overlap"), lit(0L)).as("n_overlap"),
+        (coalesce(col("n_overlap"), lit(0L)) >= 1).as("contaminated"))
+  }
+
   /** The enforcement form: corpus minus contaminated docs (map-side
     * broadcast anti-join, same single-pass shape).
     */

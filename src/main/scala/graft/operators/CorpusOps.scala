@@ -368,6 +368,28 @@ object CorpusOps {
     df.select(col(idCol)).join(perDoc, Seq(idCol), "left")
   }
 
+  // ---- Shared window-hash machinery ----------------------------------
+
+  /** (id, g) rows: each document's DISTINCT `n`-token window hashes.
+    * Multi-arg xxhash64 per window over a once-materialized token-hash
+    * array (the anti-collapse discipline: element_at(split(...), i)
+    * inside the lambda would re-split the text per element, O(L²) per
+    * doc), with per-doc dedup doc-LOCAL via array_distinct before the
+    * explode — no corpus-wide distinct exchange, and no exchange ever
+    * carries gram text. Documents shorter than `n` tokens contribute
+    * no windows.
+    */
+  private[operators] def distinctWindowHashes(
+      df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
+    val th = transform(split(col(textCol), " "), t => xxhash64(t))
+    val grams = when(size(col("_th")) >= n,
+      transform(sequence(lit(1), size(col("_th")) - (n - 1)),
+        i => xxhash64((0 until n).map(k => element_at(col("_th"), i + k)): _*)))
+      .otherwise(array().cast("array<bigint>"))
+    df.withColumn("_th", th)
+      .select(col(idCol), explode(array_distinct(grams)).as("g"))
+  }
+
   // ---- Duplicated-span removal (ExactSubstr-style) -------------------
 
   /** Splice corpus-duplicated token spans OUT of every document: any
@@ -488,20 +510,7 @@ object CorpusOps {
       n: Int = 3,
       minDocs: Int = 2): DataFrame = {
     require(n >= 1 && minDocs >= 1, s"n=$n minDocs=$minDocs")
-    // multi-arg hash per window, no gram-string construction — the
-    // same strings→hashes rewrite that bought minhash 3-4× in round 3;
-    // token hashes materialized ONCE (q80's anti-collapse discipline)
-    // so each window hashes n longs with O(1) element access
-    val th = transform(split(col(textCol), " "), t => xxhash64(t))
-    val grams = when(size(col("_th")) >= n,
-      transform(sequence(lit(1), size(col("_th")) - (n - 1)),
-        i => xxhash64((0 until n).map(k => element_at(col("_th"), i + k)): _*)))
-      .otherwise(array().cast("array<bigint>"))
-    // per-doc dedup is doc-LOCAL: array_distinct before the explode
-    // keeps it scan-side — no corpus-wide distinct exchange at all
-    val docGrams = df
-      .withColumn("_th", th)
-      .select(col(idCol), explode(array_distinct(grams)).as("g"))
+    val docGrams = distinctWindowHashes(df, idCol, textCol, n)
       .localCheckpoint()
     val docFreq = docGrams
       .groupBy(col("g"))

@@ -251,6 +251,36 @@ object DedupQueries {
         FROM fp LEFT JOIN bench ON fp.f = bench.f
         ORDER BY fp.doc_id""")),
 
+    // ---- q84: 13-gram windowed contamination ----
+    // The GPT-3-style upgrade of q61: flag any corpus doc sharing a
+    // 13-token window with the eval set — catches eval text EMBEDDED
+    // in a training doc, not just whole-doc copies. Spark joins 8-byte
+    // window hashes (broadcast eval side); the oracle joins the gram
+    // strings themselves (equal up to 64-bit collisions, q67's
+    // argument).
+    QueryDef(
+      "q84_ngram_contamination",
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        val benchmark = docs.filter(col("doc_id") % 50 === 0)
+        Contamination.flagNgramOverlap(docs, benchmark, "doc_id", "text",
+            n = 13)
+          .orderBy(col("doc_id"))
+      },
+      Some("""
+        WITH d AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        g AS (SELECT DISTINCT doc_id, array_to_string(t[i : i + 12], ' ') AS gram
+              FROM d, LATERAL unnest(range(1, greatest(len(t) - 11, 1))) AS u(i)
+              WHERE len(t) >= 13),
+        b AS (SELECT DISTINCT gram FROM g WHERE doc_id % 50 = 0),
+        m AS (SELECT g.doc_id, count(*) AS n_overlap
+              FROM g JOIN b USING (gram) GROUP BY 1)
+        SELECT d.doc_id,
+               coalesce(m.n_overlap, 0) AS n_overlap,
+               coalesce(m.n_overlap, 0) >= 1 AS contaminated
+        FROM d LEFT JOIN m USING (doc_id)
+        ORDER BY d.doc_id""")),
+
     // ---- q56: 128-bit SimHash near-dup pairs (Hamming ≤ 8) ----
     // The scale fix for the measured radius-8 band saturation: all 128
     // md5 bits instead of the first 64, so the 9 pigeonhole bands are

@@ -100,6 +100,34 @@ class DupClustersSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"), s"not a broadcast lookup:\n$plan")
   }
 
+  test("n-gram contamination: eval text EMBEDDED in a longer training " +
+      "doc is flagged; window counts are distinct-per-doc") {
+    import graft.operators.Contamination
+    val evalText = "w1 w2 w3 w4 w5"
+    val docs = Seq(
+      // eval text embedded mid-document (whole-doc digest would miss)
+      (1L, s"prefix tokens here $evalText and a suffix"),
+      // the eval doc itself
+      (2L, evalText),
+      // repeats the eval span twice — still ONE distinct shared window
+      (3L, s"$evalText $evalText"),
+      // shares only a 4-token prefix — below the window length
+      (4L, "w1 w2 w3 w4 different tail now"),
+      (5L, "entirely unrelated content words")).toDF("doc_id", "text")
+    val benchmark = docs.filter($"doc_id" === 2L)
+    val got = Contamination
+      .flagNgramOverlap(docs, benchmark, "doc_id", "text", n = 5)
+      .as[(Long, Long, Boolean)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    // doc 3 contains windows "w1..w5" (twice, distinct once) plus the
+    // straddling windows "w2 w3 w4 w5 w1" etc. — only "w1..w5" is in
+    // the eval set, and also the straddle-window set of doc 3 overlaps
+    // nothing else in eval (eval doc has exactly one 5-window)
+    assert(got == Map(
+      1L -> ((1L, true)), 2L -> ((1L, true)), 3L -> ((1L, true)),
+      4L -> ((0L, false)), 5L -> ((0L, false))))
+  }
+
   test("resolve: exactly one representative per cluster; singletons " +
       "are their own") {
     val docs = Tables.load(spark, sf0001, "documents")
