@@ -1,0 +1,98 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Exact cross-corpus deduplication through a Bloom-filter prefilter —
+  * "remove from this corpus everything already present in that one"
+  * (decontaminating a crawl against a benchmark dump, dropping a new
+  * snapshot's overlap with the previous one, CCNet-style head dedup
+  * across shards).
+  *
+  * The naive shape — `corpus LEFT ANTI JOIN reference ON key` — hash-
+  * partitions BOTH corpora on the key: at 100 TB that is the single
+  * largest shuffle a pipeline can issue, and it moves mostly rows that
+  * match nothing. This operator keeps both sides scan-local:
+  *
+  *  1. ONE pass over the reference builds a Bloom filter of the 8-byte
+  *     `xxhash64(key)`s (distributed `treeAggregate` under
+  *     `DataFrameStatFunctions.bloomFilter`; the driver holds only the
+  *     final bit array — ~1.2 GB for 10⁹ keys at 1 % fpp, torrent-
+  *     broadcast once, never re-shipped per task).
+  *  2. ONE pass over the corpus keeps only rows the filter *might*
+  *     contain: candidate keys ≈ true duplicates + fpp·|corpus| — the
+  *     only data that ever leaves a scan, collapsed map-side by the
+  *     partial aggregate under `distinct`.
+  *  3. The candidate keys broadcast back across the reference
+  *     (broadcast LEFT SEMI — the reference still never shuffles),
+  *     confirming which candidates are real: Bloom false positives die
+  *     here, so the result is EXACT for any fpp.
+  *  4. The confirmed duplicate keys (⊆ candidates, small) broadcast
+  *     into a LEFT ANTI against the corpus — the corpus never shuffles
+  *     either.
+  *
+  * Net: two corpus scans + two reference scans, zero wide exchanges;
+  * the two `distinct`s move only the candidate set. The exactness
+  * argument: the Bloom filter has no false negatives, so step 2's
+  * candidates are a superset of `keys(corpus) ∩ keys(reference)`, and
+  * steps 3–4 are plain relational algebra on that superset.
+  *
+  * NULL keys are never duplicates (join semantics); rows whose key is
+  * NULL always survive.
+  */
+object BloomDedup {
+
+  /** Rows of `corpus` whose `key` does not occur in `reference`.
+    * Output columns = `corpus`'s, unchanged.
+    *
+    * @param expectedItems sizing for the Bloom filter — the reference's
+    *   (approximate) distinct key count; at scale feed it from table
+    *   stats or a prior `approx_count_distinct`. Overshooting wastes
+    *   bits; undershooting raises fpp, which costs confirm-join traffic
+    *   but never correctness.
+    * @param fpp false-positive probability; tune against broadcast
+    *   budget for the candidate set (candidates ≈ dups + fpp·|corpus|).
+    */
+  def dedupAgainstReference(
+      corpus: DataFrame,
+      reference: DataFrame,
+      key: Column,
+      expectedItems: Long,
+      fpp: Double = 0.01): DataFrame = {
+    require(expectedItems > 0 && fpp > 0 && fpp < 1,
+      s"expectedItems=$expectedItems fpp=$fpp")
+    val spark = corpus.sparkSession
+    val kc = corpus.withColumn("__bd_key", key)
+    val kr = reference.select(key.as("__bd_key"))
+
+    // an empty reference has nothing to deduplicate against (and
+    // Spark's bloomFilter NPEs on zero rows) — limit-1 probe, not a count
+    if (kr.isEmpty) return corpus
+
+    // 1. distributed build over 8-byte key hashes (constant item width
+    //    whatever the key type; collisions only widen the candidate set).
+    //    Clamped so optimalNumOfBits never rounds to zero for tiny
+    //    estimates — undersizing is a candidate-set cost, never exactness.
+    val bloom = kr
+      .select(xxhash64(col("__bd_key")).as("__bd_h"))
+      .stat.bloomFilter("__bd_h", math.max(expectedItems, 64L), fpp)
+    val bloomB = spark.sparkContext.broadcast(bloom)
+    val mightContain = udf((h: Long) => bloomB.value.mightContainLong(h))
+
+    // 2. scan-local prefilter; only candidates reach an exchange
+    val candKeys = kc
+      .filter(col("__bd_key").isNotNull &&
+        mightContain(xxhash64(col("__bd_key"))))
+      .select(col("__bd_key"))
+      .distinct()
+
+    // 3. exact confirm — reference side stays scan-local
+    val dupKeys = kr
+      .join(broadcast(candKeys), Seq("__bd_key"), "left_semi")
+      .distinct()
+
+    // 4. corpus side stays scan-local too
+    kc.join(broadcast(dupKeys), Seq("__bd_key"), "left_anti")
+      .drop("__bd_key")
+  }
+}

@@ -468,6 +468,44 @@ object DedupQueries {
         Similarity.semDedup(idx, threshold = 0.35)
           .orderBy(col("id"))
       },
-      None)
+      None),
+
+    // ---- q85: cross-corpus dedup via Bloom prefilter ----
+    // Decontamination shape: drop every corpus doc (sources src4+)
+    // whose normalized 12-token head already occurs in the reference
+    // split (src0–src3) — CCNet-style head dedup across corpora. The
+    // Bloom prefilter keeps BOTH corpora scan-local (the naive anti
+    // join shuffles 100 TB on the key); the broadcast confirm joins
+    // make the result EXACT for any fpp, which is what lets a plain
+    // NOT IN oracle hash-gate it.
+    QueryDef(
+      "q85_bloom_dedup",
+      (s, dir) => {
+        val d = Tables.load(s, dir, "documents")
+        val norm = lower(trim(regexp_replace(col("text"), "\\s+", " ")))
+        val head12 = array_join(slice(split(norm, " "), 1, 12), " ")
+        val refSrc = Seq("src0", "src1", "src2", "src3")
+        graft.operators.BloomDedup.dedupAgainstReference(
+            corpus = d.filter(!col("source").isin(refSrc: _*)),
+            reference = d.filter(col("source").isin(refSrc: _*)),
+            key = head12,
+            expectedItems = 1L << 16,
+            fpp = 0.01)
+          .select(col("doc_id"), col("source"), col("lang"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""
+        WITH d AS (
+          SELECT doc_id, source, lang,
+                 string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS t
+          FROM documents),
+        k AS (SELECT doc_id, source, lang,
+                     array_to_string(t[1:12], ' ') AS p FROM d),
+        ref AS (SELECT p FROM k
+                WHERE source IN ('src0','src1','src2','src3'))
+        SELECT doc_id, source, lang FROM k
+        WHERE source NOT IN ('src0','src1','src2','src3')
+          AND p NOT IN (SELECT p FROM ref)
+        ORDER BY doc_id"""))
   )
 }
