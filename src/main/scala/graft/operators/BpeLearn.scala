@@ -105,4 +105,86 @@ object BpeLearn {
     seqs.unpersist()
     merges.toSeq.toDF("rank", "left", "right", "merged", "pair_count")
   }
+
+  /** Learn-once artifact (the IvfIndex.buildIfAbsent pattern):
+    * tokenizer training is an OFFLINE pass — queries load the saved
+    * merge table and only pay encoding. First caller trains and
+    * writes; everyone after reads the parquet.
+    */
+  def learnMergesIfAbsent(
+      spark: org.apache.spark.sql.SparkSession,
+      corpus: => DataFrame,
+      textCol: String,
+      path: String,
+      numMerges: Int,
+      minPairCount: Long = 2L): DataFrame = {
+    val success = new org.apache.hadoop.fs.Path(s"$path/_SUCCESS")
+    val fs = success.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(success))
+      learnMerges(corpus, textCol, numMerges, minPairCount)
+        .coalesce(1).write.mode("overwrite").parquet(path)
+    spark.read.parquet(path)
+  }
+
+  /** Encode one word by replaying the merges in rank order — the same
+    * `mergePair` walk training used, so encode(training word) IS the
+    * training segmentation by construction, not by proof.
+    */
+  private[operators] def encodeWord(
+      w: String, merges: Seq[(String, String)]): Seq[String] = {
+    var s: Seq[String] = w.map(_.toString)
+    var i = 0
+    while (i < merges.length && s.lengthCompare(2) >= 0) {
+      s = mergePair(s, merges(i)._1, merges(i)._2)
+      i += 1
+    }
+    s
+  }
+
+  /** Tokenize the corpus with a learned merge table: per document,
+    * the whitespace-word count, BPE token count, and the chars/token
+    * compression ratio (the number a tokenizer is judged by).
+    *
+    * Scale shape: the merge table is tokenizer-sized (≤ numMerges
+    * rows — tens of thousands at most), collected once and torrent-
+    * broadcast; encoding is then completely scan-local — ZERO
+    * exchanges at any corpus size. Zipf makes word TYPES per
+    * partition a small fraction of word tokens, so each partition
+    * encodes a word once and memoizes (cache cleared at `memoCap`
+    * entries to bound executor memory against adversarial vocab).
+    */
+  def encodeTokenCounts(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      merges: DataFrame,
+      memoCap: Int = 1 << 20): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val tbl: Array[(String, String)] = merges
+      .orderBy(col("rank"))
+      .select(col("left"), col("right"))
+      .as[(String, String)]
+      .collect()
+    val bc = spark.sparkContext.broadcast(tbl)
+    df.select(col(idCol).cast("long"), col(textCol).cast("string"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        val ms: Seq[(String, String)] = bc.value.toSeq
+        val memo = scala.collection.mutable.HashMap.empty[String, Long]
+        it.map { case (id, text) =>
+          val words = text.split(" ").filter(_.nonEmpty)
+          var toks = 0L
+          var chars = 0L
+          words.foreach { w =>
+            chars += w.length
+            if (memo.size >= memoCap) memo.clear()
+            toks += memo.getOrElseUpdate(w, encodeWord(w, ms).length.toLong)
+          }
+          (id, words.length.toLong, toks,
+            if (toks == 0L) 0.0 else chars.toDouble / toks)
+        }
+      }
+      .toDF(idCol, "n_words", "n_tokens", "chars_per_token")
+  }
 }

@@ -490,6 +490,31 @@ object CorpusQueries {
                CAST(sum(CASE WHEN f.df >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS dup_grams,
                CAST(sum(CASE WHEN f.df >= 2 THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS dup_gram_frac
         FROM g JOIN f USING (gram)
-        GROUP BY g.doc_id ORDER BY doc_id"""))
+        GROUP BY g.doc_id ORDER BY doc_id""")),
+
+    // ---- q86: BPE encoding with the learned merge table ----
+    // The other half of q81's tokenizer: load the trained merge
+    // artifact (learn-once, the q46 IvfIndex pattern — the timed
+    // number is encoding, not training) and tokenize the corpus.
+    // Encoding is completely scan-local — the merge table broadcasts
+    // once and per-partition word memoization rides Zipf, so the plan
+    // has zero exchanges before the final sort. Not SQL-expressible
+    // (the merge replay is iterative): BpeSpec gates it differentially
+    // against an independent sequential encoder plus the zero-merge =
+    // character-count and monotone-in-merges invariants; the output is
+    // deterministic and corpus-sized for the driver's rows-only check.
+    QueryDef(
+      "q86_bpe_encode",
+      (s, dir) => {
+        val d = Tables.load(s, dir, "documents")
+        val path = "/tmp/graft_bpe/" +
+          dir.replaceAll("[^A-Za-z0-9]", "_") + "_m24"
+        val merges = graft.operators.BpeLearn
+          .learnMergesIfAbsent(s, d, "text", path, numMerges = 24)
+        graft.operators.BpeLearn
+          .encodeTokenCounts(d, "doc_id", "text", merges)
+          .orderBy(col("doc_id"))
+      },
+      None)
   )
 }

@@ -1,6 +1,7 @@
 package graft
 
 import graft.operators.BpeLearn
+import org.apache.spark.sql.functions._
 
 /** Differential gate for the BPE merge learner: the distributed
   * implementation must reproduce, merge for merge, a straightforward
@@ -107,5 +108,66 @@ class BpeSpec extends SparkSpec {
     assert(one.map(r => (r._2, r._3, r._5)) == Seq(("a", "b", 3L)))
     // raising the floor above the best count learns nothing
     assert(learned(docs, 10, minCount = 4L).isEmpty)
+  }
+
+  // ---- encoder (q86) gates -------------------------------------------
+
+  /** Independent sequential encoder: replay merges in rank order with
+    * the recursive ref_merge (NOT the operator's imperative loop).
+    */
+  private def refEncode(w: String, ms: Seq[(String, String)]): Seq[String] =
+    ms.foldLeft(w.map(_.toString): Seq[String]) { case (s, (a, b)) =>
+      ref_merge(s, a, b)
+    }
+
+  test("encodeTokenCounts matches the independent encoder on the " +
+      "real corpus, every document") {
+    val docs = Tables.load(spark, sf0001, "documents")
+    val merges = BpeLearn.learnMerges(docs, "text", numMerges = 16)
+    val ms = merges.orderBy(col("rank"))
+      .select(col("left"), col("right")).as[(String, String)]
+      .collect().toSeq
+    val got = BpeLearn.encodeTokenCounts(docs, "doc_id", "text", merges)
+      .select(col("doc_id"), col("n_words"), col("n_tokens"))
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    val want = docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .collect().map { case (id, text) =>
+        val words = text.split(" ").filter(_.nonEmpty)
+        id -> (words.length.toLong,
+          words.map(refEncode(_, ms).length.toLong).sum)
+      }.toMap
+    assert(got == want)
+    // the merges actually compress: strictly fewer tokens than chars
+    assert(got.values.map(_._2).sum <
+      docs.select(sum(length(regexp_replace(col("text"), " ", ""))))
+        .as[Long].head)
+  }
+
+  test("zero merges = character count; token count is monotone " +
+      "non-increasing in the number of merges") {
+    val docs = Tables.load(spark, sf0001, "documents").limit(20)
+    val merges = BpeLearn.learnMerges(docs, "text", numMerges = 12)
+    def total(k: Int): Long =
+      BpeLearn.encodeTokenCounts(docs, "doc_id", "text",
+          merges.filter(col("rank") <= k))
+        .select(sum(col("n_tokens"))).as[Long].head
+    val chars = docs
+      .select(sum(length(regexp_replace(col("text"), " ", ""))))
+      .as[Long].head
+    assert(total(0) == chars)
+    val totals = (0 to 12).map(total)
+    assert(totals.zip(totals.tail).forall { case (a, b) => b <= a })
+  }
+
+  test("encoding memoization is transparent: a memo cap of 1 (no " +
+      "effective cache) changes nothing") {
+    val docs = Tables.load(spark, sf0001, "documents").limit(10)
+    val merges = BpeLearn.learnMerges(docs, "text", numMerges = 8)
+    val a = BpeLearn.encodeTokenCounts(docs, "doc_id", "text", merges)
+      .orderBy(col("doc_id")).collect().toSeq
+    val b = BpeLearn.encodeTokenCounts(docs, "doc_id", "text", merges,
+        memoCap = 1)
+      .orderBy(col("doc_id")).collect().toSeq
+    assert(a == b)
   }
 }
