@@ -173,7 +173,9 @@ object BpeLearn {
         val ms: Seq[(String, String)] = bc.value.toSeq
         val memo = scala.collection.mutable.HashMap.empty[String, Long]
         it.map { case (id, text) =>
-          val words = text.split(" ").filter(_.nonEmpty)
+          val words =
+            if (text == null) Array.empty[String]
+            else text.split(" ").filter(_.nonEmpty)
           var toks = 0L
           var chars = 0L
           words.foreach { w =>

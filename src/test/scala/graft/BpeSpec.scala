@@ -159,6 +159,18 @@ class BpeSpec extends SparkSpec {
     assert(totals.zip(totals.tail).forall { case (a, b) => b <= a })
   }
 
+  test("null and empty texts encode to zero tokens") {
+    val docs = Seq((1L, null: String), (2L, ""), (3L, "ab"))
+      .toDF("doc_id", "text")
+    val merges = Seq((1L, "a", "b", "ab", 2L))
+      .toDF("rank", "left", "right", "merged", "pair_count")
+    val got = BpeLearn.encodeTokenCounts(docs, "doc_id", "text", merges)
+      .orderBy(col("doc_id"))
+      .select(col("doc_id"), col("n_words"), col("n_tokens"))
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 0L, 0L), (2L, 0L, 0L), (3L, 1L, 1L)))
+  }
+
   test("encoding memoization is transparent: a memo cap of 1 (no " +
       "effective cache) changes nothing") {
     val docs = Tables.load(spark, sf0001, "documents").limit(10)
