@@ -379,16 +379,27 @@ object CorpusOps {
     * carries gram text. Documents shorter than `n` tokens contribute
     * no windows.
     */
-  private[operators] def distinctWindowHashes(
-      df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
-    val th = transform(split(col(textCol), " "), t => xxhash64(t))
-    val grams = when(size(col("_th")) >= n,
-      transform(sequence(lit(1), size(col("_th")) - (n - 1)),
-        i => xxhash64((0 until n).map(k => element_at(col("_th"), i + k)): _*)))
+  /** Per-token xxhash64 array — bind with withColumn so downstream
+    * window lambdas see a materialized array, not a re-split per
+    * element (the q67/q71/q76 trap).
+    */
+  private[operators] def tokenHashes(textCol: String): Column =
+    transform(split(col(textCol), " "), t => xxhash64(t))
+
+  /** All n-token window hashes of a bound token-hash array column —
+    * multi-arg xxhash64 per window, no gram-string construction.
+    */
+  private[operators] def windowHashes(th: Column, n: Int): Column =
+    when(size(th) >= n,
+      transform(sequence(lit(1), size(th) - (n - 1)),
+        i => xxhash64((0 until n).map(k => element_at(th, i + k)): _*)))
       .otherwise(array().cast("array<bigint>"))
-    df.withColumn("_th", th)
-      .select(col(idCol), explode(array_distinct(grams)).as("g"))
-  }
+
+  private[operators] def distinctWindowHashes(
+      df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
+    df.withColumn("_th", tokenHashes(textCol))
+      .select(col(idCol),
+        explode(array_distinct(windowHashes(col("_th"), n))).as("g"))
 
   // ---- Duplicated-span removal (ExactSubstr-style) -------------------
 

@@ -250,4 +250,35 @@ class StreamingSpec extends SparkSpec {
       assert(ids == Set(1L, 2L, 4L), s"got $ids")
     } finally q.stop()
   }
+
+  test("streaming n-gram contamination: per-doc verdicts as docs " +
+      "arrive equal the batch operator on the real corpus") {
+    implicit val sqlCtx = spark.sqlContext
+    val docs = Tables.load(spark, sf0001, "documents")
+      .select(col("doc_id"), col("text"))
+    val benchmark = docs.filter(col("doc_id") % 50 === 0)
+    val rows = docs.as[(Long, String)].collect()
+    val ms = MemoryStream[(Long, String)]
+    val q = graft.operators.Contamination.flagNgramOverlapStream(
+      ms.toDF().toDF("doc_id", "text"), benchmark, "doc_id", "text",
+      n = 13)
+      .writeStream.format("memory").queryName("contam_s")
+      .outputMode("append").start()
+    try {
+      val (first, rest) = rows.splitAt(rows.length / 2)
+      ms.addData(first.toSeq)
+      q.processAllAvailable()
+      ms.addData(rest.toSeq) // verdicts are per-doc: batch split is free
+      q.processAllAvailable()
+      val got = spark.table("contam_s")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+        .toSet
+      val batch = graft.operators.Contamination
+        .flagNgramOverlap(docs, benchmark, "doc_id", "text", n = 13)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+        .toSet
+      assert(got == batch)
+      assert(got.exists(_._3) && got.exists(!_._3)) // non-trivial corpus
+    } finally q.stop()
+  }
 }
