@@ -62,6 +62,42 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("cosine"), col("rnk"))
   }
 
+  /** Filtered (metadata-constrained) similarity search: top-k among
+    * only the corpus vectors satisfying a per-query attribute
+    * constraint — here label-equality ("nearest docs in the SAME
+    * language/source/partition"), the production filtered-ANN shape.
+    * Folding the predicate into the search beats search-then-filter
+    * (which under-fills k) and filter-then-index (which needs one
+    * index per predicate value).
+    *
+    * Plan shape: because the constraint is an EQUALITY, the pair
+    * generation is a broadcast hash JOIN on label — a strictly better
+    * plan class than brute-force's nested loop: each corpus vector is
+    * scored only against its label's queries, the corpus never
+    * shuffles (queries broadcast), and per-query top-k collapses
+    * map-side via WindowGroupLimit before the rank exchange. Same
+    * 9-decimal rounding determinism as [[bruteForceTopK]].
+    */
+  def labelFilteredTopK(corpus: DataFrame, queries: DataFrame, k: Int)
+      : DataFrame = {
+    val q = queries.select(col("id").as("query_id"), col("vec").as("qvec"),
+        col("label").as("qlabel"))
+      .withColumn("qn", l2Norm(col("qvec")))
+    val c = corpus.select(col("id").as("neighbor_id"), col("vec").as("cvec"),
+        col("label").as("clabel"))
+      .withColumn("cn", l2Norm(col("cvec")))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    c.join(broadcast(q), col("clabel") === col("qlabel") &&
+        col("neighbor_id") =!= col("query_id"))
+      .withColumn("cosine", round(cosineWithNorms(col("qvec"), col("cvec"),
+        col("qn"), col("cn")), 9))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("cosine"),
+        col("rnk"))
+  }
+
   /** Int8-quantized ANN top-k: candidate generation runs on
     * `VecQuantize`d byte vectors (4× smaller than float on the scan —
     * at 100 TB of embeddings the quantized copy is the one that fits

@@ -333,6 +333,39 @@ object DedupQueries {
         SELECT query_id, neighbor_id, cosine, rnk FROM ranked WHERE rnk <= 5
         ORDER BY query_id, rnk""")),
 
+    // ---- q87: filtered ANN — top-k within the query's label ----
+    // The production filtered-search shape (constrain candidates by a
+    // metadata predicate, THEN rank): the label-equality constraint
+    // turns pair generation into a broadcast hash join on label — no
+    // nested loop, no corpus shuffle — and the oracle replays the
+    // exact arithmetic with the constraint in the join condition.
+    QueryDef(
+      "q87_ann_filtered",
+      (s, dir) => {
+        val emb = Tables.load(s, dir, "embeddings")
+          .select(col("vec_id").as("id"), col("embedding").as("vec"),
+            col("label"))
+        Similarity.labelFilteredTopK(emb, emb.filter(col("id") < 20), k = 5)
+          .orderBy(col("query_id"), col("rnk"))
+      },
+      Some("""
+        WITH e AS (
+          SELECT vec_id AS id, embedding::DOUBLE[] AS v, label
+          FROM embeddings),
+        pairs AS (
+          SELECT q.id AS query_id, c.id AS neighbor_id,
+                 list_dot_product(q.v, c.v) /
+                   (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v))) AS raw
+          FROM e q JOIN e c ON c.label = q.label AND c.id <> q.id
+          WHERE q.id < 20),
+        ranked AS (
+          SELECT query_id, neighbor_id, round(raw, 9) AS cosine,
+                 ROW_NUMBER() OVER (PARTITION BY query_id
+                   ORDER BY round(raw, 9) DESC, neighbor_id) AS rnk
+          FROM pairs)
+        SELECT query_id, neighbor_id, cosine, rnk FROM ranked WHERE rnk <= 5
+        ORDER BY query_id, rnk""")),
+
     // ---- q29: LSH-bucketed ANN, reported as recall@5 vs the exact
     // baseline (the 100 TB path: bucket exchange instead of cross
     // product). The LSH candidate set is not SQL-expressible, so the

@@ -216,6 +216,32 @@ class AnnSpec extends SparkSpec {
       eq idx)
   }
 
+  test("filtered ANN: matches brute force run per label, and the " +
+      "plan is a broadcast hash join on label — no nested loop") {
+    val embL = Tables.load(spark, sf0001, "embeddings")
+      .select(col("vec_id").as("id"), col("embedding").as("vec"),
+        col("label"))
+    val got = Similarity.labelFilteredTopK(embL,
+        embL.filter(col("id") < 10), k = 3)
+      .collect().map(_.toString).sorted.toSeq
+    // independent construction: brute-force within each label slice
+    val labels = embL.filter(col("id") < 10).select("label")
+      .distinct().as[Int].collect()
+    val want = labels.flatMap { l =>
+      val slice = embL.filter(col("label") === l).drop("label")
+      Similarity.bruteForceTopK(slice,
+          slice.filter(col("id") < 10), k = 3)
+        .collect().map(_.toString)
+    }.sorted.toSeq
+    assert(got == want)
+    val plan = Similarity.labelFilteredTopK(embL,
+        embL.filter(col("id") < 10), k = 3)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"), plan)
+    assert(plan.contains("BroadcastHashJoin"), plan)
+  }
+
   test("brute-force top-k is reproducible run to run") {
     val a = Similarity.bruteForceTopK(emb, emb.filter(col("id") < 5), k = 3)
       .collect().map(_.toString).sorted.toSeq
