@@ -78,11 +78,36 @@ object CorpusStress {
         CorpusOps.packGreedy(withTok, "doc_id", "n_tok",
           budget = 256, nShards = shards).count())
 
+      // q85: Bloom cross-corpus dedup vs the naive shuffle anti-join —
+      // the naive run doubles as the EXACTNESS oracle at every factor
+      // (Bloom route must return identical survivor counts) and as the
+      // baseline the prefilter is supposed to beat as data grows.
+      val headKey = array_join(slice(split(
+        lower(trim(regexp_replace(col("text"), "\\s+", " "))), " "),
+        1, 12), " ")
+      // split on the BASE doc (doc_id = base*f + copy), so every copy
+      // splits identically and cross-split head-duplicates scale with
+      // the factor instead of vanishing
+      val baseMod = pmod(floor(col("doc_id") / f), lit(5))
+      val ref = docs.filter(baseMod === 0)
+      val corp = docs.filter(baseMod =!= 0)
+      val (r85, t85) = time(
+        graft.operators.BloomDedup.dedupAgainstReference(
+          corp, ref, headKey, expectedItems = math.max(n / 5, 64L))
+          .count())
+      val (rNaive, tNaive) = time(
+        corp.withColumn("__k", headKey)
+          .join(ref.select(headKey.as("__k")), Seq("__k"), "left_anti")
+          .count())
+      require(r85 == rNaive,
+        s"bloom dedup inexact at factor $f: $r85 vs $rNaive")
+
       println(s"""{"factor":$f,"docs":$n,""" +
         s""""q67_sec":$t67,"q67_rows":$r67,""" +
         s""""q71_sec":$t71,"q71_rows":$r71,""" +
         s""""q74_sec":$t74,"q74_rows":$r74,""" +
-        s""""q70_sec":$t70,"q70_rows":$r70,"q70_shards":$shards}""")
+        s""""q70_sec":$t70,"q70_rows":$r70,"q70_shards":$shards,""" +
+        s""""q85_sec":$t85,"q85_rows":$r85,"q85_naive_sec":$tNaive}""")
     }
     spark.stop()
   }

@@ -80,6 +80,46 @@ object CorpusOps {
     df.filter(h < rate * 10000)
   }
 
+  /** Temperature-flattened source rebalancing — the multilingual /
+    * multi-source mixing pass: downsample each class so post-sampling
+    * shares go from the natural p_s to p_s^alpha (alpha < 1 flattens —
+    * rare sources keep everything, dominant ones shed mass; alpha = 1
+    * is a no-op). Keep-rate per class: r_s = (c_min / c_s)^(1-alpha),
+    * normalized so the rarest class keeps 100% — rebalancing by
+    * DELETION only, the shape that needs no data generation. The
+    * Bernoulli draw is [[weightedResample]]'s Knuth multiplicative
+    * hash, so kept rows are bit-reproducible across partitionings,
+    * retries, and engines.
+    *
+    * Scale shape: one map-side-combined groupBy for the class counts
+    * (class-cardinality rows), broadcast back; the keep decision is
+    * scan-local. Determinism across engines: for alpha = 0.5 the rate
+    * is sqrt(c_min/c_s) — IEEE sqrt and division are both correctly
+    * rounded, so Spark and any oracle compute bit-identical thresholds
+    * (no such guarantee for pow(x, y) generally; the REGISTERED query
+    * pins alpha = 0.5, and other alphas document the last-ulp caveat).
+    */
+  def temperatureResample(
+      df: DataFrame,
+      idCol: String,
+      classCol: String,
+      alpha: Double = 0.5): DataFrame = {
+    require(alpha > 0.0 && alpha <= 1.0, s"alpha must be in (0,1]: $alpha")
+    val counts = df.groupBy(col(classCol))
+      .agg(count(lit(1)).cast("double").as("_c"))
+    val withMin = counts.crossJoin(
+      broadcast(counts.agg(min(col("_c")).as("_cmin"))))
+    val rate =
+      if (alpha == 0.5) sqrt(col("_cmin") / col("_c"))
+      else pow(col("_cmin") / col("_c"), 1.0 - alpha)
+    val thresholds = withMin
+      .select(col(classCol), floor(rate * 10000).cast("long").as("_thr"))
+    val h = pmod(col(idCol) * lit(2654435761L), lit(2147483647L)) % 10000
+    df.join(broadcast(thresholds), Seq(classCol))
+      .filter(h < col("_thr"))
+      .drop("_thr")
+  }
+
   // ---- Context-window chunking ---------------------------------------
 
   /** Split each document into token windows of `window` tokens with

@@ -120,6 +120,36 @@ object CorpusQueries {
                          ELSE 1.0 END) * 10000
         ORDER BY doc_id""")),
 
+    // ---- q88: temperature-flattened language rebalancing ----
+    // q65 applies CALLER-GIVEN rates; this derives them from the data:
+    // post-sampling language shares ∝ p^0.5 (the rarest language keeps
+    // 100%, dominant ones shed mass — the multilingual mixing pass;
+    // keyed on lang because the corpus is genuinely skewed there,
+    // en ≈ 3× fr, while sources are uniform by construction). At
+    // alpha = 0.5 the per-class rate is sqrt(c_min/c_s): IEEE sqrt and
+    // division are correctly rounded, so DuckDB derives bit-identical
+    // thresholds and the whole data-dependent pipeline hash-gates.
+    QueryDef(
+      "q88_temperature_resample",
+      (s, dir) => {
+        CorpusOps.temperatureResample(
+            Tables.load(s, dir, "documents"), "doc_id", "lang",
+            alpha = 0.5)
+          .select(col("doc_id"), col("lang"), col("source"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""
+        WITH c AS (
+          SELECT lang, CAST(count(*) AS DOUBLE) AS c
+          FROM documents GROUP BY lang),
+        m AS (SELECT min(c) AS cmin FROM c),
+        t AS (SELECT lang, CAST(floor(sqrt(cmin / c) * 10000) AS BIGINT) AS thr
+              FROM c, m)
+        SELECT d.doc_id, d.lang, d.source
+        FROM documents d JOIN t USING (lang)
+        WHERE ((d.doc_id * 2654435761) % 2147483647) % 10000 < t.thr
+        ORDER BY d.doc_id""")),
+
     // ---- q66: context-window chunking ----
     // Split documents into 8-token windows every 6 tokens (2-token
     // overlap) — the long-document → training-sequence transform.

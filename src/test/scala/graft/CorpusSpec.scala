@@ -101,6 +101,36 @@ class CorpusSpec extends SparkSpec {
     assert(CorpusOps.weightedResample(e, "id", "cls", rates).count() == 2)
   }
 
+  test("temperature resample: rarest class fully kept, dominant " +
+      "flattened to sqrt share, deterministic under repartitioning") {
+    val d = ((0 until 900).map(i => (i.toLong, "big")) ++
+      (900 until 1000).map(i => (i.toLong, "small")))
+      .toDF("id", "cls")
+    val a = CorpusOps.temperatureResample(d, "id", "cls", alpha = 0.5)
+    val b = CorpusOps.temperatureResample(d.repartition(13), "id", "cls",
+      alpha = 0.5)
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
+    val byCls = a.groupBy("cls").count().as[(String, Long)].collect().toMap
+    // rarest class keeps 100% by construction
+    assert(byCls("small") == 100L)
+    // dominant class rate = sqrt(100/900) = 1/3 (±hash noise)
+    assert(math.abs(byCls("big").toDouble / 900 - 1.0 / 3) < 0.05,
+      byCls.toString)
+    // alpha = 1 is the identity (natural distribution untouched)
+    assert(CorpusOps.temperatureResample(d, "id", "cls", alpha = 1.0)
+      .count() == 1000L)
+    // kept set agrees with weightedResample at the same derived rates:
+    // the same Knuth draw decides both
+    val viaRates = CorpusOps.weightedResample(d, "id", "cls",
+      Map("big" -> math.floor(math.sqrt(100.0 / 900) * 10000) / 10000,
+        "small" -> 1.0))
+    assert(a.select("id").exceptAll(viaRates.select("id")).isEmpty &&
+      viaRates.select("id").exceptAll(a.select("id")).isEmpty)
+    intercept[IllegalArgumentException] {
+      CorpusOps.temperatureResample(d, "id", "cls", alpha = 0.0)
+    }
+  }
+
   test("boilerplate n-gram fractions match a hand-built corpus") {
     val corpus = Seq(
       (1L, "the quick brown fox jumps"),   // shares "the quick brown"+"quick brown fox" with doc 2
