@@ -107,8 +107,16 @@ object CorpusOps {
     require(alpha > 0.0 && alpha <= 1.0, s"alpha must be in (0,1]: $alpha")
     val counts = df.groupBy(col(classCol))
       .agg(count(lit(1)).cast("double").as("_c"))
-    val withMin = counts.crossJoin(
-      broadcast(counts.agg(min(col("_c")).as("_cmin"))))
+    // keyless window over the COUNTS relation, whose cardinality is
+    // the number of classes — bounded and tiny at any corpus size, so
+    // the single-partition move is free, it reads the corpus once
+    // (a min-aggregate join would scan it twice), and the plan stays
+    // NLJ-free for the whole-battery audit (a crossJoin with the
+    // 1-row min — even a literal-keyed join, after constant folding —
+    // plans as BroadcastNestedLoopJoin)
+    val withMin = counts.withColumn("_cmin",
+      min(col("_c")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy()))
     val rate =
       if (alpha == 0.5) sqrt(col("_cmin") / col("_c"))
       else pow(col("_cmin") / col("_c"), 1.0 - alpha)

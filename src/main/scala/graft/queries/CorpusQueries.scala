@@ -150,6 +150,27 @@ object CorpusQueries {
         WHERE ((d.doc_id * 2654435761) % 2147483647) % 10000 < t.thr
         ORDER BY d.doc_id""")),
 
+    // ---- q89: deterministic training-shard manifest ----
+    // The write-side contract of Layout.writeTrainingShards as an
+    // oracle-checked query: shard and within-shard order are pure
+    // Knuth-hash functions of the doc id, so the "global shuffle" a
+    // training run consumes is bit-reproducible in both engines.
+    QueryDef(
+      "q89_shard_manifest",
+      (s, dir) => {
+        graft.sources.Layout.shardAssignment(
+            Tables.load(s, dir, "documents").select(col("doc_id")),
+            "doc_id", nShards = 8)
+          .select(col("doc_id"), col("shard").cast("long").as("shard"),
+            col("pos"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""
+        SELECT doc_id,
+               ((doc_id * 2654435761) % 2147483647) % 8 AS shard,
+               (doc_id * 2654435761) % 2147483647 AS pos
+        FROM documents ORDER BY doc_id""")),
+
     // ---- q66: context-window chunking ----
     // Split documents into 8-token windows every 6 tokens (2-token
     // overlap) — the long-document → training-sequence transform.

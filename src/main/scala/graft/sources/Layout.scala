@@ -32,4 +32,40 @@ object Layout {
   }
 
   def table(spark: SparkSession, name: String): DataFrame = spark.table(name)
+
+  /** Deterministic global-shuffle shard assignment — the write-side
+    * contract of a training pipeline: every row gets a `shard` in
+    * [0, nShards) and a within-shard order key `pos`, both pure
+    * functions of the id (the q55/q65 Knuth multiplicative hash), so
+    * the "random" order is bit-reproducible across retries, engines
+    * and re-partitionings, and a re-run after adding one document
+    * moves only that document. Content-independent by design: shard
+    * balance is hash balance, never skewed by doc length or source.
+    */
+  def shardAssignment(df: DataFrame, idCol: String, nShards: Int)
+      : DataFrame = {
+    require(nShards > 0, s"nShards=$nShards")
+    import org.apache.spark.sql.functions._
+    val h = pmod(col(idCol) * lit(2654435761L), lit(2147483647L))
+    df.withColumn("pos", h)
+      .withColumn("shard", (h % nShards).cast("int"))
+  }
+
+  /** Materialize the corpus as `nShards` deterministic shards:
+    * parquet partitioned by `shard` (a loader reads shard k as one
+    * directory), rows carrying the materialized `pos` order key —
+    * readers sort on it; file-enumeration order is never part of the
+    * contract. One exchange keyed on the 4-byte shard id (documents
+    * ride it once — this IS the global shuffle, paid at write time so
+    * training epochs re-read for free), sorted within partitions so
+    * each file is internally pos-ordered.
+    */
+  def writeTrainingShards(df: DataFrame, idCol: String, nShards: Int,
+      path: String): Unit = {
+    import org.apache.spark.sql.functions._
+    shardAssignment(df, idCol, nShards)
+      .repartition(nShards, col("shard"))
+      .sortWithinPartitions(col("shard"), col("pos"))
+      .write.mode("overwrite").partitionBy("shard").parquet(path)
+  }
 }

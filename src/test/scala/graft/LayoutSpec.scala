@@ -46,4 +46,43 @@ class LayoutSpec extends SparkSpec {
     val lo = Salting.saltedJoin(big, small, "k", 8, "left_outer")
     assert(lo.count() == big.count())
   }
+
+  test("training shards: lossless, balanced, deterministic, and " +
+      "readable one shard at a time") {
+    import spark.implicits._
+    val n = 4000
+    val df = (0 until n).map(_.toLong).toDF("id")
+      .withColumn("payload", concat(lit("doc_"), col("id")))
+    val path = new java.io.File("target/tmp/train_shards").getAbsolutePath
+    Layout.writeTrainingShards(df, "id", nShards = 8, path)
+
+    val back = spark.read.parquet(path)
+    // lossless: every row comes back with its payload
+    assert(back.count() == n)
+    assert(back.select("id").as[Long].collect().toSet ==
+      (0L until n).toSet)
+    // assignment is the documented pure function of the id
+    val bad = back.filter(
+      col("pos") =!= pmod(col("id") * lit(2654435761L), lit(2147483647L)) ||
+      col("shard") =!= (col("pos") % 8).cast("int")).count()
+    assert(bad == 0)
+    // hash balance: all 8 shards within 20% of the mean
+    val counts = back.groupBy("shard").count().as[(Int, Long)]
+      .collect().toMap
+    assert(counts.keySet == (0 until 8).toSet)
+    assert(counts.values.forall(c => math.abs(c - n / 8.0) < n / 8.0 * 0.2),
+      counts.toString)
+    // one shard = one partition directory, independently readable
+    val s3 = spark.read.parquet(s"$path/shard=3")
+    assert(s3.count() == counts(3))
+    // overwrite is deterministic: identical assignment on a rewrite
+    // (materialize BEFORE rewriting — the lazy plan would re-list
+    // the overwritten files)
+    val first = back.select("id", "shard", "pos")
+      .as[(Long, Int, Long)].collect().toSet
+    Layout.writeTrainingShards(df, "id", nShards = 8, path)
+    val again = spark.read.parquet(path)
+      .select("id", "shard", "pos").as[(Long, Int, Long)].collect().toSet
+    assert(again == first)
+  }
 }
