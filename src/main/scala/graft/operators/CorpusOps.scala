@@ -121,11 +121,15 @@ object CorpusOps {
       if (alpha == 0.5) sqrt(col("_cmin") / col("_c"))
       else pow(col("_cmin") / col("_c"), 1.0 - alpha)
     val thresholds = withMin
-      .select(col(classCol), floor(rate * 10000).cast("long").as("_thr"))
+      .select(col(classCol).as("_tr_cls"),
+        floor(rate * 10000).cast("long").as("_thr"))
     val h = pmod(col(idCol) * lit(2654435761L), lit(2147483647L)) % 10000
-    df.join(broadcast(thresholds), Seq(classCol))
+    // null-safe equality: a NULL class is a class like any other (it
+    // got a count and a threshold above) — a plain inner join would
+    // silently DROP every null-class row
+    df.join(broadcast(thresholds), col(classCol) <=> col("_tr_cls"))
       .filter(h < col("_thr"))
-      .drop("_thr")
+      .drop("_tr_cls", "_thr")
   }
 
   // ---- Context-window chunking ---------------------------------------

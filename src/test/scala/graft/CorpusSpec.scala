@@ -129,6 +129,13 @@ class CorpusSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       CorpusOps.temperatureResample(d, "id", "cls", alpha = 0.0)
     }
+    // a NULL class is a class, not a row-loss: here it is the rarest,
+    // so all its rows survive
+    val withNull = ((0 until 200).map(i => (i.toLong, "big")) ++
+      (200 until 210).map(i => (i.toLong, null: String)))
+      .toDF("id", "cls")
+    val kept = CorpusOps.temperatureResample(withNull, "id", "cls", 0.5)
+    assert(kept.filter(col("cls").isNull).count() == 10L)
   }
 
   test("boilerplate n-gram fractions match a hand-built corpus") {
