@@ -171,6 +171,87 @@ object CorpusQueries {
                (doc_id * 2654435761) % 2147483647 AS pos
         FROM documents ORDER BY doc_id""")),
 
+    // ---- q90: the full pre-training data program ----
+    // Five production stages composed as ONE hash-gated query —
+    // Gopher repetition gate (q63) → exact dedup keep-first (q20) →
+    // 13-gram benchmark decontamination (q84) → temperature language
+    // rebalancing (q88) → deterministic shard manifest (q89). Every
+    // stage is data-dependent on the previous one (the rebalancing
+    // thresholds are derived from the POST-filter distribution), so
+    // the oracle's CTE chain replays the whole program, not the
+    // pieces — the q48/q62/q77 composition-gate pattern at its
+    // widest.
+    QueryDef(
+      "q90_pretraining_program",
+      (s, dir) => {
+        val d = Tables.load(s, dir, "documents")
+        val gated = d.join(
+          CorpusOps.repetitionStatsExploded(d, "doc_id", "text")
+            .filter(col("top_word_frac") <= 0.2 &&
+              col("dup_word_frac") <= 0.85)
+            .select(col("doc_id")),
+          "doc_id")
+        val keepers = gated
+          .groupBy(fingerprintMd5(col("text")).as("fp"))
+          .agg(min(col("doc_id")).as("doc_id"))
+          .select(col("doc_id"))
+        val deduped = gated.join(keepers, "doc_id")
+        val corpus = deduped.filter(col("doc_id") % 50 =!= 0)
+        val evalSet = d.filter(col("doc_id") % 50 === 0)
+        val clean = corpus.join(
+          graft.operators.Contamination
+            .flagNgramOverlap(corpus, evalSet, "doc_id", "text", n = 13)
+            .filter(!col("contaminated")).select(col("doc_id")),
+          "doc_id")
+        val balanced = CorpusOps.temperatureResample(
+          clean, "doc_id", "lang", alpha = 0.5)
+        graft.sources.Layout.shardAssignment(
+            balanced.select(col("doc_id"), col("lang")), "doc_id",
+            nShards = 8)
+          .select(col("doc_id"), col("lang"),
+            col("shard").cast("long").as("shard"), col("pos"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""
+        WITH dd AS (
+          SELECT doc_id, lang, text, string_split(text, ' ') AS t
+          FROM documents),
+        keep AS (
+          SELECT doc_id, lang, text FROM dd
+          WHERE CAST(list_max(list_transform(t, x -> len(list_filter(t, u -> u = x)))) AS DOUBLE) / len(t) <= 0.2
+            AND CAST(len(list_filter(t, x -> len(list_filter(t, u -> u = x)) > 1)) AS DOUBLE) / len(t) <= 0.85),
+        ded AS (
+          SELECT min(doc_id) AS doc_id FROM keep
+          GROUP BY md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))),
+        corpus AS (
+          SELECT k.doc_id, k.lang, string_split(k.text, ' ') AS t
+          FROM keep k JOIN ded USING (doc_id)
+          WHERE k.doc_id % 50 <> 0),
+        evalg AS (
+          SELECT DISTINCT array_to_string(t[i : i + 12], ' ') AS gram
+          FROM dd, LATERAL unnest(range(1, greatest(len(t) - 11, 1))) AS u(i)
+          WHERE doc_id % 50 = 0 AND len(t) >= 13),
+        cg AS (
+          SELECT DISTINCT doc_id, array_to_string(t[i : i + 12], ' ') AS gram
+          FROM corpus, LATERAL unnest(range(1, greatest(len(t) - 11, 1))) AS u(i)
+          WHERE len(t) >= 13),
+        contaminated AS (
+          SELECT DISTINCT doc_id FROM cg JOIN evalg USING (gram)),
+        clean AS (
+          SELECT corpus.doc_id, corpus.lang FROM corpus
+          ANTI JOIN contaminated ON contaminated.doc_id = corpus.doc_id),
+        c AS (SELECT lang, CAST(count(*) AS DOUBLE) AS c
+              FROM clean GROUP BY lang),
+        m AS (SELECT min(c) AS cmin FROM c),
+        thr AS (SELECT lang, CAST(floor(sqrt(cmin / c) * 10000) AS BIGINT) AS thr
+                FROM c, m)
+        SELECT cl.doc_id, cl.lang,
+               ((cl.doc_id * 2654435761) % 2147483647) % 8 AS shard,
+               (cl.doc_id * 2654435761) % 2147483647 AS pos
+        FROM clean cl JOIN thr USING (lang)
+        WHERE ((cl.doc_id * 2654435761) % 2147483647) % 10000 < thr.thr
+        ORDER BY cl.doc_id""")),
+
     // ---- q66: context-window chunking ----
     // Split documents into 8-token windows every 6 tokens (2-token
     // overlap) — the long-document → training-sequence transform.
