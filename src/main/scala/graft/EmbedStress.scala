@@ -89,9 +89,27 @@ object EmbedStress {
         .count()
       pairs.unpersist()
       val recall = planted.toDouble / nTwins
+
+      // q82 path at scale: int8-quantized candidate scan + exact
+      // rescoring, 20 fixed twin-SOURCE queries (copy 0 of every 25th
+      // base vector) — ground truth top-1 is the planted twin
+      // (cosine ≈ 0.97 vs a ≈ 0.6 noise floor), so recall@1 is a
+      // direct hit count over the growing corpus.
+      val twinSources = corpus.filter(col("id") % 2 === 0 &&
+        pmod(col("id") / 2, lit(f)) === 0 &&
+        pmod((col("id") / 2) / f, lit(25)) === 0)
+      val nQ = twinSources.count()
+      val (qHits, qSec) = time {
+        Similarity.quantizedTopK(corpus, twinSources, k = 1)
+          .filter(col("neighbor_id") === col("query_id") + 1)
+          .count()
+      }
+
       println(s"""{"factor":$f,"vectors":$n,"planted":$nTwins,""" +
         s""""sec":${sec + secCount},"found":$found,"planted_found":$planted,""" +
-        s""""recall":$recall}""")
+        s""""recall":$recall,""" +
+        s""""q82_queries":$nQ,"q82_sec":$qSec,""" +
+        s""""q82_recall1":${qHits.toDouble / nQ}}""")
     }
     spark.stop()
   }
