@@ -383,12 +383,16 @@ object CorpusQueries {
     // vectors, bit-exact across engines (md5 slots, integer counts),
     // so the oracle checks every vector element. Bridges the text
     // tables into the ANN/SemDeDup family without a model.
+    // Registered in exploded long form (doc_id, j, v) — the driver's
+    // oracle harness cannot sort array columns (r4 ERR), and the long
+    // form checks exactly the same dim·N values.
     QueryDef(
       "q74_hashed_embedding",
       (s, dir) => {
         val d = Tables.load(s, dir, "documents")
         CorpusOps.hashedBowEmbedding(d, "doc_id", "text", dim = 32)
-          .orderBy(col("doc_id"))
+          .select(col("doc_id"), posexplode(col("vec")).as(Seq("j", "v")))
+          .orderBy(col("doc_id"), col("j"))
       },
       Some("""
         WITH tok AS (
@@ -408,19 +412,21 @@ object CorpusQueries {
           FROM (SELECT DISTINCT doc_id FROM documents) d
           CROSS JOIN (SELECT unnest(range(0, 32)) AS j) dims
           LEFT JOIN slot ON slot.doc_id = d.doc_id AND slot.j = dims.j)
-        SELECT doc_id, list(CAST(v AS DOUBLE) ORDER BY j) AS vec
-        FROM grid GROUP BY doc_id ORDER BY doc_id""")),
+        SELECT doc_id, CAST(j AS INT) AS j, CAST(v AS DOUBLE) AS v
+        FROM grid ORDER BY doc_id, j""")),
 
     // ---- q78: TF-IDF weighted hashed embeddings ----
     // q74's featurizer with relevance weighting: tf·ln(N/df)·sign per
     // term per slot, ln made cross-engine exact by the q71 rounding
     // discipline — so the oracle checks the whole df-weighted model.
+    // Long form (doc_id, j, v) for the same harness reason as q74.
     QueryDef(
       "q78_tfidf_embedding",
       (s, dir) => {
         val d = Tables.load(s, dir, "documents")
         CorpusOps.tfidfHashedEmbedding(d, "doc_id", "text", dim = 32)
-          .orderBy(col("doc_id"))
+          .select(col("doc_id"), posexplode(col("vec")).as(Seq("j", "v")))
+          .orderBy(col("doc_id"), col("j"))
       },
       Some("""
         WITH tok AS (
@@ -447,8 +453,8 @@ object CorpusQueries {
           FROM (SELECT DISTINCT doc_id FROM documents) d
           CROSS JOIN (SELECT unnest(range(0, 32)) AS j) dims
           LEFT JOIN slot ON slot.doc_id = d.doc_id AND slot.j = dims.j)
-        SELECT doc_id, list(CAST(v AS DOUBLE) ORDER BY j) AS vec
-        FROM grid GROUP BY doc_id ORDER BY doc_id""")),
+        SELECT doc_id, CAST(j AS INT) AS j, CAST(v AS DOUBLE) AS v
+        FROM grid ORDER BY doc_id, j""")),
 
     // ---- q77: corpus → training-sequence manifest ----
     // The packing endgame as ONE verified program: Gopher repetition
