@@ -453,19 +453,23 @@ object DedupQueries {
       },
       None),
 
-    // ---- q46: IVF ANN probe, reported as recall@5 vs exact ----
+    // ---- q46: IVF ANN probe — the probe top-k itself ----
     // KMeans coarse quantizer (seeded → deterministic), nProbe of
-    // nLists cells ranked by exact cosine. Like q29 the candidate set
-    // is not SQL-expressible, so the output is the acceptance metric
-    // itself; AnnSpec proves probe-all ≡ brute force, recall monotone
-    // in nProbe, and loaded-index ≡ inline-built parity.
+    // nLists cells ranked by exact cosine. The candidate set is not
+    // SQL-expressible, so no oracle; AnnSpec carries the acceptance
+    // gates (probe-all ≡ brute force, recall ≥ 0.9 at nProbe=8,
+    // recall monotone in nProbe, loaded-index ≡ inline-built parity).
     //
     // Production shape (round-3 verdict #2): the index is built+saved
     // ONCE per corpus (`IvfIndex.buildIfAbsent` — in the bench, during
     // the untimed warmup sweep; in a deployment, by the offline
     // indexing job) and the registered query LOADS it — postings come
-    // off parquet partitioned by list_id, so the timed number is probe
-    // cost, never KMeans training.
+    // off parquet partitioned by list_id. Round-5 fix (r4 verdict #2):
+    // the registered result is the probe top-k ITSELF, not a recall
+    // metric — r4's registration computed the exact `bruteForceTopK`
+    // baseline inside the timed query, so BENCH_r04 measured
+    // probe + full-corpus baseline (2.32 s), contradicting the
+    // probe-only story. Now the timed number IS probe cost.
     QueryDef(
       "q46_ann_ivf",
       (s, dir) => {
@@ -475,9 +479,8 @@ object DedupQueries {
           dir.replaceAll("[^A-Za-z0-9]", "_") + "_n16"
         val idx = Similarity.IvfIndex.buildIfAbsent(s, emb, idxPath,
           nLists = 16)
-        Similarity.ivfRecallAtK(idx, emb, emb.filter(col("id") < 20),
-          k = 5, nProbe = 8)
-          .orderBy(col("query_id"))
+        idx.topK(emb.filter(col("id") < 20), k = 5, nProbe = 8)
+          .orderBy(col("query_id"), col("rnk"))
       },
       None),
 
