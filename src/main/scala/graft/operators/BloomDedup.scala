@@ -37,6 +37,16 @@ import org.apache.spark.sql.functions._
   * candidates are a superset of `keys(corpus) ∩ keys(reference)`, and
   * steps 3–4 are plain relational algebra on that superset.
   *
+  * The broadcast in steps 3–4 presumes the OVERLAP is small — the
+  * decontamination/head-dedup regime. When most of the corpus is
+  * duplicate (re-crawl vs previous snapshot), the candidate set is
+  * corpus-scale and a forced broadcast would OOM; the MEASURED
+  * candidate count therefore gates the plan (r5, advisor finding):
+  * above `broadcastBudgetRows` the confirm/anti joins fall back to
+  * plain shuffles — at that overlap fraction corpus-scale key movement
+  * is inherent to exactness, and the Bloom prefilter still spared the
+  * non-candidate rows the exchange.
+  *
   * NULL keys are never duplicates (join semantics); rows whose key is
   * NULL always survive.
   */
@@ -52,13 +62,19 @@ object BloomDedup {
     *   but never correctness.
     * @param fpp false-positive probability; tune against broadcast
     *   budget for the candidate set (candidates ≈ dups + fpp·|corpus|).
+    * @param broadcastBudgetRows max candidate-key count the confirm/
+    *   anti joins may broadcast; above it they degrade to shuffle
+    *   joins (loud-OOM-free at snapshot-overlap scale). The default
+    *   (8M 8-to-64-byte keys, low hundreds of MB) sits under Spark's
+    *   8 GB broadcast hard cap with headroom for executor heaps.
     */
   def dedupAgainstReference(
       corpus: DataFrame,
       reference: DataFrame,
       key: Column,
       expectedItems: Long,
-      fpp: Double = 0.01): DataFrame = {
+      fpp: Double = 0.01,
+      broadcastBudgetRows: Long = 8_000_000L): DataFrame = {
     require(expectedItems > 0 && fpp > 0 && fpp < 1,
       s"expectedItems=$expectedItems fpp=$fpp")
     val spark = corpus.sparkSession
@@ -79,20 +95,29 @@ object BloomDedup {
     val bloomB = spark.sparkContext.broadcast(bloom)
     val mightContain = udf((h: Long) => bloomB.value.mightContainLong(h))
 
-    // 2. scan-local prefilter; only candidates reach an exchange
+    // 2. scan-local prefilter; only candidates reach an exchange.
+    //    Materialized (MEMORY_AND_DISK blocks, no lineage recompute)
+    //    because the count below gates the plan and steps 3-4 read it
+    //    again; the blocks are at most candidate-set-sized — the same
+    //    data a broadcast would have shipped.
     val candKeys = kc
       .filter(col("__bd_key").isNotNull &&
         mightContain(xxhash64(col("__bd_key"))))
       .select(col("__bd_key"))
       .distinct()
+      .localCheckpoint()
+    val nCand = candKeys.count()
+    val fits = nCand <= broadcastBudgetRows
+    def sized(df: DataFrame): DataFrame = if (fits) broadcast(df) else df
 
-    // 3. exact confirm — reference side stays scan-local
+    // 3. exact confirm — reference side stays scan-local on the
+    //    broadcast path; above budget it degrades to a key shuffle
     val dupKeys = kr
-      .join(broadcast(candKeys), Seq("__bd_key"), "left_semi")
+      .join(sized(candKeys), Seq("__bd_key"), "left_semi")
       .distinct()
 
-    // 4. corpus side stays scan-local too
-    kc.join(broadcast(dupKeys), Seq("__bd_key"), "left_anti")
+    // 4. corpus side: scan-local under budget, shuffle anti-join above
+    kc.join(sized(dupKeys), Seq("__bd_key"), "left_anti")
       .drop("__bd_key")
   }
 }

@@ -146,7 +146,8 @@ object CorpusQueries {
         t AS (SELECT lang, CAST(floor(sqrt(cmin / c) * 10000) AS BIGINT) AS thr
               FROM c, m)
         SELECT d.doc_id, d.lang, d.source
-        FROM documents d JOIN t USING (lang)
+        FROM documents d
+        JOIN t ON d.lang IS NOT DISTINCT FROM t.lang
         WHERE ((d.doc_id * 2654435761) % 2147483647) % 10000 < t.thr
         ORDER BY d.doc_id""")),
 
@@ -248,7 +249,7 @@ object CorpusQueries {
         SELECT cl.doc_id, cl.lang,
                ((cl.doc_id * 2654435761) % 2147483647) % 8 AS shard,
                (cl.doc_id * 2654435761) % 2147483647 AS pos
-        FROM clean cl JOIN thr USING (lang)
+        FROM clean cl JOIN thr ON cl.lang IS NOT DISTINCT FROM thr.lang
         WHERE ((cl.doc_id * 2654435761) % 2147483647) % 10000 < thr.thr
         ORDER BY cl.doc_id""")),
 

@@ -513,7 +513,9 @@ object DedupQueries {
     // Bloom prefilter keeps BOTH corpora scan-local (the naive anti
     // join shuffles 100 TB on the key); the broadcast confirm joins
     // make the result EXACT for any fpp, which is what lets a plain
-    // NOT IN oracle hash-gate it.
+    // anti-join oracle hash-gate it. NOT EXISTS rather than NOT IN
+    // (advisor r5): NOT IN's NULL semantics would empty the result on
+    // one NULL reference key, while the operator keeps NULL-key rows.
     QueryDef(
       "q85_bloom_dedup",
       (s, dir) => {
@@ -541,7 +543,7 @@ object DedupQueries {
                 WHERE source IN ('src0','src1','src2','src3'))
         SELECT doc_id, source, lang FROM k
         WHERE source NOT IN ('src0','src1','src2','src3')
-          AND p NOT IN (SELECT p FROM ref)
+          AND NOT EXISTS (SELECT 1 FROM ref WHERE ref.p = k.p)
         ORDER BY doc_id"""))
   )
 }

@@ -324,7 +324,7 @@ object TextQueries {
         decont AS (
           SELECT r.doc_id, r.cluster_id FROM reps r
           JOIN exact e ON e.doc_id = r.doc_id
-          WHERE e.fp NOT IN (SELECT fp FROM bench))
+          WHERE NOT EXISTS (SELECT 1 FROM bench WHERE bench.fp = e.fp))
         SELECT doc_id,
                CASE WHEN ((cluster_id * 2654435761) % 2147483647) % 100 < 80
                     THEN 'train' ELSE 'test' END AS split

@@ -90,4 +90,23 @@ class BloomDedupSpec extends SparkSpec {
     // broadcast candidate/dup key sets
     assert(plan.contains("BroadcastHashJoin"), plan)
   }
+
+  test("candidate sets above the broadcast budget degrade to shuffle " +
+      "joins with the same exact answer") {
+    // snapshot-overlap regime: 90% of the corpus is duplicate, so the
+    // candidate set is corpus-scale; budget=10 forces the fallback
+    val corpus = (0 until 200).map(i => (i.toLong, s"k$i")).toDF("id", "key")
+    val reference = (0 until 180).map(i => s"k$i").toDF("key")
+    val deduped = BloomDedup.dedupAgainstReference(
+      corpus, reference, col("key"), expectedItems = 1000,
+      broadcastBudgetRows = 10)
+    assert(deduped.select("id").as[Long].collect().toSet ==
+      (180 until 200).map(_.toLong).toSet)
+    // no forced broadcast of a corpus-scale key set: the broadcast
+    // hint must be absent from the optimized plan (AQE may still pick
+    // its own small-table broadcast at this toy scale — the guard
+    // governs the FORCED hint, so that's what the assert targets)
+    val optimized = deduped.queryExecution.optimizedPlan.toString
+    assert(!optimized.contains("broadcast"), optimized)
+  }
 }
