@@ -106,10 +106,41 @@ object BpeLearn {
     merges.toSeq.toDF("rank", "left", "right", "merged", "pair_count")
   }
 
+  /** Canonical artifact location for a corpus directory: the merge
+    * budget is part of the name (derived, not hand-synced — advisor
+    * r5) so changing `numMerges` can never silently reuse an
+    * artifact trained with a different budget.
+    */
+  def artifactPath(dataDir: String, numMerges: Int): String =
+    "/tmp/graft_bpe/" + dataDir.replaceAll("[^A-Za-z0-9]", "_") +
+      s"_m$numMerges"
+
+  /** Fingerprint of the file listing under `path` (name, length,
+    * modification time of every file): regenerating the data in place
+    * changes the fingerprint even though the path doesn't — the
+    * staleness signal for learn-once artifacts (advisor r5).
+    */
+  def dataFingerprint(
+      spark: org.apache.spark.sql.SparkSession, path: String): String = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val parts =
+      if (!fs.exists(p)) Seq(s"absent:$path")
+      else fs.listStatus(p).toSeq.sortBy(_.getPath.getName).map(st =>
+        s"${st.getPath.getName}:${st.getLen}:${st.getModificationTime}")
+    java.lang.Long.toHexString(
+      parts.mkString("|").hashCode.toLong & 0xffffffffL)
+  }
+
   /** Learn-once artifact (the IvfIndex.buildIfAbsent pattern):
     * tokenizer training is an OFFLINE pass — queries load the saved
     * merge table and only pay encoding. First caller trains and
-    * writes; everyone after reads the parquet.
+    * writes; everyone after reads the parquet. When `fingerprint` is
+    * provided it is stored beside the parquet and checked on reuse —
+    * a stale artifact (data regenerated at the same path) retrains
+    * instead of silently serving old merges. The artifact path stays
+    * STABLE for a given (corpus dir, numMerges) so the DuckDB oracle
+    * can replay the saved merges from a static location.
     */
   def learnMergesIfAbsent(
       spark: org.apache.spark.sql.SparkSession,
@@ -117,12 +148,29 @@ object BpeLearn {
       textCol: String,
       path: String,
       numMerges: Int,
-      minPairCount: Long = 2L): DataFrame = {
+      minPairCount: Long = 2L,
+      fingerprint: Option[String] = None): DataFrame = {
     val success = new org.apache.hadoop.fs.Path(s"$path/_SUCCESS")
+    val fpFile = new org.apache.hadoop.fs.Path(s"$path/_fingerprint")
     val fs = success.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(success))
+    def storedFp: Option[String] =
+      if (!fs.exists(fpFile)) None
+      else {
+        val in = fs.open(fpFile)
+        try Some(new String(
+          org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8").trim)
+        finally in.close()
+      }
+    val fresh = fs.exists(success) &&
+      fingerprint.forall(fp => storedFp.contains(fp))
+    if (!fresh) {
       learnMerges(corpus, textCol, numMerges, minPairCount)
         .coalesce(1).write.mode("overwrite").parquet(path)
+      fingerprint.foreach { fp =>
+        val out = fs.create(fpFile, true)
+        try out.write(fp.getBytes("UTF-8")) finally out.close()
+      }
+    }
     spark.read.parquet(path)
   }
 

@@ -634,26 +634,81 @@ object CorpusQueries {
     // ---- q86: BPE encoding with the learned merge table ----
     // The other half of q81's tokenizer: load the trained merge
     // artifact (learn-once, the q46 IvfIndex pattern — the timed
-    // number is encoding, not training) and tokenize the corpus.
-    // Encoding is completely scan-local — the merge table broadcasts
-    // once and per-partition word memoization rides Zipf, so the plan
-    // has zero exchanges before the final sort. Not SQL-expressible
-    // (the merge replay is iterative): BpeSpec gates it differentially
-    // against an independent sequential encoder plus the zero-merge =
-    // character-count and monotone-in-merges invariants; the output is
-    // deterministic and corpus-sized for the driver's rows-only check.
+    // number is encoding, not training; fingerprint-guarded against
+    // stale reuse after a data regen, advisor r5) and tokenize the
+    // corpus. Encoding is completely scan-local — the merge table
+    // broadcasts once and per-partition word memoization rides Zipf,
+    // so the plan has zero exchanges before the final sort.
+    //
+    // HASH-GATED since r5 (r4 verdict #5): encoding from a saved
+    // merge table is deterministic replay, so the oracle re-runs it in
+    // DuckDB — a recursive CTE applies the merges in rank order over
+    // the word-TYPE table read from the SAME saved artifact. The
+    // leftmost-non-overlapping merge rule is exactly one left-to-right
+    // `replace()` pass when each token is wrapped chr(1)·t·chr(2):
+    // matches can't share a boundary (the wrapper chars are wholly
+    // inside the pattern) and can't straddle token edges (a token's
+    // text alone never matches a wrapped pair). The artifact path in
+    // the SQL is the sf0.01 one — the scale the driver's correctness
+    // gate runs at; BpeSpec's differential gates stay for every other
+    // scale. learnMerges itself (q81) legitimately remains
+    // differential-gated: training is iterative argmax, not replay.
     QueryDef(
       "q86_bpe_encode",
       (s, dir) => {
         val d = Tables.load(s, dir, "documents")
-        val path = "/tmp/graft_bpe/" +
-          dir.replaceAll("[^A-Za-z0-9]", "_") + "_m24"
+        val path = graft.operators.BpeLearn.artifactPath(dir, 24)
+        val fp = graft.operators.BpeLearn
+          .dataFingerprint(s, s"$dir/documents.parquet")
         val merges = graft.operators.BpeLearn
-          .learnMergesIfAbsent(s, d, "text", path, numMerges = 24)
+          .learnMergesIfAbsent(s, d, "text", path, numMerges = 24,
+            fingerprint = Some(fp))
         graft.operators.BpeLearn
           .encodeTokenCounts(d, "doc_id", "text", merges)
           .orderBy(col("doc_id"))
       },
-      None)
+      Some("""
+        WITH RECURSIVE
+        m AS (SELECT rank, "left" AS l, "right" AS r
+              FROM '/tmp/graft_bpe/_root_testdata_sf0_01_m24/*.parquet'),
+        tok AS (
+          SELECT doc_id, w FROM (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS w
+            FROM documents)
+          WHERE w <> ''),
+        words AS (SELECT DISTINCT w FROM tok),
+        rec AS (
+          SELECT w,
+                 array_to_string(list_transform(string_split(w, ''),
+                                 c -> chr(1) || c || chr(2)), '') AS s,
+                 CAST(0 AS BIGINT) AS r
+          FROM words
+          UNION ALL
+          SELECT rec.w,
+                 replace(rec.s,
+                         chr(1) || m.l || chr(2) || chr(1) || m.r || chr(2),
+                         chr(1) || m.l || m.r || chr(2)),
+                 rec.r + 1
+          FROM rec JOIN m ON m.rank = rec.r + 1),
+        enc AS (
+          SELECT w, CAST(length(s) - length(replace(s, chr(1), ''))
+                         AS BIGINT) AS ntok
+          FROM rec
+          WHERE r = coalesce((SELECT max(rank) FROM m), 0)),
+        perdoc AS (
+          SELECT t.doc_id,
+                 CAST(count(*) AS BIGINT) AS n_words,
+                 CAST(sum(e.ntok) AS BIGINT) AS n_tokens,
+                 CAST(sum(length(t.w)) AS BIGINT) AS n_chars
+          FROM tok t JOIN enc e ON e.w = t.w
+          GROUP BY t.doc_id)
+        SELECT d.doc_id,
+               coalesce(p.n_words, 0) AS n_words,
+               coalesce(p.n_tokens, 0) AS n_tokens,
+               CASE WHEN coalesce(p.n_tokens, 0) = 0 THEN 0.0
+                    ELSE CAST(p.n_chars AS DOUBLE) / p.n_tokens END
+                 AS chars_per_token
+        FROM documents d LEFT JOIN perdoc p USING (doc_id)
+        ORDER BY d.doc_id"""))
   )
 }
