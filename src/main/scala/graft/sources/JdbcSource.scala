@@ -34,10 +34,30 @@ import org.apache.spark.sql.jdbc.{GraftDerbyDialect, JdbcDialects}
   * LIMIT pushdown via Derby's `FETCH FIRST n ROWS ONLY`.
   */
 object JdbcSource {
-  private val driver = "org.apache.derby.jdbc.EmbeddedDriver"
+  /** Default engine: embedded Derby — the only RDBMS whose jars ship
+    * in this container. Every entry point below also accepts an
+    * explicit (url, driver) pair: the dialect seam is URL-routed
+    * (`dialectFor`), so pointing the same calls at
+    * `jdbc:postgresql://…` / `jdbc:mysql://…` / `jdbc:h2:…` engages
+    * that engine's SQL generation with no graft code changes — the
+    * reference's per-engine source modules (`postgresql.py`,
+    * `mysql.py`) collapse into dialect registrations here.
+    * JdbcDialectSpec pins the per-engine SQL generation (LIMIT
+    * syntax, type mapping, quoting) engine-free.
+    */
+  val DefaultDriver = "org.apache.derby.jdbc.EmbeddedDriver"
+  private def driver = DefaultDriver
 
   private lazy val dialectRegistered: Unit =
     JdbcDialects.registerDialect(GraftDerbyDialect.instance)
+
+  /** The dialect Spark will use for `url` (graft registrations
+    * included) — the seam a second engine plugs into.
+    */
+  def dialectFor(url: String): org.apache.spark.sql.jdbc.JdbcDialect = {
+    dialectRegistered
+    JdbcDialects.get(url)
+  }
 
   /** Local Derby database under target/ (never outside the repo). */
   def derbyUrl(name: String): String = {
@@ -47,29 +67,32 @@ object JdbcSource {
     s"jdbc:derby:$path;create=true"
   }
 
-  def write(df: DataFrame, url: String, table: String): Unit = {
+  def write(df: DataFrame, url: String, table: String,
+      jdbcDriver: String = DefaultDriver): Unit = {
     dialectRegistered
     df.write.mode("overwrite").format("jdbc")
       .option("url", url).option("dbtable", table)
-      .option("driver", driver).save()
+      .option("driver", jdbcDriver).save()
   }
 
-  def read(spark: SparkSession, url: String, table: String): DataFrame = {
+  def read(spark: SparkSession, url: String, table: String,
+      jdbcDriver: String = DefaultDriver): DataFrame = {
     dialectRegistered
     spark.read.format("jdbc")
       .option("url", url).option("dbtable", table)
-      .option("driver", driver).load()
+      .option("driver", jdbcDriver).load()
   }
 
   /** Whole-subquery pushdown (depth 3): `sql` — joins, expressions,
     * grouping, whatever the database dialect supports — executes
     * INSIDE the database; Spark reads its result set as the relation.
     */
-  def readQuery(spark: SparkSession, url: String, sql: String): DataFrame = {
+  def readQuery(spark: SparkSession, url: String, sql: String,
+      jdbcDriver: String = DefaultDriver): DataFrame = {
     dialectRegistered
     spark.read.format("jdbc")
       .option("url", url).option("query", sql)
-      .option("driver", driver).load()
+      .option("driver", jdbcDriver).load()
   }
 
   /** Register the DSv2 JDBCTableCatalog for the graft Derby database
