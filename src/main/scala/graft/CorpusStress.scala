@@ -50,17 +50,26 @@ object CorpusStress {
     Metrics.register(spark)
 
     val base = Tables.load(spark, sfDir, "documents")
-      .select(col("doc_id"), col("text"))
+
+    // Copy stride for doc_id remapping: a multiple of 50 and 8, larger
+    // than any base id, so the composition queries' structural splits
+    // (q90's doc_id % 50 eval set, q89's % 8 shards) are IDENTICAL in
+    // every copy — row counts then scale ~linearly with the factor.
+    val stride = 1000000L
 
     factors.foreach { f =>
-      val path = s"$outBase/docs_x$f"
+      val dirX = s"$outBase/x$f"
+      val path = s"$dirX/documents.parquet"
       val corpus: DataFrame =
         if (f == 1) base
         else base.crossJoin(spark.range(f).select(col("id").as("cp")))
-          .select((col("doc_id") * f + col("cp")).as("doc_id"),
+          .select(
+            (col("doc_id") + col("cp") * stride).as("doc_id") +:
             when(col("cp") === 0, col("text"))
               .otherwise(concat_ws(" ", transform(split(col("text"), " "),
-                t => concat(t, lit("~"), col("cp"))))).as("text"))
+                t => concat(t, lit("~"), col("cp"))))).as("text") +:
+            base.columns.filterNot(c => c == "doc_id" || c == "text")
+              .map(col).toSeq: _*)
       corpus.write.mode("overwrite").parquet(path)
       val docs = spark.read.parquet(path)
       val n = docs.count()
@@ -85,10 +94,10 @@ object CorpusStress {
       val headKey = array_join(slice(split(
         lower(trim(regexp_replace(col("text"), "\\s+", " "))), " "),
         1, 12), " ")
-      // split on the BASE doc (doc_id = base*f + copy), so every copy
-      // splits identically and cross-split head-duplicates scale with
-      // the factor instead of vanishing
-      val baseMod = pmod(floor(col("doc_id") / f), lit(5))
+      // split on the BASE doc (doc_id = base + copy*stride), so every
+      // copy splits identically and cross-split head-duplicates scale
+      // with the factor instead of vanishing
+      val baseMod = pmod(pmod(col("doc_id"), lit(stride)), lit(5))
       val ref = docs.filter(baseMod === 0)
       val corp = docs.filter(baseMod =!= 0)
       val (r85, t85) = time(
@@ -102,12 +111,26 @@ object CorpusStress {
       require(r85 == rNaive,
         s"bloom dedup inexact at factor $f: $r85 vs $rNaive")
 
+      // Composition-level stress (r4 verdict #7): the REGISTERED q48
+      // and q90 programs run unchanged against the replicated dir, so
+      // composition regressions show up in a scale table instead of
+      // bench-noise archaeology. The copy stride preserves their
+      // structural splits, so outputs stay per-copy-identical in
+      // shape and row counts scale ~linearly (hash gates modulate the
+      // exact counts per remapped id).
+      val (r48, t48) = time(
+        SparkEntry.queries("q48_clean_pipeline")(spark, dirX).count())
+      val (r90, t90) = time(
+        SparkEntry.queries("q90_pretraining_program")(spark, dirX).count())
+
       println(s"""{"factor":$f,"docs":$n,""" +
         s""""q67_sec":$t67,"q67_rows":$r67,""" +
         s""""q71_sec":$t71,"q71_rows":$r71,""" +
         s""""q74_sec":$t74,"q74_rows":$r74,""" +
         s""""q70_sec":$t70,"q70_rows":$r70,"q70_shards":$shards,""" +
-        s""""q85_sec":$t85,"q85_rows":$r85,"q85_naive_sec":$tNaive}""")
+        s""""q85_sec":$t85,"q85_rows":$r85,"q85_naive_sec":$tNaive,""" +
+        s""""q48_sec":$t48,"q48_rows":$r48,""" +
+        s""""q90_sec":$t90,"q90_rows":$r90}""")
     }
     spark.stop()
   }
