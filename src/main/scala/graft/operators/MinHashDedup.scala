@@ -140,4 +140,81 @@ object MinHashDedup {
       numHashes = numHashes, numBands = numBands)
       .orderBy(col("jaccard").desc, col("doc_a"), col("doc_b"))
       .limit(k)
+
+  /** Cross-corpus NEAR-duplicate contamination — the paraphrase-
+    * tolerant complement of exact n-gram decontamination
+    * (Contamination.flagNgramOverlap, reference capability: the
+    * training-data hygiene the reference's users run before a
+    * benchmark eval): (corpus, reference) pairs whose exact shingle
+    * Jaccard is ≥ `threshold`. Verbatim 13-gram overlap catches
+    * copied spans; this catches lightly-edited near-copies of an
+    * eval document that share most of their shingle set.
+    *
+    * Scale shape: signatures are computed ONCE per side (scan-local,
+    * the q25 machinery verbatim); both sides meet in ONE union →
+    * (band, bucket) groupBy exchange whose member payload is
+    * (id, side) — 17-ish bytes; candidate pairs are generated
+    * post-shuffle and only ACROSS sides (within-side duplicates are
+    * q25's business, not this operator's); exact-Jaccard
+    * verification re-joins the shingle-hash sets by id. Neither
+    * corpus is ever shuffled on text, no join is keyed on a payload,
+    * and hot buckets are capped with observed drop metrics.
+    *
+    * With the default 32 bands × 4 rows, recall at Jaccard 0.8 is
+    * 1-(1-0.8⁴)³² ≈ 1-5e-8 — effectively exact, which is why the
+    * registered query (q91) can be hash-gated against a brute-force
+    * cross-join oracle just like q25.
+    *
+    * Output: (corp_id, ref_id, jaccard). Ids may collide ACROSS
+    * corpora (they are independent tables) — the side tag keeps the
+    * pair orientation unambiguous.
+    */
+  def crossCorpusNearDupPairs(
+      corpus: DataFrame, reference: DataFrame,
+      idCol: String, textCol: String,
+      threshold: Double = 0.8, numHashes: Int = 128, numBands: Int = 32,
+      shingleSize: Int = 3, maxBucketSize: Int = 1000): DataFrame = {
+    require(numHashes % numBands == 0, "numBands must divide numHashes")
+    val rowsPerBand = numHashes / numBands
+    def sideSigs(df: DataFrame, side: Int): DataFrame =
+      signatures(df, idCol, textCol, numHashes, shingleSize)
+        .select(col("id"), col("sig"), lit(side).as("side"))
+    val sigs = sideSigs(reference, 0).unionByName(sideSigs(corpus, 1))
+    val bandHashes = array(bandHashCols(col("sig"), numBands, rowsPerBand): _*)
+    val buckets = sigs.select(
+      struct(col("id"), col("side")).as("m"),
+      posexplode(bandHashes).as(Seq("band", "bucket")))
+    val capped = LshSkew.groupCapped(buckets, maxBucketSize,
+      "cross_minhash_lsh_skew")
+    val cands = capped
+      .select(explode(col("members")).as("m1"), col("members"))
+      .select(col("m1"), explode(col("members")).as("m2"))
+      .filter(col("m1.side") < col("m2.side"))
+      .select(col("m1.id").as("ref_id"), col("m2.id").as("corp_id"))
+      .distinct()
+    val shC = withShingleHashes(corpus, idCol, textCol, shingleSize, "sh")
+    val shR = withShingleHashes(reference, idCol, textCol, shingleSize, "sh")
+    cands
+      .join(shR.select(col("id").as("ref_id"), col("sh").as("sh_r")), "ref_id")
+      .join(shC.select(col("id").as("corp_id"), col("sh").as("sh_c")), "corp_id")
+      .withColumn("jaccard",
+        size(array_intersect(col("sh_c"), col("sh_r"))).cast("double") /
+          size(array_union(col("sh_c"), col("sh_r"))))
+      .filter(col("jaccard") >= threshold)
+      .select(col("corp_id"), col("ref_id"), col("jaccard"))
+  }
+
+  /** Corpus rows that survive near-dup decontamination against the
+    * reference: drop every corpus doc with ≥1 `crossCorpusNearDupPairs`
+    * hit. The anti-join is keyed on the flagged-id set, which is
+    * contamination-sized (small by construction at any corpus scale).
+    */
+  def dedupNearAgainstReference(
+      corpus: DataFrame, reference: DataFrame,
+      idCol: String, textCol: String,
+      threshold: Double = 0.8): DataFrame = {
+    val flagged = crossCorpusNearDupPairs(corpus, reference, idCol, textCol,
+      threshold).select(col("corp_id").as(idCol)).distinct()
+    corpus.join(flagged, Seq(idCol), "left_anti")
+  }
 }

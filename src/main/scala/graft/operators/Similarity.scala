@@ -393,6 +393,38 @@ object Similarity {
       .select(col("m1.id").as("id_a"), col("m2.id").as("id_b"), col("cosine"))
   }
 
+  /** Cluster-balanced (diversity) sampling over the PREBUILT IVF
+    * quantizer: keep at most `perCell` vectors per coarse cell,
+    * chosen by consistent hashing (smallest Knuth hash first, id
+    * tiebreak) — the semantic-diversity curation move (cap each
+    * embedding-space region so over-represented content stops
+    * dominating the mixture), sharing its offline artifact with the
+    * ANN probe (q46) and SemDeDup (q73).
+    *
+    * Scale shape: one bounded map-side aggregation per cell
+    * (`Aggregators.consistentSample` — the exchange carries ≤
+    * perCell·partitions rows per cell at ANY skew; no window sort,
+    * no straggler on a hot cell). The selection is a pure hash
+    * function of the ids given the saved index, so the result is
+    * bit-reproducible and SQL-replayable from the postings parquet —
+    * which is what hash-gates q92.
+    *
+    * Output: (list_id, rank_in_cell, vec_id), rank 1 = smallest hash.
+    */
+  def clusterBalancedSample(idx: IvfIndex, perCell: Int): DataFrame = {
+    require(perCell >= 1, s"perCell=$perCell")
+    val samp = udaf(graft.functions.Aggregators.consistentSample(perCell))
+    idx.assigned
+      .select(col("list_id"), col("neighbor_id").as("vec_id"),
+        pmod(col("neighbor_id") * lit(2654435761L), lit(2147483647L))
+          .as("h"))
+      .groupBy(col("list_id"))
+      .agg(samp(col("h"), col("vec_id")).as("kept"))
+      .select(col("list_id"), posexplode(col("kept")).as(Seq("r", "vec_id")))
+      .select(col("list_id").cast("int").as("list_id"),
+        (col("r") + 1).cast("long").as("rank_in_cell"), col("vec_id"))
+  }
+
   /** Full SemDeDup resolution: every vector labeled with its semantic
     * duplicate group (min id of its in-cell near-dup component, via
     * [[DupClusters.components]] min-label propagation) and whether it

@@ -544,6 +544,93 @@ object DedupQueries {
         SELECT doc_id, source, lang FROM k
         WHERE source NOT IN ('src0','src1','src2','src3')
           AND NOT EXISTS (SELECT 1 FROM ref WHERE ref.p = k.p)
-        ORDER BY doc_id"""))
+        ORDER BY doc_id""")),
+
+    // ---- q91: cross-corpus NEAR-dup decontamination ----
+    // q85's exact head-dedup catches verbatim copies; this catches
+    // lightly-EDITED copies of a reference/eval doc (the contamination
+    // that survives exact n-gram screens): corpus docs whose shingle
+    // Jaccard against any reference doc is ≥ 0.8, with how many refs
+    // they hit and the worst overlap. MinHash LSH across the two
+    // corpora — one union + one (band,bucket) exchange, pairs only
+    // across sides — with exact-Jaccard verification, so the whole
+    // result is hash-gated against the brute-force cross-join oracle
+    // (recall at 0.8 with 32×4 bands is 1-5e-8: effectively exact,
+    // the q25 argument).
+    QueryDef(
+      "q91_crosscorpus_neardup",
+      (s, dir) => {
+        val d = Tables.load(s, dir, "documents")
+        val refSrc = Seq("src0", "src1", "src2", "src3")
+        graft.operators.MinHashDedup.crossCorpusNearDupPairs(
+            corpus = d.filter(!col("source").isin(refSrc: _*)),
+            reference = d.filter(col("source").isin(refSrc: _*)),
+            idCol = "doc_id", textCol = "text", threshold = 0.8)
+          .groupBy(col("corp_id").as("doc_id"))
+          .agg(count(lit(1)).as("n_refs"),
+            max(col("jaccard")).as("max_jaccard"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""
+        WITH d AS (SELECT doc_id, source, string_split(text, ' ') AS w
+                   FROM documents),
+        sh AS (
+          SELECT doc_id, source,
+                 CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
+                      ELSE list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                                          for i in generate_series(1, len(w) - 2)])
+                 END AS s
+          FROM d),
+        ref AS (SELECT doc_id, s FROM sh
+                WHERE source IN ('src0','src1','src2','src3')),
+        corp AS (SELECT doc_id, s FROM sh
+                 WHERE source NOT IN ('src0','src1','src2','src3')),
+        hits AS (
+          SELECT c.doc_id,
+                 CAST(len(list_intersect(c.s, r.s)) AS DOUBLE)
+                   / len(list_distinct(c.s || r.s)) AS jac
+          FROM corp c JOIN ref r ON TRUE)
+        SELECT doc_id, count(*) AS n_refs, max(jac) AS max_jaccard
+        FROM hits WHERE jac >= 0.8
+        GROUP BY doc_id ORDER BY doc_id""")),
+
+    // ---- q92: cluster-balanced sampling over the IVF quantizer ----
+    // Diversity curation: cap each embedding-space region (IVF coarse
+    // cell) at 64 vectors, chosen by consistent hashing — the same
+    // offline index artifact as q46/q73, its third consumer. The
+    // selection is a pure hash function of the ids given the saved
+    // postings, so the oracle replays it from the SAME parquet the
+    // operator reads (the q86 artifact-oracle pattern; static sf0.01
+    // path = the driver's correctness-gate scale) and the whole
+    // result hash-gates. The Spark side is a bounded map-side
+    // aggregation (no window sort — a hot cell never straggles); the
+    // oracle spells the same cap as the window it replaces.
+    QueryDef(
+      "q92_cluster_balanced_sample",
+      (s, dir) => {
+        val emb = Tables.load(s, dir, "embeddings")
+          .select(col("vec_id").as("id"), col("embedding").as("vec"))
+        val idxPath = "/tmp/graft_ivf/" +
+          dir.replaceAll("[^A-Za-z0-9]", "_") + "_n16"
+        val idx = Similarity.IvfIndex.buildIfAbsent(s, emb, idxPath,
+          nLists = 16)
+        Similarity.clusterBalancedSample(idx, perCell = 64)
+          .orderBy(col("list_id"), col("rank_in_cell"))
+      },
+      Some("""
+        WITH p AS (
+          SELECT CAST(list_id AS INT) AS list_id, neighbor_id AS vec_id,
+                 (neighbor_id * 2654435761) % 2147483647 AS h
+          FROM read_parquet(
+            '/tmp/graft_ivf/_root_testdata_sf0_01_n16/assigned/*/*.parquet',
+            hive_partitioning = true)),
+        ranked AS (
+          SELECT list_id, vec_id,
+                 ROW_NUMBER() OVER (PARTITION BY list_id
+                   ORDER BY h, vec_id) AS rnk
+          FROM p)
+        SELECT list_id, rnk AS rank_in_cell, vec_id
+        FROM ranked WHERE rnk <= 64
+        ORDER BY list_id, rank_in_cell"""))
   )
 }
