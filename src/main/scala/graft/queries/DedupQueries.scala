@@ -366,12 +366,16 @@ object DedupQueries {
         SELECT query_id, neighbor_id, cosine, rnk FROM ranked WHERE rnk <= 5
         ORDER BY query_id, rnk""")),
 
-    // ---- q29: LSH-bucketed ANN, reported as recall@5 vs the exact
-    // baseline (the 100 TB path: bucket exchange instead of cross
-    // product). The LSH candidate set is not SQL-expressible, so the
-    // driver-facing output IS the acceptance metric: per-query recall
-    // against q28's exact top-k, gated ≥ 0.9 avg in AnnSpec
-    // (justified no_oracle — the check lives in the output itself).
+    // ---- q29: LSH-bucketed ANN — the bucketed top-k itself (the
+    // 100 TB path: bucket exchange instead of cross product). The
+    // LSH candidate set is not SQL-expressible, so no oracle; the
+    // recall ≥ 0.9 acceptance gate lives in AnnSpec against q28's
+    // exact baseline. Round-5 fix (the q46 symmetry): the r4
+    // registration computed `bruteForceTopK` INSIDE the timed query
+    // to emit a recall metric, so the bench number was candidate scan
+    // + full-corpus baseline; the registered result is now the LSH
+    // top-k rows themselves and the timed number is the bucketed
+    // plan's own cost.
     QueryDef(
       "q29_ann_lsh",
       (s, dir) => {
@@ -383,28 +387,33 @@ object DedupQueries {
         // give expected recall 1-(1-0.15)²⁰ ≈ 0.96. Cost scales as
         // L·|corpus|/2^b candidates — raise b on clustered real-world
         // embeddings where p₁ is higher.
-        Similarity.lshRecallAtK(emb, emb.filter(col("id") < 20), k = 5,
+        Similarity.lshTopK(emb, emb.filter(col("id") < 20), k = 5,
           dim = 64, bitsPerTable = 4, numTables = 20)
-          .orderBy(col("query_id"))
+          .orderBy(col("query_id"), col("rnk"))
       },
       None),
 
-    // ---- q82: int8-quantized ANN, reported as recall@5 vs exact ----
+    // ---- q82: int8-quantized ANN — the rescored top-k itself ----
     // Candidate generation scans VecQuantize'd byte vectors (4×
     // smaller than float — the page-cache/SSD trade at 100 TB),
     // candidates rank by scale-free quantized cosine, and the top
-    // k·overfetch are rescored with exact float cosine. Like q29/q46
-    // the driver-facing output IS the acceptance metric: per-query
-    // recall@5, gated ≥0.95 avg in AnnSpec, which also proves
-    // probe-all ≡ brute force exactly (justified no_oracle).
+    // k·overfetch are rescored with exact float cosine. Round-5 (the
+    // q46/q29 symmetry): the registered result is the top-k rows, not
+    // a recall metric — the acceptance gates (recall ≥0.95,
+    // overfetch-covers-corpus ≡ exact) live in AnnSpec, and the timed
+    // number is the quantized plan's own cost. The quantized
+    // candidate scan itself is the documented query-broadcast
+    // brute-force pass (q28's shape at a quarter the bytes), which is
+    // why q82 stays in the plan audit's NLJ exemption; the sublinear
+    // candidate path is the IVF route (q46).
     QueryDef(
       "q82_ann_quantized",
       (s, dir) => {
         val emb = Tables.load(s, dir, "embeddings")
           .select(col("vec_id").as("id"), col("embedding").as("vec"))
-        Similarity.quantizedRecallAtK(emb, emb.filter(col("id") < 20),
+        Similarity.quantizedTopK(emb, emb.filter(col("id") < 20),
             k = 5, overfetch = 4)
-          .orderBy(col("query_id"))
+          .orderBy(col("query_id"), col("rnk"))
       },
       None),
 

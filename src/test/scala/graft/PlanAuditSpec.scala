@@ -9,15 +9,15 @@ class PlanAuditSpec extends SparkSpec {
 
   /** Queries whose nested-loop/cartesian is the documented intent:
     * q10 is the reference's cross-product `for` clause; q28/q41 are
-    * the exact all-pairs baselines (broadcast NLJ by design); q29/
-    * q82 embed the exact baseline to report recall against it (q82's
-    * quantized candidate scan is itself a query-broadcast brute-force
-    * pass — the same documented shape as q28). q46 left this list in
-    * round 5: it now registers the probe top-k itself, which must be
-    * NLJ-free (postings hash-joined to broadcast probes).
+    * the exact all-pairs baselines (broadcast NLJ by design); q82's
+    * quantized candidate scan is a query-broadcast brute-force pass —
+    * the same documented shape as q28 at a quarter the bytes. q46 and
+    * q29 left this list in round 5: they now register the probe/
+    * bucketed top-k itself, which must be NLJ-free (postings or
+    * bucket tables hash-joined to broadcast probes).
     */
   private val exactBaselines = Set("q10_cross_for", "q28_ann_bruteforce",
-    "q29_ann_lsh", "q41_embedding_neardup", "q82_ann_quantized")
+    "q41_embedding_neardup", "q82_ann_quantized")
 
   private lazy val plans: Map[String, String] =
     SparkEntry.queries.map { case (name, fn) =>
