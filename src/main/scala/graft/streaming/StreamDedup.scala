@@ -299,4 +299,47 @@ object StreamDedup {
       .filter(col("jaccard") >= threshold)
       .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"), col("jaccard"))
   }
+
+  /** Streaming near-dup DECONTAMINATION against a STATIC reference —
+    * the incremental form of `MinHashDedup.crossCorpusNearDupPairs`
+    * (q91): each incoming document is flagged if its exact shingle
+    * Jaccard against any reference document is ≥ `threshold`.
+    *
+    * STATELESS BY DESIGN, like the streaming n-gram decontamination:
+    * the reference's (band, bucket, ref_id, shingles) table is fixed,
+    * so collisions are a plain stream-static inner join — no
+    * `flatMapGroupsWithState`, no watermark, no state store. The
+    * incoming doc's shingle set is computed scan-local in the same
+    * micro-batch (it never enters state), and the reference side is
+    * artifact-shaped: in production, persist/bucket it once — Spark
+    * re-plans the static side per micro-batch otherwise.
+    *
+    * Output: (doc_id, ref_id, jaccard) — at-least-once per colliding
+    * band like `minhashPairsStream` (dedupe downstream; a streaming
+    * `distinct` would reintroduce exactly the keyed state this shape
+    * avoids). StreamingSpec checks the DISTINCT flag set equals the
+    * batch operator's.
+    */
+  def crossCorpusFlagStream(docs: DataFrame, reference: DataFrame,
+      threshold: Double = 0.8, numHashes: Int = 128, numBands: Int = 32,
+      shingleSize: Int = 3): DataFrame = {
+    require(numHashes % numBands == 0, "numBands must divide numHashes")
+    val rowsPerBand = numHashes / numBands
+    def banded(df: DataFrame, idOut: String, shOut: String): DataFrame = df
+      .withColumn("_th", MinHashDedup.tokenHashes(col("text")))
+      .withColumn("_sh",
+        MinHashDedup.shingleHashesFromTokens(col("_th"), shingleSize))
+      .withColumn("_sig", MinHashDedup.signatureCol(col("_sh"), numHashes))
+      .select(col("doc_id").as(idOut), col("_sh").as(shOut),
+        posexplode(array(MinHashDedup.bandHashCols(col("_sig"), numBands,
+          rowsPerBand): _*)).as(Seq("band", "bucket")))
+    val ref = banded(reference, "ref_id", "sh_r")
+    val stream = banded(docs, "doc_id", "sh_c")
+    stream.join(ref, Seq("band", "bucket"))
+      .withColumn("jaccard",
+        size(array_intersect(col("sh_c"), col("sh_r"))).cast("double") /
+          size(array_union(col("sh_c"), col("sh_r"))))
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_id"), col("ref_id"), col("jaccard"))
+  }
 }

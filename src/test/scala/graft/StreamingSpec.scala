@@ -281,4 +281,37 @@ class StreamingSpec extends SparkSpec {
       assert(got.exists(_._3) && got.exists(!_._3)) // non-trivial corpus
     } finally q.stop()
   }
+
+  test("streaming cross-corpus near-dup decontamination: flagged set " +
+      "equals the batch q91 operator on the real corpus") {
+    implicit val sqlCtx = spark.sqlContext
+    val d = Tables.load(spark, sf0001, "documents")
+    val refSrc = Seq("src0", "src1", "src2", "src3")
+    val reference = d.filter(col("source").isin(refSrc: _*))
+      .select(col("doc_id"), col("text"))
+    val corpus = d.filter(!col("source").isin(refSrc: _*))
+      .select(col("doc_id"), col("text"))
+    val rows = corpus.as[(Long, String)].collect()
+    val ms = MemoryStream[(Long, String)]
+    val q = graft.streaming.StreamDedup.crossCorpusFlagStream(
+      ms.toDF().toDF("doc_id", "text"), reference, threshold = 0.8)
+      .writeStream.format("memory").queryName("xcorp_s")
+      .outputMode("append").start()
+    try {
+      val (first, rest) = rows.splitAt(rows.length / 2)
+      ms.addData(first.toSeq)
+      q.processAllAvailable()
+      ms.addData(rest.toSeq) // stateless: batch split can't matter
+      q.processAllAvailable()
+      val got = spark.table("xcorp_s")
+        .select("doc_id", "ref_id").distinct() // at-least-once per band
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val batch = graft.operators.MinHashDedup.crossCorpusNearDupPairs(
+        corpus, reference, "doc_id", "text", threshold = 0.8)
+        .select(col("corp_id"), col("ref_id"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == batch, s"stream=$got batch=$batch")
+      assert(got.nonEmpty) // the corpus plants cross-source near-dups
+    } finally q.stop()
+  }
 }
