@@ -99,6 +99,51 @@ object CorpusOps {
     * (no such guarantee for pow(x, y) generally; the REGISTERED query
     * pins alpha = 0.5, and other alphas document the last-ulp caveat).
     */
+  /** Quantile-bucketed resampling: rank every row's `valueCol` into
+    * one of `keepPerMyriad.length` buckets by EXACT corpus quantiles
+    * (equi-spaced; rounded to 6 decimals so any SQL oracle derives
+    * bit-identical cut points — the q79 discipline) and keep each row
+    * with its bucket's deterministic hash-Bernoulli rate (per-myriad,
+    * the q88/q55 Knuth-hash convention — bit-reproducible under
+    * repartitioning, retries, and engines).
+    *
+    * The quality-aware mixture move: score docs by a model statistic
+    * (e.g. q71's bigram cross-entropy), then downsample the worst
+    * quartiles instead of hard-cutting — CCNet's perplexity-bucket
+    * curation as one operator. The quantile aggregation is one pass
+    * over the scores; cut points are a `keepPerMyriad.length`-row
+    * broadcast; the gate is scan-local.
+    *
+    * Output: input columns + `bucket` (0 = lowest values) — callers
+    * order the semantics of "low" (for cross-entropy, low = fluent).
+    */
+  def quantileBucketResample(
+      df: DataFrame,
+      idCol: String,
+      valueCol: String,
+      keepPerMyriad: Seq[Int]): DataFrame = {
+    val nb = keepPerMyriad.length
+    require(nb >= 2 && keepPerMyriad.forall(r => r >= 0 && r <= 10000),
+      s"keepPerMyriad=$keepPerMyriad")
+    val qs = (1 until nb).map(i => i.toDouble / nb)
+    val cutsRow = df.select(
+      (0 until nb - 1).map(i =>
+        round(expr(s"percentile($valueCol, ${qs(i)})"), 6)
+          .as(s"_q$i")): _*)
+    val cuts = cutsRow.head()
+    val bucket = (0 until nb - 1).foldRight(lit(nb - 1): Column) {
+      case (i, rest) =>
+        when(col(valueCol) <= lit(cuts.getDouble(i)), lit(i)).otherwise(rest)
+    }
+    val thr = (0 until nb).foldLeft(lit(keepPerMyriad(nb - 1)): Column) {
+      case (acc, i) => when(col("bucket") === i, lit(keepPerMyriad(i)))
+        .otherwise(acc)
+    }
+    val h = pmod(col(idCol) * lit(2654435761L), lit(2147483647L)) % 10000
+    df.withColumn("bucket", bucket)
+      .filter(h < thr)
+  }
+
   def temperatureResample(
       df: DataFrame,
       idCol: String,

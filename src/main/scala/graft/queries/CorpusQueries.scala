@@ -709,6 +709,70 @@ object CorpusQueries {
                     ELSE CAST(p.n_chars AS DOUBLE) / p.n_tokens END
                  AS chars_per_token
         FROM documents d LEFT JOIN perdoc p USING (doc_id)
-        ORDER BY d.doc_id"""))
+        ORDER BY d.doc_id""")),
+
+    // ---- q93: perplexity-bucketed quality mixture ----
+    // CCNet's curation move as one gated program: score every doc
+    // with the corpus bigram cross-entropy (q71's model, hash-exact
+    // via the per-bigram rounding discipline), cut the corpus into
+    // exact quartiles of avg_ce, and keep each quartile at a
+    // deterministic hash-Bernoulli rate that favors the fluent end
+    // (10000/7000/4000/1500 per-myriad) — downsampling the worst
+    // text instead of hard-cutting it. Quantile cut points are
+    // 6-decimal-rounded (q79), the gate is the q88/q55 Knuth-hash
+    // convention, so the whole data-dependent program hash-gates.
+    QueryDef(
+      "q93_perplexity_mixture",
+      (s, dir) => {
+        val d = Tables.load(s, dir, "documents")
+        val scored = CorpusOps.bigramCrossEntropy(d, "doc_id", "text")
+          .filter(col("n_bigrams") >= 1)
+        CorpusOps.quantileBucketResample(scored, "doc_id", "avg_ce",
+            keepPerMyriad = Seq(10000, 7000, 4000, 1500))
+          .select(col("doc_id"), col("bucket").cast("long").as("bucket"),
+            col("avg_ce"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""
+        WITH t AS (
+          SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+        pos AS (
+          SELECT doc_id, tk[i] AS w1, tk[i+1] AS w2
+          FROM t, LATERAL unnest(range(1, greatest(len(tk), 1))) AS u(i)),
+        db AS (
+          SELECT doc_id, w1, w2, count(*) AS k FROM pos GROUP BY ALL),
+        cb AS (
+          SELECT w1, w2, CAST(sum(k) AS BIGINT) AS cb FROM db GROUP BY ALL),
+        cu AS (
+          SELECT w1, CAST(sum(k) AS BIGINT) AS cu FROM db GROUP BY 1),
+        per AS (
+          SELECT db.doc_id,
+                 CAST(sum(db.k) AS BIGINT) AS n_bigrams,
+                 sum(CAST(round(-ln(cb.cb / cu.cu), 4) AS DECIMAL(18,4)) * db.k) AS ce
+          FROM db
+          JOIN cb ON db.w1 = cb.w1 AND db.w2 = cb.w2
+          JOIN cu ON db.w1 = cu.w1
+          GROUP BY 1),
+        scored AS (
+          SELECT doc_id, CAST(ce AS DOUBLE) / n_bigrams AS avg_ce
+          FROM per WHERE n_bigrams >= 1),
+        cuts AS (
+          SELECT round(quantile_cont(avg_ce, 0.25), 6) AS q0,
+                 round(quantile_cont(avg_ce, 0.50), 6) AS q1,
+                 round(quantile_cont(avg_ce, 0.75), 6) AS q2
+          FROM scored),
+        bucketed AS (
+          SELECT s.doc_id, s.avg_ce,
+                 CASE WHEN s.avg_ce <= c.q0 THEN 0
+                      WHEN s.avg_ce <= c.q1 THEN 1
+                      WHEN s.avg_ce <= c.q2 THEN 2
+                      ELSE 3 END AS bucket
+          FROM scored s CROSS JOIN cuts c)
+        SELECT doc_id, CAST(bucket AS BIGINT) AS bucket, avg_ce
+        FROM bucketed
+        WHERE ((doc_id * 2654435761) % 2147483647) % 10000 <
+              CASE bucket WHEN 0 THEN 10000 WHEN 1 THEN 7000
+                          WHEN 2 THEN 4000 ELSE 1500 END
+        ORDER BY doc_id"""))
   )
 }

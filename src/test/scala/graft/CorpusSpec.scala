@@ -410,4 +410,28 @@ class CorpusSpec extends SparkSpec {
       .orderBy("doc_id").as[(Long, Long, Long, Long, String)].collect()
     assert(kept.forall(r => r._3 == 5L && r._5 == "a b c d e"))
   }
+
+  test("quantile-bucket resample: buckets are value-monotone quartiles, " +
+      "keep rates follow the schedule, deterministic under repartition") {
+    val d = (0 until 4000).map(i => (i.toLong, i.toDouble / 40.0))
+      .toDF("id", "v")
+    val rates = Seq(10000, 7000, 4000, 1000)
+    val a = CorpusOps.quantileBucketResample(d, "id", "v", rates)
+    val b = CorpusOps.quantileBucketResample(d.repartition(17), "id", "v",
+      rates)
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
+    val rows = a.select("id", "v", "bucket")
+      .as[(Long, Double, Int)].collect()
+    // bucket is monotone in the value: quartile boundaries at 25/50/75
+    rows.foreach { case (_, v, bk) =>
+      val want = if (v <= 24.975) 0 else if (v <= 49.975) 1
+        else if (v <= 74.975) 2 else 3
+      assert(bk == want, s"v=$v bucket=$bk")
+    }
+    // bucket 0 is fully kept; later buckets thin out per the schedule
+    val byB = rows.groupBy(_._3).view.mapValues(_.size).toMap
+    assert(byB(0) == 1000)
+    assert(math.abs(byB(1) - 700) < 60 && math.abs(byB(2) - 400) < 60 &&
+      math.abs(byB(3) - 100) < 40, byB.toString)
+  }
 }
