@@ -324,16 +324,38 @@ object Similarity {
       * saving it first IFF absent (the offline pass, run once — in a
       * real deployment by a separate indexing job). Every returned
       * index reads postings from parquet, so repeated probes cost
-      * probe work only, never training.
+      * probe work only, never training. When `fingerprint` is given
+      * (e.g. `BpeLearn.dataFingerprint` of the embeddings table) it
+      * is stored beside the postings and checked on reuse, so
+      * regenerating the data at the same path retrains instead of
+      * silently serving a stale index (the advisor-r5 staleness
+      * guard, same contract as the BPE merge artifact).
       */
     def buildIfAbsent(spark: org.apache.spark.sql.SparkSession,
         corpus: => DataFrame, path: String, nLists: Int,
-        seed: Long = 7L): IvfIndex =
-      loadedCache.getOrElseUpdate(path, {
+        seed: Long = 7L, fingerprint: Option[String] = None): IvfIndex =
+      loadedCache.getOrElseUpdate(path + fingerprint.mkString("#", "", ""), {
         val success =
           new org.apache.hadoop.fs.Path(s"$path/assigned/_SUCCESS")
+        val fpFile = new org.apache.hadoop.fs.Path(s"$path/_fingerprint")
         val fs = success.getFileSystem(spark.sparkContext.hadoopConfiguration)
-        if (!fs.exists(success)) build(corpus, nLists, seed).save(path)
+        def storedFp: Option[String] =
+          if (!fs.exists(fpFile)) None
+          else {
+            val in = fs.open(fpFile)
+            try Some(new String(
+              org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8").trim)
+            finally in.close()
+          }
+        val fresh = fs.exists(success) &&
+          fingerprint.forall(fp => storedFp.contains(fp))
+        if (!fresh) {
+          build(corpus, nLists, seed).save(path)
+          fingerprint.foreach { fp =>
+            val out = fs.create(fpFile, true)
+            try out.write(fp.getBytes("UTF-8")) finally out.close()
+          }
+        }
         load(spark, path)
       })
 

@@ -17,6 +17,24 @@ import graft.operators.{Contamination, DupClusters, MinHashDedup, SimHashDedup, 
   */
 object DedupQueries {
 
+  /** The shared learn-once IVF index for q46/q73/q92: one offline
+    * artifact serves ANN probes, SemDeDup, and cluster-balanced
+    * sampling. Fingerprint-guarded (advisor r5) so regenerated
+    * embeddings retrain instead of serving a stale quantizer; the
+    * path stays STABLE for a given data dir so the q92 oracle can
+    * replay the postings from a static location.
+    */
+  private def sharedIvfIndex(s: org.apache.spark.sql.SparkSession,
+      dir: String, emb: org.apache.spark.sql.DataFrame)
+      : graft.operators.Similarity.IvfIndex = {
+    val idxPath = "/tmp/graft_ivf/" +
+      dir.replaceAll("[^A-Za-z0-9]", "_") + "_n16"
+    val fp = graft.operators.BpeLearn
+      .dataFingerprint(s, s"$dir/embeddings.parquet")
+    Similarity.IvfIndex.buildIfAbsent(s, emb, idxPath, nLists = 16,
+      fingerprint = Some(fp))
+  }
+
   /** DuckDB mirror of SimHashDedup.simhashBits (portable md5 family):
     * bit j of a token's hash = bit (3 - j%4) of hex digit j/4 of
     * md5(token); fingerprint bit = sign of the ±1 sum over tokens.
@@ -484,10 +502,7 @@ object DedupQueries {
       (s, dir) => {
         val emb = Tables.load(s, dir, "embeddings")
           .select(col("vec_id").as("id"), col("embedding").as("vec"))
-        val idxPath = "/tmp/graft_ivf/" +
-          dir.replaceAll("[^A-Za-z0-9]", "_") + "_n16"
-        val idx = Similarity.IvfIndex.buildIfAbsent(s, emb, idxPath,
-          nLists = 16)
+        val idx = sharedIvfIndex(s, dir, emb)
         idx.topK(emb.filter(col("id") < 20), k = 5, nProbe = 8)
           .orderBy(col("query_id"), col("rnk"))
       },
@@ -506,10 +521,7 @@ object DedupQueries {
       (s, dir) => {
         val emb = Tables.load(s, dir, "embeddings")
           .select(col("vec_id").as("id"), col("embedding").as("vec"))
-        val idxPath = "/tmp/graft_ivf/" +
-          dir.replaceAll("[^A-Za-z0-9]", "_") + "_n16"
-        val idx = Similarity.IvfIndex.buildIfAbsent(s, emb, idxPath,
-          nLists = 16)
+        val idx = sharedIvfIndex(s, dir, emb)
         Similarity.semDedup(idx, threshold = 0.35)
           .orderBy(col("id"))
       },
@@ -619,10 +631,7 @@ object DedupQueries {
       (s, dir) => {
         val emb = Tables.load(s, dir, "embeddings")
           .select(col("vec_id").as("id"), col("embedding").as("vec"))
-        val idxPath = "/tmp/graft_ivf/" +
-          dir.replaceAll("[^A-Za-z0-9]", "_") + "_n16"
-        val idx = Similarity.IvfIndex.buildIfAbsent(s, emb, idxPath,
-          nLists = 16)
+        val idx = sharedIvfIndex(s, dir, emb)
         Similarity.clusterBalancedSample(idx, perCell = 64)
           .orderBy(col("list_id"), col("rank_in_cell"))
       },
