@@ -122,6 +122,11 @@ object CorpusStress {
         SparkEntry.queries("q48_clean_pipeline")(spark, dirX).count())
       val (r90, t90) = time(
         SparkEntry.queries("q90_pretraining_program")(spark, dirX).count())
+      // q91 rides the replicated dir too: source columns are carried,
+      // so the ref/corpus split is intact, and token-disjoint copies
+      // keep cross-corpus matches within-copy → flags scale linearly
+      val (r91, t91) = time(
+        SparkEntry.queries("q91_crosscorpus_neardup")(spark, dirX).count())
 
       println(s"""{"factor":$f,"docs":$n,""" +
         s""""q67_sec":$t67,"q67_rows":$r67,""" +
@@ -130,7 +135,8 @@ object CorpusStress {
         s""""q70_sec":$t70,"q70_rows":$r70,"q70_shards":$shards,""" +
         s""""q85_sec":$t85,"q85_rows":$r85,"q85_naive_sec":$tNaive,""" +
         s""""q48_sec":$t48,"q48_rows":$r48,""" +
-        s""""q90_sec":$t90,"q90_rows":$r90}""")
+        s""""q90_sec":$t90,"q90_rows":$r90,""" +
+        s""""q91_sec":$t91,"q91_rows":$r91}""")
     }
     spark.stop()
   }
