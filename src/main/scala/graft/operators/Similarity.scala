@@ -415,6 +415,58 @@ object Similarity {
       .select(col("m1.id").as("id_a"), col("m2.id").as("id_b"), col("cosine"))
   }
 
+  /** Nearest-label-centroid classification — the embedding-classifier
+    * curation primitive (classify crawl documents into domains/
+    * quality classes by their embedding's nearest class centroid,
+    * the cheap linear probe run before any model-based scorer).
+    *
+    * Centroids are per-dimension means of the labeled vectors,
+    * accumulated as DECIMAL(24,6) of 6-decimal-rounded components
+    * (the q71 discipline) so the model is EXACT and order-independent
+    * — bit-identical under repartitioning and in any SQL engine,
+    * which is what hash-gates q94. The centroid table is
+    * k·dim doubles (label-cardinality-bounded — the IvfIndex
+    * centroid-collect argument), embedded as plan literals; the
+    * classify pass is then completely scan-local: per row, k cosines
+    * + an argmax, ZERO exchanges after the model build.
+    *
+    * Output: (id, pred_label, cosine), cosine = similarity to the
+    * winning centroid (9-decimal rounded, ties → smallest label).
+    */
+  def labelCentroidClassify(
+      labeled: DataFrame, vectors: DataFrame): DataFrame = {
+    val cent = labeled
+      .select(col("label"),
+        posexplode(col("vec").cast("array<double>")).as(Seq("j", "v")))
+      .groupBy(col("label"), col("j"))
+      .agg(sum(round(col("v"), 6).cast("decimal(24,6)")).as("s"),
+        count(lit(1)).as("c"))
+      .select(col("label"), col("j"),
+        (col("s").cast("double") / col("c")).as("cj"))
+      .collect()
+      .groupBy(_.getInt(0))
+      .map { case (l, rows) =>
+        l -> rows.sortBy(_.getInt(1)).map(_.getDouble(2)).toSeq
+      }
+      .toSeq.sortBy(_._1)
+    require(cent.nonEmpty, "labeled side has no rows")
+    val scoreStructs = array(cent.map { case (l, c) =>
+      // centroid norm: driver-side sequential fold in j order — the
+      // same IEEE accumulation order as an engine's list dot product
+      val nrm = math.sqrt(c.foldLeft(0.0)((a, x) => a + x * x))
+      struct(
+        round(cosineWithNorms(col("_dv"), typedlit(c), col("_n"), lit(nrm)), 9)
+          .as("cos"),
+        lit(-l).as("nlbl"))
+    }: _*)
+    vectors
+      .withColumn("_dv", col("vec").cast("array<double>"))
+      .withColumn("_n", l2Norm(col("_dv")))
+      .withColumn("_best", array_max(scoreStructs))
+      .select(col("id"), (-col("_best.nlbl")).as("pred_label"),
+        col("_best.cos").as("cosine"))
+  }
+
   /** Cluster-balanced (diversity) sampling over the PREBUILT IVF
     * quantizer: keep at most `perCell` vectors per coarse cell,
     * chosen by consistent hashing (smallest Knuth hash first, id

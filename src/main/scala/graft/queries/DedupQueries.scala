@@ -649,6 +649,54 @@ object DedupQueries {
           FROM p)
         SELECT list_id, rnk AS rank_in_cell, vec_id
         FROM ranked WHERE rnk <= 64
-        ORDER BY list_id, rank_in_cell"""))
+        ORDER BY list_id, rank_in_cell""")),
+
+    // ---- q94: nearest-label-centroid classification ----
+    // The embedding-classifier curation primitive: per-label centroid
+    // means (DECIMAL-exact, order-independent), then every vector is
+    // assigned its highest-cosine centroid — the cheap linear probe
+    // that classifies a crawl into domains before any model scorer.
+    // Model is k·dim plan literals; classify is scan-local (zero
+    // exchanges after the build); the full (model + argmax) program
+    // hash-gates because every step is the q71/q28 exact-arithmetic
+    // discipline.
+    QueryDef(
+      "q94_centroid_classify",
+      (s, dir) => {
+        val emb = Tables.load(s, dir, "embeddings")
+          .select(col("vec_id").as("id"), col("embedding").as("vec"),
+            col("label"))
+        Similarity.labelCentroidClassify(emb, emb)
+          .select(col("id").as("vec_id"),
+            col("pred_label").cast("long").as("pred_label"),
+            col("cosine"))
+          .orderBy(col("vec_id"))
+      },
+      Some("""
+        WITH e AS (
+          SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+        x AS (
+          SELECT label, u.j AS j, v[u.j] AS val
+          FROM e, LATERAL unnest(range(1, len(v) + 1)) AS u(j)),
+        cent AS (
+          SELECT label, j,
+                 CAST(sum(CAST(round(val, 6) AS DECIMAL(24,6))) AS DOUBLE)
+                   / count(*) AS cj
+          FROM x GROUP BY 1, 2),
+        carr AS (SELECT label, list(cj ORDER BY j) AS c FROM cent GROUP BY 1),
+        scored AS (
+          SELECT e.vec_id, ca.label AS clabel,
+                 round(list_dot_product(e.v, ca.c) /
+                   (sqrt(list_dot_product(e.v, e.v)) *
+                    sqrt(list_dot_product(ca.c, ca.c))), 9) AS cos
+          FROM e CROSS JOIN carr ca),
+        ranked AS (
+          SELECT vec_id, clabel, cos,
+                 ROW_NUMBER() OVER (PARTITION BY vec_id
+                   ORDER BY cos DESC, clabel) AS rn
+          FROM scored)
+        SELECT vec_id, CAST(clabel AS BIGINT) AS pred_label, cos AS cosine
+        FROM ranked WHERE rn = 1
+        ORDER BY vec_id"""))
   )
 }

@@ -249,4 +249,36 @@ class AnnSpec extends SparkSpec {
       .collect().map(_.toString).sorted.toSeq
     assert(a == b)
   }
+
+  test("centroid classifier: separable planted classes classify " +
+      "perfectly; repartition-invariant; classify plan is exchange-free") {
+    import spark.implicits._
+    // two orthogonal-ish classes: axis-0-dominant vs axis-1-dominant,
+    // with a deterministic per-id wobble on the other axes
+    def mk(id: Long, axis: Int): (Long, Seq[Float], Int) = {
+      val v = Array.fill(8)(0.01f * ((id % 7) + 1))
+      v(axis) = 1.0f
+      (id, v.toSeq, axis)
+    }
+    val labeled = ((0L until 30L).map(mk(_, 0)) ++
+      (30L until 60L).map(mk(_, 1)))
+      .toDF("id", "vec", "label")
+    val got = Similarity.labelCentroidClassify(labeled, labeled)
+      .as[(Long, Int, Double)].collect()
+    got.foreach { case (id, pred, cos) =>
+      assert(pred == (if (id < 30) 0 else 1), s"id=$id pred=$pred")
+      assert(cos > 0.9)
+    }
+    val reparted = Similarity
+      .labelCentroidClassify(labeled.repartition(7), labeled.repartition(5))
+      .as[(Long, Int, Double)].collect().toSet
+    assert(reparted == got.toSet)
+    // classify pass is scan-local: the only exchanges belong to the
+    // centroid MODEL build (labeled side), none keyed on vectors
+    val plan = Similarity.labelCentroidClassify(labeled, labeled)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct") &&
+      !plan.contains("SortMergeJoin"), plan)
+  }
 }
