@@ -144,6 +144,68 @@ object CorpusOps {
       .filter(h < thr)
   }
 
+  /** Token-budget sampling: per class, keep documents in consistent
+    * hash order (Knuth hash asc, id tiebreak) until the class's token
+    * budget is exhausted — "give me 1M tokens per language", the
+    * mixture primitive that budgets by TOKENS rather than documents
+    * (what a training run actually consumes). A doc is kept iff the
+    * running token total BEFORE it is under budget, so the result
+    * overshoots by at most one document and is a prefix of the hash
+    * order — bit-reproducible, and adding documents to the corpus
+    * only perturbs the sample where the hash order changes.
+    *
+    * Scale shape: a naive cumulative-sum window sorts EVERY class's
+    * rows in one task (the hot-language straggler q83 exists to
+    * avoid). Instead the prefix sum is two-level: rows land in 1024
+    * hash sub-buckets, per-(class, bucket) token sums aggregate
+    * map-side (tiny table), bucket-level prefix offsets come from a
+    * window over THAT table (≤1024 rows per class), and only rows in
+    * the one BOUNDARY bucket per class — expected class_tokens/1024 —
+    * pay an intra-bucket sort. Whole buckets before the boundary are
+    * kept outright; buckets after it are dropped outright. The
+    * decomposition is exactly the global prefix sum (the oracle
+    * spells it as one window), at 1/1024th the sort.
+    */
+  def tokenBudgetSample(
+      df: DataFrame,
+      idCol: String,
+      tokCol: String,
+      classCol: String,
+      budget: Long,
+      nBuckets: Int = 1024): DataFrame = {
+    require(budget > 0 && nBuckets >= 2, s"budget=$budget nBuckets=$nBuckets")
+    val h = pmod(col(idCol) * lit(2654435761L), lit(2147483647L))
+    // RANGE bucketing (not modulo): bucket is monotone in the hash, so
+    // the bucket-prefix + intra-bucket-prefix decomposition IS the
+    // global (h, id) prefix sum
+    val width = (2147483647L + nBuckets - 1) / nBuckets
+    val rows = df.withColumn("_h", h)
+      .withColumn("_bk", floor(col("_h") / lit(width)))
+    val bkSums = rows.groupBy(col(classCol).as("_cls"), col("_bk"))
+      .agg(sum(col(tokCol)).as("_bsum"))
+    val wB = org.apache.spark.sql.expressions.Window
+      .partitionBy("_cls").orderBy("_bk")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val offsets = bkSums.withColumn("_boff",
+      coalesce(sum(col("_bsum")).over(wB), lit(0L)))
+    val joined = rows.join(broadcast(offsets),
+      col(classCol) <=> col("_cls") && rows("_bk") === offsets("_bk"))
+      .drop(offsets("_bk"))
+    // whole-bucket verdicts: fully inside / fully outside the budget
+    val keepAll = col("_boff") + col("_bsum") <= budget
+    val dropAll = col("_boff") >= budget
+    val boundary = joined.filter(!keepAll && !dropAll)
+    val wR = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(classCol)).orderBy(col("_h"), col(idCol))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val boundaryKept = boundary.withColumn("_run",
+        col("_boff") + coalesce(sum(col(tokCol)).over(wR), lit(0L)))
+      .filter(col("_run") < budget)
+      .drop("_run")
+    joined.filter(keepAll).unionByName(boundaryKept)
+      .drop("_h", "_bk", "_cls", "_bsum", "_boff")
+  }
+
   def temperatureResample(
       df: DataFrame,
       idCol: String,

@@ -773,6 +773,42 @@ object CorpusQueries {
         WHERE ((doc_id * 2654435761) % 2147483647) % 10000 <
               CASE bucket WHEN 0 THEN 10000 WHEN 1 THEN 7000
                           WHEN 2 THEN 4000 ELSE 1500 END
+        ORDER BY doc_id""")),
+
+    // ---- q95: token-budget sampling per language ----
+    // "3000 tokens per language" — the mixture primitive that budgets
+    // by what a training run consumes (tokens), not documents: docs
+    // are taken in consistent hash order until each language's budget
+    // is spent (≤1 doc overshoot). The Spark plan is the two-level
+    // prefix sum (range-bucketed map-side sums + a window over the
+    // ≤1024-row bucket table; only the boundary bucket sorts rows) —
+    // the oracle spells the SAME prefix as one naive window, which is
+    // exactly the equivalence the decomposition claims.
+    QueryDef(
+      "q95_token_budget_sample",
+      (s, dir) => {
+        import graft.functions.TextFunctions.tokenCount
+        val d = Tables.load(s, dir, "documents")
+          .select(col("doc_id"), col("lang"),
+            tokenCount(col("text")).cast("long").as("n_tok"))
+        CorpusOps.tokenBudgetSample(d, "doc_id", "n_tok", "lang",
+            budget = 3000L)
+          .orderBy(col("doc_id"))
+      },
+      Some("""
+        WITH t AS (
+          SELECT doc_id, lang,
+                 CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+                 (doc_id * 2654435761) % 2147483647 AS h
+          FROM documents),
+        r AS (
+          SELECT doc_id, lang, n_tok,
+                 coalesce(SUM(n_tok) OVER (PARTITION BY lang
+                   ORDER BY h, doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS run
+          FROM t)
+        SELECT doc_id, lang, n_tok FROM r WHERE run < 3000
         ORDER BY doc_id"""))
   )
 }

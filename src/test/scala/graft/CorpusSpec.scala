@@ -434,4 +434,38 @@ class CorpusSpec extends SparkSpec {
     assert(math.abs(byB(1) - 700) < 60 && math.abs(byB(2) - 400) < 60 &&
       math.abs(byB(3) - 100) < 40, byB.toString)
   }
+
+  test("token-budget sample: kept set is the exact hash-order prefix, " +
+      "per-class budget respected within one doc, repartition-invariant") {
+    val d = (0 until 600).map { i =>
+      (i.toLong, if (i % 3 == 0) "a" else "b", 10L + i % 17)
+    }.toDF("id", "cls", "tok")
+    val budget = 800L
+    val kept = CorpusOps.tokenBudgetSample(d, "id", "tok", "cls", budget)
+      .select("id", "cls", "tok").as[(Long, String, Long)].collect()
+    // brute-force replay: global prefix in (knuth-hash, id) order
+    def knuth(id: Long) = (id * 2654435761L) % 2147483647L
+    val want = d.as[(Long, String, Long)].collect()
+      .groupBy(_._2).toSeq.flatMap { case (_, rs) =>
+        var run = 0L
+        rs.sortBy(r => (knuth(r._1), r._1)).takeWhile { r =>
+          val in = run < budget; run += r._3; in }.toSeq
+      }.toSet
+    assert(kept.toSet == want, s"got=${kept.size} want=${want.size}")
+    // budget respected within one overshooting doc per class
+    kept.groupBy(_._2).foreach { case (cls, rs) =>
+      val total = rs.map(_._3).sum
+      assert(total < budget + rs.map(_._3).max, s"$cls total=$total")
+      assert(total >= budget - 26, s"$cls underfilled: $total")
+    }
+    val reparted = CorpusOps.tokenBudgetSample(
+      d.repartition(13), "id", "tok", "cls", budget)
+      .select("id", "cls", "tok").as[(Long, String, Long)].collect().toSet
+    assert(reparted == kept.toSet)
+    // tiny nBuckets exercises many boundary buckets; result unchanged
+    val coarse = CorpusOps.tokenBudgetSample(d, "id", "tok", "cls", budget,
+      nBuckets = 3)
+      .select("id", "cls", "tok").as[(Long, String, Long)].collect().toSet
+    assert(coarse == kept.toSet)
+  }
 }
