@@ -314,4 +314,37 @@ class StreamingSpec extends SparkSpec {
       assert(got.nonEmpty) // the corpus plants cross-source near-dups
     } finally q.stop()
   }
+
+  test("centroid classification is streaming-safe AS-IS: the literal-" +
+      "centroid classify pass runs on a stream with batch parity") {
+    implicit val sqlCtx = spark.sqlContext
+    val emb = Tables.load(spark, sf0001, "embeddings")
+      .select(col("vec_id").as("id"), col("embedding").as("vec"),
+        col("label"))
+    val rows = emb.select(col("id"), col("vec").cast("array<double>"),
+      col("label")).as[(Long, Seq[Double], Int)].collect()
+    val ms = MemoryStream[(Long, Seq[Double], Int)]
+    // the model is plan literals and the classify pass is a stateless
+    // projection, so the SAME operator call compiles to a streaming
+    // plan with no state store — the labeled (static) side trains,
+    // the stream side classifies
+    val q = graft.operators.Similarity.labelCentroidClassify(
+      emb, ms.toDF().toDF("id", "vec", "label"))
+      .writeStream.format("memory").queryName("centroid_s")
+      .outputMode("append").start()
+    try {
+      val (first, rest) = rows.splitAt(rows.length / 2)
+      ms.addData(first.toSeq)
+      q.processAllAvailable()
+      ms.addData(rest.toSeq)
+      q.processAllAvailable()
+      val got = spark.table("centroid_s")
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2)))
+        .toSet
+      val batch = graft.operators.Similarity.labelCentroidClassify(emb, emb)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2)))
+        .toSet
+      assert(got == batch)
+    } finally q.stop()
+  }
 }
