@@ -131,6 +131,11 @@ object CorpusOps {
         round(expr(s"percentile($valueCol, ${qs(i)})"), 6)
           .as(s"_q$i")): _*)
     val cuts = cutsRow.head()
+    // percentile over zero rows is NULL: an emptied-upstream corpus
+    // has no quantiles — return the (empty) input with the output
+    // schema instead of crashing on a NULL cut point
+    if (cuts.anyNull)
+      return df.withColumn("bucket", lit(0)).filter(lit(false))
     val bucket = (0 until nb - 1).foldRight(lit(nb - 1): Column) {
       case (i, rest) =>
         when(col(valueCol) <= lit(cuts.getDouble(i)), lit(i)).otherwise(rest)

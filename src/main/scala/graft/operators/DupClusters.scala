@@ -40,7 +40,12 @@ object DupClusters {
       .localCheckpoint()
     var labels = ids.select(col("id"), col("id").as("cluster"))
       .localCheckpoint()
-    var prevSum = labels.agg(sum(col("cluster"))).head.getLong(0)
+    // sum over an empty node set is NULL — an emptied-upstream corpus
+    // must yield an empty labeling, not a NULL-row crash
+    def labelSum(df: DataFrame): Long =
+      Option(df.agg(sum(col("cluster"))).head.get(0))
+        .map(_.asInstanceOf[Long]).getOrElse(0L)
+    var prevSum = labelSum(labels)
     var iter = 0
     var converged = false
     while (!converged && iter < maxIter) {
@@ -54,7 +59,7 @@ object DupClusters {
           least(col("cluster"), coalesce(col("nm"), col("cluster")))
             .as("cluster"))
         .localCheckpoint()
-      val s = next.agg(sum(col("cluster"))).head.getLong(0)
+      val s = labelSum(next)
       converged = s == prevSum // labels are monotone non-increasing
       prevSum = s
       labels = next

@@ -1,0 +1,54 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Empty-input robustness: at 100 TB an over-aggressive gate can empty
+  * an entire pipeline stage, and every downstream operator must
+  * degrade to an empty result — not an NPE from a head() on nothing,
+  * a KMeans over zero rows, or a bloom filter of zero items. This
+  * spec materializes an EMPTY copy of every driver table (real
+  * schemas, zero rows) and runs the whole query registry against it.
+  *
+  * Exclusions are the model-TRAINING operators whose semantics
+  * genuinely require data, each failing fast with a clear message
+  * rather than a deep stack: q46/q73/q92 (KMeans coarse quantizer)
+  * and q94 (label-centroid classifier requires labeled rows).
+  */
+class EmptyCorpusSpec extends SparkSpec {
+
+  private val trainRequiresData =
+    Set("q46_ann_ivf", "q73_semdedup", "q92_cluster_balanced_sample",
+      "q94_centroid_classify")
+
+  private lazy val emptyDir: String = {
+    val dir = new java.io.File("target/empty_sf").getAbsolutePath
+    Tables.names.foreach { t =>
+      Tables.load(spark, sf0001, t).limit(0)
+        .write.mode("overwrite").parquet(s"$dir/$t.parquet")
+    }
+    dir
+  }
+
+  test("every registered query runs on an empty corpus (zero rows, " +
+      "no crash) except the documented training ops") {
+    val failures = scala.collection.mutable.ListBuffer[String]()
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      if (!trainRequiresData.contains(name)) {
+        try fn(spark, emptyDir).count()
+        catch { case e: Throwable =>
+          failures += s"$name: ${e.getClass.getSimpleName} ${e.getMessage}"
+        }
+      }
+    }
+    assert(failures.isEmpty, failures.mkString("\n"))
+  }
+
+  test("the training ops fail fast on empty input with a clear error") {
+    for (name <- trainRequiresData) {
+      val e = intercept[Exception] {
+        SparkEntry.queries(name)(spark, emptyDir).count()
+      }
+      assert(e != null)
+    }
+  }
+}
