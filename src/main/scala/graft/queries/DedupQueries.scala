@@ -697,6 +697,68 @@ object DedupQueries {
           FROM scored)
         SELECT vec_id, CAST(clabel AS BIGINT) AS pred_label, cos AS cosine
         FROM ranked WHERE rn = 1
-        ORDER BY vec_id"""))
+        ORDER BY vec_id""")),
+
+    // ---- q96: classifier-balanced sampling (the embedding-side
+    // curation program) ----
+    // q94's centroid classifier feeding q92's consistent-hash
+    // balancing, keyed on the PREDICTED class — "balance the corpus
+    // by predicted domain", the program a crawl runs when no domain
+    // labels exist. Every stage is exact/deterministic (DECIMAL
+    // centroid model → 9-decimal argmax → Knuth-hash rank), so the
+    // composition hash-gates end-to-end: the oracle replays
+    // classification AND balancing in one CTE chain.
+    QueryDef(
+      "q96_classifier_balanced",
+      (s, dir) => {
+        val emb = Tables.load(s, dir, "embeddings")
+          .select(col("vec_id").as("id"), col("embedding").as("vec"),
+            col("label"))
+        val pred = Similarity.labelCentroidClassify(emb, emb)
+        val samp = udaf(graft.functions.Aggregators.consistentSample(40))
+        pred
+          .select(col("id"), col("pred_label"),
+            pmod(col("id") * lit(2654435761L), lit(2147483647L)).as("h"))
+          .groupBy(col("pred_label"))
+          .agg(samp(col("h"), col("id")).as("kept"))
+          .select(col("pred_label").cast("long").as("pred_label"),
+            posexplode(col("kept")).as(Seq("r", "vec_id")))
+          .select(col("pred_label"),
+            (col("r") + 1).cast("long").as("rank_in_class"), col("vec_id"))
+          .orderBy(col("pred_label"), col("rank_in_class"))
+      },
+      Some("""
+        WITH e AS (
+          SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+        x AS (
+          SELECT label, u.j AS j, v[u.j] AS val
+          FROM e, LATERAL unnest(range(1, len(v) + 1)) AS u(j)),
+        cent AS (
+          SELECT label, j,
+                 CAST(sum(CAST(round(val, 6) AS DECIMAL(24,6))) AS DOUBLE)
+                   / count(*) AS cj
+          FROM x GROUP BY 1, 2),
+        carr AS (SELECT label, list(cj ORDER BY j) AS c FROM cent GROUP BY 1),
+        scored AS (
+          SELECT e.vec_id, ca.label AS clabel,
+                 round(list_dot_product(e.v, ca.c) /
+                   (sqrt(list_dot_product(e.v, e.v)) *
+                    sqrt(list_dot_product(ca.c, ca.c))), 9) AS cos
+          FROM e CROSS JOIN carr ca),
+        pred AS (
+          SELECT vec_id, clabel AS pred_label,
+                 ROW_NUMBER() OVER (PARTITION BY vec_id
+                   ORDER BY cos DESC, clabel) AS rn
+          FROM scored),
+        bal AS (
+          SELECT pred_label, vec_id,
+                 ROW_NUMBER() OVER (PARTITION BY pred_label
+                   ORDER BY (vec_id * 2654435761) % 2147483647, vec_id)
+                   AS rnk
+          FROM pred WHERE rn = 1)
+        SELECT CAST(pred_label AS BIGINT) AS pred_label,
+               rnk AS rank_in_class, vec_id
+        FROM bal WHERE rnk <= 40
+        ORDER BY pred_label, rank_in_class"""))
   )
 }

@@ -18,7 +18,7 @@ class EmptyCorpusSpec extends SparkSpec {
 
   private val trainRequiresData =
     Set("q46_ann_ivf", "q73_semdedup", "q92_cluster_balanced_sample",
-      "q94_centroid_classify")
+      "q94_centroid_classify", "q96_classifier_balanced")
 
   private lazy val emptyDir: String = {
     val dir = new java.io.File("target/empty_sf").getAbsolutePath
