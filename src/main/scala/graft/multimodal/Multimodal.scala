@@ -53,10 +53,12 @@ object Multimodal {
 
   /** documents → media table (doc_id, modality, payload binary).
     * Text bytes stand in for media payloads; modality is assigned
-    * deterministically by id.
+    * deterministically by id. Rows with a NULL payload are dropped —
+    * no payload, no media row (decoders receive non-null buffers by
+    * contract; a crawl's missing-blob rows must not NPE the batch).
     */
   def mediaTable(docs: DataFrame): DataFrame =
-    docs.select(
+    docs.filter(col("text").isNotNull).select(
       col("doc_id"),
       when(col("doc_id") % 3 === 0, "image")
         .when(col("doc_id") % 3 === 1, "audio")

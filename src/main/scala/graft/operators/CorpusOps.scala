@@ -310,7 +310,9 @@ object CorpusOps {
     df.select(
         pmod(col(idCol), lit(nShards.toLong)).as("shard"),
         col(idCol).cast("long").as("id"),
-        col(nTokCol).cast("long").as("n"))
+        // a NULL token count (e.g. tokenizing a NULL text) packs as a
+        // zero-length doc — it must not kill the walk's encoder
+        coalesce(col(nTokCol).cast("long"), lit(0L)).as("n"))
       .as[(Long, Long, Long)]
       .repartition(col("shard"))
       .sortWithinPartitions(col("shard"), col("id"))

@@ -34,7 +34,7 @@ object MultimodalQueries {
                640 - strlen(text) % 320 AS width,
                480 - strlen(text) % 240 AS height,
                1 + strlen(text) % 24 AS n_frames
-        FROM documents
+        FROM documents WHERE text IS NOT NULL
         ORDER BY doc_id""")),
 
     // ---- q51: video frame sampling (every 4th frame) ----
@@ -54,7 +54,7 @@ object MultimodalQueries {
       Some("""
         WITH v AS (
           SELECT doc_id, strlen(text) AS n, 1 + strlen(text) % 24 AS nf
-          FROM documents WHERE doc_id % 3 = 2),
+          FROM documents WHERE doc_id % 3 = 2 AND text IS NOT NULL),
         frames AS (
           SELECT doc_id, unnest(range(0, nf, 4)) AS frame_idx, n // nf AS sz
           FROM v)
