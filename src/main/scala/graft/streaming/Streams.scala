@@ -117,4 +117,44 @@ object Streams {
           Iterator.single(next)
       }
   }
+
+  final case class BudgetDoc(doc_id: Long, cls: String, n_tok: Long)
+
+  /** Streaming per-class token budget — the INGESTION form of
+    * `CorpusOps.tokenBudgetSample`: admit arriving documents per
+    * class until the class's token budget is spent, then drop the
+    * rest of the stream for that class. The batch operator budgets a
+    * FIXED corpus in consistent hash order (reproducible sample);
+    * the streaming form necessarily budgets in ARRIVAL order — the
+    * "stop ingesting this language once we have enough" shape a live
+    * collection pipeline runs, admitting each doc exactly once with
+    * the same ≤-one-doc overshoot rule (a doc is admitted iff the
+    * running total BEFORE it is under budget).
+    *
+    * State is ONE long per class (the running token total, monotone
+    * until it crosses the budget) — bounded by class cardinality, no
+    * watermark needed; within a micro-batch the iterator order is the
+    * shuffle's, so pin determinism at the source (ordered ingestion)
+    * when exact replay matters.
+    */
+  def tokenBudgetStream(docs: Dataset[BudgetDoc], budget: Long)
+      : Dataset[BudgetDoc] = {
+    require(budget > 0, s"budget=$budget")
+    implicit val docEnc = Encoders.product[BudgetDoc]
+    implicit val keyEnc = Encoders.STRING
+    implicit val stateEnc = Encoders.scalaLong
+    docs.groupByKey(d => Option(d.cls).getOrElse(""))
+      .flatMapGroupsWithState[Long, BudgetDoc](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (_: String, rows: Iterator[BudgetDoc], state: GroupState[Long]) =>
+          var run = state.getOption.getOrElse(0L)
+          val kept = rows.flatMap { d =>
+            val admit = run < budget
+            run += math.max(d.n_tok, 0L)
+            if (admit) Some(d) else None
+          }.toSeq
+          state.update(run)
+          kept.iterator
+      }
+  }
 }

@@ -347,4 +347,31 @@ class StreamingSpec extends SparkSpec {
       assert(got == batch)
     } finally q.stop()
   }
+
+  test("streaming token budget: arrival-order prefix per class, " +
+      "exhausted classes stay closed across batches, one-doc overshoot") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.Streams.BudgetDoc
+    val ms = MemoryStream[BudgetDoc]
+    val q = graft.streaming.Streams.tokenBudgetStream(ms.toDS(), budget = 100L)
+      .writeStream.format("memory").queryName("budget_s")
+      .outputMode("append").start()
+    try {
+      // batch 1: class a spends 40+50=90 (<100) then 30 admitted
+      // (run-before 90 < 100, overshoots to 120); class b spends 60
+      ms.addData(BudgetDoc(1, "a", 40), BudgetDoc(2, "a", 50),
+        BudgetDoc(3, "a", 30), BudgetDoc(4, "b", 60))
+      q.processAllAvailable()
+      // batch 2: class a is exhausted (120 >= 100) → 5 dropped;
+      // class b admits 50 (run-before 60 < 100 → overshoot to 110)
+      ms.addData(BudgetDoc(5, "a", 10), BudgetDoc(6, "b", 50))
+      q.processAllAvailable()
+      // batch 3: class b now exhausted (110 >= 100) → 7 dropped
+      ms.addData(BudgetDoc(7, "b", 10))
+      q.processAllAvailable()
+      val got = spark.table("budget_s").select("doc_id")
+        .collect().map(_.getLong(0)).toSet
+      assert(got == Set(1L, 2L, 3L, 4L, 6L), got.toString)
+    } finally q.stop()
+  }
 }
