@@ -51,4 +51,23 @@ class PlanAuditSpec extends SparkSpec {
       plan.contains("l_quantity"),
       s"q02 lost parquet pushdown:\n$plan")
   }
+
+  test("corpus scans prune to the columns the query needs") {
+    // documents is (doc_id, text, lang, source, n_chars); operators
+    // that only consume (doc_id, text) must not drag lang/source/
+    // n_chars through the scan — at 100 TB unpruned columns are
+    // terabytes of wasted IO. Representative spot checks across the
+    // dedup/corpus families (every ReadSchema of a documents scan in
+    // the plan must omit the unused columns).
+    for (name <- Seq("q20_dedup_exact", "q25_minhash_neardup",
+        "q63_repetition_filter", "q74_hashed_embedding")) {
+      val schemas = "ReadSchema: struct<[^>]*>".r.findAllIn(plans(name))
+        .filter(_.contains("text")).toList
+      assert(schemas.nonEmpty, s"$name: no documents ReadSchema found")
+      schemas.foreach { rs =>
+        assert(!rs.contains("source") && !rs.contains("n_chars"),
+          s"$name reads unused document columns: $rs")
+      }
+    }
+  }
 }
