@@ -118,4 +118,28 @@ object Contamination {
         (size(array_intersect(col("_ws"), col("_eval_ws"))) >= 1)
           .as("contaminated"))
   }
+
+  /** [[flagNgramOverlapStream]]'s filtering form: the input rows (ALL
+    * columns carried) that are NOT contaminated — the stage a
+    * streaming ingestion pipeline actually composes (verdict-only
+    * output would need a stream-stream join to recover the doc).
+    * Same stateless shape: broadcast eval hashes, per-doc
+    * array_intersect, no state store.
+    */
+  def decontaminateStream(docs: DataFrame, benchmark: DataFrame,
+      idCol: String, textCol: String, n: Int = 13): DataFrame = {
+    val evalRow = CorpusOps
+      .distinctWindowHashes(benchmark, idCol, textCol, n)
+      .agg(collect_set(col("g")).as("_eval_ws"))
+      .withColumn("_one", lit(1))
+    val out = docs.columns.map(col)
+    docs
+      .withColumn("_th", CorpusOps.tokenHashes(textCol))
+      .withColumn("_ws",
+        array_distinct(CorpusOps.windowHashes(col("_th"), n)))
+      .withColumn("_one", lit(1))
+      .join(broadcast(evalRow), Seq("_one"))
+      .filter(size(array_intersect(col("_ws"), col("_eval_ws"))) === 0)
+      .select(out: _*)
+  }
 }

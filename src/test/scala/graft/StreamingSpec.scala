@@ -374,4 +374,57 @@ class StreamingSpec extends SparkSpec {
       assert(got == Set(1L, 2L, 3L, 4L, 6L), got.toString)
     } finally q.stop()
   }
+
+  test("streaming ingestion program: quality gate -> n-gram " +
+      "decontamination -> token-budget admission in ONE incremental query") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.functions.TextFunctions.{qualityScore, tokenCount}
+    import graft.streaming.Streams.BudgetDoc
+    val d = Tables.load(spark, sf0001, "documents")
+    val benchmark = d.filter(col("doc_id") % 50 === 0)
+      .select(col("doc_id"), col("text"))
+    val rows = d.select(col("doc_id"), col("text"), col("lang"))
+      .as[(Long, String, String)].collect()
+    val ms = MemoryStream[(Long, String, String)]
+    // three stages, one streaming plan: scan-local quality scoring,
+    // stateless broadcast decontamination, then the single stateful
+    // operator (per-class budget admission)
+    val cleaned = graft.operators.Contamination.decontaminateStream(
+      ms.toDF().toDF("doc_id", "text", "lang")
+        .filter(qualityScore(col("text")) >= 0.2),
+      benchmark, "doc_id", "text", n = 13)
+    val admitted = graft.streaming.Streams.tokenBudgetStream(
+      cleaned.select(col("doc_id"),
+        coalesce(col("lang"), lit("")).as("cls"),
+        tokenCount(col("text")).cast("long").as("n_tok"))
+        .as[BudgetDoc],
+      budget = 2000L)
+    val q = admitted.writeStream.format("memory").queryName("ingest_s")
+      .outputMode("append").start()
+    try {
+      // arrival order = doc_id order, split across two micro-batches
+      val (first, rest) = rows.sortBy(_._1).splitAt(rows.length / 2)
+      ms.addData(first.toSeq)
+      q.processAllAvailable()
+      ms.addData(rest.toSeq)
+      q.processAllAvailable()
+      val got = spark.table("ingest_s").select("doc_id")
+        .collect().map(_.getLong(0)).toSet
+      // batch replay of the same program in the same arrival order
+      val cleanBatch = graft.operators.Contamination.decontaminateStream(
+        d.select(col("doc_id"), col("text"), col("lang"))
+          .filter(qualityScore(col("text")) >= 0.2),
+        benchmark, "doc_id", "text", n = 13)
+        .select(col("doc_id"), coalesce(col("lang"), lit("")).as("cls"),
+          tokenCount(col("text")).cast("long").as("n_tok"))
+        .as[(Long, String, Long)].collect().sortBy(_._1)
+      val want = cleanBatch.groupBy(_._2).toSeq.flatMap { case (_, rs) =>
+        var run = 0L
+        rs.sortBy(_._1).takeWhile { r =>
+          val in = run < 2000L; run += r._3; in }.toSeq
+      }.map(_._1).toSet
+      assert(got == want, s"got=${got.size} want=${want.size}")
+      assert(got.nonEmpty && got.size < rows.length)
+    } finally q.stop()
+  }
 }
