@@ -128,6 +128,32 @@ object CorpusStress {
       val (r91, t91) = time(
         SparkEntry.queries("q91_crosscorpus_neardup")(spark, dirX).count())
 
+      // q95's skew claim, measured: force EVERYTHING into one class
+      // (the hottest possible class) and budget half the corpus's
+      // tokens. The two-level prefix sum sorts only the boundary
+      // bucket; the naive formulation sorts the whole corpus in ONE
+      // window task. Both must keep the identical prefix.
+      val oneClass = withTok.withColumn("cls", lit("all"))
+      val budget95 = {
+        val tot = oneClass.agg(sum(col("n_tok"))).head.getLong(0)
+        math.max(tot / 2, 1L)
+      }
+      val (r95, t95) = time(
+        CorpusOps.tokenBudgetSample(oneClass, "doc_id", "n_tok", "cls",
+          budget95).count())
+      val wNaive = org.apache.spark.sql.expressions.Window
+        .partitionBy("cls")
+        .orderBy(pmod(col("doc_id") * lit(2654435761L), lit(2147483647L)),
+          col("doc_id"))
+        .rowsBetween(
+          org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+      val (r95n, t95n) = time(
+        oneClass.withColumn("_run",
+            coalesce(sum(col("n_tok")).over(wNaive), lit(0L)))
+          .filter(col("_run") < budget95).count())
+      require(r95 == r95n,
+        s"token-budget decomposition diverged at factor $f: $r95 vs $r95n")
+
       println(s"""{"factor":$f,"docs":$n,""" +
         s""""q67_sec":$t67,"q67_rows":$r67,""" +
         s""""q71_sec":$t71,"q71_rows":$r71,""" +
@@ -136,7 +162,8 @@ object CorpusStress {
         s""""q85_sec":$t85,"q85_rows":$r85,"q85_naive_sec":$tNaive,""" +
         s""""q48_sec":$t48,"q48_rows":$r48,""" +
         s""""q90_sec":$t90,"q90_rows":$r90,""" +
-        s""""q91_sec":$t91,"q91_rows":$r91}""")
+        s""""q91_sec":$t91,"q91_rows":$r91,""" +
+        s""""q95_sec":$t95,"q95_naive_sec":$t95n,"q95_rows":$r95}""")
     }
     spark.stop()
   }
