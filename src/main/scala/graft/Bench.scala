@@ -58,7 +58,7 @@ object Bench {
     queries.foreach { case (_, fn) =>
       try force(fn(spark, sfDir)) catch { case _: Throwable => () }
     }
-    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "2").toInt
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "2").toInt.max(1)
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     def timedSweep(): Seq[(String, Double)] = queries.map { case (name, fn) =>
       val t0 = System.nanoTime()

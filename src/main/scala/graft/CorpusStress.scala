@@ -56,6 +56,9 @@ object CorpusStress {
     // (q90's doc_id % 50 eval set, q89's % 8 shards) are IDENTICAL in
     // every copy — row counts then scale ~linearly with the factor.
     val stride = 1000000L
+    val maxBaseId = base.agg(max(col("doc_id"))).head.getLong(0)
+    require(maxBaseId < stride,
+      s"base doc_id $maxBaseId >= stride $stride: copies would collide")
 
     factors.foreach { f =>
       val dirX = s"$outBase/x$f"

@@ -115,22 +115,13 @@ object BpeLearn {
     "/tmp/graft_bpe/" + dataDir.replaceAll("[^A-Za-z0-9]", "_") +
       s"_m$numMerges"
 
-  /** Fingerprint of the file listing under `path` (name, length,
-    * modification time of every file): regenerating the data in place
-    * changes the fingerprint even though the path doesn't — the
-    * staleness signal for learn-once artifacts (advisor r5).
+  /** Fingerprint of the input data's file listing — see
+    * [[graft.sources.ArtifactGuard.dataFingerprint]] (shared with the
+    * IVF index guard).
     */
   def dataFingerprint(
-      spark: org.apache.spark.sql.SparkSession, path: String): String = {
-    val p = new org.apache.hadoop.fs.Path(path)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val parts =
-      if (!fs.exists(p)) Seq(s"absent:$path")
-      else fs.listStatus(p).toSeq.sortBy(_.getPath.getName).map(st =>
-        s"${st.getPath.getName}:${st.getLen}:${st.getModificationTime}")
-    java.lang.Long.toHexString(
-      parts.mkString("|").hashCode.toLong & 0xffffffffL)
-  }
+      spark: org.apache.spark.sql.SparkSession, path: String): String =
+    graft.sources.ArtifactGuard.dataFingerprint(spark, path)
 
   /** Learn-once artifact (the IvfIndex.buildIfAbsent pattern):
     * tokenizer training is an OFFLINE pass — queries load the saved
@@ -150,26 +141,11 @@ object BpeLearn {
       numMerges: Int,
       minPairCount: Long = 2L,
       fingerprint: Option[String] = None): DataFrame = {
-    val success = new org.apache.hadoop.fs.Path(s"$path/_SUCCESS")
-    val fpFile = new org.apache.hadoop.fs.Path(s"$path/_fingerprint")
-    val fs = success.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    def storedFp: Option[String] =
-      if (!fs.exists(fpFile)) None
-      else {
-        val in = fs.open(fpFile)
-        try Some(new String(
-          org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8").trim)
-        finally in.close()
-      }
-    val fresh = fs.exists(success) &&
-      fingerprint.forall(fp => storedFp.contains(fp))
-    if (!fresh) {
+    import graft.sources.ArtifactGuard
+    if (!ArtifactGuard.fresh(spark, path, s"$path/_SUCCESS", fingerprint)) {
       learnMerges(corpus, textCol, numMerges, minPairCount)
         .coalesce(1).write.mode("overwrite").parquet(path)
-      fingerprint.foreach { fp =>
-        val out = fs.create(fpFile, true)
-        try out.write(fp.getBytes("UTF-8")) finally out.close()
-      }
+      ArtifactGuard.stamp(spark, path, fingerprint)
     }
     spark.read.parquet(path)
   }

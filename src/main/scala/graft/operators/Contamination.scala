@@ -101,23 +101,13 @@ object Contamination {
     * so the static side isn't recomputed per microbatch.
     */
   def flagNgramOverlapStream(docs: DataFrame, benchmark: DataFrame,
-      idCol: String, textCol: String, n: Int = 13): DataFrame = {
-    val evalRow = CorpusOps
-      .distinctWindowHashes(benchmark, idCol, textCol, n)
-      .agg(collect_set(col("g")).as("_eval_ws"))
-      .withColumn("_one", lit(1))
-    docs
-      .withColumn("_th", CorpusOps.tokenHashes(textCol))
-      .withColumn("_ws",
-        array_distinct(CorpusOps.windowHashes(col("_th"), n)))
-      .withColumn("_one", lit(1))
-      .join(broadcast(evalRow), Seq("_one"))
+      idCol: String, textCol: String, n: Int = 13): DataFrame =
+    withEvalOverlap(docs, benchmark, idCol, textCol, n)
       .select(col(idCol),
         size(array_intersect(col("_ws"), col("_eval_ws")))
           .cast("long").as("n_overlap"),
         (size(array_intersect(col("_ws"), col("_eval_ws"))) >= 1)
           .as("contaminated"))
-  }
 
   /** [[flagNgramOverlapStream]]'s filtering form: the input rows (ALL
     * columns carried) that are NOT contaminated — the stage a
@@ -128,18 +118,28 @@ object Contamination {
     */
   def decontaminateStream(docs: DataFrame, benchmark: DataFrame,
       idCol: String, textCol: String, n: Int = 13): DataFrame = {
+    val out = docs.columns.map(col)
+    withEvalOverlap(docs, benchmark, idCol, textCol, n)
+      .filter(size(array_intersect(col("_ws"), col("_eval_ws"))) === 0)
+      .select(out: _*)
+  }
+
+  /** Shared stateless prefix of the two streaming forms: docs with
+    * their distinct window-hash set (`_ws`) and the broadcast eval
+    * set (`_eval_ws`) joined alongside — the gram hashing and
+    * broadcast shape live HERE exactly once.
+    */
+  private def withEvalOverlap(docs: DataFrame, benchmark: DataFrame,
+      idCol: String, textCol: String, n: Int): DataFrame = {
     val evalRow = CorpusOps
       .distinctWindowHashes(benchmark, idCol, textCol, n)
       .agg(collect_set(col("g")).as("_eval_ws"))
       .withColumn("_one", lit(1))
-    val out = docs.columns.map(col)
     docs
       .withColumn("_th", CorpusOps.tokenHashes(textCol))
       .withColumn("_ws",
         array_distinct(CorpusOps.windowHashes(col("_th"), n)))
       .withColumn("_one", lit(1))
       .join(broadcast(evalRow), Seq("_one"))
-      .filter(size(array_intersect(col("_ws"), col("_eval_ws"))) === 0)
-      .select(out: _*)
   }
 }

@@ -80,25 +80,6 @@ object CorpusOps {
     df.filter(h < rate * 10000)
   }
 
-  /** Temperature-flattened source rebalancing — the multilingual /
-    * multi-source mixing pass: downsample each class so post-sampling
-    * shares go from the natural p_s to p_s^alpha (alpha < 1 flattens —
-    * rare sources keep everything, dominant ones shed mass; alpha = 1
-    * is a no-op). Keep-rate per class: r_s = (c_min / c_s)^(1-alpha),
-    * normalized so the rarest class keeps 100% — rebalancing by
-    * DELETION only, the shape that needs no data generation. The
-    * Bernoulli draw is [[weightedResample]]'s Knuth multiplicative
-    * hash, so kept rows are bit-reproducible across partitionings,
-    * retries, and engines.
-    *
-    * Scale shape: one map-side-combined groupBy for the class counts
-    * (class-cardinality rows), broadcast back; the keep decision is
-    * scan-local. Determinism across engines: for alpha = 0.5 the rate
-    * is sqrt(c_min/c_s) — IEEE sqrt and division are both correctly
-    * rounded, so Spark and any oracle compute bit-identical thresholds
-    * (no such guarantee for pow(x, y) generally; the REGISTERED query
-    * pins alpha = 0.5, and other alphas document the last-ulp caveat).
-    */
   /** Quantile-bucketed resampling: rank every row's `valueCol` into
     * one of `keepPerMyriad.length` buckets by EXACT corpus quantiles
     * (equi-spaced; rounded to 6 decimals so any SQL oracle derives
@@ -126,7 +107,13 @@ object CorpusOps {
     require(nb >= 2 && keepPerMyriad.forall(r => r >= 0 && r <= 10000),
       s"keepPerMyriad=$keepPerMyriad")
     val qs = (1 until nb).map(i => i.toDouble / nb)
-    val cutsRow = df.select(
+    // unscored rows (NULL value) are excluded, not sampled: the
+    // when-chain would otherwise silently fall them through to the
+    // LAST bucket (most aggressively downsampled) — an unscored doc
+    // is not a worst-quality doc. Callers wanting them must score
+    // first (q93 filters to n_bigrams >= 1 upstream).
+    val df0 = df.filter(col(valueCol).isNotNull)
+    val cutsRow = df0.select(
       (0 until nb - 1).map(i =>
         round(expr(s"percentile($valueCol, ${qs(i)})"), 6)
           .as(s"_q$i")): _*)
@@ -135,7 +122,7 @@ object CorpusOps {
     // has no quantiles — return the (empty) input with the output
     // schema instead of crashing on a NULL cut point
     if (cuts.anyNull)
-      return df.withColumn("bucket", lit(0)).filter(lit(false))
+      return df0.withColumn("bucket", lit(0)).filter(lit(false))
     val bucket = (0 until nb - 1).foldRight(lit(nb - 1): Column) {
       case (i, rest) =>
         when(col(valueCol) <= lit(cuts.getDouble(i)), lit(i)).otherwise(rest)
@@ -145,7 +132,7 @@ object CorpusOps {
         .otherwise(acc)
     }
     val h = pmod(col(idCol) * lit(2654435761L), lit(2147483647L)) % 10000
-    df.withColumn("bucket", bucket)
+    df0.withColumn("bucket", bucket)
       .filter(h < thr)
   }
 
@@ -184,10 +171,16 @@ object CorpusOps {
     // the bucket-prefix + intra-bucket-prefix decomposition IS the
     // global (h, id) prefix sum
     val width = (2147483647L + nBuckets - 1) / nBuckets
+    // NULL token counts cost zero budget (and are kept): a SQL SUM
+    // skips NULLs, so anything else would diverge from the naive
+    // window formulation — and an all-NULL bucket would otherwise
+    // NULL-poison both whole-bucket verdicts and silently vanish
+    val tokSafe = coalesce(col(tokCol).cast("long"), lit(0L))
     val rows = df.withColumn("_h", h)
       .withColumn("_bk", floor(col("_h") / lit(width)))
+      .withColumn("_nt", tokSafe)
     val bkSums = rows.groupBy(col(classCol).as("_cls"), col("_bk"))
-      .agg(sum(col(tokCol)).as("_bsum"))
+      .agg(sum(col("_nt")).as("_bsum"))
     val wB = org.apache.spark.sql.expressions.Window
       .partitionBy("_cls").orderBy("_bk")
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
@@ -204,13 +197,32 @@ object CorpusOps {
       .partitionBy(col(classCol)).orderBy(col("_h"), col(idCol))
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
     val boundaryKept = boundary.withColumn("_run",
-        col("_boff") + coalesce(sum(col(tokCol)).over(wR), lit(0L)))
+        col("_boff") + coalesce(sum(col("_nt")).over(wR), lit(0L)))
       .filter(col("_run") < budget)
       .drop("_run")
     joined.filter(keepAll).unionByName(boundaryKept)
-      .drop("_h", "_bk", "_cls", "_bsum", "_boff")
+      .drop("_h", "_bk", "_nt", "_cls", "_bsum", "_boff")
   }
 
+  /** Temperature-flattened source rebalancing — the multilingual /
+    * multi-source mixing pass: downsample each class so post-sampling
+    * shares go from the natural p_s to p_s^alpha (alpha < 1 flattens —
+    * rare sources keep everything, dominant ones shed mass; alpha = 1
+    * is a no-op). Keep-rate per class: r_s = (c_min / c_s)^(1-alpha),
+    * normalized so the rarest class keeps 100% — rebalancing by
+    * DELETION only, the shape that needs no data generation. The
+    * Bernoulli draw is [[weightedResample]]'s Knuth multiplicative
+    * hash, so kept rows are bit-reproducible across partitionings,
+    * retries, and engines.
+    *
+    * Scale shape: one map-side-combined groupBy for the class counts
+    * (class-cardinality rows), broadcast back; the keep decision is
+    * scan-local. Determinism across engines: for alpha = 0.5 the rate
+    * is sqrt(c_min/c_s) — IEEE sqrt and division are both correctly
+    * rounded, so Spark and any oracle compute bit-identical thresholds
+    * (no such guarantee for pow(x, y) generally; the REGISTERED query
+    * pins alpha = 0.5, and other alphas document the last-ulp caveat).
+    */
   def temperatureResample(
       df: DataFrame,
       idCol: String,

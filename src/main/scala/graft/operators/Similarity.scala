@@ -335,26 +335,11 @@ object Similarity {
         corpus: => DataFrame, path: String, nLists: Int,
         seed: Long = 7L, fingerprint: Option[String] = None): IvfIndex =
       loadedCache.getOrElseUpdate(path + fingerprint.mkString("#", "", ""), {
-        val success =
-          new org.apache.hadoop.fs.Path(s"$path/assigned/_SUCCESS")
-        val fpFile = new org.apache.hadoop.fs.Path(s"$path/_fingerprint")
-        val fs = success.getFileSystem(spark.sparkContext.hadoopConfiguration)
-        def storedFp: Option[String] =
-          if (!fs.exists(fpFile)) None
-          else {
-            val in = fs.open(fpFile)
-            try Some(new String(
-              org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8").trim)
-            finally in.close()
-          }
-        val fresh = fs.exists(success) &&
-          fingerprint.forall(fp => storedFp.contains(fp))
-        if (!fresh) {
+        import graft.sources.ArtifactGuard
+        if (!ArtifactGuard.fresh(spark, path, s"$path/assigned/_SUCCESS",
+            fingerprint)) {
           build(corpus, nLists, seed).save(path)
-          fingerprint.foreach { fp =>
-            val out = fs.create(fpFile, true)
-            try out.write(fp.getBytes("UTF-8")) finally out.close()
-          }
+          ArtifactGuard.stamp(spark, path, fingerprint)
         }
         load(spark, path)
       })
@@ -435,8 +420,12 @@ object Similarity {
     */
   def labelCentroidClassify(
       labeled: DataFrame, vectors: DataFrame): DataFrame = {
+    // labels are normalized to long (int labels widen exactly) and
+    // NULL-label rows train nothing — an unlabeled example is not a
+    // class; pred_label in the output is long for the same reason
     val cent = labeled
-      .select(col("label"),
+      .filter(col("label").isNotNull)
+      .select(col("label").cast("long").as("label"),
         posexplode(col("vec").cast("array<double>")).as(Seq("j", "v")))
       .groupBy(col("label"), col("j"))
       .agg(sum(round(col("v"), 6).cast("decimal(24,6)")).as("s"),
@@ -444,12 +433,12 @@ object Similarity {
       .select(col("label"), col("j"),
         (col("s").cast("double") / col("c")).as("cj"))
       .collect()
-      .groupBy(_.getInt(0))
+      .groupBy(_.getLong(0))
       .map { case (l, rows) =>
         l -> rows.sortBy(_.getInt(1)).map(_.getDouble(2)).toSeq
       }
       .toSeq.sortBy(_._1)
-    require(cent.nonEmpty, "labeled side has no rows")
+    require(cent.nonEmpty, "labeled side has no non-NULL-label rows")
     val scoreStructs = array(cent.map { case (l, c) =>
       // centroid norm: driver-side sequential fold in j order — the
       // same IEEE accumulation order as an engine's list dot product

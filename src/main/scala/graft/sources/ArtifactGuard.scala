@@ -1,0 +1,61 @@
+package graft.sources
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+
+/** Shared staleness guard for learn-once artifacts (the BPE merge
+  * table, the IVF index): an artifact is fresh iff its `_SUCCESS`
+  * marker exists AND the `_fingerprint` stored beside it matches the
+  * caller's fingerprint of the CURRENT input data — regenerating the
+  * data at the same path retrains instead of silently serving a stale
+  * model (advisor r5). One implementation for every artifact so a fix
+  * here (e.g. atomic stamping) reaches them all.
+  */
+object ArtifactGuard {
+
+  /** Fingerprint of the file listing under `path` (name, length,
+    * modification time of every file): regenerated data changes the
+    * fingerprint even though the path doesn't.
+    */
+  def dataFingerprint(spark: SparkSession, path: String): String = {
+    val p = new Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val parts =
+      if (!fs.exists(p)) Seq(s"absent:$path")
+      else fs.listStatus(p).toSeq.sortBy(_.getPath.getName).map(st =>
+        s"${st.getPath.getName}:${st.getLen}:${st.getModificationTime}")
+    java.lang.Long.toHexString(
+      parts.mkString("|").hashCode.toLong & 0xffffffffL)
+  }
+
+  /** True iff the artifact at `path` is complete (`successFile`
+    * exists) and, when a fingerprint is supplied, matches the stored
+    * one.
+    */
+  def fresh(spark: SparkSession, path: String, successFile: String,
+      fingerprint: Option[String]): Boolean = {
+    val success = new Path(successFile)
+    val fs = success.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def storedFp: Option[String] = {
+      val fpFile = new Path(s"$path/_fingerprint")
+      if (!fs.exists(fpFile)) None
+      else {
+        val in = fs.open(fpFile)
+        try Some(new String(
+          org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8").trim)
+        finally in.close()
+      }
+    }
+    fs.exists(success) && fingerprint.forall(fp => storedFp.contains(fp))
+  }
+
+  /** Record `fingerprint` beside a just-written artifact. */
+  def stamp(spark: SparkSession, path: String,
+      fingerprint: Option[String]): Unit =
+    fingerprint.foreach { fp =>
+      val fpFile = new Path(s"$path/_fingerprint")
+      val fs = fpFile.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val out = fs.create(fpFile, true)
+      try out.write(fp.getBytes("UTF-8")) finally out.close()
+    }
+}

@@ -264,14 +264,14 @@ class AnnSpec extends SparkSpec {
       (30L until 60L).map(mk(_, 1)))
       .toDF("id", "vec", "label")
     val got = Similarity.labelCentroidClassify(labeled, labeled)
-      .as[(Long, Int, Double)].collect()
+      .as[(Long, Long, Double)].collect()
     got.foreach { case (id, pred, cos) =>
       assert(pred == (if (id < 30) 0 else 1), s"id=$id pred=$pred")
       assert(cos > 0.9)
     }
     val reparted = Similarity
       .labelCentroidClassify(labeled.repartition(7), labeled.repartition(5))
-      .as[(Long, Int, Double)].collect().toSet
+      .as[(Long, Long, Double)].collect().toSet
     assert(reparted == got.toSet)
     // classify pass is scan-local: the only exchanges belong to the
     // centroid MODEL build (labeled side), none keyed on vectors

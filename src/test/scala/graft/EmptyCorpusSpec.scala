@@ -12,7 +12,7 @@ import org.apache.spark.sql.functions._
   * Exclusions are the model-TRAINING operators whose semantics
   * genuinely require data, each failing fast with a clear message
   * rather than a deep stack: q46/q73/q92 (KMeans coarse quantizer)
-  * and q94 (label-centroid classifier requires labeled rows).
+  * and q94/q96 (label-centroid classifier requires labeled rows).
   */
 class EmptyCorpusSpec extends SparkSpec {
 
@@ -48,7 +48,12 @@ class EmptyCorpusSpec extends SparkSpec {
       val e = intercept[Exception] {
         SparkEntry.queries(name)(spark, emptyDir).count()
       }
-      assert(e != null)
+      // the failure must be a stated precondition (require/KMeans
+      // input check), not an incidental NPE from a deep stack
+      val msg = Option(e.getMessage).getOrElse("").toLowerCase
+      assert(msg.contains("requirement") || msg.contains("empty") ||
+        msg.contains("no rows") || msg.contains("nothing"),
+        s"$name failed with a non-diagnostic error: ${e.getClass.getName} $msg")
     }
   }
 }

@@ -339,10 +339,10 @@ class StreamingSpec extends SparkSpec {
       ms.addData(rest.toSeq)
       q.processAllAvailable()
       val got = spark.table("centroid_s")
-        .collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2)))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
         .toSet
       val batch = graft.operators.Similarity.labelCentroidClassify(emb, emb)
-        .collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2)))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
         .toSet
       assert(got == batch)
     } finally q.stop()
