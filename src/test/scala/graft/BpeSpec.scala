@@ -182,4 +182,27 @@ class BpeSpec extends SparkSpec {
       .orderBy(col("doc_id")).collect().toSeq
     assert(a == b)
   }
+
+  test("learn-once artifact: matching fingerprint reuses, changed " +
+      "fingerprint retrains (r5 advisor staleness guard)") {
+    import spark.implicits._
+    val docs = Seq((1L, "a b a b a b"), (2L, "a b c a b c"))
+      .toDF("doc_id", "text")
+    val path = new java.io.File("target/bpe_fp_spec").getAbsolutePath
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(path))
+    def artifactMtime: Long =
+      new java.io.File(path).listFiles()
+        .filter(_.getName.endsWith(".parquet")).map(_.lastModified).max
+    BpeLearn.learnMergesIfAbsent(spark, docs, "text", path,
+      numMerges = 4, fingerprint = Some("fpA")).collect()
+    val t1 = artifactMtime
+    // same fingerprint → served from the artifact, nothing rewritten
+    BpeLearn.learnMergesIfAbsent(spark, docs, "text", path,
+      numMerges = 4, fingerprint = Some("fpA")).collect()
+    assert(artifactMtime == t1, "matching fingerprint must not retrain")
+    // changed fingerprint (data regenerated in place) → retrains
+    BpeLearn.learnMergesIfAbsent(spark, docs, "text", path,
+      numMerges = 4, fingerprint = Some("fpB")).collect()
+    assert(artifactMtime > t1, "changed fingerprint must retrain")
+  }
 }
