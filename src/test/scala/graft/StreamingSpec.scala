@@ -375,6 +375,30 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming token budget: NULL class keeps its OWN budget, " +
+      "separate from the empty-string class (advisor r5)") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.Streams.BudgetDoc
+    val ms = MemoryStream[BudgetDoc]
+    val q = graft.streaming.Streams.tokenBudgetStream(ms.toDS(), budget = 100L)
+      .writeStream.format("memory").queryName("budget_null_s")
+      .outputMode("append").start()
+    try {
+      // If NULL and "" shared one budget, doc 3 (run-before 80+90=170)
+      // would be dropped; with separate budgets every doc's run-before
+      // is under 100 within its own class
+      ms.addData(BudgetDoc(1, null, 80), BudgetDoc(2, "", 90),
+        BudgetDoc(3, null, 50), BudgetDoc(4, "", 40))
+      q.processAllAvailable()
+      // both classes now exhausted independently (130 and 130 >= 100)
+      ms.addData(BudgetDoc(5, null, 1), BudgetDoc(6, "", 1))
+      q.processAllAvailable()
+      val got = spark.table("budget_null_s").select("doc_id")
+        .collect().map(_.getLong(0)).toSet
+      assert(got == Set(1L, 2L, 3L, 4L), got.toString)
+    } finally q.stop()
+  }
+
   test("streaming ingestion program: quality gate -> n-gram " +
       "decontamination -> token-budget admission in ONE incremental query") {
     implicit val sqlCtx = spark.sqlContext
