@@ -60,6 +60,53 @@ object MultimodalQueries {
           FROM v)
         SELECT doc_id, frame_idx, frame_idx * sz AS offset, sz AS frame_len
         FROM frames
-        ORDER BY doc_id, frame_idx"""))
+        ORDER BY doc_id, frame_idx""")),
+
+    // ---- q97: REAL image decoding via javax.imageio ----
+    // The r5 verdict's "ship a real decoder" item: generate a real
+    // two-tone PNG per document (scan-local map), decode it with the
+    // JDK's ImageIO — actual container parsing, actual pixels — and
+    // emit dims + the 8-bucket luminance histogram in exploded long
+    // form (the q74/q78 array-output lesson). Every decoded quantity
+    // is arithmetic over doc_id by fixture construction and PNG is
+    // lossless, so the REAL decode path hash-gates exactly: fractions
+    // are 0 / 0.5 / 1.0 (halves split the even-height pixel count),
+    // all exact in float.
+    QueryDef(
+      "q97_imageio_decode",
+      (s, dir) => {
+        val media = Multimodal.imageFixture(Tables.load(s, dir, "documents"))
+        Multimodal.decode(media, Multimodal.ImageIoDecoder)
+          .toDF()
+          .select(col("doc_id"), col("width").cast("long").as("width"),
+            col("height").cast("long").as("height"),
+            col("n_frames").cast("long").as("n_frames"),
+            posexplode(col("feature")).as(Seq("bucket", "frac")))
+          .select(col("doc_id"), col("width"), col("height"),
+            col("n_frames"), col("bucket").cast("long").as("bucket"),
+            col("frac").cast("double").as("frac"))
+          .orderBy(col("doc_id"), col("bucket"))
+      },
+      Some("""
+        WITH img AS (
+          SELECT doc_id,
+                 16 + doc_id % 17 AS width,
+                 2 * (8 + doc_id % 9) AS height,
+                 (doc_id % 256) // 32 AS b1,
+                 ((doc_id * 7) % 256) // 32 AS b2
+          FROM documents),
+        f AS (
+          SELECT doc_id, width, height, b1, b2,
+                 unnest(range(0, 8)) AS bucket
+          FROM img)
+        SELECT doc_id,
+               CAST(width AS BIGINT) AS width,
+               CAST(height AS BIGINT) AS height,
+               CAST(1 AS BIGINT) AS n_frames,
+               CAST(bucket AS BIGINT) AS bucket,
+               CASE WHEN b1 = b2 AND bucket = b1 THEN 1.0
+                    WHEN bucket = b1 OR bucket = b2 THEN 0.5
+                    ELSE 0.0 END AS frac
+        FROM f ORDER BY doc_id, bucket"""))
   )
 }
