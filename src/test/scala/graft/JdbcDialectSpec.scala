@@ -5,12 +5,12 @@ import org.apache.spark.sql.jdbc.GraftDerbyDialect
 import org.apache.spark.sql.types.StringType
 import graft.sources.JdbcSource
 
-/** The JDBC dialect SEAM, exercised per engine without the engines
-  * (r4 verdict #6 asked for a second live engine; this zero-egress
-  * container ships only Derby's jars — no H2/HSQLDB/SQLite anywhere
-  * on disk — so the seam is pinned at the layer a second engine would
-  * exercise: URL routing and the dialect-specific SQL that Spark's
-  * pushdown machinery generates from the SAME logical request).
+/** The JDBC dialect SEAM, exercised per engine without the engines:
+  * URL routing and the dialect-specific SQL that Spark's pushdown
+  * machinery generates from the SAME logical request, for the engines
+  * whose jars are NOT available (H2/MySQL/Postgres — zero-egress
+  * container). Since r6 a second engine also runs LIVE beside Derby:
+  * DuckDB (JdbcDuckDBSpec), via the same seam these tests pin.
   *
   * The reference hand-writes one source module per engine
   * (`pythonql/sources/postgresql.py:414-420`, `mysql.py`); on Spark
