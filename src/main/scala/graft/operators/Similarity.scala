@@ -34,6 +34,35 @@ object Similarity {
     Seq.fill(nPlanes)(Seq.fill(dim)(rnd.nextGaussian()))
   }
 
+  private val planesWritten =
+    scala.collection.concurrent.TrieMap[String, Unit]()
+
+  /** Persist the hyperplane family behind `lshTopK`/`lshNearDupPairs`
+    * as a parquet artifact `(tbl, bit, plane)` — table `t`'s planes
+    * are `gaussianPlanes(bitsPerTable, dim, seed + t)`, exactly the
+    * values the operators bake into the plan as literals. A pure
+    * function of the parameters, so no data fingerprint is needed
+    * (the q86/q92 artifact-oracle pattern minus the staleness guard):
+    * the artifact exists solely so the DuckDB oracle can replay the
+    * sign-bit buckets from the SAME doubles — parquet round-trips
+    * them bit-exactly, where a SQL-literal rendering would bloat the
+    * oracle by ~6k doubles.
+    */
+  def savePlanesArtifact(spark: org.apache.spark.sql.SparkSession,
+      path: String, bitsPerTable: Int, numTables: Int, dim: Int,
+      seed: Long): Unit =
+    planesWritten.getOrElseUpdate(path, {
+      if (!new java.io.File(s"$path/_SUCCESS").exists()) {
+        import spark.implicits._
+        (0 until numTables).flatMap { t =>
+          gaussianPlanes(bitsPerTable, dim, seed + t).zipWithIndex.map {
+            case (p, b) => (t, b, p)
+          }
+        }.toDF("tbl", "bit", "plane")
+          .coalesce(1).write.mode("overwrite").parquet(path)
+      }
+    })
+
   /** Exact cosine top-k neighbors for each query vector.
     * `queries`/`corpus`: (id, vec). Output: (query_id, neighbor_id,
     * cosine, rnk 1..k), self-matches excluded.

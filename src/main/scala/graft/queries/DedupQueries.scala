@@ -12,8 +12,15 @@ import graft.operators.{Contamination, DupClusters, MinHashDedup, SimHashDedup, 
   * 32 bands has ≈1-1e-15 recall at the 0.8 Jaccard threshold for this
   * corpus (all true pairs are ≥0.9), and candidates are verified with
   * exact Jaccard, so the approximate plan provably matches the exact
-  * O(n²) oracle. The others are deterministic but not SQL-expressible
-  * (rows-only driver check).
+  * O(n²) oracle. Since r6 the ANN family is hash-gated too — not
+  * against brute force (they're approximate indexes) but against an
+  * exact SQL replay of their OWN semantics: the seeded hyperplanes
+  * persist as a planes artifact (q29/q45), the saved IVF index
+  * replays centroid-probe arithmetic and cell-blocked components
+  * (q46/q73), and int8 quantization replays as exact double
+  * arithmetic with Math.rint spelled out (q82). Recall-vs-exact
+  * remains AnnSpec's job; the driver gate proves each plan computes
+  * precisely what it claims to.
   */
 object DedupQueries {
 
@@ -34,6 +41,35 @@ object DedupQueries {
     Similarity.IvfIndex.buildIfAbsent(s, emb, idxPath, nLists = 16,
       fingerprint = Some(fp))
   }
+
+  /** Hyperplane artifact behind the q29/q45 oracles: 24 tables × 4
+    * sign bits over dim-64, seed 7 — a superset of both queries'
+    * parameter sets (q29 reads tables 0..19, q45 all 24), written
+    * once by `Similarity.savePlanesArtifact` from the registered
+    * query functions. Pure function of the parameters — no
+    * fingerprint guard needed.
+    */
+  private val lshPlanesPath = "/tmp/graft_lsh/planes_d64_b4_t24_s7"
+
+  /** Shared oracle prologue for the hyperplane-LSH queries: every
+    * vector's sign-bit bucket per table, replayed from the planes
+    * artifact. `list_dot_product` over DOUBLE[] is the same
+    * left-to-right double accumulation as VecDot (the parity q28's
+    * green hash gate proves), so the `>= 0` sign bits — and therefore
+    * the buckets — are bit-identical to the Spark plan's.
+    */
+  private def lshBucketCte(numTables: Int) = s"""
+        WITH e AS (
+          SELECT vec_id AS id, embedding::DOUBLE[] AS v,
+                 sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+          FROM embeddings),
+        b AS (
+          SELECT e.id, p.tbl,
+                 SUM(CASE WHEN list_dot_product(e.v, p.plane) >= 0
+                     THEN 1 << p.bit ELSE 0 END) AS bucket
+          FROM e CROSS JOIN read_parquet('$lshPlanesPath/*.parquet') p
+          WHERE p.tbl < $numTables
+          GROUP BY e.id, p.tbl)"""
 
   /** DuckDB mirror of SimHashDedup.simhashBits (portable md5 family):
     * bit j of a token's hash = bit (3 - j%4) of hex digit j/4 of
@@ -385,20 +421,28 @@ object DedupQueries {
         ORDER BY query_id, rnk""")),
 
     // ---- q29: LSH-bucketed ANN — the bucketed top-k itself (the
-    // 100 TB path: bucket exchange instead of cross product). The
-    // LSH candidate set is not SQL-expressible, so no oracle; the
-    // recall ≥ 0.9 acceptance gate lives in AnnSpec against q28's
-    // exact baseline. Round-5 fix (the q46 symmetry): the r4
-    // registration computed `bruteForceTopK` INSIDE the timed query
-    // to emit a recall metric, so the bench number was candidate scan
-    // + full-corpus baseline; the registered result is now the LSH
-    // top-k rows themselves and the timed number is the bucketed
+    // 100 TB path: bucket exchange instead of cross product).
+    // HASH-GATED since r6: the seeded hyperplanes ARE the candidate
+    // set's only non-SQL ingredient, so persisting them as a planes
+    // artifact (savePlanesArtifact — parquet round-trips the doubles
+    // bit-exactly) makes the whole plan replayable: the oracle
+    // recomputes each vector's sign-bit bucket per table
+    // (list_dot_product is the same left-to-right double fold as
+    // VecDot — the q28-proven parity), joins on (tbl, bucket), and
+    // ranks candidates by the same 9-rounded cosine. The recall ≥ 0.9
+    // acceptance gate vs q28's exact baseline stays in AnnSpec — the
+    // hash gate proves the plan computes ITS OWN semantics exactly;
+    // the recall gate proves those semantics are good ANN.
+    // Round-5 fix (the q46 symmetry): the registered result is the
+    // LSH top-k rows themselves, so the timed number is the bucketed
     // plan's own cost.
     QueryDef(
       "q29_ann_lsh",
       (s, dir) => {
         val emb = Tables.load(s, dir, "embeddings")
           .select(col("vec_id").as("id"), col("embedding").as("vec"))
+        Similarity.savePlanesArtifact(s, lshPlanesPath,
+          bitsPerTable = 4, numTables = 24, dim = 64, seed = 7L)
         // Param math: neighbors here sit at cosine ≈ 0.35 (θ≈69°,
         // per-bit collision p₁ ≈ 0.62); with b=4 bits/table a true
         // neighbor collides per table w.p. p₁⁴ ≈ 0.15, so L=20 tables
@@ -409,21 +453,45 @@ object DedupQueries {
           dim = 64, bitsPerTable = 4, numTables = 20)
           .orderBy(col("query_id"), col("rnk"))
       },
-      None),
+      Some(s"""
+        ${lshBucketCte(20)},
+        cand AS (
+          SELECT DISTINCT qb.id AS query_id, cb.id AS neighbor_id
+          FROM b qb JOIN b cb ON qb.tbl = cb.tbl AND qb.bucket = cb.bucket
+          WHERE qb.id < 20 AND cb.id <> qb.id),
+        scored AS (
+          SELECT cand.query_id, cand.neighbor_id,
+                 round(list_dot_product(q.v, c.v) / (q.nrm * c.nrm), 9) AS cosine
+          FROM cand JOIN e q ON q.id = cand.query_id
+          JOIN e c ON c.id = cand.neighbor_id),
+        ranked AS (
+          SELECT query_id, neighbor_id, cosine,
+                 ROW_NUMBER() OVER (PARTITION BY query_id
+                   ORDER BY cosine DESC, neighbor_id) AS rnk
+          FROM scored)
+        SELECT query_id, neighbor_id, cosine, CAST(rnk AS BIGINT) AS rnk
+        FROM ranked WHERE rnk <= 5
+        ORDER BY query_id, rnk""")),
 
     // ---- q82: int8-quantized ANN — the rescored top-k itself ----
     // Candidate generation scans VecQuantize'd byte vectors (4×
     // smaller than float — the page-cache/SSD trade at 100 TB),
     // candidates rank by scale-free quantized cosine, and the top
-    // k·overfetch are rescored with exact float cosine. Round-5 (the
-    // q46/q29 symmetry): the registered result is the top-k rows, not
-    // a recall metric — the acceptance gates (recall ≥0.95,
-    // overfetch-covers-corpus ≡ exact) live in AnnSpec, and the timed
-    // number is the quantized plan's own cost. The quantized
-    // candidate scan itself is the documented query-broadcast
-    // brute-force pass (q28's shape at a quarter the bytes), which is
-    // why q82 stays in the plan audit's NLJ exemption; the sublinear
-    // candidate path is the IVF route (q46).
+    // k·overfetch are rescored with exact float cosine. HASH-GATED
+    // since r6: quantization is pure double arithmetic — q_i =
+    // Math.rint(x_i · 127/max|x|) — and Math.rint's half-to-EVEN is
+    // replayed exactly in SQL (DuckDB's round() is half-away, so the
+    // oracle spells rint as floor(y+0.5) with two corrections: minus
+    // one when floor(y+0.5)-y > 0.5 — the y+0.5 rounding-up edge,
+    // e.g. y = 0.49999999999999994 — and minus one on exact halves
+    // landing odd; r-y is exact for |y| ≤ 127 since r-x is a multiple
+    // of ulp(r)). Byte·byte products are integer-exact so the
+    // quantized cosine is order-independent; the float rescore is the
+    // q28-proven parity. The recall ≥ 0.95 / overfetch-covers-corpus
+    // ≡ exact gates stay in AnnSpec. The quantized candidate scan is
+    // the documented query-broadcast brute-force pass (q28's shape at
+    // a quarter the bytes) — the plan audit's NLJ exemption; the
+    // sublinear candidate path is the IVF route (q46).
     QueryDef(
       "q82_ann_quantized",
       (s, dir) => {
@@ -433,7 +501,46 @@ object DedupQueries {
             k = 5, overfetch = 4)
           .orderBy(col("query_id"), col("rnk"))
       },
-      None),
+      Some("""
+        WITH e AS (
+          SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
+        qz AS (
+          SELECT id, v, sqrt(list_dot_product(v, v)) AS nrm,
+                 CASE WHEN mx > 0 THEN
+                   list_transform(v, x -> CASE
+                     WHEN floor(x * (127.0 / mx) + 0.5) - (x * (127.0 / mx)) > 0.5
+                       THEN floor(x * (127.0 / mx) + 0.5) - 1
+                     WHEN floor(x * (127.0 / mx) + 0.5) - (x * (127.0 / mx)) = 0.5
+                          AND CAST(floor(x * (127.0 / mx) + 0.5) AS BIGINT) % 2 <> 0
+                       THEN floor(x * (127.0 / mx) + 0.5) - 1
+                     ELSE floor(x * (127.0 / mx) + 0.5) END)
+                 ELSE list_transform(v, x -> 0.0) END AS qv
+          FROM (SELECT id, v,
+                       list_max(list_transform(v, x -> abs(x))) AS mx
+                FROM e)),
+        qn AS (SELECT id, v, nrm, qv,
+                      sqrt(list_dot_product(qv, qv)) AS qnrm FROM qz),
+        cand AS (
+          SELECT c.id AS neighbor_id, q.id AS query_id,
+                 ROW_NUMBER() OVER (PARTITION BY q.id ORDER BY
+                   round(list_dot_product(c.qv, q.qv) / (c.qnrm * q.qnrm), 9) DESC,
+                   c.id) AS crnk
+          FROM qn c JOIN qn q ON q.id < 20 AND c.id <> q.id),
+        resc AS (
+          SELECT cand.query_id, cand.neighbor_id,
+                 round(list_dot_product(q.v, c.v) / (q.nrm * c.nrm), 9) AS cosine
+          FROM cand
+          JOIN qn c ON c.id = cand.neighbor_id
+          JOIN qn q ON q.id = cand.query_id
+          WHERE cand.crnk <= 20),
+        ranked AS (
+          SELECT query_id, neighbor_id, cosine,
+                 ROW_NUMBER() OVER (PARTITION BY query_id
+                   ORDER BY cosine DESC, neighbor_id) AS rnk
+          FROM resc)
+        SELECT query_id, neighbor_id, cosine, CAST(rnk AS BIGINT) AS rnk
+        FROM ranked WHERE rnk <= 5
+        ORDER BY query_id, rnk""")),
 
     // ---- q41: embedding-cosine near-dup pairs (dedup battery) ----
     // Exact threshold pairs, rounded-cosine determinism as in q28.
@@ -466,26 +573,57 @@ object DedupQueries {
     // ---- q45: embedding near-dup pairs, LSH scale path ----
     // The 100 TB shape for q41: hyperplane-bucket candidates + exact
     // cosine verify, no join in the plan (single bucket exchange).
-    // Approximate (≈0.975 per-pair recall at the 0.35 floor of this
-    // corpus), so no SQL oracle — determinism comes from the seeded
-    // hyperplanes; the acceptance gate is recall ≥ 0.95 vs q41's
-    // exact result plus a no-nested-loop plan assert in AnnSpec.
+    // HASH-GATED since r6 via the same planes artifact as q29: the
+    // oracle replays all 24 tables' sign-bit buckets, drops buckets
+    // above the 2000-member skew cap (LshSkew drops WHOLE buckets —
+    // a pure function of the bucket's size, so the cap replays as a
+    // HAVING), and keeps the distinct candidate pairs whose 9-rounded
+    // cosine clears the threshold. Still APPROXIMATE as ANN (≈0.975
+    // per-pair recall vs q41's exact pairs — that gate stays in
+    // AnnSpec); the hash gate pins the plan to its own bucketing
+    // semantics exactly, which is what makes the recall number a
+    // property of the ALGORITHM rather than of one lucky run.
     QueryDef(
       "q45_embedding_neardup_lsh",
       (s, dir) => {
         val emb = Tables.load(s, dir, "embeddings")
           .select(col("vec_id").as("id"), col("embedding").as("vec"))
+        Similarity.savePlanesArtifact(s, lshPlanesPath,
+          bitsPerTable = 4, numTables = 24, dim = 64, seed = 7L)
         Similarity.lshNearDupPairs(emb, threshold = 0.35, dim = 64)
           .orderBy(col("id_a"), col("id_b"))
       },
-      None),
+      Some(s"""
+        ${lshBucketCte(24)},
+        ok AS (
+          SELECT tbl, bucket FROM b
+          GROUP BY tbl, bucket HAVING count(*) <= 2000),
+        cand AS (
+          SELECT DISTINCT a.id AS id_a, c.id AS id_b
+          FROM b a JOIN b c ON a.tbl = c.tbl AND a.bucket = c.bucket
+          JOIN ok ON ok.tbl = a.tbl AND ok.bucket = a.bucket
+          WHERE a.id < c.id)
+        SELECT cand.id_a, cand.id_b,
+               round(list_dot_product(x.v, y.v) / (x.nrm * y.nrm), 9) AS cosine
+        FROM cand JOIN e x ON x.id = cand.id_a
+        JOIN e y ON y.id = cand.id_b
+        WHERE round(list_dot_product(x.v, y.v) / (x.nrm * y.nrm), 9) >= 0.35
+        ORDER BY id_a, id_b""")),
 
     // ---- q46: IVF ANN probe — the probe top-k itself ----
     // KMeans coarse quantizer (seeded → deterministic), nProbe of
-    // nLists cells ranked by exact cosine. The candidate set is not
-    // SQL-expressible, so no oracle; AnnSpec carries the acceptance
-    // gates (probe-all ≡ brute force, recall ≥ 0.9 at nProbe=8,
-    // recall monotone in nProbe, loaded-index ≡ inline-built parity).
+    // nLists cells ranked by exact cosine. HASH-GATED since r6 (the
+    // q92 artifact-replay pattern, extended from postings-only to the
+    // FULL probe): given the saved index, the probe is pure
+    // arithmetic — the oracle reads the centroid table from the same
+    // parquet the operator loads, recomputes each query's squared-L2
+    // centroid distances with the identical left-to-right double fold
+    // (diff list → list_dot_product — the q28-proven parity), takes
+    // the nProbe nearest by (d², list_id) exactly as the plan's
+    // array_sort(struct(d, idx)), joins the postings, and ranks by
+    // the same 9-rounded cosine with the ARTIFACT's stored norms.
+    // The recall gates (probe-all ≡ brute force, recall ≥ 0.9 at
+    // nProbe=8, monotone in nProbe) stay in AnnSpec.
     //
     // Production shape (round-3 verdict #2): the index is built+saved
     // ONCE per corpus (`IvfIndex.buildIfAbsent` — in the bench, during
@@ -493,10 +631,7 @@ object DedupQueries {
     // indexing job) and the registered query LOADS it — postings come
     // off parquet partitioned by list_id. Round-5 fix (r4 verdict #2):
     // the registered result is the probe top-k ITSELF, not a recall
-    // metric — r4's registration computed the exact `bruteForceTopK`
-    // baseline inside the timed query, so BENCH_r04 measured
-    // probe + full-corpus baseline (2.32 s), contradicting the
-    // probe-only story. Now the timed number IS probe cost.
+    // metric, so the timed number IS probe cost.
     QueryDef(
       "q46_ann_ivf",
       (s, dir) => {
@@ -506,16 +641,62 @@ object DedupQueries {
         idx.topK(emb.filter(col("id") < 20), k = 5, nProbe = 8)
           .orderBy(col("query_id"), col("rnk"))
       },
-      None),
+      Some("""
+        WITH q AS (
+          SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv,
+                 sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS qn
+          FROM embeddings WHERE vec_id < 20),
+        cent AS (
+          SELECT CAST(list_id AS INT) AS list_id, centroid
+          FROM read_parquet(
+            '/tmp/graft_ivf/_root_testdata_sf0_01_n16/centroids/*.parquet')),
+        probes AS (
+          SELECT query_id, list_id,
+                 ROW_NUMBER() OVER (PARTITION BY query_id
+                   ORDER BY d2, list_id) AS pr
+          FROM (
+            SELECT query_id, list_id, list_dot_product(d, d) AS d2 FROM (
+              SELECT q.query_id, c.list_id,
+                     list_transform(list_zip(q.qv, c.centroid),
+                                    p -> p[1] - p[2]) AS d
+              FROM q CROSS JOIN cent c))),
+        a AS (
+          SELECT CAST(list_id AS INT) AS list_id, neighbor_id,
+                 cvec::DOUBLE[] AS cv, cn
+          FROM read_parquet(
+            '/tmp/graft_ivf/_root_testdata_sf0_01_n16/assigned/*/*.parquet',
+            hive_partitioning = true)),
+        cand AS (
+          SELECT q.query_id, a.neighbor_id,
+                 round(list_dot_product(q.qv, a.cv) / (q.qn * a.cn), 9) AS cosine
+          FROM probes p
+          JOIN q ON q.query_id = p.query_id
+          JOIN a ON a.list_id = p.list_id
+          WHERE p.pr <= 8 AND a.neighbor_id <> q.query_id),
+        ranked AS (
+          SELECT query_id, neighbor_id, cosine,
+                 ROW_NUMBER() OVER (PARTITION BY query_id
+                   ORDER BY cosine DESC, neighbor_id) AS rnk
+          FROM cand)
+        SELECT query_id, neighbor_id, cosine, CAST(rnk AS BIGINT) AS rnk
+        FROM ranked WHERE rnk <= 5
+        ORDER BY query_id, rnk""")),
 
     // ---- q73: SemDeDup — semantic dedup blocked by the IVF cells ----
     // Cluster-blocked exact-cosine pairs over the SAME prebuilt
     // quantizer as q46 (one offline artifact serves both ANN and
     // dedup), resolved to keep-one-per-group via min-label connected
-    // components. Approximate only in cross-cell recall (planted-twin
-    // gate + zero-false-positive subset assert in AnnSpec), so no SQL
-    // oracle; output is deterministic given the saved index and
-    // covers every vector (rows = corpus size).
+    // components. HASH-GATED since r6: given the saved index the
+    // whole program is deterministic, and every stage replays in SQL
+    // — in-cell pairs from the postings parquet (cells above the
+    // 20000 skew cap excluded by a HAVING, the LshSkew whole-bucket
+    // drop), 9-rounded cosine ≥ threshold with the artifact's stored
+    // norms, and connected components as a recursive-CTE transitive
+    // closure with cluster = min reachable id (exactly what min-label
+    // propagation — and its large-star fallback — computes). The
+    // cross-cell recall gates (planted twins, zero-false-positive
+    // subset) stay in AnnSpec: the hash gate pins the blocked-dedup
+    // semantics; the twin gate argues the blocking loses nothing.
     QueryDef(
       "q73_semdedup",
       (s, dir) => {
@@ -525,7 +706,32 @@ object DedupQueries {
         Similarity.semDedup(idx, threshold = 0.35)
           .orderBy(col("id"))
       },
-      None),
+      Some("""
+        WITH RECURSIVE a AS (
+          SELECT CAST(list_id AS INT) AS list_id, neighbor_id AS id,
+                 cvec::DOUBLE[] AS v, cn
+          FROM read_parquet(
+            '/tmp/graft_ivf/_root_testdata_sf0_01_n16/assigned/*/*.parquet',
+            hive_partitioning = true)),
+        cells AS (
+          SELECT list_id FROM a GROUP BY list_id HAVING count(*) <= 20000),
+        pairs AS (
+          SELECT x.id AS id_a, y.id AS id_b
+          FROM a x JOIN a y ON x.list_id = y.list_id AND x.id < y.id
+          JOIN cells c ON c.list_id = x.list_id
+          WHERE round(list_dot_product(x.v, y.v) / (x.cn * y.cn), 9) >= 0.35),
+        edges AS (
+          SELECT id_a AS src, id_b AS dst FROM pairs
+          UNION SELECT id_b, id_a FROM pairs),
+        reach AS (
+          SELECT id, id AS r FROM a
+          UNION
+          SELECT reach.id, e.dst FROM reach JOIN edges e ON e.src = reach.r),
+        lab AS (SELECT id, min(r) AS cluster FROM reach GROUP BY id)
+        SELECT a.id, a.list_id, lab.cluster AS group_id,
+               (a.id = lab.cluster) AS keep
+        FROM a JOIN lab ON lab.id = a.id
+        ORDER BY a.id""")),
 
     // ---- q85: cross-corpus dedup via Bloom prefilter ----
     // Decontamination shape: drop every corpus doc (sources src4+)

@@ -13,6 +13,34 @@ class AnnSpec extends SparkSpec {
   private def emb = Tables.load(spark, sf0001, "embeddings")
     .select(col("vec_id").as("id"), col("embedding").as("vec"))
 
+  test("planes artifact round-trips the in-plan hyperplane doubles " +
+    "bit-exactly (q29/q45 oracle foundation)") {
+    // The r6 ANN hash gates replay sign-bit buckets from this parquet:
+    // a single double differing in the last ulp could flip a >= 0 sign
+    // and silently change a candidate set, so the round-trip must be
+    // EXACT equality on every component, not approximate.
+    val path = java.nio.file.Files
+      .createTempDirectory("planes_spec").toString + "/planes"
+    Similarity.savePlanesArtifact(spark, path,
+      bitsPerTable = 4, numTables = 24, dim = 64, seed = 7L)
+    val back = spark.read.parquet(path)
+      .as[(Int, Int, Seq[Double])].collect()
+      .map { case (t, b, p) => (t, b) -> p }.toMap
+    assert(back.size == 24 * 4)
+    for (t <- 0 until 24) {
+      val expect = Similarity.gaussianPlanes(4, 64, 7L + t)
+      for (b <- 0 until 4)
+        assert(back((t, b)) == expect(b), s"plane ($t,$b) drifted")
+    }
+    // write-once: a second call with the same path must not rewrite
+    // (the TrieMap guard) — mutate the dir marker and call again
+    val marker = new java.io.File(s"$path/_SPEC_MARKER")
+    assert(marker.createNewFile())
+    Similarity.savePlanesArtifact(spark, path,
+      bitsPerTable = 4, numTables = 24, dim = 64, seed = 7L)
+    assert(marker.exists(), "artifact was rewritten on a repeat call")
+  }
+
   test("LSH recall@5 vs exact top-k averages >= 0.9 (q29 gate)") {
     val rec = Similarity.lshRecallAtK(emb, emb.filter(col("id") < 20), k = 5,
       dim = 64, bitsPerTable = 4, numTables = 20)
