@@ -13,9 +13,11 @@ import org.apache.spark.sql.functions._
   * interface whose instances ship to executors with the task closure.
   * The `image` modality has a REAL decoder ([[ImageIoDecoder]], on
   * the JDK's javax.imageio — q97 hash-gates actual PNG decoding
-  * end-to-end). [[StubDecoder]] remains the honest stand-in for
-  * audio/video (those codecs are not available in this environment):
-  * deterministic fake dimensions/frames derived from payload bytes.
+  * end-to-end) and so does `audio` ([[WavDecoder]], on the JDK's
+  * javax.sound.sampled — q98 hash-gates actual WAV/PCM decoding).
+  * [[StubDecoder]] remains the honest stand-in for video (no video
+  * codec ships in the JDK): deterministic fake dimensions/frames
+  * derived from payload bytes.
   * A production codec (JNI/FFI) implements the same trait and drops
   * in; the Spark-side plumbing (schema, encoders, partition pass,
   * batch shape, feature vector output) is decoder-agnostic and
@@ -92,6 +94,86 @@ object Multimodal {
       while (j < 8) { hist(j) /= n; j += 1 }
       Decoded(m.doc_id, m.modality, m.payload.length.toLong, w, h, 1, hist)
     }
+  }
+
+  /** REAL audio decoder on `javax.sound.sampled` (ships in the JDK —
+    * zero new dependencies, the q97 argument applied to the audio
+    * modality): parses the actual WAV/RIFF container, so the sample
+    * rate / bit depth / frame count come from the header and the
+    * feature vector is an 8-bucket amplitude histogram over the
+    * DECODED 16-bit PCM samples (bucket = (sample + 32768) >> 13,
+    * normalized by frame count). PCM is lossless, so a
+    * generate→encode→decode roundtrip is exact and q98 can oracle the
+    * histogram in SQL. Decoded-field mapping for audio: width =
+    * sample rate (Hz), height = bits per sample, n_frames = PCM frame
+    * count. Non-PCM / multi-channel / big-endian payloads fail
+    * LOUDLY, same policy as [[ImageIoDecoder]].
+    */
+  object WavDecoder extends MediaDecoder {
+    override def decodeOne(m: MediaRow): Decoded = {
+      val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(m.payload))
+      val fmt = in.getFormat
+      require(fmt.getSampleSizeInBits == 16 && fmt.getChannels == 1 &&
+        !fmt.isBigEndian &&
+        fmt.getEncoding == javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED,
+        s"doc ${m.doc_id}: expected 16-bit mono little-endian PCM, got $fmt")
+      val n = in.getFrameLength.toInt
+      val pcm = in.readAllBytes()
+      require(pcm.length == 2 * n,
+        s"doc ${m.doc_id}: short read ${pcm.length} for $n frames")
+      val hist = new Array[Float](8)
+      var i = 0
+      while (i < n) {
+        val s = (pcm(2 * i + 1).toInt << 8) | (pcm(2 * i) & 0xff)
+        hist((s + 32768) >> 13) += 1f
+        i += 1
+      }
+      if (n > 0) { var j = 0; while (j < 8) { hist(j) /= n.toFloat; j += 1 } }
+      Decoded(m.doc_id, m.modality, m.payload.length.toLong,
+        fmt.getSampleRate.toInt, fmt.getSampleSizeInBits, n, hist)
+    }
+  }
+
+  /** Deterministic REAL-WAV payload for `doc_id`: 16-bit mono PCM at
+    * 8 kHz with `256 << (id % 2)` samples — a POWER OF TWO, so every
+    * histogram fraction count/n is exact in float (the q97
+    * exactness-by-construction trick) — and sample `i` =
+    * `((id·131 + i·7919) mod 65536) − 32768`: all-integer arithmetic
+    * over (doc_id, i), SQL-expressible, so the REAL decode path
+    * hash-gates end-to-end. The JDK's WAV writer emits the canonical
+    * 44-byte RIFF header (asserted in MultimodalSpec), so even
+    * n_bytes = 44 + 2n is oracle-predictable.
+    */
+  private[multimodal] def wavBytes(id: Long): Array[Byte] = {
+    val n = 256 << (id % 2).toInt
+    val pcm = new Array[Byte](2 * n)
+    var i = 0
+    while (i < n) {
+      val s = (((id * 131 + i.toLong * 7919) % 65536L) - 32768L).toInt
+      pcm(2 * i) = (s & 0xff).toByte
+      pcm(2 * i + 1) = ((s >> 8) & 0xff).toByte
+      i += 1
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  /** documents → real-WAV media table (doc_id, 'audio', wav bytes) —
+    * same scan-local plan shape as [[imageFixture]].
+    */
+  def audioFixture(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    implicit val enc = Encoders.product[MediaRow]
+    docs.select(col("doc_id")).as[Long]
+      .map(id => MediaRow(id, "audio", wavBytes(id)))
+      .toDF()
   }
 
   /** Deterministic REAL-PNG payload for `doc_id`: a two-tone grayscale

@@ -107,6 +107,56 @@ object MultimodalQueries {
                CASE WHEN b1 = b2 AND bucket = b1 THEN 1.0
                     WHEN bucket = b1 OR bucket = b2 THEN 0.5
                     ELSE 0.0 END AS frac
-        FROM f ORDER BY doc_id, bucket"""))
+        FROM f ORDER BY doc_id, bucket""")),
+
+    // ---- q98: REAL audio decoding via javax.sound.sampled ----
+    // The audio analog of q97 (zero new dependencies): generate a
+    // real 16-bit mono PCM WAV per document, decode it with the JDK's
+    // AudioSystem — actual RIFF container parsing, actual samples —
+    // and emit the header-derived metadata plus the 8-bucket
+    // amplitude histogram in exploded long form. Sample counts are
+    // powers of two, so count/n fractions are exact in float; sample
+    // values are all-integer arithmetic over (doc_id, i), so DuckDB
+    // replays the histogram from generate_series — the decoder's
+    // output hash-gates against pure SQL with no decoded artifact in
+    // the loop. n_bytes = 44 + 2n pins the canonical RIFF header size
+    // (MultimodalSpec asserts the writer emits it).
+    QueryDef(
+      "q98_wav_decode",
+      (s, dir) => {
+        val media = Multimodal.audioFixture(Tables.load(s, dir, "documents"))
+        Multimodal.decode(media, Multimodal.WavDecoder)
+          .toDF()
+          .select(col("doc_id"), col("n_bytes"),
+            col("width").cast("long").as("sample_hz"),
+            col("height").cast("long").as("bits"),
+            col("n_frames").cast("long").as("n_samples"),
+            posexplode(col("feature")).as(Seq("bucket", "frac")))
+          .select(col("doc_id"), col("n_bytes"), col("sample_hz"),
+            col("bits"), col("n_samples"),
+            col("bucket").cast("long").as("bucket"),
+            col("frac").cast("double").as("frac"))
+          .orderBy(col("doc_id"), col("bucket"))
+      },
+      Some("""
+        WITH a AS (
+          SELECT doc_id, 256 * (1 + doc_id % 2) AS n FROM documents),
+        s AS (
+          SELECT doc_id, n, unnest(range(0, n)) AS i FROM a),
+        hb AS (
+          SELECT doc_id, ((doc_id * 131 + i * 7919) % 65536) // 8192 AS bucket,
+                 count(*) AS c
+          FROM s GROUP BY 1, 2),
+        f AS (
+          SELECT doc_id, n, unnest(range(0, 8)) AS bucket FROM a)
+        SELECT f.doc_id,
+               44 + 2 * f.n AS n_bytes,
+               CAST(8000 AS BIGINT) AS sample_hz,
+               CAST(16 AS BIGINT) AS bits,
+               CAST(f.n AS BIGINT) AS n_samples,
+               CAST(f.bucket AS BIGINT) AS bucket,
+               CAST(COALESCE(hb.c, 0) AS DOUBLE) / f.n AS frac
+        FROM f LEFT JOIN hb ON hb.doc_id = f.doc_id AND hb.bucket = f.bucket
+        ORDER BY f.doc_id, f.bucket"""))
   )
 }

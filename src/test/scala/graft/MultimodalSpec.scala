@@ -137,6 +137,63 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("WavDecoder decodes a handcrafted WAV to exact header fields " +
+      "and amplitude histogram (real RIFF parsing, real samples)") {
+    // 8 samples: four at -32768 (bucket 0), four at 32767 (bucket 7)
+    val pcm = new Array[Byte](16)
+    (0 until 4).foreach { i =>
+      pcm(2 * i) = 0x00; pcm(2 * i + 1) = 0x80.toByte         // -32768
+      pcm(8 + 2 * i) = 0xff.toByte; pcm(9 + 2 * i) = 0x7f     //  32767
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, 8L)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    val wav = bos.toByteArray
+    // canonical 44-byte RIFF header — the q98 oracle's n_bytes formula
+    assert(wav.length == 44 + 16, s"non-canonical WAV header: ${wav.length}")
+    assert(new String(wav.take(4)) == "RIFF" &&
+      new String(wav.slice(8, 12)) == "WAVE")
+    val d = Multimodal.WavDecoder.decodeOne(
+      Multimodal.MediaRow(3L, "audio", wav))
+    assert(d.width == 8000 && d.height == 16 && d.n_frames == 8)
+    assert(d.feature.toSeq == Seq(0.5f, 0f, 0f, 0f, 0f, 0f, 0f, 0.5f))
+  }
+
+  test("audioFixture roundtrip: generate real WAVs, decode with " +
+      "WavDecoder through the decode() plumbing, recover the " +
+      "constructed sample count and histogram for every doc") {
+    val docs = Tables.load(spark, sf0001, "documents").limit(60)
+    val media = Multimodal.audioFixture(docs)
+    val first = media.select(col("payload")).head.getAs[Array[Byte]](0)
+    assert(new String(first.take(4)) == "RIFF")
+    val decoded = Multimodal.decode(media, Multimodal.WavDecoder).collect()
+    assert(decoded.length == 60)
+    decoded.foreach { d =>
+      val id = d.doc_id
+      val n = 256 << (id % 2).toInt
+      assert(d.width == 8000 && d.height == 16, s"doc $id header")
+      assert(d.n_frames == n, s"doc $id frames")
+      assert(d.n_bytes == 44 + 2L * n, s"doc $id container size")
+      val want = Array.fill(8)(0)
+      (0 until n).foreach { i =>
+        want((((id * 131 + i.toLong * 7919) % 65536L) >> 13).toInt) += 1
+      }
+      // power-of-two n → every fraction count/n is exact in float
+      assert(d.feature.toSeq == want.map(_.toFloat / n).toSeq,
+        s"doc $id histogram")
+    }
+  }
+
+  test("WavDecoder fails loudly on a non-PCM-shaped payload") {
+    val junk = Multimodal.MediaRow(1L, "audio", "not audio".getBytes)
+    intercept[Exception] {
+      Multimodal.WavDecoder.decodeOne(junk)
+    }
+  }
+
   test("ImageIoDecoder fails loudly on an undecodable payload") {
     val junk = Multimodal.MediaRow(1L, "image", "not an image".getBytes)
     val e = intercept[IllegalArgumentException] {
