@@ -60,6 +60,31 @@ object BpeLearn {
       minPairCount: Long = 2L): DataFrame =
     learnMergesWithStats(df, textCol, numMerges, minPairCount)._1
 
+  /** RELAXED batched learning for production-scale vocabularies:
+    * each round accepts the greedy maximal SYMBOL-DISJOINT subset of
+    * the top-`batchCap` pairs (skip an overlapping candidate and keep
+    * scanning, where exact mode halts at it; no tail tie-guard). The
+    * merge table is deterministic given the corpus but NOT guaranteed
+    * identical to the sequential argmax order — a skipped pair's
+    * recount next round can legitimately reorder it against pairs the
+    * accepted merges created. This is the standard trade in
+    * distributed BPE trainers; measured on this corpus it lifts
+    * merges/round from ~1.1 (exact — hot symbols chain through the
+    * top ranks, halting the safe prefix almost immediately) to the
+    * batch-cap regime, which is what makes a 32k vocabulary rounds-
+    * feasible. Exact mode stays the default and is what the q81/q86
+    * oracles pin; this mode's differential gate (same greedy policy,
+    * independent single-node implementation) lives in BpeSpec.
+    */
+  def learnMergesRelaxed(
+      df: DataFrame,
+      textCol: String,
+      numMerges: Int,
+      minPairCount: Long = 2L,
+      batchCap: Int = 64): DataFrame =
+    learnMergesWithStats(df, textCol, numMerges, minPairCount, batchCap,
+      relaxed = true)._1
+
   /** [[learnMerges]] plus the number of pair-count rounds it took —
     * the "merges per Spark job" number the scale argument rests on.
     *
@@ -97,7 +122,8 @@ object BpeLearn {
       textCol: String,
       numMerges: Int,
       minPairCount: Long = 2L,
-      batchCap: Int = 64): (DataFrame, Int) = {
+      batchCap: Int = 64,
+      relaxed: Boolean = false): (DataFrame, Int) = {
     require(numMerges >= 1 && minPairCount >= 1 && batchCap >= 1,
       s"numMerges=$numMerges minPairCount=$minPairCount batchCap=$batchCap")
     val spark = df.sparkSession
@@ -138,25 +164,39 @@ object BpeLearn {
         val accepted = scala.collection.mutable.ArrayBuffer
           .empty[(String, String, Long)]
         val used = scala.collection.mutable.Set.empty[String]
-        var idx = 0
-        var halted = false
-        while (idx < cands.length && !halted) {
-          val (a, b, _) = cands(idx)
-          if (used.contains(a) || used.contains(b)) halted = true
-          else {
-            accepted += cands(idx)
-            used += a; used += b
-            idx += 1
-            if (a == b) halted = true
+        val keep: Seq[(String, String, Long)] = if (relaxed) {
+          // greedy maximal symbol-disjoint subset: SKIP overlapping
+          // candidates (their recount next round decides them) — the
+          // production batching; order deviations from sequential
+          // argmax are the documented trade.
+          cands.foreach { case cand @ (a, b, _) =>
+            if (!used.contains(a) && !used.contains(b)) {
+              accepted += cand
+              used += a; used += b
+            }
           }
+          accepted.take(numMerges - merges.size).toSeq
+        } else {
+          var idx = 0
+          var halted = false
+          while (idx < cands.length && !halted) {
+            val (a, b, _) = cands(idx)
+            if (used.contains(a) || used.contains(b)) halted = true
+            else {
+              accepted += cands(idx)
+              used += a; used += b
+              idx += 1
+              if (a == b) halted = true
+            }
+          }
+          val t: Long =
+            if (idx < cands.length) cands(idx)._3
+            else if (cands.length == batchCap) cands.last._3
+            else minPairCount - 1L
+          val safe = accepted.takeWhile(_._3 > t)
+          (if (safe.isEmpty) accepted.take(1) else safe)
+            .take(numMerges - merges.size).toSeq
         }
-        val t: Long =
-          if (idx < cands.length) cands(idx)._3
-          else if (cands.length == batchCap) cands.last._3
-          else minPairCount - 1L
-        val safe = accepted.takeWhile(_._3 > t)
-        val keep = (if (safe.isEmpty) accepted.take(1) else safe)
-          .take(numMerges - merges.size).toSeq
         keep.foreach { case (a, b, cnt) =>
           merges += ((merges.size + 1L, a, b, a + b, cnt))
         }

@@ -142,6 +142,72 @@ class BpeSpec extends SparkSpec {
       s"expected >1 merges/job; got ${got.size} merges in $rounds rounds")
   }
 
+  /** Single-node mirror of the RELAXED batched policy: per round,
+    * rank all pairs by (count desc, a, b), take the top batchCap,
+    * greedily accept every symbol-disjoint candidate (skip
+    * overlapping ones), apply them all, repeat.
+    */
+  private def refBpeRelaxed(words: Map[String, Long], numMerges: Int,
+      minPairCount: Long = 2L, batchCap: Int = 64)
+      : Seq[(Long, String, String, String, Long)] = {
+    var seqs: Seq[(Seq[String], Long)] =
+      words.toSeq.map { case (w, c) => (w.map(_.toString): Seq[String], c) }
+        .filter(_._1.lengthCompare(2) >= 0)
+    val out = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, String, String, String, Long)]
+    var done = false
+    while (!done && out.size < numMerges) {
+      val counts = scala.collection.mutable.Map
+        .empty[(String, String), Long].withDefaultValue(0L)
+      seqs.foreach { case (s, c) =>
+        s.sliding(2).filter(_.lengthCompare(2) == 0)
+          .foreach(p => counts((p(0), p(1))) += c)
+      }
+      val cands = counts.toSeq.filter(_._2 >= minPairCount)
+        .sortBy { case ((a, b), c) => (-c, a, b) }.take(batchCap)
+      if (cands.isEmpty) done = true
+      else {
+        val used = scala.collection.mutable.Set.empty[String]
+        val keep = cands.flatMap { case ((a, b), c) =>
+          if (!used.contains(a) && !used.contains(b)) {
+            used += a; used += b; Some((a, b, c))
+          } else None
+        }.take(numMerges - out.size)
+        keep.foreach { case (a, b, c) =>
+          out += ((out.size + 1L, a, b, a + b, c))
+        }
+        seqs = seqs
+          .map { case (s, cnt) =>
+            (keep.foldLeft(s)((st, p) => ref_merge(st, p._1, p._2)), cnt)
+          }
+          .filter(_._1.lengthCompare(2) >= 0)
+      }
+    }
+    out.toSeq
+  }
+
+  test("relaxed batching matches its independent single-node mirror " +
+      "and collapses the round count (the 32k-vocabulary mode)") {
+    val docs = Tables.load(spark, sf0001, "documents")
+    val wordCounts = docs.select("text").as[String].collect()
+      .flatMap(t => Option(t).toSeq.flatMap(_.split(" ")))
+      .filter(_.length >= 2)
+      .groupBy(identity).map { case (w, ws) => w -> ws.size.toLong }
+    val want = refBpeRelaxed(wordCounts, 64)
+    val (gotDf, rounds) = BpeLearn.learnMergesWithStats(
+      docs, "text", numMerges = 64, relaxed = true)
+    val got = gotDf.as[(Long, String, String, String, Long)]
+      .collect().toSeq.sortBy(_._1)
+    assert(got == want, "relaxed table must equal the single-node mirror")
+    // the point of the mode: rounds collapse versus exact batching
+    val (_, exactRounds) = BpeLearn.learnMergesWithStats(
+      docs, "text", numMerges = 64)
+    assert(rounds * 2 <= exactRounds,
+      s"relaxed rounds $rounds not < half of exact $exactRounds")
+    // every accepted merge still cleared the count floor
+    assert(got.forall(_._5 >= 2))
+  }
+
   test("merges are prefix-stable in the budget: rank <= 12 of a " +
       "24-merge run IS the 12-merge run (q81 serves the m24 artifact)") {
     val docs = Tables.load(spark, sf0001, "documents")
