@@ -558,19 +558,102 @@ object Similarity {
   }
 
   /** Full SemDeDup resolution: every vector labeled with its semantic
-    * duplicate group (min id of its in-cell near-dup component, via
-    * [[DupClusters.components]] min-label propagation) and whether it
-    * is the kept representative. Downstream dedup is `filter(keep)`.
-    * Output: (id, list_id, group_id, keep).
+    * duplicate group (min id of its in-cell near-dup component) and
+    * whether it is the kept representative. Downstream dedup is
+    * `filter(keep)`. Output: (id, list_id, group_id, keep).
+    *
+    * CELL-LOCAL since r6: pairs exist only WITHIN an IVF cell, so a
+    * component can never span cells — which makes the global
+    * O(diameter) label-propagation loop (one keyed join + driver
+    * convergence probe per round, the r5 plan) structurally
+    * unnecessary here. This plan is ONE exchange grouping postings by
+    * cell plus an in-memory union-find per cell. Per-cell pair work
+    * is unchanged (the previous explode path also generated a cell's
+    * pairs inside a single task); what disappears is every
+    * post-pair stage: the pair exchange, k join rounds, k
+    * localCheckpoints, k driver syncs. Oversized cells keep the skew
+    * cap semantics — members pass through as singletons — with the
+    * dropped mass still observed (`semdedup_cells_skew`) via the
+    * cell-size aggregate the cap check rides on. Cosine arithmetic is
+    * bit-identical to the Catalyst path: the same left-to-right
+    * double fold as VecDot and the same HALF_UP 9-decimal rounding as
+    * Spark's `round` (`BigDecimal.valueOf`, shortest-string decimal)
+    * — spec-gated equal to the loop formulation row-for-row, and the
+    * q73 hash gate pins it cross-engine.
+    * [[DupClusters.components]] remains the path for graphs whose
+    * edges DO cross buckets (q59's MinHash pairs).
     */
   def semDedup(idx: IvfIndex, threshold: Double,
       maxCellSize: Int = 20000): DataFrame = {
-    val pairs = semDedupPairs(idx, threshold, maxCellSize)
-    val ids = idx.assigned.select(col("neighbor_id").as("id"), col("list_id"))
-    DupClusters.components(ids.select(col("id")), pairs)
-      .join(ids, "id")
-      .select(col("id"), col("list_id"), col("cluster").as("group_id"),
-        (col("id") === col("cluster")).as("keep"))
+    val spark = idx.assigned.sparkSession
+    import spark.implicits._
+    val sizes = idx.assigned.groupBy(col("list_id"))
+      .agg(count(lit(1)).as("_csz"))
+      .observe("semdedup_cells_skew",
+        sum(when(col("_csz") > maxCellSize, 1L).otherwise(0L))
+          .as("dropped_cells"),
+        sum(when(col("_csz") > maxCellSize, col("_csz")).otherwise(0L))
+          .as("dropped_rows"))
+    val members = idx.assigned
+      .join(broadcast(sizes), "list_id")
+      .select(col("list_id").cast("int").as("list_id"),
+        col("neighbor_id").as("id"), col("cvec"), col("cn"), col("_csz"))
+      .as[(Int, Long, Array[Float], Double, Long)]
+    members.groupByKey(_._1)
+      .flatMapGroups { (cell, it) =>
+        val ms = it.toArray
+        val n = ms.length
+        val capped = n > 0 && ms(0)._5 > maxCellSize
+        val parent = Array.tabulate(n)(identity)
+        def find(x: Int): Int = {
+          var r = x
+          while (parent(r) != r) r = parent(r)
+          var c = x
+          while (parent(c) != r) { val nx = parent(c); parent(c) = r; c = nx }
+          r
+        }
+        if (!capped) {
+          var i = 0
+          while (i < n) {
+            val (_, _, vi, ni, _) = ms(i)
+            var j = i + 1
+            while (j < n) {
+              val (_, _, vj, nj, _) = ms(j)
+              // VecDot's exact fold: (double)float * (double)float,
+              // accumulated left-to-right in a double
+              var dot = 0.0
+              var k = 0
+              val d = vi.length
+              if (d == vj.length) {
+                while (k < d) { dot += vi(k).toDouble * vj(k).toDouble; k += 1 }
+                val cos = java.math.BigDecimal.valueOf(dot / (ni * nj))
+                  .setScale(9, java.math.RoundingMode.HALF_UP).doubleValue()
+                if (cos >= threshold) {
+                  val (ri, rj) = (find(i), find(j))
+                  if (ri != rj) parent(math.max(ri, rj)) = math.min(ri, rj)
+                }
+              }
+              j += 1
+            }
+            i += 1
+          }
+        }
+        // component label = min id over the component (root index is
+        // not enough: ids are not sorted within the cell)
+        val minId = scala.collection.mutable.Map.empty[Int, Long]
+        var i = 0
+        while (i < n) {
+          val r = find(i)
+          val id = ms(i)._2
+          if (minId.get(r).forall(id < _)) minId.update(r, id)
+          i += 1
+        }
+        ms.iterator.zipWithIndex.map { case ((lid, id, _, _, _), ix) =>
+          val g = minId(find(ix))
+          (id, lid, g, id == g)
+        }
+      }
+      .toDF("id", "list_id", "group_id", "keep")
   }
 
   /** One-shot convenience: build the index inline and query it (tests

@@ -200,6 +200,38 @@ class AnnSpec extends SparkSpec {
     got.foreach { case (id, g, keep) => assert(keep == (id == g)) }
   }
 
+  test("cell-local semDedup equals the global components-loop " +
+      "formulation row-for-row, including the cell cap") {
+    // The r6 plan rewrite's safety net: same pairs (semDedupPairs),
+    // same min-label clusters (DupClusters.components), assembled the
+    // r5 way, must match the one-exchange union-find path exactly —
+    // this is also the spec that pins the in-memory cosine (VecDot
+    // fold + BigDecimal.valueOf HALF_UP round) to the Catalyst
+    // arithmetic: one ulp of drift would flip a borderline pair.
+    val idx = Similarity.IvfIndex.build(emb, nLists = 8)
+    def loopForm(threshold: Double, cap: Int) = {
+      val pairs = Similarity.semDedupPairs(idx, threshold, cap)
+      val ids = idx.assigned
+        .select(col("neighbor_id").as("id"), col("list_id"))
+      graft.operators.DupClusters.components(ids.select(col("id")), pairs)
+        .join(ids, "id")
+        .select(col("id"), col("list_id"), col("cluster").as("group_id"),
+          (col("id") === col("cluster")).as("keep"))
+    }
+    for ((th, cap) <- Seq((0.35, 20000), (0.2, 20000), (0.35, 40))) {
+      // cap=40 trips the skew guard on some 8-cell assignments of the
+      // 500-vector corpus → capped cells must degrade to singletons
+      // in BOTH formulations
+      val want = loopForm(th, cap).collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getBoolean(3)))
+        .toSet
+      val got = Similarity.semDedup(idx, th, cap).collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getBoolean(3)))
+        .toSet
+      assert(got == want, s"threshold=$th cap=$cap")
+    }
+  }
+
   test("IVF index: save/load round-trip answers queries identically " +
       "(offline-build, online-query split)") {
     val queries = emb.filter(col("id") < 10)
