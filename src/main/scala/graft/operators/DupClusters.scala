@@ -38,14 +38,53 @@ object DupClusters {
   /** `ids`: one row per node (`id`); `pairs`: undirected edges
     * (id_a, id_b). Output: (id, cluster) where cluster = min id
     * reachable in the pair graph (singletons map to themselves).
+    *
+    * BUDGET-GATED driver resolution (r6, the BloomDedup pattern): the
+    * edge set is measured FIRST — it is already materialized for the
+    * loop's benefit, so the count is a free cache read — and below
+    * `driverEdgeBudget` the whole graph resolves with one driver
+    * union-find and a broadcast label join: zero iterative rounds,
+    * zero per-round checkpoints. This is a bounded MODEL boundary,
+    * not a data collect: verified near-dup edges are a vanishing
+    * fraction of any real corpus (every edge means two nearly
+    * identical documents survived verification), and the label map is
+    * smaller still (touched nodes only). Above the budget the
+    * propagation loop runs unchanged, with the large-star/small-star
+    * fallback for diameters past `maxIter`. All three routes are
+    * spec-gated equal on random graphs.
     */
   def components(ids: DataFrame, pairs: DataFrame,
-      maxIter: Int = 25): DataFrame = {
+      maxIter: Int = 25, driverEdgeBudget: Long = 500000L): DataFrame = {
+    val spark = ids.sparkSession
+    import spark.implicits._
     val edges = pairs
       .select(col("id_a").as("src"), col("id_b").as("dst"))
       .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
       .distinct()
       .localCheckpoint()
+    if (edges.count() <= driverEdgeBudget) {
+      val es = edges.as[(Long, Long)].collect()
+      val parent = scala.collection.mutable.Map.empty[Long, Long]
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrElse(r, r) != r) r = parent(r)
+        var c = x
+        while (parent.getOrElse(c, c) != r) { val n = parent(c); parent(c) = r; c = n }
+        r
+      }
+      es.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      // touched nodes → their component min; everyone else is a
+      // singleton and labels itself through the coalesce
+      val labels = es.iterator.map(_._1).toSet[Long]
+        .map(n => (n, find(n))).toSeq.toDF("id", "_cluster")
+      return ids.select(col("id"))
+        .join(broadcast(labels), Seq("id"), "left_outer")
+        .select(col("id"),
+          coalesce(col("_cluster"), col("id")).as("cluster"))
+    }
     var labels = ids.select(col("id"), col("id").as("cluster"))
       .localCheckpoint()
     // sum over an empty node set is NULL — an emptied-upstream corpus

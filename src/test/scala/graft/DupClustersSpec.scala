@@ -45,9 +45,14 @@ class DupClustersSpec extends SparkSpec {
       val (n, es) = gen.apply(Gen.Parameters.default, Seed(i.toLong)).get
       val ids = (0L until n).toDF("id")
       val pairs = es.toDF("id_a", "id_b")
+      // default budget → driver union-find route
       val got = DupClusters.components(ids, pairs)
         .as[(Long, Long)].collect().toMap
       assert(got == bfsComponents(n, es), s"seed $i: n=$n edges=$es")
+      // budget 0 → distributed propagation route; must agree exactly
+      val dist = DupClusters.components(ids, pairs, driverEdgeBudget = 0L)
+        .as[(Long, Long)].collect().toMap
+      assert(dist == got, s"seed $i: routes diverged")
     }
   }
 
@@ -56,7 +61,9 @@ class DupClustersSpec extends SparkSpec {
     val n = 20L
     val ids = (0L until n).toDF("id")
     val chain = (0L until n - 1).map(i => (i, i + 1)).toDF("id_a", "id_b")
-    val got = DupClusters.components(ids, chain).as[(Long, Long)].collect()
+    // budget 0 → the propagation loop itself (diameter 19 < 25 rounds)
+    val got = DupClusters.components(ids, chain, driverEdgeBudget = 0L)
+      .as[(Long, Long)].collect()
     assert(got.forall(_._2 == 0L))
   }
 
@@ -65,17 +72,20 @@ class DupClustersSpec extends SparkSpec {
     // 60-node chain: propagation moves the min one hop per round, so
     // the default 25-round budget CANNOT finish — the unconverged sum
     // must trigger the star fallback, not return a partial labeling
+    // driverEdgeBudget = 0 forces the DISTRIBUTED route (with the
+    // default budget this graph would resolve driver-side and never
+    // exercise the fallback)
     val n = 60L
     val ids = (0L until n).toDF("id")
     val chain = (0L until n - 1).map(i => (i, i + 1)).toDF("id_a", "id_b")
-    val got = DupClusters.components(ids, chain)
+    val got = DupClusters.components(ids, chain, driverEdgeBudget = 0L)
       .as[(Long, Long)].collect().toMap
     assert(got.size == 60 && got.values.forall(_ == 0L),
       s"chain must collapse to component 0: ${got.toSeq.sorted.take(10)}")
     // two disjoint long chains keep distinct roots through the fallback
     val two = ((0L until 29L).map(i => (i, i + 1)) ++
       (30L until 59L).map(i => (i, i + 1))).toDF("id_a", "id_b")
-    val got2 = DupClusters.components(ids, two)
+    val got2 = DupClusters.components(ids, two, driverEdgeBudget = 0L)
       .as[(Long, Long)].collect().toMap
     assert((0L until 30L).forall(got2(_) == 0L))
     assert((30L until 60L).forall(got2(_) == 30L))
