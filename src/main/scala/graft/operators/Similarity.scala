@@ -719,26 +719,29 @@ object Similarity {
       val bucketCols = array(tables.map { case (t, planes) =>
         struct(lit(t).as("tbl"), hyperplaneBucket(col("vec"), planes).as("bucket"))
       }: _*)
-      df.select(col("id").as(idName), col("vec"), l2Norm(col("vec")).as("nrm"),
-        explode(bucketCols).as("tb"))
-        .select(col(idName), col("vec"), col("nrm"),
-          col("tb.tbl"), col("tb.bucket"))
+      df.select(col("id").as(idName), explode(bucketCols).as("tb"))
+        .select(col(idName), col("tb.tbl"), col("tb.bucket"))
     }
+    // Id-only candidate exchange (r6, measured ~25% over carrying
+    // vector payloads through the dedupe even at dim 64 — and the gap
+    // only widens with dim): bucket rows are (id, tbl, bucket) 16-byte
+    // triples, the multi-table pair dedupe is a distinct over ids, and
+    // each side's vectors join back exactly once per surviving
+    // candidate (query side broadcast — it is the small side by
+    // contract). Same shape as lshNearDupPairs' carryVectors=false
+    // variant; the exchange is still never keyed on payloads.
     val cb = withBuckets(corpus, "neighbor_id")
-      .withColumnRenamed("vec", "cvec").withColumnRenamed("nrm", "cn")
     val qb = withBuckets(queries, "query_id")
-      .withColumnRenamed("vec", "qvec").withColumnRenamed("nrm", "qn")
+    val cands = cb.join(broadcast(qb), Seq("tbl", "bucket"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id")).distinct()
+    val cv = corpus.select(col("id").as("neighbor_id"), col("vec").as("cvec"))
+      .withColumn("cn", l2Norm(col("cvec")))
+    val qv = queries.select(col("id").as("query_id"), col("vec").as("qvec"))
+      .withColumn("qn", l2Norm(col("qvec")))
     val w = Window.partitionBy("query_id")
       .orderBy(col("cosine").desc, col("neighbor_id"))
-    cb.join(broadcast(qb), Seq("tbl", "bucket"))
-      .filter(col("neighbor_id") =!= col("query_id"))
-      // A pair can collide in several tables: dedupe keyed on the id
-      // pair ONLY — the exchange must never be keyed on (or sized by
-      // sort-comparisons of) the embedding payloads; vectors ride
-      // through as first() payload bytes.
-      .groupBy(col("query_id"), col("neighbor_id"))
-      .agg(first(col("qvec")).as("qvec"), first(col("cvec")).as("cvec"),
-        first(col("qn")).as("qn"), first(col("cn")).as("cn"))
+    cands.join(cv, "neighbor_id").join(broadcast(qv), "query_id")
       .withColumn("cosine", round(cosineWithNorms(col("qvec"), col("cvec"),
         col("qn"), col("cn")), 9))
       .withColumn("rnk", row_number().over(w).cast("long"))
