@@ -34,6 +34,27 @@ object Similarity {
     Seq.fill(nPlanes)(Seq.fill(dim)(rnd.nextGaussian()))
   }
 
+  /** In-JVM replica of the Catalyst cosine the registered queries
+    * compute: VecDot's left-to-right (double)float·(double)float fold
+    * over precomputed norms, rounded like Spark's `round(col, 9)`
+    * (`BigDecimal.valueOf` = shortest-string decimal, HALF_UP). Used
+    * by the operators that score pairs inside typed partitions
+    * (cell-local semDedup, streaming semantic dedup) so their numbers
+    * are bit-identical to the column-expression paths — one ulp of
+    * drift would flip a borderline pair and break the hash gates.
+    * Returns -1 (below any real threshold) on length mismatch,
+    * matching VecDot's null-out semantics after the >= filter.
+    */
+  private[graft] def cosine9(a: Array[Float], na: Double,
+      b: Array[Float], nb: Double): Double = {
+    if (a.length != b.length) return -1.0
+    var dot = 0.0
+    var k = 0
+    while (k < a.length) { dot += a(k).toDouble * b(k).toDouble; k += 1 }
+    java.math.BigDecimal.valueOf(dot / (na * nb))
+      .setScale(9, java.math.RoundingMode.HALF_UP).doubleValue()
+  }
+
   private val planesWritten =
     scala.collection.concurrent.TrieMap[String, Unit]()
 
@@ -619,19 +640,9 @@ object Similarity {
             var j = i + 1
             while (j < n) {
               val (_, _, vj, nj, _) = ms(j)
-              // VecDot's exact fold: (double)float * (double)float,
-              // accumulated left-to-right in a double
-              var dot = 0.0
-              var k = 0
-              val d = vi.length
-              if (d == vj.length) {
-                while (k < d) { dot += vi(k).toDouble * vj(k).toDouble; k += 1 }
-                val cos = java.math.BigDecimal.valueOf(dot / (ni * nj))
-                  .setScale(9, java.math.RoundingMode.HALF_UP).doubleValue()
-                if (cos >= threshold) {
-                  val (ri, rj) = (find(i), find(j))
-                  if (ri != rj) parent(math.max(ri, rj)) = math.min(ri, rj)
-                }
+              if (cosine9(vi, ni, vj, nj) >= threshold) {
+                val (ri, rj) = (find(i), find(j))
+                if (ri != rj) parent(math.max(ri, rj)) = math.min(ri, rj)
               }
               j += 1
             }

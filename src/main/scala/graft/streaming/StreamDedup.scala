@@ -320,6 +320,101 @@ object StreamDedup {
     * avoids). StreamingSpec checks the DISTINCT flag set equals the
     * batch operator's.
     */
+  final case class CellVec(cell: Int, id: Long, vec: Array[Float],
+      nrm: Double, et: Long, ts: java.sql.Timestamp)
+  final case class CellState(members: List[(Long, Array[Float], Double)])
+  final case class SemHit(id_a: Long, id_b: Long, cosine: Double, cell: Int)
+
+  /** Streaming SemDeDup — the incremental dual of
+    * `Similarity.semDedupPairs`, completing the streaming dedup
+    * family (exact / SimHash / MinHash / cross-corpus / SEMANTIC):
+    * each incoming embedding is flagged against every semantically
+    * near vector already seen in its region of embedding space.
+    *
+    * Blocking is the SAME prebuilt IVF coarse quantizer as q46/q73
+    * (never trained here): the incoming vector's cell is its nearest
+    * centroid, computed scan-local from plan literals — zero
+    * exchanges before the one keyed state access. Per-cell
+    * `flatMapGroupsWithState` state holds the (id, vec, norm) members
+    * seen so far (vec = dim·4 B, the honest cost of semantic streaming
+    * state — bounded by `maxCellSize` per cell, the batch skew cap's
+    * streaming analog: later members of a full cell are checked
+    * against the stored members but not added). Verification is the
+    * exact 9-rounded cosine via `Similarity.cosine9` — bit-identical
+    * to the batch operator's Catalyst arithmetic, so the
+    * StreamingSpec parity gate is exact equality, not approximate.
+    *
+    * Pairs within one micro-batch are caught too (arrivals append to
+    * the working member list as the batch drains), so batch/stream
+    * parity holds for any chunking of the corpus. With `evictAfter`
+    * (requires a watermarked `ts`), an idle cell drops its state
+    * after the TTL — dedup scope becomes the TTL horizon, the
+    * `simhashPairsStream` contract. Centroid-assignment parity with
+    * the saved postings holds when cells are separated beyond
+    * float-rounding scale (spec-pinned on the corpus; KMeans cells
+    * are, by construction).
+    */
+  def semanticPairsStream(vecs: DataFrame,
+      idx: graft.operators.Similarity.IvfIndex,
+      threshold: Double, maxCellSize: Int = 20000,
+      evictAfter: Option[Long] = None): Dataset[SemHit] = {
+    import graft.functions.VectorFunctions.{l2Norm, l2Sq}
+    val distStructs = array(idx.centroids.zipWithIndex.map { case (c, i) =>
+      struct(l2Sq(col("vec"), typedlit(c)).as("d"), lit(i).as("idx"))
+    }: _*)
+    val (et, tsCol) =
+      if (evictAfter.isDefined) (unix_millis(col("ts")), col("ts"))
+      else (lit(0L), lit(null).cast("timestamp"))
+    implicit val inEnc = Encoders.product[CellVec]
+    implicit val stEnc = Encoders.product[CellState]
+    implicit val outEnc = Encoders.product[SemHit]
+    implicit val keyEnc = Encoders.scalaInt
+    val assigned = vecs.select(
+        element_at(slice(array_sort(distStructs), 1, 1), 1)
+          .getField("idx").as("cell"),
+        col("id"), col("vec"), l2Norm(col("vec")).as("nrm"),
+        et.as("et"), tsCol.as("ts"))
+      .as[CellVec]
+    val timeoutConf =
+      if (evictAfter.isDefined) GroupStateTimeout.EventTimeTimeout()
+      else GroupStateTimeout.NoTimeout()
+    assigned.groupByKey(_.cell)
+      .flatMapGroupsWithState[CellState, SemHit](
+        OutputMode.Append(), timeoutConf) {
+        (cell, rows, state) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            var members = state.getOption.getOrElse(CellState(Nil)).members
+            var size = members.length
+            val out = scala.collection.mutable.ListBuffer[SemHit]()
+            var maxEt = Long.MinValue
+            rows.foreach { d =>
+              maxEt = math.max(maxEt, d.et)
+              members.foreach { case (mid, mvec, mnrm) =>
+                if (mid != d.id) {
+                  val cos = graft.operators.Similarity
+                    .cosine9(mvec, mnrm, d.vec, d.nrm)
+                  if (cos >= threshold) {
+                    val (a, b) = if (mid < d.id) (mid, d.id) else (d.id, mid)
+                    out += SemHit(a, b, cos, cell)
+                  }
+                }
+              }
+              if (size < maxCellSize) {
+                members = (d.id, d.vec, d.nrm) :: members
+                size += 1
+              }
+            }
+            state.update(CellState(members))
+            evictAfter.foreach { ttl =>
+              if (maxEt > Long.MinValue) state.setTimeoutTimestamp(
+                math.max(state.getCurrentWatermarkMs() + 1, maxEt + ttl))
+            }
+            out.iterator
+          }
+      }
+  }
+
   def crossCorpusFlagStream(docs: DataFrame, reference: DataFrame,
       threshold: Double = 0.8, numHashes: Int = 128, numBands: Int = 32,
       shingleSize: Int = 3): DataFrame = {

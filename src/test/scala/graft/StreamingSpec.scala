@@ -348,6 +348,48 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming semantic dedup: cross-batch pair set equals the " +
+      "batch semDedupPairs over the same prebuilt quantizer") {
+    implicit val sqlCtx = spark.sqlContext
+    val emb = Tables.load(spark, sf0001, "embeddings")
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val idx = graft.operators.Similarity.IvfIndex.build(emb, nLists = 8)
+    val batch = graft.operators.Similarity
+      .semDedupPairs(idx, threshold = 0.35)
+      .select(col("id_a"), col("id_b"), col("cosine"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .toSet
+    val rows = emb.select(col("id"), col("vec").cast("array<double>"))
+      .as[(Long, Seq[Double])].collect()
+    val ms = MemoryStream[(Long, Seq[Double])]
+    val q = graft.streaming.StreamDedup.semanticPairsStream(
+      ms.toDF().toDF("id", "vec")
+        .withColumn("vec", col("vec").cast("array<float>")),
+      idx, threshold = 0.35)
+      .writeStream.format("memory").queryName("sem_stream")
+      .outputMode("append").start()
+    try {
+      // three chunks: pairs whose halves arrive in different batches
+      // must still be caught (state), and within-batch pairs too
+      val (a, bc) = rows.splitAt(rows.length / 3)
+      val (b, c) = bc.splitAt(bc.length / 2)
+      Seq(a, b, c).foreach { chunk =>
+        ms.addData(chunk.toSeq); q.processAllAvailable()
+      }
+      val got = spark.table("sem_stream")
+        .select(col("id_a"), col("id_b"), col("cosine"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .toSet
+      // EXACT equality, cosines included: the streaming verify is the
+      // same bit arithmetic (Similarity.cosine9) as the batch plan's
+      // Catalyst expressions, and centroid assignment agrees with the
+      // saved postings on this corpus
+      assert(got == batch,
+        s"stream-only=${got -- batch} batch-only=${batch -- got}")
+      assert(batch.nonEmpty, "corpus has no semantic pairs at 0.35?")
+    } finally q.stop()
+  }
+
   test("streaming token budget: arrival-order prefix per class, " +
       "exhausted classes stay closed across batches, one-doc overshoot") {
     implicit val sqlCtx = spark.sqlContext
