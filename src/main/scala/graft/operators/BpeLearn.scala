@@ -33,6 +33,27 @@ import org.apache.spark.sql.functions._
   */
 object BpeLearn {
 
+  /** Word → initial symbol sequence: one symbol per Unicode CODEPOINT,
+    * not per UTF-16 unit (reviewer r6) — a surrogate-pair character
+    * (emoji, rare CJK) is ONE symbol, never two lone surrogates. This
+    * is also what makes the Spark side agree with the DuckDB oracles'
+    * per-character `string_split(w, '')`, which splits codepoints; on
+    * BMP-only corpora (all test data) the two splits were already
+    * identical. (The oracles' chr(1)/chr(2) wrapping additionally
+    * assumes corpus tokens never contain the U+0001/U+0002 control
+    * chars — true of any sane text corpus and of ours.)
+    */
+  private[operators] def charSymbols(w: String): Seq[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    var i = 0
+    while (i < w.length) {
+      val cp = w.codePointAt(i)
+      out += new String(Character.toChars(cp))
+      i += Character.charCount(cp)
+    }
+    out.toSeq
+  }
+
   /** One left-to-right merge pass: fuse every non-overlapping
     * occurrence of (a, b), leftmost first — the classic BPE rule
     * ("aaa" under (a,a) becomes ["aa", "a"]).
@@ -97,7 +118,11 @@ object BpeLearn {
     *  - accept candidates while pairwise SYMBOL-disjoint; halt at the
     *    first candidate sharing a symbol with an accepted one (halt,
     *    not skip — so everything ranked above an accepted pair is
-    *    itself accepted), and after any self-pair (a,a);
+    *    itself accepted), after any self-pair (a,a), and after any
+    *    candidate whose MERGED token equals a symbol a prior kept
+    *    merge created (minting more of an existing symbol can BOOST
+    *    existing pairs' counts, breaking the monotone-non-increase
+    *    premise of the trim below — reviewer r6);
     *  - let T = the count of the first unaccepted candidate (the
     *    batch-cap tail count if the fetched list was truncated;
     *    minPairCount - 1 if the candidate list was exhausted);
@@ -107,12 +132,15 @@ object BpeLearn {
     * Why this is exact: a kept pair's own count is unchanged by the
     * merges before it (symbol-disjointness); any OTHER existing pair
     * ranked above it would have been accepted (prefix property), so
-    * survivors only ever rank below and their counts only decrease;
-    * and any NEW pair created by an earlier accepted merge (x,m) /
-    * (m,y) / (m,m) inherits count ≤ that of an existing pair sharing
-    * a symbol with the creating merge — a pair that is necessarily
-    * unaccepted, hence ranked ≤ T. Strict `count > T` therefore beats
-    * every new pair outright, with no tie-break subtleties. At a real
+    * survivors only ever rank below and — given the merged-symbol
+    * halt above, which forecloses the one way an existing pair's
+    * count can grow — their counts only decrease; and any NEW pair
+    * created by an earlier accepted merge (x,m) / (m,y) / (m,m) with
+    * m a genuinely new symbol inherits count ≤ that of an existing
+    * pair sharing a symbol with the creating merge — a pair that is
+    * necessarily unaccepted, hence ranked ≤ T. Strict `count > T`
+    * therefore beats every new pair outright, with no tie-break
+    * subtleties. At a real
     * 32k vocabulary this turns 32 000 driver round-trips into ~32k /
     * (accepted-per-round) jobs, each the same map-side-combined
     * pair-count aggregation.
@@ -136,13 +164,16 @@ object BpeLearn {
       .select(explode(split(col(textCol), " ")).as("w"))
       .groupBy(col("w")).agg(count(lit(1)).as("c"))
       .as[(String, Long)]
-      .map { case (w, c) => (w.map(_.toString): Seq[String], c) }
+      .map { case (w, c) => (charSymbols(w), c) }
       .filter(_._1.lengthCompare(2) >= 0)
       .coalesce(8)
       .localCheckpoint()
 
     val merges = scala.collection.mutable.ArrayBuffer
       .empty[(Long, String, String, String, Long)]
+    // every symbol a kept merge has ever created — the guard for the
+    // count-boost hazard (see the acceptance loop)
+    val mergedSyms = scala.collection.mutable.Set.empty[String]
     var done = false
     var rounds = 0
     while (!done && merges.size < numMerges) {
@@ -187,6 +218,19 @@ object BpeLearn {
               used += a; used += b
               idx += 1
               if (a == b) halted = true
+              // COUNT-BOOST hazard (reviewer r6): if a+b equals a
+              // symbol an earlier-round merge already created, applying
+              // this merge mints MORE of that symbol, so existing pairs
+              // containing it can gain occurrences — counts are no
+              // longer monotone non-increasing and the strict `> T`
+              // trim's premise fails for everything ranked after this
+              // candidate. Accepting THIS candidate is safe (its own
+              // count is exact, and the boost lands after application,
+              // i.e. on next round's recount); accepting anything
+              // beyond it is not — halt the batch here. Symbols arise
+              // only from single chars and kept merges, so the kept-
+              // merge output set is a complete existence oracle.
+              if (mergedSyms.contains(a + b)) halted = true
             }
           }
           val t: Long =
@@ -199,6 +243,7 @@ object BpeLearn {
         }
         keep.foreach { case (a, b, cnt) =>
           merges += ((merges.size + 1L, a, b, a + b, cnt))
+          mergedSyms += (a + b)
         }
         val ms = keep.map(p => (p._1, p._2))
         val next = seqs
@@ -266,7 +311,7 @@ object BpeLearn {
     */
   private[operators] def encodeWord(
       w: String, merges: Seq[(String, String)]): Seq[String] = {
-    var s: Seq[String] = w.map(_.toString)
+    var s: Seq[String] = charSymbols(w)
     var i = 0
     while (i < merges.length && s.lengthCompare(2) >= 0) {
       s = mergePair(s, merges(i)._1, merges(i)._2)

@@ -64,22 +64,12 @@ object DupClusters {
       .localCheckpoint()
     if (edges.count() <= driverEdgeBudget) {
       val es = edges.as[(Long, Long)].collect()
-      val parent = scala.collection.mutable.Map.empty[Long, Long]
-      def find(x: Long): Long = {
-        var r = x
-        while (parent.getOrElse(r, r) != r) r = parent(r)
-        var c = x
-        while (parent.getOrElse(c, c) != r) { val n = parent(c); parent(c) = r; c = n }
-        r
-      }
-      es.foreach { case (a, b) =>
-        val (ra, rb) = (find(a), find(b))
-        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
-      }
+      val uf = new MinUnionFind
+      es.foreach { case (a, b) => uf.union(a, b) }
       // touched nodes → their component min; everyone else is a
       // singleton and labels itself through the coalesce
       val labels = es.iterator.map(_._1).toSet[Long]
-        .map(n => (n, find(n))).toSeq.toDF("id", "_cluster")
+        .map(n => (n, uf.find(n))).toSeq.toDF("id", "_cluster")
       return ids.select(col("id"))
         .join(broadcast(labels), Seq("id"), "left_outer")
         .select(col("id"),
@@ -175,7 +165,7 @@ object DupClusters {
       .localCheckpoint()
     var sig = signature(edges)
     var iter = 0
-    var converged = signature(edges)._1 == 0L
+    var converged = sig._1 == 0L
     while (!converged && iter < maxIter) {
       val next = smallStar(largeStar(edges)).localCheckpoint()
       val s = signature(next)

@@ -51,7 +51,15 @@ object Similarity {
     var dot = 0.0
     var k = 0
     while (k < a.length) { dot += a(k).toDouble * b(k).toDouble; k += 1 }
-    java.math.BigDecimal.valueOf(dot / (na * nb))
+    val c = dot / (na * nb)
+    // zero-norm / non-finite guard: the Catalyst path propagates NaN
+    // through round() and the >= threshold filter drops it — return a
+    // below-any-threshold sentinel instead of letting
+    // BigDecimal.valueOf(NaN) throw and fail the task (reviewer r6:
+    // an all-zeros embedding must label as a singleton, not crash)
+    if (java.lang.Double.isNaN(c) || java.lang.Double.isInfinite(c))
+      return -1.0
+    java.math.BigDecimal.valueOf(c)
       .setScale(9, java.math.RoundingMode.HALF_UP).doubleValue()
   }
 
@@ -531,16 +539,22 @@ object Similarity {
           transform(col("p"), x => x.getField("cj")).as("_cvec"))
         .withColumn("_cnrm",
           sqrt(aggregate(col("_cvec"), lit(0.0), (a, x) => a + x * x)))
+      // argmax grouped on a per-ROW key, not on id: the literal route
+      // emits one prediction per input row, so duplicate ids in
+      // `vectors` must not collapse here (reviewer r6 — route
+      // equivalence is a cardinality contract too)
       vectors
         .withColumn("_dv", col("vec").cast("array<double>"))
         .withColumn("_n", l2Norm(col("_dv")))
+        .withColumn("_rk", monotonically_increasing_id())
         .crossJoin(broadcast(cents))
         .withColumn("_cos",
           round(cosineWithNorms(col("_dv"), col("_cvec"), col("_n"),
             col("_cnrm")), 9))
-        .groupBy(col("id"))
-        .agg(max(struct(col("_cos").as("cos"), (-col("_clbl")).as("nlbl")))
-          .as("_best"))
+        .groupBy(col("_rk"))
+        .agg(first(col("id")).as("id"),
+          max(struct(col("_cos").as("cos"), (-col("_clbl")).as("nlbl")))
+            .as("_best"))
         .select(col("id"), (-col("_best.nlbl")).as("pred_label"),
           col("_best.cos").as("cosine"))
     }
@@ -625,42 +639,24 @@ object Similarity {
         val ms = it.toArray
         val n = ms.length
         val capped = n > 0 && ms(0)._5 > maxCellSize
-        val parent = Array.tabulate(n)(identity)
-        def find(x: Int): Int = {
-          var r = x
-          while (parent(r) != r) r = parent(r)
-          var c = x
-          while (parent(c) != r) { val nx = parent(c); parent(c) = r; c = nx }
-          r
-        }
+        // MinUnionFind's representative IS the component min id, so
+        // labels fall straight out of find()
+        val uf = new MinUnionFind
         if (!capped) {
           var i = 0
           while (i < n) {
-            val (_, _, vi, ni, _) = ms(i)
+            val (_, idi, vi, ni, _) = ms(i)
             var j = i + 1
             while (j < n) {
-              val (_, _, vj, nj, _) = ms(j)
-              if (cosine9(vi, ni, vj, nj) >= threshold) {
-                val (ri, rj) = (find(i), find(j))
-                if (ri != rj) parent(math.max(ri, rj)) = math.min(ri, rj)
-              }
+              val (_, idj, vj, nj, _) = ms(j)
+              if (cosine9(vi, ni, vj, nj) >= threshold) uf.union(idi, idj)
               j += 1
             }
             i += 1
           }
         }
-        // component label = min id over the component (root index is
-        // not enough: ids are not sorted within the cell)
-        val minId = scala.collection.mutable.Map.empty[Int, Long]
-        var i = 0
-        while (i < n) {
-          val r = find(i)
-          val id = ms(i)._2
-          if (minId.get(r).forall(id < _)) minId.update(r, id)
-          i += 1
-        }
-        ms.iterator.zipWithIndex.map { case ((lid, id, _, _, _), ix) =>
-          val g = minId(find(ix))
+        ms.iterator.map { case (lid, id, _, _, _) =>
+          val g = uf.find(id)
           (id, lid, g, id == g)
         }
       }

@@ -322,7 +322,8 @@ object StreamDedup {
     */
   final case class CellVec(cell: Int, id: Long, vec: Array[Float],
       nrm: Double, et: Long, ts: java.sql.Timestamp)
-  final case class CellState(members: List[(Long, Array[Float], Double)])
+  final case class CellState(members: List[(Long, Array[Float], Double)],
+      closed: Boolean)
   final case class SemHit(id_a: Long, id_b: Long, cosine: Double, cell: Int)
 
   /** Streaming SemDeDup — the incremental dual of
@@ -337,9 +338,15 @@ object StreamDedup {
     * exchanges before the one keyed state access. Per-cell
     * `flatMapGroupsWithState` state holds the (id, vec, norm) members
     * seen so far (vec = dim·4 B, the honest cost of semantic streaming
-    * state — bounded by `maxCellSize` per cell, the batch skew cap's
-    * streaming analog: later members of a full cell are checked
-    * against the stored members but not added). Verification is the
+    * state — bounded by `maxCellSize` per cell). The cap is the batch
+    * whole-cell drop's closest streaming analog: the arrival that
+    * would overflow the cap CLOSES the cell — state is freed and no
+    * further pairs emit from it, matching `semDedupPairs`' zero pairs
+    * for an oversized cell going forward. Append mode cannot retract
+    * the pairs emitted before saturation (the one documented
+    * batch/stream delta; exact parity therefore holds for corpora
+    * whose cells stay under the cap — StreamingSpec pins both the
+    * parity and the closure). Verification is the
     * exact 9-rounded cosine via `Similarity.cosine9` — bit-identical
     * to the batch operator's Catalyst arithmetic, so the
     * StreamingSpec parity gate is exact equality, not approximate.
@@ -384,28 +391,40 @@ object StreamDedup {
         (cell, rows, state) =>
           if (state.hasTimedOut) { state.remove(); Iterator.empty }
           else {
-            var members = state.getOption.getOrElse(CellState(Nil)).members
+            val prev = state.getOption.getOrElse(CellState(Nil, closed = false))
+            var members = prev.members
+            var closed = prev.closed
             var size = members.length
             val out = scala.collection.mutable.ListBuffer[SemHit]()
             var maxEt = Long.MinValue
             rows.foreach { d =>
               maxEt = math.max(maxEt, d.et)
-              members.foreach { case (mid, mvec, mnrm) =>
-                if (mid != d.id) {
-                  val cos = graft.operators.Similarity
-                    .cosine9(mvec, mnrm, d.vec, d.nrm)
-                  if (cos >= threshold) {
-                    val (a, b) = if (mid < d.id) (mid, d.id) else (d.id, mid)
-                    out += SemHit(a, b, cos, cell)
+              if (!closed) {
+                if (size >= maxCellSize) {
+                  // this arrival overflows the cap: the batch operator
+                  // would drop the WHOLE cell — close it and free the
+                  // vectors; only the closed marker stays in state
+                  closed = true
+                  members = Nil
+                  size = 0
+                } else {
+                  members.foreach { case (mid, mvec, mnrm) =>
+                    if (mid != d.id) {
+                      val cos = graft.operators.Similarity
+                        .cosine9(mvec, mnrm, d.vec, d.nrm)
+                      if (cos >= threshold) {
+                        val (a, b) =
+                          if (mid < d.id) (mid, d.id) else (d.id, mid)
+                        out += SemHit(a, b, cos, cell)
+                      }
+                    }
                   }
+                  members = (d.id, d.vec, d.nrm) :: members
+                  size += 1
                 }
               }
-              if (size < maxCellSize) {
-                members = (d.id, d.vec, d.nrm) :: members
-                size += 1
-              }
             }
-            state.update(CellState(members))
+            state.update(CellState(members, closed))
             evictAfter.foreach { ttl =>
               if (maxEt > Long.MinValue) state.setTimeoutTimestamp(
                 math.max(state.getCurrentWatermarkMs() + 1, maxEt + ttl))

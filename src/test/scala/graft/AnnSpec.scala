@@ -354,6 +354,14 @@ class AnnSpec extends SparkSpec {
     val labeled = ((0L until 30L).map(mk(_, 0)) ++
       (30L until 60L).map(mk(_, 1)) ++ (60L until 90L).map(mk(_, 2)))
       .toDF("id", "vec", "label")
+    // route equivalence is a CARDINALITY contract too: duplicate ids
+    // in the vectors side must yield one prediction per ROW on both
+    // routes (the broadcast argmax groups on a per-row key, not id)
+    val dup = labeled.limit(1).union(labeled.limit(1))
+    assert(Similarity.labelCentroidClassify(labeled, dup,
+      maxLiteralLabels = 100).count() == 2)
+    assert(Similarity.labelCentroidClassify(labeled, dup,
+      maxLiteralLabels = 1).count() == 2)
     // same data through both routes — identical output, including the
     // 9-decimal cosine (the IEEE norm-fold order matches)
     val lit_ = Similarity

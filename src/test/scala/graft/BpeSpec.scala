@@ -16,10 +16,15 @@ class BpeSpec extends SparkSpec {
   import spark.implicits._
 
   /** Single-node reference BPE over a word-count map. */
+  /** Independent codepoint split (java.text.BreakIterator-free route,
+    * distinct from the operator's codePointAt loop). */
+  private def refSymbols(w: String): Seq[String] =
+    w.codePoints().toArray.toSeq.map(cp => new String(Character.toChars(cp)))
+
   private def refBpe(words: Map[String, Long], numMerges: Int,
       minPairCount: Long = 2L): Seq[(Long, String, String, String, Long)] = {
     var seqs: Seq[(Seq[String], Long)] =
-      words.toSeq.map { case (w, c) => (w.map(_.toString): Seq[String], c) }
+      words.toSeq.map { case (w, c) => (refSymbols(w), c) }
     val out = scala.collection.mutable.ArrayBuffer
       .empty[(Long, String, String, String, Long)]
     var rank = 1L
@@ -122,6 +127,29 @@ class BpeSpec extends SparkSpec {
         .sortBy(_._1)
       assert(got == want, s"batchCap=$cap")
     }
+    // reviewer-r6 hazard sweep: deeper merge chains over a 3-letter
+    // alphabet make the merged-token-equals-existing-symbol collision
+    // (the count-BOOST case the acceptance halt guards) likely across
+    // corpora — batched must still equal the sequential argmax
+    // merge-for-merge on every one
+    for (seed <- 20 until 28) {
+      val r = new scala.util.Random(seed)
+      val ws = (0 until 40).map { _ =>
+        (0 to 1 + r.nextInt(9)).map(_ => "abc" (r.nextInt(3))).mkString
+      }
+      val d = (0L until 25L).map { i =>
+        (i, Seq.fill(2 + r.nextInt(10))(ws(r.nextInt(ws.length)))
+          .mkString(" "))
+      }.toDF("doc_id", "text")
+      val wc = d.as[(Long, String)].collect()
+        .flatMap(_._2.split(" ")).filter(_.length >= 2)
+        .groupBy(identity).map { case (w, x) => w -> x.size.toLong }
+      val wantS = refBpe(wc, 40)
+      val gotS = BpeLearn.learnMergesWithStats(d, "text", 40)._1
+        .as[(Long, String, String, String, Long)].collect().toSeq
+        .sortBy(_._1)
+      assert(gotS == wantS, s"seed=$seed")
+    }
   }
 
   test("batching measurably reduces pair-count rounds: merges-per-job " +
@@ -151,7 +179,7 @@ class BpeSpec extends SparkSpec {
       minPairCount: Long = 2L, batchCap: Int = 64)
       : Seq[(Long, String, String, String, Long)] = {
     var seqs: Seq[(Seq[String], Long)] =
-      words.toSeq.map { case (w, c) => (w.map(_.toString): Seq[String], c) }
+      words.toSeq.map { case (w, c) => (refSymbols(w), c) }
         .filter(_._1.lengthCompare(2) >= 0)
     val out = scala.collection.mutable.ArrayBuffer
       .empty[(Long, String, String, String, Long)]
@@ -234,7 +262,7 @@ class BpeSpec extends SparkSpec {
     * the recursive ref_merge (NOT the operator's imperative loop).
     */
   private def refEncode(w: String, ms: Seq[(String, String)]): Seq[String] =
-    ms.foldLeft(w.map(_.toString): Seq[String]) { case (s, (a, b)) =>
+    ms.foldLeft(refSymbols(w)) { case (s, (a, b)) =>
       ref_merge(s, a, b)
     }
 

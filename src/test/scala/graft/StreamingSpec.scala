@@ -390,6 +390,36 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming semantic dedup: an overflowing cell CLOSES (the " +
+      "batch whole-cell-drop analog) and emits nothing afterwards") {
+    implicit val sqlCtx = spark.sqlContext
+    // five near-identical vectors -> one cell (the far-away anchors
+    // hold the other KMeans cell), every pair cosine ~1; cap 3: pairs
+    // among the first three only, then the cell closes
+    val base = Seq(1L, 2L, 3L, 4L, 5L)
+      .map(i => (i, Seq(1.0f, 0.001f * i)))
+    val anchors = Seq(100L, 101L).map(i => (i, Seq(-1.0f, 0.002f * i)))
+    val staticDf = (base ++ anchors).toDF("id", "vec")
+      .withColumn("vec", col("vec").cast("array<float>"))
+    val idx = graft.operators.Similarity.IvfIndex.build(staticDf, nLists = 2)
+    val ms = MemoryStream[(Long, Seq[Double])]
+    val q = graft.streaming.StreamDedup.semanticPairsStream(
+      ms.toDF().toDF("id", "vec")
+        .withColumn("vec", col("vec").cast("array<float>")),
+      idx, threshold = 0.9, maxCellSize = 3)
+      .writeStream.format("memory").queryName("sem_cap")
+      .outputMode("append").start()
+    try {
+      base.foreach { case (i, v) =>
+        ms.addData((i, v.map(_.toDouble))); q.processAllAvailable()
+      }
+      val got = spark.table("sem_cap").select("id_a", "id_b")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == Set((1L, 2L), (1L, 3L), (2L, 3L)),
+        s"expected only pre-saturation pairs, got $got")
+    } finally q.stop()
+  }
+
   test("streaming token budget: arrival-order prefix per class, " +
       "exhausted classes stay closed across batches, one-doc overshoot") {
     implicit val sqlCtx = spark.sqlContext
