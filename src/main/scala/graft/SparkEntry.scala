@@ -40,9 +40,16 @@ object SparkEntry {
       .toDF
   }
 
+  /** The scale the driver's correctness gate runs at — the default
+    * dir for materializing dir-parameterized oracles; `Verify`
+    * re-materializes with its actual CLI dir so the gate stays
+    * correct at any scale.
+    */
+  val defaultVerifyDir = "/root/testdata/sf0.01"
+
   /** One per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    QueryDef.toMaps(allDefs)._1
+    QueryDef.toMaps(allDefs, defaultVerifyDir)._1
 
   /** Registered-but-not-benched names (deliberate O(n²) oracle
     * anchors like q41 — correctness-checked, excluded from the timed
@@ -52,5 +59,10 @@ object SparkEntry {
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = QueryDef.toMaps(allDefs)._2
+  def oracleSql: Map[String, String] =
+    oracleSqlFor(defaultVerifyDir)
+
+  /** Same, with artifact-replay oracles resolved against `dir`. */
+  def oracleSqlFor(dir: String): Map[String, String] =
+    QueryDef.toMaps(allDefs, dir)._2
 }

@@ -210,6 +210,7 @@ object BpeLearn {
         } else {
           var idx = 0
           var halted = false
+          val batchMinted = scala.collection.mutable.Set.empty[String]
           while (idx < cands.length && !halted) {
             val (a, b, _) = cands(idx)
             if (used.contains(a) || used.contains(b)) halted = true
@@ -230,7 +231,18 @@ object BpeLearn {
               // beyond it is not — halt the batch here. Symbols arise
               // only from single chars and kept merges, so the kept-
               // merge output set is a complete existence oracle.
-              if (mergedSyms.contains(a + b)) halted = true
+              // SAME-BATCH double mint (advisor r6): two symbol-
+              // disjoint candidates can mint the SAME token — e.g.
+              // (a,bc) and (ab,c) both create 'abc'. After both
+              // apply, a pair containing 'abc' can reach up to 2T
+              // occurrences (each source contributes ≤ T), so the
+              // `> T` trim's new-pair bound fails for anything ranked
+              // after the second minter. Accepting the second minter
+              // itself is still safe (its own count is exact; the
+              // boost lands on next round's recount) — halt there.
+              if (mergedSyms.contains(a + b) ||
+                  batchMinted.contains(a + b)) halted = true
+              batchMinted += (a + b)
             }
           }
           val t: Long =

@@ -169,7 +169,14 @@ object DupClusters {
     while (!converged && iter < maxIter) {
       val next = smallStar(largeStar(edges)).localCheckpoint()
       val s = signature(next)
-      converged = s == sig
+      // the (count, xor-of-hashes) signature is a 64-bit probe — a
+      // collision between two DIFFERENT consecutive edge sets would
+      // falsely converge and silently emit a wrong partial labeling
+      // (advisor r6). Paid once at the fixpoint, the exact distinct
+      // set-difference confirm makes the probe sound: counts already
+      // match, so one-sided emptiness proves set equality.
+      converged = s == sig &&
+        next.exceptAll(edges).isEmpty
       sig = s
       edges = next
       iter += 1

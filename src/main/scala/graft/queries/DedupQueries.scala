@@ -31,11 +31,17 @@ object DedupQueries {
     * path stays STABLE for a given data dir so the q92 oracle can
     * replay the postings from a static location.
     */
+  /** One derivation for BOTH the Spark index build and the DuckDB
+    * oracle SQL (advisor r6): a hardcoded oracle path would silently
+    * replay the sf0.01 artifact when the gate runs at another scale.
+    */
+  private[queries] def ivfArtifactDir(dir: String): String =
+    "/tmp/graft_ivf/" + dir.replaceAll("[^A-Za-z0-9]", "_") + "_n16"
+
   private def sharedIvfIndex(s: org.apache.spark.sql.SparkSession,
       dir: String, emb: org.apache.spark.sql.DataFrame)
       : graft.operators.Similarity.IvfIndex = {
-    val idxPath = "/tmp/graft_ivf/" +
-      dir.replaceAll("[^A-Za-z0-9]", "_") + "_n16"
+    val idxPath = ivfArtifactDir(dir)
     val fp = graft.operators.BpeLearn
       .dataFingerprint(s, s"$dir/embeddings.parquet")
     Similarity.IvfIndex.buildIfAbsent(s, emb, idxPath, nLists = 16,
@@ -641,7 +647,7 @@ object DedupQueries {
         idx.topK(emb.filter(col("id") < 20), k = 5, nProbe = 8)
           .orderBy(col("query_id"), col("rnk"))
       },
-      Some("""
+      None, oracleFn = Some(dir => s"""
         WITH q AS (
           SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv,
                  sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS qn
@@ -649,7 +655,7 @@ object DedupQueries {
         cent AS (
           SELECT CAST(list_id AS INT) AS list_id, centroid
           FROM read_parquet(
-            '/tmp/graft_ivf/_root_testdata_sf0_01_n16/centroids/*.parquet')),
+            '${ivfArtifactDir(dir)}/centroids/*.parquet')),
         probes AS (
           SELECT query_id, list_id,
                  ROW_NUMBER() OVER (PARTITION BY query_id
@@ -664,7 +670,7 @@ object DedupQueries {
           SELECT CAST(list_id AS INT) AS list_id, neighbor_id,
                  cvec::DOUBLE[] AS cv, cn
           FROM read_parquet(
-            '/tmp/graft_ivf/_root_testdata_sf0_01_n16/assigned/*/*.parquet',
+            '${ivfArtifactDir(dir)}/assigned/*/*.parquet',
             hive_partitioning = true)),
         cand AS (
           SELECT q.query_id, a.neighbor_id,
@@ -706,12 +712,12 @@ object DedupQueries {
         Similarity.semDedup(idx, threshold = 0.35)
           .orderBy(col("id"))
       },
-      Some("""
+      None, oracleFn = Some(dir => s"""
         WITH RECURSIVE a AS (
           SELECT CAST(list_id AS INT) AS list_id, neighbor_id AS id,
                  cvec::DOUBLE[] AS v, cn
           FROM read_parquet(
-            '/tmp/graft_ivf/_root_testdata_sf0_01_n16/assigned/*/*.parquet',
+            '${ivfArtifactDir(dir)}/assigned/*/*.parquet',
             hive_partitioning = true)),
         cells AS (
           SELECT list_id FROM a GROUP BY list_id HAVING count(*) <= 20000),
@@ -841,12 +847,12 @@ object DedupQueries {
         Similarity.clusterBalancedSample(idx, perCell = 64)
           .orderBy(col("list_id"), col("rank_in_cell"))
       },
-      Some("""
+      None, oracleFn = Some(dir => s"""
         WITH p AS (
           SELECT CAST(list_id AS INT) AS list_id, neighbor_id AS vec_id,
                  (neighbor_id * 2654435761) % 2147483647 AS h
           FROM read_parquet(
-            '/tmp/graft_ivf/_root_testdata_sf0_01_n16/assigned/*/*.parquet',
+            '${ivfArtifactDir(dir)}/assigned/*/*.parquet',
             hive_partitioning = true)),
         ranked AS (
           SELECT list_id, vec_id,

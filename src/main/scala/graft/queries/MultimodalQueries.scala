@@ -37,29 +37,56 @@ object MultimodalQueries {
         FROM documents WHERE text IS NOT NULL
         ORDER BY doc_id""")),
 
-    // ---- q51: video frame sampling (every 4th frame) ----
-    // 1→N partition-local explode; the stub's equal-byte-range slicing
-    // is deterministic arithmetic over the payload length, so DuckDB
-    // mirrors frame indices, offsets and slice lengths exactly.
+    // ---- q51: video frame sampling (every 2nd frame, REAL demux) ----
+    // 1→N partition-local explode over REAL container boundaries
+    // (r6 verdict #1): frames come from Y4mDecoder's demuxer walking
+    // the actual YUV4MPEG2 stream — offset = first byte of each
+    // frame's plane data (38-byte fixture header + per-frame 6-byte
+    // FRAME lines), frame_len = the mono Y-plane size. All container
+    // arithmetic over doc_id by fixture construction, so DuckDB
+    // mirrors the demux exactly. A per-frame LUMA SUM over the sliced
+    // frame_bytes pins that the sampled bytes are the real plane data
+    // (an off-by-one in the demux offset shifts every sample by 7919
+    // and breaks the hash), not just the right offsets.
     QueryDef(
       "q51_frame_sample",
       (s, dir) => {
+        import s.implicits._
         Multimodal.frameSample(
-          Multimodal.mediaTable(Tables.load(s, dir, "documents")), step = 4)
-          .toDF()
-          .select(col("doc_id"), col("frame_idx"), col("offset"),
-            length(col("frame_bytes")).cast("long").as("frame_len"))
+          Multimodal.videoFixture(Tables.load(s, dir, "documents")),
+          step = 2, Multimodal.Y4mDecoder)
+          .map { f =>
+            var luma = 0L
+            var i = 0
+            while (i < f.frame_bytes.length) {
+              luma += (f.frame_bytes(i) & 0xff); i += 1
+            }
+            (f.doc_id, f.frame_idx, f.offset,
+              f.frame_bytes.length.toLong, luma)
+          }
+          .toDF("doc_id", "frame_idx", "offset", "frame_len", "luma_sum")
           .orderBy(col("doc_id"), col("frame_idx"))
       },
       Some("""
         WITH v AS (
-          SELECT doc_id, strlen(text) AS n, 1 + strlen(text) % 24 AS nf
-          FROM documents WHERE doc_id % 3 = 2 AND text IS NOT NULL),
+          SELECT doc_id, 16 * (1 + doc_id % 2) AS w,
+                 1 << (doc_id % 4) AS nf
+          FROM documents),
         frames AS (
-          SELECT doc_id, unnest(range(0, nf, 4)) AS frame_idx, n // nf AS sz
-          FROM v)
-        SELECT doc_id, frame_idx, frame_idx * sz AS offset, sz AS frame_len
-        FROM frames
+          SELECT doc_id, w * 16 AS sz,
+                 unnest(range(0, nf, 2)) AS frame_idx
+          FROM v),
+        px AS (
+          SELECT doc_id, sz, frame_idx,
+                 unnest(range(0, sz)) AS k
+          FROM frames)
+        SELECT doc_id, frame_idx,
+               38 + (frame_idx + 1) * 6 + frame_idx * sz AS offset,
+               sz AS frame_len,
+               sum((doc_id * 131 + (frame_idx * sz + k) * 7919) % 256)
+                 AS luma_sum
+        FROM px
+        GROUP BY doc_id, frame_idx, sz
         ORDER BY doc_id, frame_idx""")),
 
     // ---- q97: REAL image decoding via javax.imageio ----
@@ -154,6 +181,62 @@ object MultimodalQueries {
                CAST(8000 AS BIGINT) AS sample_hz,
                CAST(16 AS BIGINT) AS bits,
                CAST(f.n AS BIGINT) AS n_samples,
+               CAST(f.bucket AS BIGINT) AS bucket,
+               CAST(COALESCE(hb.c, 0) AS DOUBLE) / f.n AS frac
+        FROM f LEFT JOIN hb ON hb.doc_id = f.doc_id AND hb.bucket = f.bucket
+        ORDER BY f.doc_id, f.bucket""")),
+
+    // ---- q99: REAL video decoding via the Y4M demuxer ----
+    // The video analog of q97/q98 and the r6 verdict's #1 item:
+    // generate a real YUV4MPEG2 stream per document (mono colorspace,
+    // 1–8 frames), demux it with the hand-rolled pure-JVM parser —
+    // actual ASCII header parsing, actual FRAME-delimited planes —
+    // and emit the container-derived metadata plus the 8-bucket luma
+    // histogram over ALL frames in exploded long form. Total luma
+    // sample counts are powers of two, so count/n fractions are exact
+    // in float; luma values are all-integer arithmetic over
+    // (doc_id, j), so DuckDB replays the histogram from
+    // generate_series — the decoder's output hash-gates against pure
+    // SQL with no decoded artifact in the loop. n_bytes =
+    // 38 + nf·(6 + w·h) pins the exact container layout the muxer
+    // emits (header + per-frame FRAME lines + planes).
+    QueryDef(
+      "q99_y4m_decode",
+      (s, dir) => {
+        val media = Multimodal.videoFixture(Tables.load(s, dir, "documents"))
+        Multimodal.decode(media, Multimodal.Y4mDecoder)
+          .toDF()
+          .select(col("doc_id"), col("n_bytes"),
+            col("width").cast("long").as("width"),
+            col("height").cast("long").as("height"),
+            col("n_frames").cast("long").as("n_frames"),
+            posexplode(col("feature")).as(Seq("bucket", "frac")))
+          .select(col("doc_id"), col("n_bytes"), col("width"),
+            col("height"), col("n_frames"),
+            col("bucket").cast("long").as("bucket"),
+            col("frac").cast("double").as("frac"))
+          .orderBy(col("doc_id"), col("bucket"))
+      },
+      Some("""
+        WITH v AS (
+          SELECT doc_id, 16 * (1 + doc_id % 2) AS w,
+                 1 << (doc_id % 4) AS nf
+          FROM documents),
+        a AS (
+          SELECT doc_id, w, nf, w * 16 * nf AS n FROM v),
+        s AS (
+          SELECT doc_id, n, unnest(range(0, n)) AS j FROM a),
+        hb AS (
+          SELECT doc_id, ((doc_id * 131 + j * 7919) % 256) // 32 AS bucket,
+                 count(*) AS c
+          FROM s GROUP BY 1, 2),
+        f AS (
+          SELECT doc_id, w, nf, n, unnest(range(0, 8)) AS bucket FROM a)
+        SELECT f.doc_id,
+               38 + f.nf * (6 + f.w * 16) AS n_bytes,
+               CAST(f.w AS BIGINT) AS width,
+               CAST(16 AS BIGINT) AS height,
+               CAST(f.nf AS BIGINT) AS n_frames,
                CAST(f.bucket AS BIGINT) AS bucket,
                CAST(COALESCE(hb.c, 0) AS DOUBLE) / f.n AS frac
         FROM f LEFT JOIN hb ON hb.doc_id = f.doc_id AND hb.bucket = f.bucket

@@ -39,7 +39,12 @@ object GraftDuckDBDialect {
       else None
     // Spark 4.x tableExists RETHROWS probe failures unless the dialect
     // recognizes them as missing-object errors; DuckDB reports these
-    // as "Catalog Error: ... does not exist!" with no SQLState
+    // as "Catalog Error: ... does not exist!" with no SQLState.
+    // VERSION COUPLING (advisor r6): this substring match is pinned
+    // to duckdb_jdbc 1.0.0's message wording (JdbcDuckDBSpec is the
+    // canary — a driver upgrade that rewords the message fails that
+    // suite, not silently here). If the driver version ever floats,
+    // broaden the match and prefer getSQLState once DuckDB sets it.
     override def isObjectNotFoundException(e: java.sql.SQLException): Boolean =
       Option(e.getMessage).exists(m =>
         m.contains("Catalog Error") && m.contains("does not exist"))

@@ -187,6 +187,108 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("Y4mDecoder decodes a handcrafted Y4M stream to exact dims, " +
+      "frame count and luma histogram, including a 420 colorspace") {
+    // mono: 4x2, 3 frames, luma = frame index everywhere → buckets 0
+    val mono = ("YUV4MPEG2 W4 H2 F30:1 Ip A1:1 Cmono\n" +
+      (0 until 3).map(f => "FRAME\n" + new String(Array.fill(8)(f.toChar)))
+        .mkString).getBytes("ISO-8859-1")
+    val d = Multimodal.Y4mDecoder.decodeOne(
+      Multimodal.MediaRow(5L, "video", mono))
+    assert(d.width == 4 && d.height == 2 && d.n_frames == 3)
+    assert(d.n_bytes == mono.length.toLong)
+    assert(d.feature.toSeq == Seq(1f, 0f, 0f, 0f, 0f, 0f, 0f, 0f))
+    // 420: 2x2 → frame = 4 Y + 1 U + 1 V bytes; luma 255 → bucket 7;
+    // chroma bytes (0) must NOT enter the histogram
+    val c420 = ("YUV4MPEG2 W2 H2 F30:1 C420\n" +
+      "FRAME\n" + new String(Array[Char](255, 255, 255, 255, 0, 0)))
+      .getBytes("ISO-8859-1")
+    val d2 = Multimodal.Y4mDecoder.decodeOne(
+      Multimodal.MediaRow(6L, "video", c420))
+    assert(d2.width == 2 && d2.height == 2 && d2.n_frames == 1)
+    assert(d2.feature.toSeq == Seq(0f, 0f, 0f, 0f, 0f, 0f, 0f, 1f))
+    // FRAME lines may carry parameters — demux must skip to the EOL
+    val withParams = ("YUV4MPEG2 W2 H1 Cmono\n" +
+      "FRAME Ixyz\n" + "ab").getBytes("ISO-8859-1")
+    val d3 = Multimodal.Y4mDecoder.decodeOne(
+      Multimodal.MediaRow(7L, "video", withParams))
+    assert(d3.n_frames == 1 && d3.width == 2 && d3.height == 1)
+  }
+
+  test("videoFixture roundtrip: generate real Y4M streams, decode with " +
+      "Y4mDecoder through the decode() plumbing, recover the " +
+      "constructed dims, frame count and histogram for every doc") {
+    val docs = Tables.load(spark, sf0001, "documents").limit(60)
+    val media = Multimodal.videoFixture(docs)
+    val first = media.select(col("payload")).head.getAs[Array[Byte]](0)
+    // payloads are REAL Y4M streams with the 38-byte fixture header
+    // (the q51/q99 oracle offset formulas pin this length)
+    assert(new String(first.take(10), "US-ASCII") == "YUV4MPEG2 ")
+    assert(first.indexOf('\n'.toByte) == 37)
+    val decoded = Multimodal.decode(media, Multimodal.Y4mDecoder).collect()
+    assert(decoded.length == 60)
+    decoded.foreach { d =>
+      val id = d.doc_id
+      val w = 16 << (id % 2).toInt
+      val nf = 1 << (id % 4).toInt
+      assert(d.width == w && d.height == 16, s"doc $id dims")
+      assert(d.n_frames == nf, s"doc $id frames")
+      assert(d.n_bytes == 38L + nf.toLong * (6 + w * 16),
+        s"doc $id container size")
+      val n = w * 16 * nf
+      val want = Array.fill(8)(0)
+      (0 until n).foreach { j =>
+        want((((id * 131 + j.toLong * 7919) % 256L) >> 5).toInt) += 1
+      }
+      // power-of-two n → every fraction count/n is exact in float
+      assert(d.feature.toSeq == want.map(_.toFloat / n).toSeq,
+        s"doc $id histogram")
+    }
+  }
+
+  test("Y4mDecoder.demuxFrames walks REAL container boundaries: " +
+      "offsets point past each FRAME line and frame bytes equal the " +
+      "exact plane slices") {
+    val docs = Tables.load(spark, sf0001, "documents").limit(40)
+    val media = Multimodal.videoFixture(docs)
+    val payloads = media.collect().map(r =>
+      r.getAs[Long]("doc_id") -> r.getAs[Array[Byte]]("payload")).toMap
+    val frames = Multimodal
+      .frameSample(media, step = 1, Multimodal.Y4mDecoder)
+      .collect().groupBy(_.doc_id)
+    assert(frames.size == 40)
+    frames.foreach { case (id, fs) =>
+      val w = 16 << (id % 2).toInt
+      val sz = w * 16
+      val nf = 1 << (id % 4).toInt
+      assert(fs.map(_.frame_idx).sorted.toSeq == (0L until nf.toLong),
+        s"doc $id frame indices")
+      fs.foreach { f =>
+        assert(f.offset == 38 + (f.frame_idx + 1) * 6 + f.frame_idx * sz,
+          s"doc $id frame ${f.frame_idx} offset")
+        val expect = payloads(id)
+          .slice(f.offset.toInt, f.offset.toInt + sz)
+        assert(f.frame_bytes.sameElements(expect),
+          s"doc $id frame ${f.frame_idx} bytes")
+      }
+    }
+  }
+
+  test("Y4mDecoder fails loudly on malformed streams") {
+    intercept[Exception] { // not a Y4M signature
+      Multimodal.Y4mDecoder.decodeOne(
+        Multimodal.MediaRow(1L, "video", "RIFF junk\n".getBytes))
+    }
+    intercept[Exception] { // truncated frame data
+      Multimodal.Y4mDecoder.decodeOne(Multimodal.MediaRow(2L, "video",
+        "YUV4MPEG2 W4 H4 Cmono\nFRAME\nab".getBytes))
+    }
+    intercept[Exception] { // garbage between frames
+      Multimodal.Y4mDecoder.decodeOne(Multimodal.MediaRow(3L, "video",
+        ("YUV4MPEG2 W2 H1 Cmono\nFRAME\nab" + "JUNK\nxy").getBytes))
+    }
+  }
+
   test("WavDecoder fails loudly on a non-PCM-shaped payload") {
     val junk = Multimodal.MediaRow(1L, "audio", "not audio".getBytes)
     intercept[Exception] {
