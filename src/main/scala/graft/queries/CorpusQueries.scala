@@ -223,7 +223,7 @@ object CorpusQueries {
             AND CAST(len(list_filter(t, x -> len(list_filter(t, u -> u = x)) > 1)) AS DOUBLE) / len(t) <= 0.85),
         ded AS (
           SELECT min(doc_id) AS doc_id FROM keep
-          GROUP BY md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))),
+          GROUP BY md5(trim(regexp_replace(lower(nfc_normalize(text)), '\s+', ' ', 'g')))),
         corpus AS (
           SELECT k.doc_id, k.lang, string_split(k.text, ' ') AS t
           FROM keep k JOIN ded USING (doc_id)

@@ -304,7 +304,7 @@ object DedupQueries {
       Some("""
         WITH fp AS (
           SELECT doc_id,
-                 md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS f
+                 md5(trim(regexp_replace(lower(nfc_normalize(text)), '\s+', ' ', 'g'))) AS f
           FROM documents),
         bench AS (SELECT DISTINCT f FROM fp WHERE doc_id % 50 = 0)
         SELECT fp.doc_id, (bench.f IS NOT NULL) AS contaminated
@@ -753,7 +753,11 @@ object DedupQueries {
       "q85_bloom_dedup",
       (s, dir) => {
         val d = Tables.load(s, dir, "documents")
-        val norm = lower(trim(regexp_replace(col("text"), "\\s+", " ")))
+        // canonicalized key (r7): NFC+casefold before the head-12
+        // shingle, so NFC/NFD byte variants cross-dedup too
+        val norm = trim(regexp_replace(
+          graft.functions.TextFunctions.canonicalize(col("text")),
+          "\\s+", " "))
         val head12 = array_join(slice(split(norm, " "), 1, 12), " ")
         val refSrc = Seq("src0", "src1", "src2", "src3")
         graft.operators.BloomDedup.dedupAgainstReference(
@@ -768,7 +772,7 @@ object DedupQueries {
       Some("""
         WITH d AS (
           SELECT doc_id, source, lang,
-                 string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS t
+                 string_split(trim(regexp_replace(lower(nfc_normalize(text)), '\s+', ' ', 'g')), ' ') AS t
           FROM documents),
         k AS (SELECT doc_id, source, lang,
                      array_to_string(t[1:12], ' ') AS p FROM d),

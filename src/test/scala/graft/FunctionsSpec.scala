@@ -123,4 +123,35 @@ class FunctionsSpec extends SparkSpec {
     val s4 = sample(4)
     assert(s4.length == 3 && sample(13) == s4)
   }
+
+  test("canonicalize: NFC + casefold collapses composed/decomposed/case " +
+      "variants, stays inside whole-stage codegen, propagates null") {
+    import graft.functions.TextFunctions.canonicalize
+    val rows = Seq(
+      (1L, "Caf\u00e9"),          // composed é, mixed case
+      (2L, "CAFE\u0301"),         // decomposed E + combining acute
+      (3L, "caf\u00e9"),          // already canonical
+      (4L, null.asInstanceOf[String]))
+    // repartition blocks ConvertToLocalRelation from folding the
+    // projection into a LocalTableScan, so the codegen check below
+    // sees the real executed plan
+    val df = rows.toDF("id", "t").repartition(2)
+      .select($"id", canonicalize($"t").as("c"))
+    val got = df.orderBy($"id").collect()
+    // all three renderings collapse to the same canonical bytes
+    assert(got(0).getString(1) == "caf\u00e9")
+    assert(got(1).getString(1) == "caf\u00e9")
+    assert(got(2).getString(1) == "caf\u00e9")
+    assert(got(3).isNullAt(1))
+    // the expression is codegen'd — the projection sits inside a
+    // WholeStageCodegen span, not an interpreted fallback (collect
+    // first so AQE finalizes the plan)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    // `*(n)` is the WholeStageCodegen marker in simpleString form
+    assert(plan.contains("*(1) Project"), plan)
+    // ASCII fast path agrees with the Normalizer route
+    assert(Seq((1L, "Hello  WORLD")).toDF("id", "t")
+      .select(canonicalize($"t")).head.getString(0) == "hello  world")
+  }
 }
