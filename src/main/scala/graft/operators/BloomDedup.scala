@@ -15,13 +15,15 @@ import org.apache.spark.sql.functions._
   * match nothing. This operator keeps both sides scan-local:
   *
   *  1. ONE pass over the reference builds a Bloom filter of the 8-byte
-  *     `xxhash64(key)`s (distributed `treeAggregate` under
-  *     `DataFrameStatFunctions.bloomFilter`; the driver holds only the
-  *     final bit array — ~1.2 GB for 10⁹ keys at 1 % fpp, torrent-
-  *     broadcast once, never re-shipped per task).
+  *     `xxhash64(key)`s (the native `bloom_filter_agg` aggregate —
+  *     map-side partial filters merged once; the driver holds only the
+  *     final bit array — ~1.2 GB for 10⁹ keys at 1 % fpp, shipped to
+  *     executors inside the torrent-broadcast task binary).
   *  2. ONE pass over the corpus keeps only rows the filter *might*
-  *     contain: candidate keys ≈ true duplicates + fpp·|corpus| — the
-  *     only data that ever leaves a scan, collapsed map-side by the
+  *     contain, via the native codegen'd `might_contain` expression
+  *     (no per-row Scala-UDF dispatch on the full-corpus scan):
+  *     candidate keys ≈ true duplicates + fpp·|corpus| — the only
+  *     data that ever leaves a scan, collapsed map-side by the
   *     partial aggregate under `distinct`.
   *  3. The candidate keys broadcast back across the reference
   *     (broadcast LEFT SEMI — the reference still never shuffles),
@@ -77,23 +79,21 @@ object BloomDedup {
       broadcastBudgetRows: Long = 8_000_000L): DataFrame = {
     require(expectedItems > 0 && fpp > 0 && fpp < 1,
       s"expectedItems=$expectedItems fpp=$fpp")
-    val spark = corpus.sparkSession
     val kc = corpus.withColumn("__bd_key", key)
     val kr = reference.select(key.as("__bd_key"))
 
-    // an empty reference has nothing to deduplicate against (and
-    // Spark's bloomFilter NPEs on zero rows) — limit-1 probe, not a count
-    if (kr.isEmpty) return corpus
-
     // 1. distributed build over 8-byte key hashes (constant item width
-    //    whatever the key type; collisions only widen the candidate set).
+    //    whatever the key type; collisions only widen the candidate
+    //    set). NATIVE `bloom_filter_agg` (r6 advisory #1): the same
+    //    partial-aggregate build shape as stat.bloomFilter, but the
+    //    serialized filter comes back as an aggregate's binary result.
     //    Clamped so optimalNumOfBits never rounds to zero for tiny
-    //    estimates — undersizing is a candidate-set cost, never exactness.
-    val bloom = kr
-      .select(xxhash64(col("__bd_key")).as("__bd_h"))
-      .stat.bloomFilter("__bd_h", math.max(expectedItems, 64L), fpp)
-    val bloomB = spark.sparkContext.broadcast(bloom)
-    val mightContain = udf((h: Long) => bloomB.value.mightContainLong(h))
+    //    estimates — undersizing is a candidate-set cost, never
+    //    exactness.
+    val bloomBytes = buildFilterBytes(kr, expectedItems, fpp)
+    // an empty reference aggregates to NULL — nothing to dedup against
+    if (bloomBytes == null) return corpus
+    val mightContain = (h: Column) => mightContainColumn(bloomBytes, h)
 
     // 2. scan-local prefilter; only candidates reach an exchange.
     //    Materialized (MEMORY_AND_DISK blocks, no lineage recompute)
@@ -120,4 +120,41 @@ object BloomDedup {
     kc.join(sized(dupKeys), Seq("__bd_key"), "left_anti")
       .drop("__bd_key")
   }
+
+  /** Serialized Bloom filter over `xxhash64(__bd_key)` of `keyed`,
+    * built by the native `bloom_filter_agg` aggregate (map-side
+    * partial filters merged once). NULL when `keyed` is empty.
+    */
+  private[graft] def buildFilterBytes(keyed: DataFrame,
+      expectedItems: Long, fpp: Double): Array[Byte] = {
+    val items = math.max(expectedItems, 64L)
+    val numBits = org.apache.spark.util.sketch.BloomFilter
+      .optimalNumOfBits(items, fpp)
+    val bloomAgg = org.apache.spark.sql.GraftSqlBridge.column(
+      new org.apache.spark.sql.catalyst.expressions.aggregate
+        .BloomFilterAggregate(
+          org.apache.spark.sql.GraftSqlBridge.expression(
+            xxhash64(col("__bd_key"))),
+          org.apache.spark.sql.catalyst.expressions.Literal(items),
+          org.apache.spark.sql.catalyst.expressions.Literal(numBits))
+        .toAggregateExpression())
+    keyed.agg(bloomAgg.as("bf")).head.getAs[Array[Byte]](0)
+  }
+
+  /** Probe via the NATIVE `might_contain` expression against the
+    * serialized filter as a binary literal: the scan-side filter
+    * codegens instead of dispatching a per-row Scala UDF (the
+    * operator's hottest path — at 100 TB the prefilter scan is the
+    * whole job), and the filter still deserializes once per task.
+    * Transport is unchanged at scale: literals ride the serialized
+    * task binary, which Spark torrent-broadcasts per stage exactly
+    * like an explicit Broadcast variable would be.
+    */
+  private[graft] def mightContainColumn(bloomBytes: Array[Byte],
+      h: Column): Column =
+    org.apache.spark.sql.GraftSqlBridge.column(
+      org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+        org.apache.spark.sql.catalyst.expressions.Literal(
+          bloomBytes, org.apache.spark.sql.types.BinaryType),
+        org.apache.spark.sql.GraftSqlBridge.expression(h)))
 }

@@ -91,6 +91,30 @@ class BloomDedupSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"), plan)
   }
 
+  test("prefilter probe is the native might_contain expression, not a " +
+      "Scala UDF (r6 advisory: the probe codegens on the corpus scan)") {
+    val reference = (0 until 50 by 2).map(i => s"k$i").toDF("key")
+      .select(col("key").as("__bd_key"))
+    val bytes = BloomDedup.buildFilterBytes(reference, 100, 0.01)
+    assert(bytes != null)
+    // the probe filter sits inside a WholeStageCodegen span with no
+    // Scala UDF dispatch (spark.range is a real datasource, so the
+    // optimizer can't fold the probe into a pre-evaluated local
+    // relation; the operator's own prefilter stage is hidden behind
+    // its checkpoint, so the probe column is asserted directly)
+    val probe = spark.range(50)
+      .select(col("id"), concat(lit("k"), col("id")).as("key"))
+      .filter(BloomDedup.mightContainColumn(bytes, xxhash64(col("key"))))
+    assert(probe.count() >= 25) // all 25 members + any false positives
+    probe.collect()
+    val plan = probe.queryExecution.executedPlan.toString
+    assert(plan.contains("might_contain"), plan)
+    assert(plan.contains("*(") && !plan.contains("UDF"), plan)
+    // empty reference → NULL bytes → operator keeps everything
+    assert(BloomDedup.buildFilterBytes(
+      reference.limit(0), 100, 0.01) == null)
+  }
+
   test("candidate sets above the broadcast budget degrade to shuffle " +
       "joins with the same exact answer") {
     // snapshot-overlap regime: 90% of the corpus is duplicate, so the
