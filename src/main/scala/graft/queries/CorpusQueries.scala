@@ -769,6 +769,157 @@ object CorpusQueries {
         FROM documents d LEFT JOIN perdoc p USING (doc_id)
         ORDER BY d.doc_id""")),
 
+    // ---- q101: BYTE-LEVEL BPE merge learning (GPT-2 class) ----
+    // The r6 verdict's #3: symbols start as GPT-2-mapped UTF-8 bytes
+    // (all 256 covered — any input encodes, byte fallback for unseen
+    // characters) and special tokens are carved out atomically. The
+    // training input plants a real multi-byte word (café — bytes C3,
+    // A9, both in the mapping's identity range) and a special token
+    // per document, so the gate exercises BOTH: the oracle renders
+    // café's byte symbols with a literal replace(chr(233) →
+    // chr(195)·chr(169)) — the same two-symbol decomposition the
+    // Spark side produces — excludes the carved-out token, and
+    // replays the argmax per rank with q81's recursive CTE over the
+    // byte-level artifact. Same batched exact loop as q81; only the
+    // alphabet and the carve-out differ.
+    QueryDef(
+      "q101_bpe_bytelevel_merges",
+      (s, dir) => {
+        val d = Tables.load(s, dir, "documents")
+          .select(col("doc_id"),
+            concat(col("text"), lit(" <|doc|> caf\u00e9")).as("text"))
+        val path = graft.operators.BpeLearn.bytesArtifactPath(dir, 16)
+        val fp = graft.operators.BpeLearn
+          .dataFingerprint(s, s"$dir/documents.parquet")
+        graft.operators.BpeLearn
+          .learnMergesIfAbsent(s, d, "text", path, numMerges = 16,
+            fingerprint = Some(fp), byteLevel = true,
+            specialTokens = Seq("<|doc|>"))
+          .filter(col("rank") <= 12)
+          .orderBy(col("rank"))
+      },
+      None, oracleFn = Some(dir => s"""
+        WITH RECURSIVE
+        m AS (SELECT rank, "left" AS l, "right" AS r
+              FROM '${graft.operators.BpeLearn.bytesArtifactPath(dir, 16)}/*.parquet'
+              WHERE rank <= 12),
+        tok AS (
+          SELECT w, CAST(count(*) AS BIGINT) AS c FROM (
+            SELECT unnest(string_split(text || ' <|doc|> caf' || chr(233), ' ')) AS w
+            FROM documents)
+          WHERE w <> '' AND w <> '<|doc|>' GROUP BY w),
+        bsyms AS (
+          SELECT replace(w, chr(233), chr(195) || chr(169)) AS bs, c
+          FROM tok),
+        words AS (SELECT bs, c FROM bsyms WHERE length(bs) >= 2),
+        rec AS (
+          SELECT bs, c,
+                 array_to_string(list_transform(string_split(bs, ''),
+                                 ch -> chr(1) || ch || chr(2)), '') AS s,
+                 CAST(0 AS BIGINT) AS r
+          FROM words
+          UNION ALL
+          SELECT rec.bs, rec.c,
+                 replace(rec.s,
+                         chr(1) || m.l || chr(2) || chr(1) || m.r || chr(2),
+                         chr(1) || m.l || m.r || chr(2)),
+                 rec.r + 1
+          FROM rec JOIN m ON m.rank = rec.r + 1),
+        seg AS (
+          SELECT r, c,
+                 string_split(substr(s, 2, length(s) - 2),
+                              chr(2) || chr(1)) AS lst
+          FROM rec),
+        pairs AS (
+          SELECT r, lst[i] AS a, lst[i + 1] AS b,
+                 CAST(sum(c) AS BIGINT) AS cnt
+          FROM seg, LATERAL unnest(range(1, len(lst))) AS u(i)
+          GROUP BY r, a, b),
+        best AS (
+          SELECT r, a, b, cnt,
+                 ROW_NUMBER() OVER (PARTITION BY r
+                   ORDER BY cnt DESC, a, b) AS rn
+          FROM pairs)
+        SELECT CAST(r + 1 AS BIGINT) AS rank, a AS "left", b AS "right",
+               a || b AS merged, cnt AS pair_count
+        FROM best
+        WHERE rn = 1 AND cnt >= 2 AND r < 12
+        ORDER BY rank""")),
+
+    // ---- q102: BYTE-LEVEL BPE encoding with special tokens ----
+    // q86's dual for the byte-level tokenizer: load the q101 artifact
+    // and tokenize the suffixed corpus scan-local. The special token
+    // encodes as exactly ONE token however the merges fall (the
+    // carve-out contract), café decomposes through its byte symbols,
+    // and chars_per_token divides UTF-8 BYTES (octet_length in the
+    // oracle) — the unit a byte-level tokenizer's compression is
+    // quoted in.
+    QueryDef(
+      "q102_bpe_bytelevel_encode",
+      (s, dir) => {
+        val d = Tables.load(s, dir, "documents")
+          .select(col("doc_id"),
+            concat(col("text"), lit(" <|doc|> caf\u00e9")).as("text"))
+        val path = graft.operators.BpeLearn.bytesArtifactPath(dir, 16)
+        val fp = graft.operators.BpeLearn
+          .dataFingerprint(s, s"$dir/documents.parquet")
+        val merges = graft.operators.BpeLearn
+          .learnMergesIfAbsent(s, d, "text", path, numMerges = 16,
+            fingerprint = Some(fp), byteLevel = true,
+            specialTokens = Seq("<|doc|>"))
+        graft.operators.BpeLearn
+          .encodeTokenCounts(d, "doc_id", "text", merges,
+            byteLevel = true, specialTokens = Seq("<|doc|>"))
+          .orderBy(col("doc_id"))
+      },
+      None, oracleFn = Some(dir => s"""
+        WITH RECURSIVE
+        m AS (SELECT rank, "left" AS l, "right" AS r
+              FROM '${graft.operators.BpeLearn.bytesArtifactPath(dir, 16)}/*.parquet'),
+        tok AS (
+          SELECT doc_id, w FROM (
+            SELECT doc_id,
+                   unnest(string_split(text || ' <|doc|> caf' || chr(233), ' ')) AS w
+            FROM documents)
+          WHERE w <> ''),
+        words AS (
+          SELECT DISTINCT w, replace(w, chr(233), chr(195) || chr(169)) AS bs
+          FROM tok WHERE w <> '<|doc|>'),
+        rec AS (
+          SELECT w,
+                 array_to_string(list_transform(string_split(bs, ''),
+                                 c -> chr(1) || c || chr(2)), '') AS s,
+                 CAST(0 AS BIGINT) AS r
+          FROM words
+          UNION ALL
+          SELECT rec.w,
+                 replace(rec.s,
+                         chr(1) || m.l || chr(2) || chr(1) || m.r || chr(2),
+                         chr(1) || m.l || m.r || chr(2)),
+                 rec.r + 1
+          FROM rec JOIN m ON m.rank = rec.r + 1),
+        enc AS (
+          SELECT w, CAST(length(s) - length(replace(s, chr(1), ''))
+                         AS BIGINT) AS ntok
+          FROM rec
+          WHERE r = coalesce((SELECT max(rank) FROM m), 0)),
+        perdoc AS (
+          SELECT t.doc_id,
+                 CAST(count(*) AS BIGINT) AS n_words,
+                 CAST(sum(CASE WHEN t.w = '<|doc|>' THEN 1
+                               ELSE e.ntok END) AS BIGINT) AS n_tokens,
+                 CAST(sum(octet_length(encode(t.w))) AS BIGINT) AS n_chars
+          FROM tok t LEFT JOIN enc e ON e.w = t.w
+          GROUP BY t.doc_id)
+        SELECT d.doc_id,
+               coalesce(p.n_words, 0) AS n_words,
+               coalesce(p.n_tokens, 0) AS n_tokens,
+               CASE WHEN coalesce(p.n_tokens, 0) = 0 THEN 0.0
+                    ELSE CAST(p.n_chars AS DOUBLE) / p.n_tokens END
+                 AS chars_per_token
+        FROM documents d LEFT JOIN perdoc p USING (doc_id)
+        ORDER BY d.doc_id""")),
+
     // ---- q93: perplexity-bucketed quality mixture ----
     // CCNet's curation move as one gated program: score every doc
     // with the corpus bigram cross-entropy (q71's model, hash-exact

@@ -351,4 +351,98 @@ class BpeSpec extends SparkSpec {
       numMerges = 4, fingerprint = Some("fpB")).collect()
     assert(artifactMtime > t1, "changed fingerprint must retrain")
   }
+
+  test("byte-level alphabet is total and invertible: EVERY byte " +
+      "sequence round-trips through encode+decode, merges included") {
+    // all 256 single bytes have a symbol (the byte-fallback property)
+    val all = Array.tabulate(256)(_.toByte)
+    assert(BpeLearn.byteSymbolsOf(all).length == 256)
+    assert(BpeLearn.byteSymbolsOf(all).distinct.length == 256)
+    assert(BpeLearn.decodeTokens(BpeLearn.byteSymbolsOf(all)).toSeq ==
+      all.toSeq)
+    // arbitrary byte sequences — including invalid UTF-8 — round-trip
+    // through the symbol mapping and any merge replay (merging only
+    // concatenates adjacent symbols, so the char-wise inverse is
+    // total); merges learned on an unrelated corpus exercise the
+    // replay path
+    import spark.implicits._
+    val docs = Seq((1L, "abab abab baba"), (2L, "ab ba abab"))
+      .toDF("doc_id", "text")
+    val merges = BpeLearn.learnMergesBytes(docs, "text", 6)
+      .as[(Long, String, String, String, Long)].collect().toSeq
+      .sortBy(_._1).map(m => (m._2, m._3))
+    val rnd = new scala.util.Random(7)
+    (0 until 50).foreach { _ =>
+      val bytes = Array.fill(rnd.nextInt(40) + 1)(rnd.nextInt(256).toByte)
+      var syms = BpeLearn.byteSymbolsOf(bytes)
+      merges.foreach { case (a, b) =>
+        syms = BpeLearn.mergePair(syms, a, b)
+      }
+      assert(BpeLearn.decodeTokens(syms).toSeq == bytes.toSeq)
+    }
+    // multi-byte characters decompose to their UTF-8 byte symbols
+    // (é = C3 A9 → 2 symbols) instead of failing to encode
+    assert(BpeLearn.byteSymbols("café").length == 5)
+    assert(new String(BpeLearn.decodeTokens(
+      BpeLearn.byteSymbols("café 😀")),
+      java.nio.charset.StandardCharsets.UTF_8) == "café 😀")
+  }
+
+  test("byte-level learner matches the word-level learner on printable " +
+      "ASCII (identity mapping) and the single-node reference on " +
+      "non-ASCII input") {
+    import spark.implicits._
+    // ASCII: byte symbols ≡ char symbols, so the merge tables agree
+    val ascii = Seq((1L, "the cat the hat"), (2L, "the bat the cat"))
+      .toDF("doc_id", "text")
+    val word = learned(ascii, 6)
+    val bytes = BpeLearn.learnMergesBytes(ascii, "text", 6)
+      .as[(Long, String, String, String, Long)].collect().toSeq.sortBy(_._1)
+    assert(bytes == word)
+    // non-ASCII: the reference BPE run over byte-symbol-mapped words
+    // must equal the distributed byte-level learner
+    val accented = Seq((1L, "café cafés déjà"),
+      (2L, "café thé thé"))
+      .toDF("doc_id", "text")
+    val got = BpeLearn.learnMergesBytes(accented, "text", 8)
+      .as[(Long, String, String, String, Long)].collect().toSeq.sortBy(_._1)
+    val wordCounts = Seq("café", "cafés", "déjà",
+      "café", "thé", "thé")
+      .groupBy(identity).map { case (w, ws) => w -> ws.length.toLong }
+    val want = refBpe(
+      wordCounts.map { case (w, c) =>
+        BpeLearn.byteSymbols(w).mkString -> c
+      },  // ref splits per char; byte-mapped chars ARE the byte symbols
+      8)
+    assert(got == want)
+  }
+
+  test("special tokens are carved out: never merged during learning, " +
+      "always ONE token during encoding") {
+    import spark.implicits._
+    // the special token dominates pair counts — without the carve-out
+    // its internal pairs would win every early merge
+    val docs = Seq((1L, "<|eot|> ab <|eot|> ab <|eot|>"),
+      (2L, "<|eot|> ab <|eot|> cd <|eot|>"))
+      .toDF("doc_id", "text")
+    val merges = BpeLearn.learnMergesBytes(docs, "text", 8,
+      specialTokens = Seq("<|eot|>"))
+    val tbl = merges.as[(Long, String, String, String, Long)]
+      .collect().toSeq
+    // no learned symbol may be a substring chain built from the
+    // special token's characters: '<' and '|' never appear in any
+    // merge (they only occur inside the carved-out token)
+    assert(tbl.forall(m => !m._4.contains("<") && !m._4.contains("|")),
+      tbl.toString)
+    val enc = BpeLearn.encodeTokenCounts(docs, "doc_id", "text", merges,
+        byteLevel = true, specialTokens = Seq("<|eot|>"))
+      .orderBy(col("doc_id")).collect()
+    // doc 1: 3 specials (1 token each) + 2×"ab" (merged to 1 each
+    // once (a,b) is learned, else 2) — either way the specials pin 3
+    val d1 = enc(0)
+    assert(d1.getAs[Long]("n_words") == 5L)
+    val abLearned = tbl.exists(m => m._2 == "a" && m._3 == "b")
+    assert(abLearned, "pair (a,b) occurs 3 times and must be learned")
+    assert(d1.getAs[Long]("n_tokens") == 3L + 2L * 1L)
+  }
 }
