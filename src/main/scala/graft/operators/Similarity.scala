@@ -412,7 +412,17 @@ object Similarity {
         load(spark, path)
       })
 
-    /** Train the quantizer and assign the corpus (the offline pass). */
+    /** Train the quantizer and assign the corpus (the offline pass).
+      *
+      * MEASURED double boundary (r6 advisory #2): Spark ML KMeans
+      * consumes `Vector` (dense DOUBLE) features, so the one
+      * array<double> cast in the codebase lives here — an OFFLINE,
+      * once-per-corpus training pass whose cost amortizes across
+      * every probe. The ONLINE paths (classify, probe scoring,
+      * semDedup) now keep float end-to-end: VecDot widens per element
+      * inside codegen, which is bit-identical to pre-casting the
+      * array and halves the scan/cache bytes of the hot column.
+      */
     def build(corpus: DataFrame, nLists: Int, seed: Long = 7L): IvfIndex = {
       import org.apache.spark.ml.clustering.KMeans
       import org.apache.spark.ml.functions.array_to_vector
@@ -500,12 +510,18 @@ object Similarity {
     // labels are normalized to long (int labels widen exactly) and
     // NULL-label rows train nothing — an unlabeled example is not a
     // class; pred_label in the output is long for the same reason
+    // floats stay floats until the per-SCALAR widen after the explode
+    // (r7, r6 advisory #2): a float→double element widen is exact, so
+    // round(v, 6) sees the same value the old array<double> cast
+    // produced — without materializing a doubled copy of every
+    // training vector. The partial aggregate collapses map-side, so
+    // nothing exploded ever reaches an exchange either way.
     val centRel = labeled
       .filter(col("label").isNotNull)
       .select(col("label").cast("long").as("label"),
-        posexplode(col("vec").cast("array<double>")).as(Seq("j", "v")))
+        posexplode(col("vec")).as(Seq("j", "v")))
       .groupBy(col("label"), col("j"))
-      .agg(sum(round(col("v"), 6).cast("decimal(24,6)")).as("s"),
+      .agg(sum(round(col("v").cast("double"), 6).cast("decimal(24,6)")).as("s"),
         count(lit(1)).as("c"))
       .select(col("label"), col("j"),
         (col("s").cast("double") / col("c")).as("cj"))
@@ -530,7 +546,7 @@ object Similarity {
           lit(-l).as("nlbl"))
       }: _*)
       vectors
-        .withColumn("_dv", col("vec").cast("array<double>"))
+        .withColumn("_dv", col("vec"))
         .withColumn("_n", l2Norm(col("_dv")))
         .withColumn("_best", array_max(scoreStructs))
         .select(col("id"), (-col("_best.nlbl")).as("pred_label"),
@@ -554,7 +570,7 @@ object Similarity {
       // `vectors` must not collapse here (reviewer r6 — route
       // equivalence is a cardinality contract too)
       vectors
-        .withColumn("_dv", col("vec").cast("array<double>"))
+        .withColumn("_dv", col("vec"))
         .withColumn("_n", l2Norm(col("_dv")))
         .withColumn("_rk", monotonically_increasing_id())
         .crossJoin(broadcast(cents))
