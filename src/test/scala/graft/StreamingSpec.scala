@@ -523,4 +523,79 @@ class StreamingSpec extends SparkSpec {
       assert(got.nonEmpty && got.size < rows.length)
     } finally q.stop()
   }
+
+  test("streaming pre-training program (q90's incremental dual): " +
+      "quality gate -> exact dedup -> decontamination -> token budget " +
+      "in ONE continuous query, batch parity on the real corpus") {
+    import graft.functions.TextFunctions
+    val d = Tables.load(spark, sf0001, "documents")
+    val evalSet = d.filter(col("doc_id") % 50 === 0)
+      .select(col("doc_id"), col("text")).cache()
+    val corpus = d.filter(col("doc_id") % 50 =!= 0)
+    val rows = corpus.select(col("doc_id"), col("lang"), col("text"))
+      .as[(Long, String, String)].collect().sortBy(_._1)
+    // duplicate docs arriving later must die in the DEDUP stage: plant
+    // re-arrivals of early docs in the second micro-batch
+    val replays = rows.take(20).map { case (id, lang, text) =>
+      (id + 1000000L, lang, text) }
+
+    implicit val sqlCtx = spark.sqlContext
+    val ms = MemoryStream[(Long, String, String, Timestamp)]
+    // ONE shuffle partition + ordered single-batch feeds pin arrival
+    // order through both stateful operators (the budget stage is
+    // order-sensitive by definition — arrival order IS its spec)
+    val before = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "1")
+    try {
+      val program = Streams.pretrainingProgramStream(
+        ms.toDF().toDF("doc_id", "lang", "text", "ts"),
+        evalSet, budgetPerLang = 2000L)
+      val q = program.writeStream.format("memory")
+        .queryName("pretrain_s").outputMode("append").start()
+      try {
+        val (first, rest) = rows.splitAt(rows.length / 2)
+        val t0 = ts(0)
+        ms.addData(first.toSeq.map(r => (r._1, r._2, r._3, t0)))
+        q.processAllAvailable()
+        ms.addData((rest ++ replays).toSeq.map(r => (r._1, r._2, r._3, t0)))
+        q.processAllAvailable()
+        val got = spark.table("pretrain_s").select("doc_id")
+          .collect().map(_.getLong(0)).toSet
+
+        // batch dual, stage for stage, over the same arrival order —
+        // dedup keeps the FIRST arrival (min doc_id here), and the
+        // budget replays cumulatively per language in doc_id order.
+        // The decontamination dual is the INDEPENDENT batch operator
+        // (flagNgramOverlap), not the streaming helper.
+        val gated = corpus
+          .filter(TextFunctions.topWordFrac(col("text")) <= 0.2 &&
+            TextFunctions.dupWordFrac(col("text")) <= 0.85)
+        val deduped = gated.join(
+          gated.groupBy(TextFunctions.fingerprintMd5(col("text")).as("fp"))
+            .agg(min(col("doc_id")).as("doc_id")).select(col("doc_id")),
+          "doc_id")
+        val clean = deduped.join(
+          graft.operators.Contamination
+            .flagNgramOverlap(deduped, evalSet, "doc_id", "text", n = 13)
+            .filter(!col("contaminated")).select(col("doc_id")),
+          "doc_id")
+          .select(col("doc_id"), col("lang"),
+            TextFunctions.tokenCount(col("text")).cast("long").as("n_tok"))
+          .as[(Long, String, Long)].collect().sortBy(_._1)
+        val want = clean.groupBy(_._2).toSeq.flatMap { case (_, rs) =>
+          var run = 0L
+          rs.sortBy(_._1).takeWhile { r =>
+            val in = run < 2000L; run += r._3; in }.toSeq
+        }.map(_._1).toSet
+
+        assert(got == want, s"got=${got.size} want=${want.size} " +
+          s"onlyGot=${(got -- want).take(5)} onlyWant=${(want -- got).take(5)}")
+        // the program genuinely filtered at every stage: replayed
+        // duplicates died in dedup, and the budget dropped tail docs
+        assert(got.nonEmpty && got.size < rows.length)
+        assert(replays.forall(r => !got.contains(r._1)),
+          "re-arrived duplicate texts must be dropped by the dedup stage")
+      } finally q.stop()
+    } finally spark.conf.set("spark.sql.shuffle.partitions", before)
+  }
 }
