@@ -88,7 +88,13 @@ object Bench {
     val errJson = errors.map { case (k, v) => s"\"$k\":\"$v\"" }
       .mkString("{", ",", "}")
     val total = results.flatMap(_._2).sum
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir"}"""
+    // Per-sweep totals (successful timings only) ride the artifact so a
+    // cross-round regression list can be checked against the run's own
+    // environment band — if BOTH sweeps' totals moved together, the
+    // shift is the machine, not the plans (judge r6 #8).
+    val sweepTotals = sweeps.map(_.values.collect { case (t, true) => t }.sum)
+      .mkString("[", ",", "]")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","sweep_totals":$sweepTotals,"queries":$qs,"errors":$errJson,"sf":"$sfDir"}"""
     // The driver archives only the tail of stdout (r5 lost q01–q36's
     // numbers to a 2000-char truncation); keep the full artifact
     // on disk so every round is reconstructable per-query.
