@@ -6,7 +6,7 @@ import scala.collection.concurrent.TrieMap
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.execution.{PartialReducerPartitionSpec, QueryExecution, SparkPlan}
-import org.apache.spark.sql.execution.adaptive.{AQEShuffleReadExec, AdaptiveSparkPlanExec}
+import org.apache.spark.sql.execution.adaptive.{AQEShuffleReadExec, AdaptiveSparkPlanExec, QueryStageExec}
 import org.apache.spark.sql.util.QueryExecutionListener
 
 /** Surfaces `Dataset.observe` metrics (e.g. LSH skew-guard dropped
@@ -57,10 +57,12 @@ object Metrics {
         r.partitionSpecs.count(_.isInstanceOf[PartialReducerPartitionSpec]).toLong
       case _ => 0L
     }
-    // AdaptiveSparkPlanExec is a leaf node — recurse into its executed
-    // plan explicitly (post-action it is the final physical plan).
+    // AdaptiveSparkPlanExec and the QueryStageExec wrappers are leaf
+    // nodes — recurse into their wrapped plans explicitly (post-action
+    // they hold the final physical plan / materialized stage subtree).
     val nested = p match {
       case a: AdaptiveSparkPlanExec => countSkewSplits(a.executedPlan)
+      case q: QueryStageExec => countSkewSplits(q.plan)
       case other =>
         other.children.map(countSkewSplits).sum +
           other.subqueries.map(countSkewSplits).sum
