@@ -15,13 +15,35 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  // events.ts is TIMESTAMP(NANOS), which Spark 4 rejects by default;
-  // sessions must set spark.sql.legacy.parquet.nanosAsLong=true ONCE at
-  // build time (localSession / Verify / Bench / test fixture do), so it
-  // reads as nanos-since-epoch long (callers derive ms via
-  // `ts DIV 1000000` — integer-exact, matches DuckDB epoch_ms).
-  def load(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+  // events.ts contract for callers: nanos-since-epoch LONG (callers
+  // derive ms via `ts DIV 1000000` — integer-exact, matches DuckDB
+  // epoch_ms). The driver's parquet has shipped it two ways across
+  // rounds — TIMESTAMP(NANOS) (read as long via
+  // spark.sql.legacy.parquet.nanosAsLong=true, which every session
+  // sets) and TIMESTAMP(MICROS) (read as TIMESTAMP_NTZ under Spark 4's
+  // inferTimestampNTZ default) — so the loader normalizes BY TYPE at
+  // load instead of letting 20 call sites care. The NTZ→long path is
+  // integer-exact too: sessions run in UTC, so unix_micros of the
+  // wall-clock cast is the same instant DuckDB's epoch_ms reads from
+  // the naive timestamp.
+  def load(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val df = spark.read.parquet(s"$dir/$name.parquet")
+    if (name == "events") normalizeEventsTs(df) else df
+  }
+
+  private def normalizeEventsTs(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types._
+    df.schema.find(_.name == "ts").map(_.dataType) match {
+      case Some(LongType) | None => df
+      case Some(TimestampType) | Some(TimestampNTZType) =>
+        df.withColumn("ts",
+          unix_micros(col("ts").cast(TimestampType)) * lit(1000L))
+      case Some(other) =>
+        throw new IllegalStateException(
+          s"events.ts has unsupported parquet type $other")
+    }
+  }
 
   /** Convenience bundle of all tables at a scale-factor dir. */
   final case class Tpch(spark: SparkSession, dir: String) {
