@@ -164,6 +164,42 @@ object TextFunctions {
       regexp_replace(c, lit(pat), lit(rep))
     }
 
+  // ---- markup stripping (web-crawl → clean text) ----
+
+  /** Tag-stripping pipeline shared by the Spark column and the DuckDB
+    * oracle mirror: drop script/style subtrees wholesale (their text
+    * is code, not prose), turn every remaining tag into a space,
+    * decode the common entities, collapse whitespace. Patterns are
+    * RE2-safe (no lookahead/backrefs) so Java regex and DuckDB's RE2
+    * agree; `(?s)` keeps subtree removal working across newlines.
+    */
+  val markupDropPatterns: Seq[String] = Seq(
+    "(?s)<script[^>]*>.*?</script>",
+    "(?s)<style[^>]*>.*?</style>",
+    "(?s)<!--.*?-->",
+    "<[^>]*>")
+
+  /** Entity decodes applied AFTER tag removal, `&amp;` last so a
+    * literal `&amp;lt;` decodes to `&lt;` and stops (single-pass
+    * decode, the standard non-recursive policy).
+    */
+  val entityDecodes: Seq[(String, String)] = Seq(
+    "&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+    "&#39;" -> "'", "&nbsp;" -> " ", "&amp;" -> "&")
+
+  /** Extract clean text from HTML-ish markup. Scan-local single map
+    * pass (a chain of codegen'd regexp_replace/replace), no shuffle —
+    * the first stage of a crawl-ingest pipeline.
+    */
+  def stripMarkup(text: Column): Column = {
+    val untagged = markupDropPatterns.foldLeft(text)(
+      (c, p) => regexp_replace(c, lit(p), lit(" ")))
+    val decoded = entityDecodes.foldLeft(untagged) {
+      case (c, (from, to)) => replace(c, lit(from), lit(to))
+    }
+    trim(regexp_replace(decoded, "\\s+", " "))
+  }
+
   /** Unicode canonicalization: NFC normalization + root-locale
     * casefold, as one codegen'd expression
     * ([[graft.functions.expr.NfcCasefold]]). The pass every dedup key

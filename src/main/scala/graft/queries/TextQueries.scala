@@ -194,6 +194,55 @@ object TextQueries {
                MIN(variant_id) AS keeper_id, COUNT(*) AS n_variants
         FROM v GROUP BY fp ORDER BY keeper_id""")),
 
+    // ---- q106: HTML text extraction (crawl-ingest stage 1). Each
+    // document is deterministically wrapped in markup — head with
+    // style+script subtrees, comments, entities — and stripMarkup
+    // must recover clean prose: subtree drops, tag→space, single-pass
+    // entity decode, whitespace collapse. The oracle replays the
+    // IDENTICAL pattern chain through DuckDB's RE2 (all patterns are
+    // lookahead-free, and entity decode is plain replace()), so
+    // extraction is hash-gated end to end. Scan-local map pass; the
+    // only exchange is the output sort. ----
+    QueryDef(
+      "q106_html_extract",
+      (s, dir) => {
+        val html = concat(
+          lit("<html><head><title>Doc "), col("doc_id"),
+          lit("</title><style>p { color: #333; }</style><script>var t = 1 < 2;</script></head><body><h1>Doc "),
+          col("doc_id"), lit("</h1>\n<p>"), col("text"),
+          lit("</p>\n<!-- crawl: keep out -->\n<div class=\"footer\">&amp; entities &lt;kept&gt;&nbsp;intact</div></body></html>"))
+        Tables.load(s, dir, "documents")
+          .select(col("doc_id"),
+            graft.functions.TextFunctions.stripMarkup(html).as("extracted"))
+          .select(col("doc_id"), col("extracted"),
+            length(col("extracted")).cast("long").as("n_chars"))
+          .orderBy(col("doc_id"))
+      },
+      Some {
+        val html = "'<html><head><title>Doc ' || doc_id || " +
+          "'</title><style>p { color: #333; }</style><script>var t = 1 < 2;</script></head><body><h1>Doc ' || " +
+          "doc_id || '</h1>' || chr(10) || '<p>' || text || " +
+          "'</p>' || chr(10) || '<!-- crawl: keep out -->' || chr(10) || " +
+          "'<div class=\"footer\">&amp; entities &lt;kept&gt;&nbsp;intact</div></body></html>'"
+        val stripped = Seq(
+          "(?s)<script[^>]*>.*?</script>",
+          "(?s)<style[^>]*>.*?</style>",
+          "(?s)<!--.*?-->",
+          "<[^>]*>")
+          .foldLeft(html)((c, p) =>
+            s"regexp_replace($c, '${p.replace("\\", "\\\\")}', ' ', 'g')")
+        val decoded = Seq(
+          "&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+          "&#39;" -> "''", "&nbsp;" -> " ", "&amp;" -> "&")
+          .foldLeft(stripped) { case (c, (f, t)) =>
+            s"replace($c, '$f', '$t')" }
+        s"""
+        SELECT doc_id,
+               trim(regexp_replace($decoded, '\\s+', ' ', 'g')) AS extracted,
+               length(trim(regexp_replace($decoded, '\\s+', ' ', 'g'))) AS n_chars
+        FROM documents ORDER BY doc_id"""
+      }),
+
     // ---- q52: BPE-ish pre-tokenization counts (brief: "whitespace +
     // a BPE-ish regex"). Same RE2-compatible pattern on both engines. ----
     QueryDef(

@@ -154,4 +154,21 @@ class FunctionsSpec extends SparkSpec {
     assert(Seq((1L, "Hello  WORLD")).toDF("id", "t")
       .select(canonicalize($"t")).head.getString(0) == "hello  world")
   }
+
+  test("stripMarkup: subtree drops, tag removal, single-pass entities") {
+    import graft.functions.TextFunctions.stripMarkup
+    def run(s: String): String =
+      Seq(Tuple1(s)).toDF("t").select(stripMarkup($"t")).head.getString(0)
+    // script/style bodies vanish even across newlines; tags become
+    // spaces so adjacent words don't fuse
+    assert(run("<p>a</p><script>\nvar x = \"<b>not text</b>\";\n</script><p>b</p>") == "a b")
+    assert(run("<style>p{..}\n.c{..}</style>hi") == "hi")
+    // comments drop, attributes don't leak
+    assert(run("x<!-- <p>gone</p> -->y<div class=\"k\">z</div>") == "x y z")
+    // single-pass entity decode: &amp;lt; → &lt; and STOPS
+    assert(run("a &amp;lt; b &lt;c&gt; &nbsp;&quot;d&quot; &#39;e&#39;") ==
+      "a &lt; b <c> \"d\" 'e'")
+    // plain text passes through with whitespace collapsed
+    assert(run("  no   markup\there ") == "no markup here")
+  }
 }
