@@ -160,6 +160,18 @@ object CorpusStress {
       val (r91, t91, sk91, cb91, cr91) = timeGuarded(
         SparkEntry.queries("q91_crosscorpus_neardup")(spark, dirX).count())
 
+      // q103/q105 (r7): substring-granularity dedup at scale. The
+      // window/gram explosion makes these the widest scans in the
+      // battery (~one row per token before the keyed exchange);
+      // token-disjoint copies keep duplicated windows within-copy, so
+      // span counts and pair counts must scale linearly with the
+      // factor, and the winnowing boilerplate cap is the observable
+      // guard under replication-driven fingerprint heat.
+      val (r103, t103, sk103, cb103, cr103) = timeGuarded(
+        SparkEntry.queries("q103_dup_spans")(spark, dirX).count())
+      val (r105, t105, sk105, cb105, cr105) = timeGuarded(
+        SparkEntry.queries("q105_winnow_neardup")(spark, dirX).count())
+
       // q95's skew claim, measured: force EVERYTHING into one class
       // (the hottest possible class) and budget half the corpus's
       // tokens. The two-level prefix sum sorts only the boundary
@@ -198,6 +210,10 @@ object CorpusStress {
         s""""q90_cap_buckets":$cb90,"q90_cap_rows":$cr90,""" +
         s""""q91_sec":$t91,"q91_rows":$r91,"q91_aqe_skew_splits":$sk91,""" +
         s""""q91_cap_buckets":$cb91,"q91_cap_rows":$cr91,""" +
+        s""""q103_sec":$t103,"q103_rows":$r103,"q103_aqe_skew_splits":$sk103,""" +
+        s""""q103_cap_buckets":$cb103,"q103_cap_rows":$cr103,""" +
+        s""""q105_sec":$t105,"q105_rows":$r105,"q105_aqe_skew_splits":$sk105,""" +
+        s""""q105_cap_buckets":$cb105,"q105_cap_rows":$cr105,""" +
         s""""q95_sec":$t95,"q95_naive_sec":$t95n,"q95_rows":$r95}""")
     }
     spark.stop()

@@ -25,10 +25,13 @@ object SpanQueries {
   /** (doc_id, pos, gh) for every W-token window — DuckDB mirror of
     * [[SpanDedup.windowHashes]]. `range` is end-exclusive and list
     * slices are 1-based end-inclusive in DuckDB, hence the bounds.
+    * The Spark exchange carries window xxhash64s; the oracle groups
+    * the window STRINGS themselves — equal up to 64-bit collisions
+    * (the q80 discipline).
     */
   private val winSql = s"""
     SELECT doc_id, i AS pos,
-           md5(array_to_string(tk[i:i + ${W - 1}], ' ')) AS gh
+           array_to_string(tk[i:i + ${W - 1}], ' ') AS gh
     FROM (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
          LATERAL unnest(range(1, len(tk) - ${W - 2})) AS r(i)
     WHERE len(tk) >= $W"""
