@@ -1,0 +1,124 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Streaming-friendly frequency/cardinality sketches — Count-Min and
+  * HyperLogLog — built from plain aggregations so the ENTIRE sketch
+  * content is ANSI-SQL-replayable and therefore hash-gateable, the
+  * same exactness bar as the rest of the registry. Spark ships opaque
+  * versions of both (`count_min_sketch`, `approx_count_distinct`);
+  * the point of these is that at 100 TB a pipeline wants sketch
+  * CONTENT it can persist, merge across corpora, and audit — counters
+  * and registers as rows — not a binary blob pinned to one engine's
+  * serialization. Both collapse to a fixed-size frame (d·w counters /
+  * m registers) via map-side partial aggregation: the exchange is the
+  * sketch, not the data.
+  *
+  * Hash discipline: sketches need the actual hash VALUES to agree
+  * across engines (bucket indices are `h mod w`, not just grouping
+  * keys), so `xxhash64` is out — the shared hash is the first 15 hex
+  * chars of `md5` read as a 60-bit integer, identical in Spark
+  * (`conv(substring(md5(x),1,15),16,10)`) and DuckDB
+  * (`CAST('0x'||substr(md5(x),1,15) AS UBIGINT)`). md5 is bytewise
+  * identical everywhere; the derivation costs one extra hash pass
+  * over DISTINCT items only.
+  */
+object Sketches {
+
+  /** The cross-engine 60-bit item hash, optionally salted (Count-Min
+    * row index). Non-negative, so `% w` needs no pmod dance.
+    */
+  def h60(item: Column, salt: Option[Column] = None): Column = {
+    val keyed = salt match {
+      case Some(s) => concat(s.cast("string"), lit(":"), item)
+      case None    => item
+    }
+    conv(substring(md5(keyed), 1, 15), 16, 10).cast("long")
+  }
+
+  /** Count-Min counters for weighted items: `(r, b, c)` for every
+    * depth row r ∈ [0,d) and bucket b ∈ [0,w) that received weight —
+    * `c = Σ weight over items with h60(r:item) ≡ b (mod w)`. The
+    * frame is at most d·w rows regardless of input size; partial
+    * aggregation collapses each input partition to ≤ d·w cells before
+    * the one tiny exchange.
+    */
+  def countMin(items: DataFrame, itemCol: String, weightCol: String,
+      depth: Int, width: Int): DataFrame = {
+    val rows = items.select(
+      col(itemCol).as("_i"), col(weightCol).as("_k"),
+      explode(sequence(lit(0), lit(depth - 1))).as("r"))
+    rows
+      .select(col("r"), (h60(col("_i"), Some(col("r"))) % width).as("b"),
+        col("_k"))
+      .groupBy("r", "b").agg(sum(col("_k")).as("c"))
+  }
+
+  /** Point-estimate the weight of each item in `candidates` from the
+    * `counters` frame: `est = min over r of counters(r, h60(r:item) % w)`
+    * — the classic CMS upper bound (never underestimates; over-counts
+    * only via collisions). `counters` is sketch-sized, so the probe is
+    * a broadcast join keyed on (r, b): candidates never shuffle.
+    */
+  def cmsEstimate(candidates: DataFrame, itemCol: String,
+      counters: DataFrame, depth: Int, width: Int): DataFrame = {
+    val probes = candidates.select(
+        col("*"), explode(sequence(lit(0), lit(depth - 1))).as("r"))
+      .withColumn("b", h60(col(itemCol), Some(col("r"))) % width)
+    probes
+      .join(broadcast(counters), Seq("r", "b"), "left")
+      .groupBy(candidates.columns.map(col): _*)
+      .agg(min(coalesce(col("c"), lit(0L))).as("est"))
+  }
+
+  /** HyperLogLog register frame over the distinct values of `itemCol`:
+    * `(reg, rmax)` with `reg = h % m` and `rmax` = max over the
+    * register's items of the leading-zero rank of the remaining
+    * 60−log2(m) hash bits. ≤ m rows; map-side combine collapses each
+    * partition to its register maxima before the exchange. Rank uses
+    * `length(bin(v))` — exact integer bit-length on both engines — so
+    * no float log2 edge cases.
+    */
+  def hllRegisters(items: DataFrame, itemCol: String, m: Int): DataFrame = {
+    require(m > 0 && (m & (m - 1)) == 0, s"m must be a power of two: $m")
+    val log2m = 63 - java.lang.Long.numberOfLeadingZeros(m.toLong)
+    val valBits = 60 - log2m
+    val h = h60(col(itemCol))
+    items
+      .select(h.bitwiseAND(lit((m - 1).toLong)).as("reg"),
+        shiftright(h, log2m).as("v"))
+      .select(col("reg"),
+        when(col("v") === 0, lit(valBits + 1))
+          .otherwise(lit(valBits + 1) - length(bin(col("v")))).as("rho"))
+      .groupBy("reg").agg(max(col("rho")).as("rmax"))
+  }
+
+  /** The HLL cardinality estimate from a register frame: one row
+    * `(registers_used, v0, est)`. Exact-integer inner sum
+    * `S = Σ 2^(valBits+1−rmax)` (empty registers contribute
+    * 2^(valBits+1)), then the standard bias-corrected estimate with
+    * linear-counting small-range correction; the two double steps
+    * (division, ln) are rounded to 4 decimals — the q71 cross-engine
+    * discipline.
+    */
+  def hllEstimate(registers: DataFrame, m: Int): DataFrame = {
+    val valBits = 60 - (63 - java.lang.Long.numberOfLeadingZeros(m.toLong))
+    val top = valBits + 1
+    registers
+      .agg(count(lit(1)).as("registers_used"),
+        sum(pow(lit(2.0), lit(top) - col("rmax")).cast("long")).as("s_used"))
+      .select(col("registers_used"),
+        (lit(m) - col("registers_used")).as("v0"),
+        (col("s_used") +
+          (lit(m) - col("registers_used")) *
+            pow(lit(2.0), lit(top)).cast("long")).as("s"))
+      .select(col("registers_used"), col("v0"),
+        round((lit(0.7213 / (1.0 + 1.079 / m)) * m * m) *
+          pow(lit(2.0), lit(top)) / col("s"), 4).as("raw"))
+      .select(col("registers_used"), col("v0"),
+        when(col("raw") <= lit(2.5 * m) && col("v0") > 0,
+          round(lit(m.toDouble) * log(lit(m.toDouble) / col("v0")), 4))
+          .otherwise(col("raw")).as("est"))
+  }
+}

@@ -1,0 +1,140 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.operators.Sketches
+
+/** Sketch battery (q109–q110): Count-Min heavy hitters and
+  * HyperLogLog cardinality over the corpus vocabulary, built row-wise
+  * (`operators/Sketches.scala`) so the full sketch CONTENT — every
+  * counter cell, every register — sits under the DuckDB hash gate.
+  * The shared 60-bit md5-derived hash is the one cross-engine-exact
+  * hash in the codebase (xxhash64 is grouping-only); both oracles
+  * recompute it with `CAST('0x'||substr(md5(x),1,15) AS UBIGINT)`.
+  */
+object SketchQueries {
+
+  private val D = 4     // CMS depth
+  private val W = 2048  // CMS width
+  private val M = 1024  // HLL registers
+
+  /** Token trigrams + counts — the sketch domain. The corpus
+    * vocabulary is deliberately tiny (31 words), so unigram sketches
+    * would be collision-free no-ops; trigrams (~16k–27k distinct at
+    * sf0.01–0.1) give the CMS real collision structure and put HLL in
+    * its bias-corrected regime. Same construction as q76.
+    */
+  private def trigramCounts(d: org.apache.spark.sql.DataFrame) = {
+    val grams = when(size(col("_t")) >= 3,
+      transform(sequence(lit(1), size(col("_t")) - 2),
+        i => concat_ws(" ", element_at(col("_t"), i),
+          element_at(col("_t"), i + 1), element_at(col("_t"), i + 2))))
+      .otherwise(array().cast("array<string>"))
+    d.withColumn("_t", split(col("text"), " "))
+      .select(explode(grams).as("gram"))
+      .groupBy("gram").agg(count(lit(1)).as("cnt"))
+  }
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // ---- q109: Count-Min heavy hitters ----
+    // Trigram frequencies estimated from a d×w counter frame, compared
+    // against truth in the same row (est ≥ cnt always — CMS never
+    // underestimates; the gate checks the exact overestimates, i.e.
+    // the collision structure of the sketch). Top-50 by estimate.
+    // Scale shape: the counter frame is ≤ d·w rows regardless of
+    // corpus size (map-side partial agg), and the probe join
+    // broadcasts the frame — candidates never shuffle.
+    QueryDef(
+      "q109_cms_heavy_hitters",
+      (s, dir) => {
+        val d = Tables.load(s, dir, "documents")
+        val tg = trigramCounts(d)
+        val counters = Sketches.countMin(tg, "gram", "cnt", D, W)
+        Sketches.cmsEstimate(tg, "gram", counters, D, W)
+          .orderBy(col("est").desc, col("gram"))
+          .limit(50)
+      },
+      Some(s"""
+        WITH t AS (
+          SELECT string_split(text, ' ') AS tk FROM documents),
+        g AS (
+          SELECT tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] AS gram
+          FROM t, LATERAL unnest(range(1, greatest(len(tk) - 1, 1))) AS u(i)),
+        tc AS (SELECT gram, count(*) AS cnt FROM g GROUP BY 1),
+        salted AS (
+          SELECT t.gram, t.cnt, r.r,
+                 CAST(CAST(concat('0x', substr(md5(concat(CAST(r.r AS VARCHAR),
+                        ':', t.gram)), 1, 15)) AS UBIGINT) % $W AS BIGINT) AS b
+          FROM tc t CROSS JOIN (SELECT unnest(range(0, $D)) AS r) r),
+        counters AS (
+          SELECT r, b, CAST(sum(cnt) AS BIGINT) AS c
+          FROM salted GROUP BY 1, 2),
+        est AS (
+          SELECT s.gram, s.cnt, min(c.c) AS est
+          FROM salted s JOIN counters c ON c.r = s.r AND c.b = s.b
+          GROUP BY 1, 2)
+        SELECT gram, cnt, est FROM est
+        ORDER BY est DESC, gram LIMIT 50""")),
+
+    // ---- q110: HyperLogLog distinct-trigram estimate ----
+    // The m-register frame reduced to the bias-corrected estimate
+    // (with linear-counting small-range correction), next to the
+    // exact distinct count. Inner sum S = Σ 2^(51−rmax) is exact
+    // integer arithmetic; only the final division and the correction
+    // ln are double, both rounded to 4 decimals (q71 discipline).
+    // Scale shape: registers collapse map-side to ≤ m rows per
+    // partition; the estimate is a one-row reduce. No distinct pass
+    // over the data — duplicates die in the per-partition max.
+    QueryDef(
+      "q110_hll_distinct",
+      (s, dir) => {
+        val d = Tables.load(s, dir, "documents")
+        val tg = trigramCounts(d)
+        val est = Sketches.hllEstimate(
+          Sketches.hllRegisters(tg, "gram", M), M)
+        val exact = tg.agg(count(lit(1)).as("n_exact"))
+        exact.crossJoin(est)
+          .select(col("n_exact"), col("registers_used"), col("v0"),
+            col("est"))
+      },
+      Some(s"""
+        WITH t AS (
+          SELECT string_split(text, ' ') AS tk FROM documents),
+        g AS (
+          SELECT tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] AS gram
+          FROM t, LATERAL unnest(range(1, greatest(len(tk) - 1, 1))) AS u(i)),
+        tok AS (SELECT DISTINCT gram AS token FROM g),
+        h AS (
+          SELECT CAST(CAST(concat('0x', substr(md5(token), 1, 15))
+                 AS UBIGINT) AS BIGINT) AS h FROM tok),
+        rr AS (
+          SELECT h & ${M - 1} AS reg,
+                 CASE WHEN h >> 10 = 0 THEN 51
+                      ELSE 51 - length(bin(h >> 10)) END AS rho
+          FROM h),
+        regs AS (SELECT reg, max(rho) AS rmax FROM rr GROUP BY 1),
+        agg AS (
+          SELECT CAST(count(*) AS BIGINT) AS registers_used,
+                 CAST(sum(CAST(power(2, 51 - rmax) AS BIGINT)) AS BIGINT)
+                   AS s_used
+          FROM regs),
+        s2 AS (
+          SELECT registers_used, $M - registers_used AS v0,
+                 s_used + ($M - registers_used) * CAST(power(2, 51) AS BIGINT)
+                   AS s
+          FROM agg),
+        r3 AS (
+          SELECT registers_used, v0,
+                 round((0.7213 / (1.0 + 1.079 / $M.0) * $M * $M) *
+                       power(2.0, 51) / s, 4) AS raw
+          FROM s2)
+        SELECT (SELECT CAST(count(DISTINCT token) AS BIGINT) FROM tok)
+                 AS n_exact,
+               registers_used, v0,
+               CASE WHEN raw <= 2.5 * $M AND v0 > 0
+                    THEN round($M.0 * ln($M.0 / v0), 4)
+                    ELSE raw END AS est
+        FROM r3"""))
+  )
+}

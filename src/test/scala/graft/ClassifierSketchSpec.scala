@@ -1,0 +1,128 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{NaiveBayes, Sketches}
+
+/** NB classifier (q107/q108) and sketch (q109/q110) invariants beyond
+  * the DuckDB hash gates.
+  */
+class ClassifierSketchSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs =
+    spark.read.parquet(s"$sf0001/documents.parquet").cache()
+
+  // ---- Naive Bayes ----------------------------------------------------
+
+  test("nb train: one row per observed (label, token); logp < 0") {
+    val m = NaiveBayes.train(docs, "text", "lang").cache()
+    val dup = m.groupBy("label", "token").count().filter(col("count") > 1)
+    assert(dup.isEmpty)
+    assert(m.filter(col("logp") >= 0).isEmpty)
+    // per label, Σ P(t|l) over observed tokens ≤ 1: equality exactly
+    // when the label observed the whole vocabulary (true for this
+    // 31-word corpus), so allow the 6-decimal logp rounding slack
+    val mass = m.groupBy("label")
+      .agg(sum(exp(col("logp").cast("double"))).as("mass"))
+      .filter(col("mass") > 1.0 + 1e-4)
+    assert(mass.isEmpty)
+  }
+
+  test("nb classify: total assignment, labels from the training set") {
+    val out = NaiveBayes.classify(docs, "doc_id", "text", docs, "lang").cache()
+    assert(out.count() === docs.count())
+    assert(out.select("doc_id").distinct().count() === docs.count())
+    val labels = docs.select(col("lang")).distinct().as[String].collect().toSet
+    val preds = out.select(col("pred_label")).distinct().as[String].collect()
+    assert(preds.forall(labels))
+  }
+
+  test("nb classify: argmax invariant under a label-preserving shuffle " +
+      "of training rows (order-independence of the DECIMAL sums)") {
+    val a = NaiveBayes.classify(docs, "doc_id", "text", docs, "lang")
+    val b = NaiveBayes.classify(
+      docs.repartition(7, col("doc_id")), "doc_id", "text",
+      docs.repartition(5, col("text")), "lang")
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
+  }
+
+  test("nb classify: beats the majority-class baseline on lang") {
+    val out = NaiveBayes.classify(docs, "doc_id", "text", docs, "lang")
+    val joined = out.join(docs, "doc_id")
+    val acc = joined.filter(col("pred_label") === col("lang")).count()
+      .toDouble / joined.count()
+    val majority = docs.groupBy("lang").count()
+      .agg(max("count")).as[Long].head.toDouble / docs.count()
+    assert(acc > majority,
+      s"NB accuracy $acc should beat majority baseline $majority")
+  }
+
+  // ---- Sketches -------------------------------------------------------
+
+  test("h60 matches the DuckDB derivation on a pinned value") {
+    // DuckDB: CAST('0x'||substr(md5('tok1'),1,15) AS UBIGINT)
+    val h = docs.sparkSession.range(1)
+      .select(Sketches.h60(lit("tok1")).as("h")).as[Long].head
+    assert(h === 766453538335229283L)
+  }
+
+  test("cms: estimates never underestimate; exact when width avoids " +
+      "collisions") {
+    val items = Seq(("a", 5L), ("b", 3L), ("c", 2L), ("d", 7L))
+      .toDF("item", "k")
+    val big = Sketches.countMin(items, "item", "k", 4, 4096)
+    val est = Sketches.cmsEstimate(items, "item", big, 4, 4096)
+      .select(col("item"), col("k"), col("est"))
+    assert(est.filter(col("est") < col("k")).isEmpty)
+    // 4 items in 4096 buckets: collision probability ~0 — exact
+    assert(est.filter(col("est") =!= col("k")).isEmpty)
+    // tiny width forces collisions: still an upper bound
+    val small = Sketches.countMin(items, "item", "k", 2, 2)
+    val est2 = Sketches.cmsEstimate(items, "item", small, 2, 2)
+    assert(est2.filter(col("est") < col("k")).isEmpty)
+  }
+
+  test("cms: counter frame bounded by depth*width and partition-" +
+      "invariant") {
+    val tok = docs.select(explode(split(col("text"), " ")).as("t"))
+      .groupBy("t").agg(count(lit(1)).as("k"))
+    val c1 = Sketches.countMin(tok, "t", "k", 4, 64)
+    assert(c1.count() <= 4 * 64)
+    val c2 = Sketches.countMin(tok.repartition(11), "t", "k", 4, 64)
+    assert(c1.exceptAll(c2).isEmpty && c2.exceptAll(c1).isEmpty)
+  }
+
+  test("hll: registers bounded by m; estimate within 3 sigma on the " +
+      "trigram domain") {
+    val grams = docs
+      .select(split(col("text"), " ").as("tk"))
+      .select(explode(when(size(col("tk")) >= 3,
+        transform(sequence(lit(1), size(col("tk")) - 2),
+          i => concat_ws(" ", element_at(col("tk"), i),
+            element_at(col("tk"), i + 1), element_at(col("tk"), i + 2))))
+        .otherwise(array().cast("array<string>"))).as("g"))
+      .distinct().cache()
+    val n = grams.count().toDouble
+    val m = 1024
+    val regs = Sketches.hllRegisters(grams, "g", m).cache()
+    assert(regs.count() <= m)
+    assert(regs.filter(col("rmax") < 1 || col("rmax") > 51).isEmpty)
+    val est = Sketches.hllEstimate(regs, m)
+      .select(col("est")).as[Double].head
+    val sigma = 1.04 / math.sqrt(m.toDouble) * n
+    assert(math.abs(est - n) <= 3 * sigma,
+      s"HLL est $est vs exact $n (sigma $sigma)")
+  }
+
+  test("hll: register frame is merge-associative (union of corpus " +
+      "halves = whole-corpus registers)") {
+    val grams = docs.select(explode(split(col("text"), " ")).as("g"))
+    val left = grams.filter(xxhash64(col("g")) % 2 === 0)
+    val right = grams.filter(xxhash64(col("g")) % 2 =!= 0)
+    val whole = Sketches.hllRegisters(grams, "g", 256)
+    val merged = Sketches.hllRegisters(left, "g", 256)
+      .unionAll(Sketches.hllRegisters(right, "g", 256))
+      .groupBy("reg").agg(max("rmax").as("rmax"))
+    assert(whole.exceptAll(merged).isEmpty && merged.exceptAll(whole).isEmpty)
+  }
+}

@@ -17,7 +17,12 @@ class PlanAuditSpec extends SparkSpec {
     * bucket tables hash-joined to broadcast probes).
     */
   private val exactBaselines = Set("q10_cross_for", "q28_ann_bruteforce",
-    "q41_embedding_neardup", "q82_ann_quantized")
+    "q41_embedding_neardup", "q82_ann_quantized",
+    // q108: docs × label-constants frame (|labels| rows, broadcast) —
+    // scoring every document under every label IS the cross product;
+    // q110: two one-row reduces (exact count × HLL estimate) crossed
+    // into the single summary row. Both NLJ sides are O(1)-bounded.
+    "q108_nb_classify", "q110_hll_distinct")
 
   private lazy val plans: Map[String, String] =
     SparkEntry.queries.map { case (name, fn) =>
