@@ -35,9 +35,53 @@ import org.apache.spark.sql.types.DecimalType
   * Token identity rides `xxhash64` (grouping key only — results equal
   * up to 64-bit collisions, the q71 discipline).
   */
+/** A fitted NB model small enough to broadcast: per-label priors and
+  * smoothing floors plus, per observed token, the per-label score
+  * deltas — all as 1e-6-scaled longs so JVM-side scoring reproduces
+  * the DECIMAL(18,6) arithmetic of the distributed path EXACTLY
+  * (integer adds, no float drift). `labels` is sorted ascending so
+  * the first strict maximum reproduces the batch argmax tie-break.
+  */
+final case class NbModel(
+    labels: Array[String],
+    priors: Array[Long],
+    smooths: Array[Long],
+    deltas: scala.collection.Map[String, Array[Long]]) {
+
+  /** (predicted label, score as double) for one document — stateless,
+    * so it runs identically in batch and Structured Streaming.
+    */
+  def predict(text: String): (String, Double) = {
+    val toks = text.split(" ", -1)
+    val nL = labels.length
+    val acc = new Array[Long](nL)
+    var i = 0
+    while (i < toks.length) {
+      val d = deltas.getOrElse(toks(i), null)
+      if (d != null) {
+        var l = 0
+        while (l < nL) { acc(l) += d(l); l += 1 }
+      }
+      i += 1
+    }
+    var best = 0
+    var bestScore = Long.MinValue
+    var l = 0
+    while (l < nL) {
+      val s = priors(l) + toks.length * smooths(l) + acc(l)
+      if (s > bestScore) { best = l; bestScore = s }
+      l += 1
+    }
+    (labels(best), bestScore / 1e6)
+  }
+}
+
 object NaiveBayes {
 
   private val LP = DecimalType(18, 6)
+
+  private def scaled(d: java.math.BigDecimal): Long =
+    d.setScale(6).unscaledValue().longValueExact()
 
   /** Tokens as 8-byte hashes: (idCol, labelCol?, h, k) per distinct
     * token per row.
@@ -144,5 +188,80 @@ object NaiveBayes {
       .where(col("rn") === 1)
       .select(col(idCol), col("label").as("pred_label"),
         col("score").cast("double").as("score"))
+  }
+
+  /** Fit the model into a driver-side `NbModel` for broadcast scoring
+    * (the streaming / per-row route). This is a MODEL BOUNDARY
+    * collect, budget-gated like the centroid literal route
+    * (`Similarity.classifyByCentroid`): it requires the observed
+    * (label, token) pair count ≤ `maxEntries` — fastText-scale
+    * vocabularies fit comfortably; past the gate, score with the
+    * distributed `classify` join instead. Token keys are STRINGS
+    * (no hash collisions), values are the same rounded DECIMAL(18,6)
+    * log-probs as the distributed path, scaled to exact longs.
+    */
+  def fitModel(trainDf: DataFrame, textCol: String, labelCol: String,
+      maxEntries: Long = 2000000L): NbModel = {
+    val tok = trainDf.select(col(labelCol).cast("string").as("label"),
+      explode(split(col(textCol), " ")).as("token"))
+    val lt = tok.groupBy("label", "token").agg(count(lit(1)).as("cnt"))
+      .localCheckpoint(eager = false)
+    val nPairs = lt.count()
+    require(nPairs <= maxEntries,
+      s"NB model boundary: $nPairs observed (label, token) pairs exceed " +
+        s"the $maxEntries driver budget — use the distributed classify()")
+    val tot = lt.groupBy("label").agg(sum("cnt").as("tot"))
+    val v = lt.select("token").distinct().count()
+    val nTrain = trainDf.count()
+
+    val consts = trainDf
+      .groupBy(col(labelCol).cast("string").as("label"))
+      .agg(count(lit(1)).as("nl"))
+      .join(tot, "label")
+      .select(col("label"),
+        round(log(col("nl").cast("double") / lit(nTrain.toDouble)), 6)
+          .cast(LP).as("prior"),
+        round(log(lit(1.0) / (col("tot") + lit(v)).cast("double")), 6)
+          .cast(LP).as("smooth"))
+      .collect()
+      .sortBy(_.getString(0))
+    val labels = consts.map(_.getString(0))
+    val idx = labels.zipWithIndex.toMap
+    val priors = consts.map(r => scaled(r.getDecimal(1)))
+    val smooths = consts.map(r => scaled(r.getDecimal(2)))
+
+    val deltas = new scala.collection.mutable.HashMap[String, Array[Long]]()
+    lt.join(broadcast(tot), "label")
+      .select(col("token"), col("label"),
+        round(log((col("cnt") + lit(1)).cast("double") /
+          (col("tot") + lit(v)).cast("double")), 6).cast(LP).as("lp"))
+      .collect()
+      .foreach { r =>
+        val l = idx(r.getString(1))
+        val arr = deltas.getOrElseUpdate(r.getString(0),
+          new Array[Long](labels.length))
+        arr(l) = scaled(r.getDecimal(2)) - smooths(l)
+      }
+    NbModel(labels, priors, smooths, deltas)
+  }
+
+  /** Score with a broadcast `NbModel` as a stateless per-row map —
+    * identical output contract to `classify` (equal wherever token
+    * xxhash64 is collision-free), and legal in Structured Streaming
+    * append mode (no aggregation, no state). The production shape for
+    * scoring an incoming crawl against a trained quality model.
+    */
+  def classifyWithModel(df: DataFrame, idCol: String, textCol: String,
+      model: NbModel): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(model)
+    df.select(col(idCol).cast("long"), col(textCol).cast("string"))
+      .as[(Long, String)]
+      .map { case (id, text) =>
+        val (label, score) = bc.value.predict(text)
+        (id, label, score)
+      }
+      .toDF(idCol, "pred_label", "score")
   }
 }

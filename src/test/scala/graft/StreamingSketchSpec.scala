@@ -1,0 +1,109 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.operators.{NaiveBayes, Sketches}
+
+/** Streaming duals of the sketch and classifier operators: the SAME
+  * DataFrame code runs incrementally (sketch aggregations are
+  * streaming-legal as-is — their state is the sketch, d·w counters /
+  * m registers, bounded by construction), and NB scoring against a
+  * broadcast fitted model is stateless append-mode.
+  */
+class StreamingSketchSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs =
+    spark.read.parquet(s"$sf0001/documents.parquet").cache()
+
+  test("streaming HLL: register frame after N batches equals the " +
+      "batch sketch (same code, incremental run, bounded state)") {
+    val tokens = docs
+      .select(explode(split(col("text"), " ")).as("g")).as[String]
+      .collect().toSeq
+    val batch = Sketches.hllRegisters(tokens.toDF("g"), "g", 256)
+      .orderBy("reg").collect().toSeq
+
+    implicit val sqlCtx = spark.sqlContext
+    val ms = MemoryStream[String]
+    val q = Sketches.hllRegisters(ms.toDF().toDF("g"), "g", 256)
+      .writeStream.format("memory").queryName("hll_regs")
+      .outputMode("complete").start()
+    try {
+      val (a, b) = tokens.splitAt(tokens.length / 2)
+      ms.addData(a: _*); q.processAllAvailable()
+      ms.addData(b: _*); q.processAllAvailable()
+      val stream = spark.table("hll_regs").orderBy("reg").collect().toSeq
+      assert(stream == batch)
+    } finally q.stop()
+  }
+
+  test("streaming CMS: counter frame after N batches equals the batch " +
+      "sketch; estimates from streamed counters match") {
+    val weighted = docs
+      .select(explode(split(col("text"), " ")).as("g"))
+      .groupBy("g").agg(count(lit(1)).as("k"))
+      .as[(String, Long)].collect().toSeq
+    val batchCounters = Sketches.countMin(
+      weighted.toDF("g", "k"), "g", "k", 4, 64)
+    val batchRows = batchCounters.orderBy("r", "b").collect().toSeq
+
+    implicit val sqlCtx = spark.sqlContext
+    val ms = MemoryStream[(String, Long)]
+    val q = Sketches.countMin(ms.toDF().toDF("g", "k"), "g", "k", 4, 64)
+      .writeStream.format("memory").queryName("cms_counters")
+      .outputMode("complete").start()
+    try {
+      val (a, b) = weighted.splitAt(weighted.length / 2)
+      ms.addData(a: _*); q.processAllAvailable()
+      ms.addData(b: _*); q.processAllAvailable()
+      val streamed = spark.table("cms_counters")
+      assert(streamed.orderBy("r", "b").collect().toSeq == batchRows)
+      // probing the streamed counters gives the batch estimates
+      val estA = Sketches.cmsEstimate(
+        weighted.toDF("g", "k"), "g", streamed, 4, 64)
+      val estB = Sketches.cmsEstimate(
+        weighted.toDF("g", "k"), "g", batchCounters, 4, 64)
+      assert(estA.exceptAll(estB).isEmpty && estB.exceptAll(estA).isEmpty)
+    } finally q.stop()
+  }
+
+  test("NB fitModel scoring equals the distributed classify on the " +
+      "real corpus (exact scaled-long replay of the DECIMAL path)") {
+    val model = NaiveBayes.fitModel(docs, "text", "lang")
+    val viaModel = NaiveBayes.classifyWithModel(docs, "doc_id", "text", model)
+    val viaJoin = NaiveBayes.classify(docs, "doc_id", "text", docs, "lang")
+    assert(viaModel.exceptAll(viaJoin).isEmpty &&
+      viaJoin.exceptAll(viaModel).isEmpty)
+  }
+
+  test("NB fitModel enforces the driver model budget") {
+    intercept[IllegalArgumentException] {
+      NaiveBayes.fitModel(docs, "text", "lang", maxEntries = 10L)
+    }
+  }
+
+  test("streaming NB scoring: append-mode stateless scoring of an " +
+      "incoming doc stream equals batch predictions") {
+    val model = NaiveBayes.fitModel(docs, "text", "lang")
+    val batch = NaiveBayes.classifyWithModel(docs, "doc_id", "text", model)
+      .orderBy("doc_id").collect().toSeq
+
+    implicit val sqlCtx = spark.sqlContext
+    val rows = docs.select(col("doc_id"), col("text"))
+      .as[(Long, String)].collect().toSeq
+    val ms = MemoryStream[(Long, String)]
+    val q = NaiveBayes.classifyWithModel(
+        ms.toDF().toDF("doc_id", "text"), "doc_id", "text", model)
+      .writeStream.format("memory").queryName("nb_stream")
+      .outputMode("append").start()
+    try {
+      val (a, b) = rows.splitAt(rows.length / 2)
+      ms.addData(a: _*); q.processAllAvailable()
+      ms.addData(b: _*); q.processAllAvailable()
+      val stream = spark.table("nb_stream").orderBy("doc_id").collect().toSeq
+      assert(stream == batch)
+    } finally q.stop()
+  }
+}
