@@ -94,6 +94,59 @@ object Sketches {
       .groupBy("reg").agg(max(col("rho")).as("rmax"))
   }
 
+  /** Log₂-binned histogram sketch over a positive-integer column —
+    * the deterministic, mergeable quantile summary completing the
+    * sketch trio (CMS = frequency, HLL = cardinality, this =
+    * quantiles). Each value lands in bin `floor(log2(v))` (bit-length
+    * − 1, exact integer — no float log edge cases); the per-group
+    * frame is ≤ 64 rows, merges by adding counts, and runs unchanged
+    * as a streaming aggregation. Quantile estimates from the sketch
+    * carry a guaranteed 2× value-error bound (the bin width) — the
+    * trade a 100 TB profile pass makes to avoid a global sort.
+    * Non-positive values are clamped to bin 0 with the value-1 floor.
+    */
+  def logBins(items: DataFrame, groupCols: Seq[String], valueCol: String)
+      : DataFrame =
+    items
+      .select((groupCols.map(col) :+
+        (length(bin(greatest(col(valueCol).cast("long"), lit(1L)))) - 1)
+          .cast("long").as("bin")): _*)
+      .groupBy((groupCols :+ "bin").map(col): _*)
+      .agg(count(lit(1)).as("c"))
+
+  /** Per-group quantile estimates from a `logBins` frame: for each
+    * requested quantile q, the SMALLEST bin whose cumulative count
+    * reaches `ceil(q·n/1000)` (the rank semantics of
+    * `percentile_disc`), reported as the bin's lower bound `2^bin` —
+    * a deterministic rule both engines replay exactly. `quantiles`
+    * are permilles (500 = median); the rank test is the pure-integer
+    * equivalence `cum·1000 ≥ q·n`, so no division ever happens.
+    * Output is wide — one `p<q>_lower` column per quantile — from a
+    * single conditional-min aggregation over the ≤64-row-per-group
+    * frame: no join, no explode.
+    */
+  def logBinQuantiles(bins: DataFrame, groupCols: Seq[String],
+      quantiles: Seq[Int]): DataFrame = {
+    require(quantiles.nonEmpty && quantiles.forall(q => q > 0 && q <= 1000),
+      s"permille quantiles in (0, 1000]: $quantiles")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(groupCols.map(col): _*)
+      .orderBy(col("bin"))
+    val cum = bins
+      .withColumn("cum", sum(col("c")).over(w))
+      .withColumn("n", sum(col("c")).over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(groupCols.map(col): _*)))
+    val aggs = quantiles.map { q =>
+      min(when(col("cum") * lit(1000L) >= col("n") * lit(q.toLong),
+        col("bin"))).as(s"_qb$q")
+    }
+    cum.groupBy(groupCols.map(col): _*)
+      .agg(aggs.head, aggs.tail: _*)
+      .select((groupCols.map(col) ++ quantiles.map(q =>
+        pow(lit(2.0), col(s"_qb$q")).cast("long").as(s"p${q}_lower"))): _*)
+  }
+
   /** The HLL cardinality estimate from a register frame: one row
     * `(registers_used, v0, est)`. Exact-integer inner sum
     * `S = Σ 2^(valBits+1−rmax)` (empty registers contribute

@@ -1,0 +1,146 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Analytics odds-and-ends the engine still lacked as registered,
+  * oracle-gated queries: entity-resolution fuzzy matching (q111) and
+  * pivot/crosstab (q112). Both ride functions Spark and DuckDB define
+  * identically (`levenshtein` is the standard DP edit distance in
+  * both; pivot cells are plain filtered counts).
+  */
+object AnalyticsQueries {
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // ---- q111: blocked fuzzy self-join (entity resolution) ----
+    // The record-linkage primitive: candidate pairs of near-identical
+    // names under an edit-distance threshold, found WITHOUT an
+    // all-pairs scan. Scale shape: (1) collapse to the DISTINCT name
+    // domain first (entity resolution is about the value domain, not
+    // row multiplicity — at 100 TB the distinct names are orders of
+    // magnitude smaller than the rows); (2) block on the first token
+    // (a real blocking key: edits inside the noun never cross it);
+    // (3) equi-join on the block key — a hash join, never a cartesian
+    // — and verify levenshtein post-join. Rows carry their counts so
+    // a downstream merge step knows each entity's mass.
+    QueryDef(
+      "q111_fuzzy_blocked_join",
+      (s, dir) => {
+        val p = Tables.load(s, dir, "part")
+        val names = p.groupBy(col("p_name").as("name"))
+          .agg(count(lit(1)).as("n"))
+          .withColumn("blk", split(col("name"), " ").getItem(0))
+        val a = names.select(col("blk"), col("name").as("name_a"),
+          col("n").as("n_a"))
+        val b = names.select(col("blk"), col("name").as("name_b"),
+          col("n").as("n_b"))
+        a.join(b, Seq("blk"))
+          .where(col("name_a") < col("name_b"))
+          .withColumn("dist", levenshtein(col("name_a"), col("name_b")))
+          .where(col("dist") <= 3)
+          .select(col("name_a"), col("name_b"), col("dist"),
+            col("n_a"), col("n_b"))
+          .orderBy(col("name_a"), col("name_b"))
+      },
+      Some("""
+        WITH names AS (
+          SELECT p_name AS name, count(*) AS n,
+                 string_split(p_name, ' ')[1] AS blk
+          FROM part GROUP BY 1),
+        pairs AS (
+          SELECT a.name AS name_a, b.name AS name_b,
+                 levenshtein(a.name, b.name) AS dist,
+                 a.n AS n_a, b.n AS n_b
+          FROM names a JOIN names b
+            ON a.blk = b.blk AND a.name < b.name)
+        SELECT name_a, name_b, dist, n_a, n_b
+        FROM pairs WHERE dist <= 3
+        ORDER BY name_a, name_b""")),
+
+    // ---- q112: pivot / crosstab ----
+    // Hour-of-day × event-type count matrix — the reporting shape
+    // `GROUP BY` can't produce directly. Spark's `pivot` with an
+    // EXPLICIT value list (no discovery scan, deterministic column
+    // order); cells are zero-filled so the frame is dense. One
+    // shuffle on the row key; the pivot itself is a projection.
+    QueryDef(
+      "q112_pivot_event_matrix",
+      (s, dir) => {
+        val ev = Tables.load(s, dir, "events")
+        val types = Seq("click", "error", "purchase", "signup", "view")
+        // ts is the nanos-long contract (Tables.load) — integer DIV
+        // only; a double division would shave low bits off 1e18-scale
+        // nanos before the cast
+        val hours = ev.select(
+          expr("((ts DIV 1000000) DIV 3600000) % 24").as("hour"),
+          col("event_type"))
+        val piv = hours.groupBy("hour")
+          .pivot("event_type", types)
+          .agg(count(lit(1)))
+        piv.select(col("hour") +:
+            types.map(t => coalesce(col(t), lit(0L)).as(t)): _*)
+          .orderBy("hour")
+      },
+      Some("""
+        SELECT (epoch_ms(ts) // 3600000) % 24 AS hour,
+               count(*) FILTER (event_type = 'click') AS "click",
+               count(*) FILTER (event_type = 'error') AS "error",
+               count(*) FILTER (event_type = 'purchase') AS "purchase",
+               count(*) FILTER (event_type = 'signup') AS "signup",
+               count(*) FILTER (event_type = 'view') AS "view"
+        FROM events GROUP BY 1 ORDER BY hour""")),
+
+    // ---- q114: corpus snapshot diff ----
+    // Dataset versioning: v2 is derived from the corpus by three
+    // deterministic in-query edits (drop the 7-multiples, uppercase
+    // the 5-multiples' text, append fresh ids for the 11-multiples),
+    // then `SnapshotDiff.diff` classifies every id in one
+    // (id, 16-byte-fp)-keyed full outer join — unchanged rows (the
+    // re-crawl bulk) never materialize. The oracle replays both the
+    // derivation and the diff.
+    QueryDef(
+      "q114_snapshot_diff",
+      (s, dir) => {
+        val d0 = Tables.load(s, dir, "documents")
+          .select(col("doc_id"), col("text"), col("lang"), col("source"))
+        val v2 = d0.filter(col("doc_id") % 7 =!= 0)
+          .withColumn("text",
+            when(col("doc_id") % 5 === 0, upper(col("text")))
+              .otherwise(col("text")))
+          .unionAll(d0.filter(col("doc_id") % 11 === 0)
+            .select((col("doc_id") + lit(10000000L)).as("doc_id"),
+              concat(col("text"), lit(" v2")).as("text"),
+              col("lang"), col("source")))
+        graft.operators.SnapshotDiff
+          .diff(d0, v2, "doc_id", Seq("text", "lang", "source"))
+          .orderBy("doc_id", "status")
+      },
+      Some("""
+        WITH v1 AS (
+          SELECT doc_id, text, lang, source FROM documents),
+        v2 AS (
+          SELECT doc_id,
+                 CASE WHEN doc_id % 5 = 0 THEN upper(text) ELSE text END
+                   AS text,
+                 lang, source
+          FROM documents WHERE doc_id % 7 <> 0
+          UNION ALL
+          SELECT doc_id + 10000000, text || ' v2', lang, source
+          FROM documents WHERE doc_id % 11 = 0),
+        f1 AS (SELECT doc_id,
+                      md5(concat_ws(chr(31), text, lang, source)) AS fp
+               FROM v1),
+        f2 AS (SELECT doc_id,
+                      md5(concat_ws(chr(31), text, lang, source)) AS fp
+               FROM v2),
+        d AS (
+          SELECT coalesce(f1.doc_id, f2.doc_id) AS doc_id,
+                 CASE WHEN f1.fp IS NULL THEN 'added'
+                      WHEN f2.fp IS NULL THEN 'removed'
+                      WHEN f1.fp <> f2.fp THEN 'changed' END AS status
+          FROM f1 FULL OUTER JOIN f2 ON f1.doc_id = f2.doc_id)
+        SELECT doc_id, status FROM d WHERE status IS NOT NULL
+        ORDER BY doc_id, status"""))
+  )
+}

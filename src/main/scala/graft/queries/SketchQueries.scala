@@ -135,6 +135,71 @@ object SketchQueries {
                CASE WHEN raw <= 2.5 * $M AND v0 > 0
                     THEN round($M.0 * ln($M.0 / v0), 4)
                     ELSE raw END AS est
-        FROM r3"""))
+        FROM r3""")),
+
+    // ---- q113: log-bin quantile sketch ----
+    // Per-source document-length profile from the ≤64-bin mergeable
+    // histogram (the quantile member of the sketch trio), with the
+    // exact discrete median computed UNDER THE SAME integer rank rule
+    // in the same row — the sketch's 2× bound is checked by the
+    // ClassifierSketchSpec invariant, the gate checks every bin
+    // count and both rank walks exactly. Rank test is the pure-
+    // integer `cum·1000 ≥ q·n`; no division, no float ranks.
+    QueryDef(
+      "q113_logbin_quantiles",
+      (s, dir) => {
+        val d = Tables.load(s, dir, "documents")
+        val v = d.select(col("source"),
+          greatest(col("n_chars").cast("long"), lit(1L)).as("v"))
+        val qs = Sketches.logBinQuantiles(
+          Sketches.logBins(v, Seq("source"), "v"),
+          Seq("source"), Seq(250, 500, 900))
+        val wv = org.apache.spark.sql.expressions.Window
+          .partitionBy("source").orderBy("v")
+        val em = v.groupBy("source", "v").agg(count(lit(1)).as("c"))
+          .withColumn("cum", sum("c").over(wv))
+          .withColumn("n", sum("c").over(
+            org.apache.spark.sql.expressions.Window.partitionBy("source")))
+          .groupBy("source")
+          .agg(min(when(col("cum") * lit(1000L) >= col("n") * lit(500L),
+            col("v"))).as("exact_median"))
+        qs.join(em, "source").orderBy("source")
+      },
+      Some("""
+        WITH v AS (
+          SELECT source, greatest(n_chars, 1) AS v FROM documents),
+        b AS (
+          SELECT source, CAST(length(bin(v)) - 1 AS BIGINT) AS bin,
+                 count(*) AS c
+          FROM v GROUP BY ALL),
+        cumt AS (
+          SELECT source, bin, c,
+                 sum(c) OVER (PARTITION BY source ORDER BY bin) AS cum,
+                 sum(c) OVER (PARTITION BY source) AS n
+          FROM b),
+        qb AS (
+          SELECT source,
+                 min(CASE WHEN cum*1000 >= n*250 THEN bin END) AS qb250,
+                 min(CASE WHEN cum*1000 >= n*500 THEN bin END) AS qb500,
+                 min(CASE WHEN cum*1000 >= n*900 THEN bin END) AS qb900
+          FROM cumt GROUP BY 1),
+        ec AS (SELECT source, v, count(*) AS c FROM v GROUP BY ALL),
+        ecum AS (
+          SELECT source, v,
+                 sum(c) OVER (PARTITION BY source ORDER BY v) AS cum,
+                 sum(c) OVER (PARTITION BY source) AS n
+          FROM ec),
+        em AS (
+          SELECT source,
+                 min(CASE WHEN cum*1000 >= n*500 THEN v END)
+                   AS exact_median
+          FROM ecum GROUP BY 1)
+        SELECT qb.source,
+               CAST(power(2, qb250) AS BIGINT) AS p250_lower,
+               CAST(power(2, qb500) AS BIGINT) AS p500_lower,
+               CAST(power(2, qb900) AS BIGINT) AS p900_lower,
+               em.exact_median
+        FROM qb JOIN em USING (source)
+        ORDER BY source"""))
   )
 }

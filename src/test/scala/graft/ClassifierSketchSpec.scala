@@ -10,7 +10,7 @@ class ClassifierSketchSpec extends SparkSpec {
   import spark.implicits._
 
   private lazy val docs =
-    spark.read.parquet(s"$sf0001/documents.parquet").cache()
+    spark.read.parquet(s"$sf0001/documents.parquet")
 
   // ---- Naive Bayes ----------------------------------------------------
 
@@ -112,6 +112,37 @@ class ClassifierSketchSpec extends SparkSpec {
     val sigma = 1.04 / math.sqrt(m.toDouble) * n
     assert(math.abs(est - n) <= 3 * sigma,
       s"HLL est $est vs exact $n (sigma $sigma)")
+  }
+
+  test("logbin quantile sketch: lower bound within the guaranteed 2x " +
+      "band of the exact discrete quantile, and bins merge by add") {
+    val v = docs.select(col("source"),
+      greatest(col("n_chars").cast("long"), lit(1L)).as("v")).cache()
+    val bins = Sketches.logBins(v, Seq("source"), "v")
+    assert(bins.groupBy("source").count().filter(col("count") > 64).isEmpty)
+    val qs = Sketches.logBinQuantiles(bins, Seq("source"), Seq(500))
+    // exact discrete median under the same integer rank rule
+    val wv = org.apache.spark.sql.expressions.Window
+      .partitionBy("source").orderBy("v")
+    val em = v.groupBy("source", "v").agg(count(lit(1)).as("c"))
+      .withColumn("cum", sum("c").over(wv))
+      .withColumn("n", sum("c").over(
+        org.apache.spark.sql.expressions.Window.partitionBy("source")))
+      .groupBy("source")
+      .agg(min(when(col("cum") * lit(1000L) >= col("n") * lit(500L),
+        col("v"))).as("m"))
+    val joined = qs.join(em, "source")
+    assert(joined.filter(col("p500_lower") > col("m") ||
+      col("m") >= col("p500_lower") * 2).isEmpty,
+      "2x bound violated")
+    // mergeability: bins of two halves, summed, equal whole-corpus bins
+    val left = v.filter(col("v") % 2 === 0)
+    val right = v.filter(col("v") % 2 =!= 0)
+    val merged = Sketches.logBins(left, Seq("source"), "v")
+      .unionAll(Sketches.logBins(right, Seq("source"), "v"))
+      .groupBy("source", "bin").agg(sum("c").as("c"))
+    val whole = Sketches.logBins(v, Seq("source"), "v")
+    assert(whole.exceptAll(merged).isEmpty && merged.exceptAll(whole).isEmpty)
   }
 
   test("hll: register frame is merge-associative (union of corpus " +

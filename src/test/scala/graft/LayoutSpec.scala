@@ -85,4 +85,26 @@ class LayoutSpec extends SparkSpec {
       .select("id", "shard", "pos").as[(Long, Int, Long)].collect().toSet
     assert(again == first)
   }
+
+  test("partitioned layout: a shard predicate prunes at PLANNING time " +
+      "(PartitionFilters, no data filter) — the 100 TB selective read") {
+    import spark.implicits._
+    val df = (0 until 1000).map(_.toLong).toDF("id")
+      .withColumn("payload", concat(lit("doc_"), col("id")))
+    val path = new java.io.File("target/tmp/prune_shards").getAbsolutePath
+    Layout.writeTrainingShards(df, "id", nShards = 8, path)
+    val q = spark.read.parquet(path).filter(col("shard") === 3)
+    val plan = q.queryExecution.executedPlan.toString
+    // the predicate must appear as a partition filter on the scan,
+    // and must NOT fall through to a row-level data filter
+    assert(plan.contains("PartitionFilters") &&
+      "PartitionFilters: \\[[^\\]]*shard".r.findFirstIn(plan).isDefined,
+      s"shard predicate did not reach PartitionFilters:\n$plan")
+    assert("PushedFilters: \\[[^\\]]*shard".r.findFirstIn(plan).isEmpty,
+      s"shard predicate leaked into data filters:\n$plan")
+    // pruned scan reads exactly the one directory's rows
+    val full = spark.read.parquet(path)
+      .groupBy("shard").count().as[(Int, Long)].collect().toMap
+    assert(q.count() == full(3))
+  }
 }

@@ -15,7 +15,7 @@ class StreamingSketchSpec extends SparkSpec {
   import spark.implicits._
 
   private lazy val docs =
-    spark.read.parquet(s"$sf0001/documents.parquet").cache()
+    spark.read.parquet(s"$sf0001/documents.parquet")
 
   test("streaming HLL: register frame after N batches equals the " +
       "batch sketch (same code, incremental run, bounded state)") {
