@@ -46,6 +46,7 @@ object Sketches {
     */
   def countMin(items: DataFrame, itemCol: String, weightCol: String,
       depth: Int, width: Int): DataFrame = {
+    require(depth >= 1 && width >= 1, s"depth=$depth width=$width")
     val rows = items.select(
       col(itemCol).as("_i"), col(weightCol).as("_k"),
       explode(sequence(lit(0), lit(depth - 1))).as("r"))
@@ -63,6 +64,10 @@ object Sketches {
     */
   def cmsEstimate(candidates: DataFrame, itemCol: String,
       counters: DataFrame, depth: Int, width: Int): DataFrame = {
+    // the counter frame's (r, b, c) and the output's est are reserved
+    require(!candidates.columns.exists(Set("r", "b", "c", "est")),
+      s"candidate columns clash with the sketch schema: " +
+        candidates.columns.mkString(", "))
     val probes = candidates.select(
         col("*"), explode(sequence(lit(0), lit(depth - 1))).as("r"))
       .withColumn("b", h60(col(itemCol), Some(col("r"))) % width)
@@ -106,13 +111,16 @@ object Sketches {
     * Non-positive values are clamped to bin 0 with the value-1 floor.
     */
   def logBins(items: DataFrame, groupCols: Seq[String], valueCol: String)
-      : DataFrame =
+      : DataFrame = {
+    require(!groupCols.exists(Set("bin", "c")),
+      s"group columns clash with the sketch schema: $groupCols")
     items
       .select((groupCols.map(col) :+
         (length(bin(greatest(col(valueCol).cast("long"), lit(1L)))) - 1)
           .cast("long").as("bin")): _*)
       .groupBy((groupCols :+ "bin").map(col): _*)
       .agg(count(lit(1)).as("c"))
+  }
 
   /** Per-group quantile estimates from a `logBins` frame: for each
     * requested quantile q, the SMALLEST bin whose cumulative count

@@ -37,4 +37,28 @@ object SnapshotDiff {
       .where(col("status").isNotNull)
       .select(col(idCol), col("status"))
   }
+
+  /** The streaming face of the diff: classify ARRIVING v2 rows
+    * against a static v1 — `added` (id unseen in v1) or `changed`
+    * (fingerprint differs); unchanged arrivals drop. A stream-static
+    * left join + filter: stateless on the stream side, append-legal.
+    * `removed` is structurally not streamable (absence of a future
+    * arrival is not an event) — close the snapshot and run the batch
+    * `diff` for the removal sweep; documented asymmetry.
+    */
+  def diffStream(v1: DataFrame, v2Stream: DataFrame, idCol: String,
+      fpCols: Seq[String]): DataFrame = {
+    require(fpCols.nonEmpty, "need at least one fingerprint column")
+    val sep = "\u001f"
+    val base = v1.select(col(idCol),
+      md5(concat_ws(sep, fpCols.map(col): _*)).as("fp1"))
+    v2Stream
+      .withColumn("fp2", md5(concat_ws(sep, fpCols.map(col): _*)))
+      .join(base, Seq(idCol), "left")
+      .withColumn("status",
+        when(col("fp1").isNull, lit("added"))
+          .when(col("fp1") =!= col("fp2"), lit("changed")))
+      .where(col("status").isNotNull)
+      .select(col(idCol), col("status"))
+  }
 }

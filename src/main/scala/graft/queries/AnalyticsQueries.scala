@@ -141,6 +141,42 @@ object AnalyticsQueries {
                       WHEN f1.fp <> f2.fp THEN 'changed' END AS status
           FROM f1 FULL OUTER JOIN f2 ON f1.doc_id = f2.doc_id)
         SELECT doc_id, status FROM d WHERE status IS NOT NULL
-        ORDER BY doc_id, status"""))
+        ORDER BY doc_id, status""")),
+
+    // ---- q115: Z-order clustering key ----
+    // The Morton interleave `Layout.zValue` as a registered,
+    // hash-gated assignment (the write path it feeds —
+    // `writeZOrdered`, range-partition + sort on z so min/max stats
+    // are tight on BOTH dimensions — is measured in LayoutSpec:
+    // a one-column box predicate lands in ≤6 of 16 files vs all 16
+    // under the wrong-column linear sort). Pure shift/mask integer
+    // arithmetic, replayed in the oracle as the explicit 10-bit
+    // interleave sum.
+    QueryDef(
+      "q115_zorder_key",
+      (s, dir) => {
+        val l = Tables.load(s, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_linenumber"),
+            (col("l_partkey") % 1024).as("x"),
+            (col("l_suppkey") % 1024).as("y"))
+        l.withColumn("z",
+            graft.sources.Layout.zValue(col("x"), col("y"), 10))
+          .orderBy(col("z").desc, col("l_orderkey"), col("l_linenumber"))
+          .limit(100)
+      },
+      Some {
+        val interleave = (0 until 10).map(i =>
+          s"(((x >> $i) & 1) << ${2 * i}) | (((y >> $i) & 1) << ${2 * i + 1})")
+          .mkString(" | ")
+        s"""
+        WITH k AS (
+          SELECT l_orderkey, l_linenumber,
+                 l_partkey % 1024 AS x, l_suppkey % 1024 AS y
+          FROM lineitem)
+        SELECT l_orderkey, l_linenumber, x, y,
+               CAST($interleave AS BIGINT) AS z
+        FROM k
+        ORDER BY z DESC, l_orderkey, l_linenumber LIMIT 100"""
+      })
   )
 }

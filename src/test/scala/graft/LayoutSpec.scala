@@ -107,4 +107,39 @@ class LayoutSpec extends SparkSpec {
       .groupBy("shard").count().as[(Int, Long)].collect().toMap
     assert(q.count() == full(3))
   }
+
+  test("z-order layout: a box predicate on EITHER column clusters " +
+      "into few files; the wrong-column linear sort spreads over all") {
+    import spark.implicits._
+    // full 128x128 grid
+    val grid = spark.range(128L * 128L)
+      .select((col("id") % 128).as("x"), (col("id") / 128).as("y"))
+    // z-value is a bijection on the grid (no two cells collide)
+    val nz = grid.select(Layout.zValue(col("x"), col("y"), 7).as("z"))
+      .distinct().count()
+    assert(nz == 128L * 128L)
+
+    val zPath = new java.io.File("target/tmp/zorder").getAbsolutePath
+    val linPath = new java.io.File("target/tmp/linear").getAbsolutePath
+    Layout.writeZOrdered(grid, zPath, "x", "y", bits = 7, numFiles = 16)
+    grid.repartitionByRange(16, col("x")).sortWithinPartitions("x")
+      .write.mode("overwrite").parquet(linPath)
+
+    def filesMatching(path: String, pred: org.apache.spark.sql.Column) =
+      spark.read.parquet(path).where(pred)
+        .select(input_file_name()).distinct().count()
+
+    // predicate on y: the x-sorted layout spreads matches everywhere
+    val pred = col("y") >= 8 && col("y") < 24
+    val zFiles = filesMatching(zPath, pred)
+    val linFiles = filesMatching(linPath, pred)
+    assert(linFiles == 16, s"expected all 16 linear files, got $linFiles")
+    assert(zFiles <= 6, s"z-order should cluster the box into a few of " +
+      s"16 files, got $zFiles")
+    // and the z layout stays clustered on x too (no traded dimension)
+    val zFilesX = filesMatching(zPath, col("x") >= 8 && col("x") < 24)
+    assert(zFilesX <= 6, s"x-box hit $zFilesX z-ordered files")
+    // lossless
+    assert(spark.read.parquet(zPath).count() == 128L * 128L)
+  }
 }

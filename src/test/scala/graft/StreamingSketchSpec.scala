@@ -84,6 +84,39 @@ class StreamingSketchSpec extends SparkSpec {
     }
   }
 
+  test("streaming snapshot diff: arriving v2 docs classified " +
+      "added/changed equals the batch diff minus removals") {
+    import graft.operators.SnapshotDiff
+    val v1 = docs.select(col("doc_id"), col("text"))
+    val v2 = v1.filter(col("doc_id") % 7 =!= 0)
+      .withColumn("text",
+        when(col("doc_id") % 5 === 0, upper(col("text")))
+          .otherwise(col("text")))
+      .unionAll(v1.filter(col("doc_id") % 11 === 0)
+        .select((col("doc_id") + lit(10000000L)).as("doc_id"),
+          concat(col("text"), lit(" v2")).as("text")))
+    val batchAddedChanged = SnapshotDiff
+      .diff(v1, v2, "doc_id", Seq("text"))
+      .filter(col("status") =!= "removed")
+      .as[(Long, String)].collect().toSet
+
+    implicit val sqlCtx = spark.sqlContext
+    val rows = v2.as[(Long, String)].collect().toSeq
+    val ms = MemoryStream[(Long, String)]
+    val q = SnapshotDiff.diffStream(
+        v1, ms.toDF().toDF("doc_id", "text"), "doc_id", Seq("text"))
+      .writeStream.format("memory").queryName("diff_stream")
+      .outputMode("append").start()
+    try {
+      val (a, b) = rows.splitAt(rows.length / 2)
+      ms.addData(a: _*); q.processAllAvailable()
+      ms.addData(b: _*); q.processAllAvailable()
+      val stream = spark.table("diff_stream")
+        .as[(Long, String)].collect().toSet
+      assert(stream == batchAddedChanged)
+    } finally q.stop()
+  }
+
   test("streaming NB scoring: append-mode stateless scoring of an " +
       "incoming doc stream equals batch predictions") {
     val model = NaiveBayes.fitModel(docs, "text", "lang")
