@@ -172,6 +172,43 @@ object CorpusStress {
       val (r105, t105, sk105, cb105, cr105) = timeGuarded(
         SparkEntry.queries("q105_winnow_neardup")(spark, dirX).count())
 
+      // q108/q109/q110 (r7 continuation): classifier + sketches at
+      // scale. Token-disjoint copies mean every copy's label-token
+      // counts equal the base and smoothing denominators scale
+      // uniformly, so NB predictions are per-copy identical and rows
+      // scale exactly linearly. The sketches' claim is the OPPOSITE
+      // of linear: the CMS counter frame and HLL register frame stay
+      // FIXED-SIZE as the corpus grows — asserted at every factor —
+      // and the HLL estimate must track the ×f distinct growth
+      // inside its 3-sigma band.
+      val (r108, t108, sk108, cb108, cr108) = timeGuarded(
+        SparkEntry.queries("q108_nb_classify")(spark, dirX).count())
+      require(r108 == n, s"NB classify not total at factor $f: $r108 vs $n")
+      val grams3 = docs
+        .withColumn("_t", split(col("text"), " "))
+        .select(explode(when(size(col("_t")) >= 3,
+          transform(sequence(lit(1), size(col("_t")) - 2),
+            i => concat_ws(" ", element_at(col("_t"), i),
+              element_at(col("_t"), i + 1), element_at(col("_t"), i + 2))))
+          .otherwise(array().cast("array<string>"))).as("gram"))
+        .groupBy("gram").agg(count(lit(1)).as("cnt"))
+      val (rCms, tCms) = time(
+        graft.operators.Sketches.countMin(grams3, "gram", "cnt", 4, 2048)
+          .count())
+      require(rCms <= 4 * 2048,
+        s"CMS frame grew past depth*width at factor $f: $rCms")
+      val (hll, tHll) = time {
+        val regs = graft.operators.Sketches.hllRegisters(grams3, "gram", 1024)
+        val est = graft.operators.Sketches.hllEstimate(regs, 1024)
+          .select(col("registers_used"), col("est")).head
+        (est.getLong(0), est.getDouble(1))
+      }
+      val nGrams = grams3.count()
+      require(hll._1 <= 1024,
+        s"HLL register frame grew past m at factor $f: ${hll._1}")
+      require(math.abs(hll._2 - nGrams) <= 3 * 1.04 / 32.0 * nGrams,
+        s"HLL estimate ${hll._2} off exact $nGrams at factor $f")
+
       // q95's skew claim, measured: force EVERYTHING into one class
       // (the hottest possible class) and budget half the corpus's
       // tokens. The two-level prefix sum sorts only the boundary
@@ -214,6 +251,12 @@ object CorpusStress {
         s""""q103_cap_buckets":$cb103,"q103_cap_rows":$cr103,""" +
         s""""q105_sec":$t105,"q105_rows":$r105,"q105_aqe_skew_splits":$sk105,""" +
         s""""q105_cap_buckets":$cb105,"q105_cap_rows":$cr105,""" +
+        s""""q108_sec":$t108,"q108_rows":$r108,""" +
+        s""""q108_aqe_skew_splits":$sk108,""" +
+        s""""q108_cap_buckets":$cb108,"q108_cap_rows":$cr108,""" +
+        s""""cms_sec":$tCms,"cms_cells":$rCms,""" +
+        s""""hll_sec":$tHll,"hll_regs":${hll._1},"hll_est":${hll._2},""" +
+        s""""ngrams_exact":$nGrams,""" +
         s""""q95_sec":$t95,"q95_naive_sec":$t95n,"q95_rows":$r95}""")
     }
     spark.stop()

@@ -85,18 +85,31 @@ object Sketches {
     * `length(bin(v))` — exact integer bit-length on both engines — so
     * no float log2 edge cases.
     */
-  def hllRegisters(items: DataFrame, itemCol: String, m: Int): DataFrame = {
+  def hllRegisters(items: DataFrame, itemCol: String, m: Int): DataFrame =
+    hllRegistersBy(items, Nil, itemCol, m)
+
+  /** Per-group HLL register frames — the production form (distinct
+    * users per page, distinct tokens per source): ≤ m rows PER GROUP,
+    * same map-side collapse, mergeable by per-register max within a
+    * group.
+    */
+  def hllRegistersBy(items: DataFrame, groupCols: Seq[String],
+      itemCol: String, m: Int): DataFrame = {
     require(m > 0 && (m & (m - 1)) == 0, s"m must be a power of two: $m")
+    require(!groupCols.exists(Set("reg", "rho", "rmax")),
+      s"group columns clash with the sketch schema: $groupCols")
     val log2m = 63 - java.lang.Long.numberOfLeadingZeros(m.toLong)
     val valBits = 60 - log2m
     val h = h60(col(itemCol))
     items
-      .select(h.bitwiseAND(lit((m - 1).toLong)).as("reg"),
-        shiftright(h, log2m).as("v"))
-      .select(col("reg"),
+      .select(groupCols.map(col) ++ Seq(
+        h.bitwiseAND(lit((m - 1).toLong)).as("reg"),
+        shiftright(h, log2m).as("v")): _*)
+      .select(groupCols.map(col) ++ Seq(col("reg"),
         when(col("v") === 0, lit(valBits + 1))
-          .otherwise(lit(valBits + 1) - length(bin(col("v")))).as("rho"))
-      .groupBy("reg").agg(max(col("rho")).as("rmax"))
+          .otherwise(lit(valBits + 1) - length(bin(col("v")))).as("rho")): _*)
+      .groupBy((groupCols :+ "reg").map(col): _*)
+      .agg(max(col("rho")).as("rmax"))
   }
 
   /** Log₂-binned histogram sketch over a positive-integer column —
@@ -163,23 +176,33 @@ object Sketches {
     * (division, ln) are rounded to 4 decimals — the q71 cross-engine
     * discipline.
     */
-  def hllEstimate(registers: DataFrame, m: Int): DataFrame = {
+  def hllEstimate(registers: DataFrame, m: Int): DataFrame =
+    hllEstimateBy(registers, Nil, m)
+
+  /** Grouped form of `hllEstimate`: one `(groupCols…, registers_used,
+    * v0, est)` row per group from a `hllRegistersBy` frame. Same
+    * arithmetic, grouped.
+    */
+  def hllEstimateBy(registers: DataFrame, groupCols: Seq[String], m: Int)
+      : DataFrame = {
     val valBits = 60 - (63 - java.lang.Long.numberOfLeadingZeros(m.toLong))
     val top = valBits + 1
+    val g = groupCols.map(col)
     registers
+      .groupBy(g: _*)
       .agg(count(lit(1)).as("registers_used"),
         sum(pow(lit(2.0), lit(top) - col("rmax")).cast("long")).as("s_used"))
-      .select(col("registers_used"),
+      .select(g ++ Seq(col("registers_used"),
         (lit(m) - col("registers_used")).as("v0"),
         (col("s_used") +
           (lit(m) - col("registers_used")) *
-            pow(lit(2.0), lit(top)).cast("long")).as("s"))
-      .select(col("registers_used"), col("v0"),
+            pow(lit(2.0), lit(top)).cast("long")).as("s")): _*)
+      .select(g ++ Seq(col("registers_used"), col("v0"),
         round((lit(0.7213 / (1.0 + 1.079 / m)) * m * m) *
-          pow(lit(2.0), lit(top)) / col("s"), 4).as("raw"))
-      .select(col("registers_used"), col("v0"),
+          pow(lit(2.0), lit(top)) / col("s"), 4).as("raw")): _*)
+      .select(g ++ Seq(col("registers_used"), col("v0"),
         when(col("raw") <= lit(2.5 * m) && col("v0") > 0,
           round(lit(m.toDouble) * log(lit(m.toDouble) / col("v0")), 4))
-          .otherwise(col("raw")).as("est"))
+          .otherwise(col("raw")).as("est")): _*)
   }
 }

@@ -23,6 +23,11 @@ import org.apache.spark.sql.functions._
   */
 object SnapshotDiff {
 
+  /** Contract: `idCol` is unique WITHIN each snapshot (the id is the
+    * entity being versioned) — duplicate ids would multiply through
+    * the join and double-report. The batch q20-family exact dedup is
+    * the upstream step that establishes this.
+    */
   def diff(v1: DataFrame, v2: DataFrame, idCol: String,
       fpCols: Seq[String]): DataFrame = {
     require(fpCols.nonEmpty, "need at least one fingerprint column")

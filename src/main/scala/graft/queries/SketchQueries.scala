@@ -200,6 +200,82 @@ object SketchQueries {
                CAST(power(2, qb900) AS BIGINT) AS p900_lower,
                em.exact_median
         FROM qb JOIN em USING (source)
+        ORDER BY source""")),
+
+    // ---- q116: per-group HLL (the production form) ----
+    // Distinct trigrams per source from per-group register frames
+    // (≤m rows per group), exact count alongside. m=256 puts larger
+    // sources in the bias-corrected branch and would leave tiny ones
+    // to linear counting — both branches sit under the gate.
+    QueryDef(
+      "q116_hll_per_source",
+      (s, dir) => {
+        val d = Tables.load(s, dir, "documents")
+        val tg = sourceTrigrams(d).select("source", "gram").distinct()
+        val est = Sketches.hllEstimateBy(
+          Sketches.hllRegistersBy(tg, Seq("source"), "gram", 256),
+          Seq("source"), 256)
+        val exact = tg.groupBy("source")
+          .agg(count(lit(1)).as("n_exact"))
+        exact.join(est, "source")
+          .select(col("source"), col("n_exact"), col("registers_used"),
+            col("v0"), col("est"))
+          .orderBy("source")
+      },
+      Some(s"""
+        WITH t AS (
+          SELECT source, string_split(text, ' ') AS tk FROM documents),
+        g AS (
+          SELECT DISTINCT source,
+                 tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] AS gram
+          FROM t, LATERAL unnest(range(1, greatest(len(tk) - 1, 1))) AS u(i)),
+        h AS (
+          SELECT source,
+                 CAST(CAST(concat('0x', substr(md5(gram), 1, 15))
+                 AS UBIGINT) AS BIGINT) AS h
+          FROM g),
+        rr AS (
+          SELECT source, h & 255 AS reg,
+                 CASE WHEN h >> 8 = 0 THEN 53
+                      ELSE 53 - length(bin(h >> 8)) END AS rho
+          FROM h),
+        regs AS (
+          SELECT source, reg, max(rho) AS rmax FROM rr GROUP BY 1, 2),
+        agg AS (
+          SELECT source, CAST(count(*) AS BIGINT) AS registers_used,
+                 CAST(sum(CAST(power(2, 53 - rmax) AS BIGINT)) AS BIGINT)
+                   AS s_used
+          FROM regs GROUP BY 1),
+        s2 AS (
+          SELECT source, registers_used, 256 - registers_used AS v0,
+                 s_used + (256 - registers_used) *
+                   CAST(power(2, 53) AS BIGINT) AS s
+          FROM agg),
+        r3 AS (
+          SELECT source, registers_used, v0,
+                 round((0.7213 / (1.0 + 1.079 / 256.0) * 256 * 256) *
+                       power(2.0, 53) / s, 4) AS raw
+          FROM s2),
+        ex AS (SELECT source, CAST(count(*) AS BIGINT) AS n_exact
+               FROM g GROUP BY 1)
+        SELECT r3.source, ex.n_exact, registers_used, v0,
+               CASE WHEN raw <= 2.5 * 256 AND v0 > 0
+                    THEN round(256.0 * ln(256.0 / v0), 4)
+                    ELSE raw END AS est
+        FROM r3 JOIN ex USING (source)
         ORDER BY source"""))
   )
+
+  /** (source, gram) trigram rows — q116's domain (q109/q110's
+    * construction with the group column carried).
+    */
+  private def sourceTrigrams(d: org.apache.spark.sql.DataFrame) = {
+    val grams = when(size(col("_t")) >= 3,
+      transform(sequence(lit(1), size(col("_t")) - 2),
+        i => concat_ws(" ", element_at(col("_t"), i),
+          element_at(col("_t"), i + 1), element_at(col("_t"), i + 2))))
+      .otherwise(array().cast("array<string>"))
+    d.withColumn("_t", split(col("text"), " "))
+      .select(col("source"), explode(grams).as("gram"))
+  }
 }

@@ -98,6 +98,10 @@ object TarShards {
         val key = r.getAs[Long]("_key")
         exts.foreach { e =>
           val bytes = r.getAs[Array[Byte]](s"_p_$e")
+          require(bytes != null,
+            s"NULL payload for key=$key ext=$e — a tar entry has no " +
+              "NULL representation; coalesce to empty bytes upstream " +
+              "if absence is intended")
           cur.write(headerBytes(f"$key%012d.$e", bytes.length.toLong))
           cur.write(bytes)
           val pad = (BLOCK - bytes.length % BLOCK) % BLOCK

@@ -145,6 +145,26 @@ class ClassifierSketchSpec extends SparkSpec {
     assert(whole.exceptAll(merged).isEmpty && merged.exceptAll(whole).isEmpty)
   }
 
+  test("hll grouped: per-group frames/estimates match the global " +
+      "sketch run on each group alone") {
+    val toks = docs.select(col("lang"),
+      explode(split(col("text"), " ")).as("g"))
+    val grouped = Sketches.hllEstimateBy(
+      Sketches.hllRegistersBy(toks, Seq("lang"), "g", 256),
+      Seq("lang"), 256)
+    import spark.implicits._
+    val langs = docs.select("lang").distinct().as[String].collect()
+    langs.foreach { l =>
+      val alone = Sketches.hllEstimate(
+        Sketches.hllRegisters(toks.filter(col("lang") === l), "g", 256), 256)
+        .select(col("registers_used"), col("v0"), col("est"))
+        .head
+      val fromGrouped = grouped.filter(col("lang") === l)
+        .select(col("registers_used"), col("v0"), col("est")).head
+      assert(alone == fromGrouped, s"lang $l: $alone vs $fromGrouped")
+    }
+  }
+
   test("hll: register frame is merge-associative (union of corpus " +
       "halves = whole-corpus registers)") {
     val grams = docs.select(explode(split(col("text"), " ")).as("g"))
