@@ -263,6 +263,122 @@ object SketchQueries {
                     THEN round(256.0 * ln(256.0 / v0), 4)
                     ELSE raw END AS est
         FROM r3 JOIN ex USING (source)
+        ORDER BY source""")),
+
+    // ---- q117: per-source dataset card ----
+    // The datasheet a corpus release ships, one row per source:
+    // volume (docs, token instances), length profile (sketch median
+    // lower bound), vocabulary richness (grouped-HLL distinct-trigram
+    // estimate), and language mix (top lang + share). Everything
+    // derives from sketch frames and counting — one pass per facet,
+    // no sorts of the data — and the whole card replays in SQL.
+    QueryDef(
+      "q117_corpus_card",
+      (s, dir) => {
+        val d = Tables.load(s, dir, "documents")
+        val vol = d.groupBy("source").agg(
+          count(lit(1)).as("n_docs"),
+          sum(size(split(col("text"), " ")).cast("long")).as("n_tokens"))
+        val med = Sketches.logBinQuantiles(
+          Sketches.logBins(d.select(col("source"),
+            greatest(col("n_chars").cast("long"), lit(1L)).as("v")),
+            Seq("source"), "v"),
+          Seq("source"), Seq(500))
+        val tri = Sketches.hllEstimateBy(
+          Sketches.hllRegistersBy(
+            sourceTrigrams(d).select("source", "gram").distinct(),
+            Seq("source"), "gram", 256),
+          Seq("source"), 256)
+          .select(col("source"), col("est").as("trigrams_est"))
+        val wl = org.apache.spark.sql.expressions.Window
+          .partitionBy("source")
+          .orderBy(col("cnt").desc, col("lang").asc)
+        val toplang = d.groupBy("source", "lang")
+          .agg(count(lit(1)).as("cnt"))
+          .withColumn("rn", row_number().over(wl))
+          .where(col("rn") === 1)
+          .select(col("source"), col("lang").as("top_lang"),
+            col("cnt").as("top_lang_docs"))
+        vol.join(med, "source").join(tri, "source").join(toplang, "source")
+          .select(col("source"), col("n_docs"), col("n_tokens"),
+            col("p500_lower"), col("trigrams_est"), col("top_lang"),
+            round(col("top_lang_docs").cast("double") /
+              col("n_docs").cast("double"), 4).as("top_lang_share"))
+          .orderBy("source")
+      },
+      Some(s"""
+        WITH vol AS (
+          SELECT source, count(*) AS n_docs,
+                 CAST(sum(len(string_split(text, ' '))) AS BIGINT)
+                   AS n_tokens
+          FROM documents GROUP BY 1),
+        v AS (SELECT source, greatest(n_chars, 1) AS v FROM documents),
+        b AS (
+          SELECT source, CAST(length(bin(v)) - 1 AS BIGINT) AS bin,
+                 count(*) AS c
+          FROM v GROUP BY ALL),
+        cumt AS (
+          SELECT source, bin, c,
+                 sum(c) OVER (PARTITION BY source ORDER BY bin) AS cum,
+                 sum(c) OVER (PARTITION BY source) AS n
+          FROM b),
+        med AS (
+          SELECT source,
+                 CAST(power(2, min(CASE WHEN cum*1000 >= n*500
+                                        THEN bin END)) AS BIGINT)
+                   AS p500_lower
+          FROM cumt GROUP BY 1),
+        t AS (
+          SELECT source, string_split(text, ' ') AS tk FROM documents),
+        g AS (
+          SELECT DISTINCT source,
+                 tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] AS gram
+          FROM t, LATERAL unnest(range(1, greatest(len(tk) - 1, 1))) AS u(i)),
+        h AS (
+          SELECT source,
+                 CAST(CAST(concat('0x', substr(md5(gram), 1, 15))
+                 AS UBIGINT) AS BIGINT) AS h
+          FROM g),
+        rr AS (
+          SELECT source, h & 255 AS reg,
+                 CASE WHEN h >> 8 = 0 THEN 53
+                      ELSE 53 - length(bin(h >> 8)) END AS rho
+          FROM h),
+        regs AS (
+          SELECT source, reg, max(rho) AS rmax FROM rr GROUP BY 1, 2),
+        agg AS (
+          SELECT source, CAST(count(*) AS BIGINT) AS ru,
+                 CAST(sum(CAST(power(2, 53 - rmax) AS BIGINT)) AS BIGINT)
+                   AS s_used
+          FROM regs GROUP BY 1),
+        hll AS (
+          SELECT source, ru, 256 - ru AS v0,
+                 round((0.7213 / (1.0 + 1.079 / 256.0) * 256 * 256) *
+                       power(2.0, 53) /
+                       (s_used + (256 - ru) * CAST(power(2, 53) AS BIGINT)),
+                       4) AS raw
+          FROM agg),
+        tri AS (
+          SELECT source,
+                 CASE WHEN raw <= 2.5 * 256 AND v0 > 0
+                      THEN round(256.0 * ln(256.0 / v0), 4)
+                      ELSE raw END AS trigrams_est
+          FROM hll),
+        lc AS (
+          SELECT source, lang, count(*) AS cnt
+          FROM documents GROUP BY 1, 2),
+        tl AS (
+          SELECT source, lang AS top_lang, cnt AS top_lang_docs,
+                 row_number() OVER (PARTITION BY source
+                                    ORDER BY cnt DESC, lang) AS rn
+          FROM lc)
+        SELECT vol.source, vol.n_docs, vol.n_tokens, med.p500_lower,
+               tri.trigrams_est, tl.top_lang,
+               round(tl.top_lang_docs * 1.0 / vol.n_docs, 4)
+                 AS top_lang_share
+        FROM vol JOIN med USING (source) JOIN tri USING (source)
+        JOIN tl USING (source)
+        WHERE tl.rn = 1
         ORDER BY source"""))
   )
 

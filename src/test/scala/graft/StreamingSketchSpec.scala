@@ -84,6 +84,30 @@ class StreamingSketchSpec extends SparkSpec {
     }
   }
 
+  test("streaming logbins: per-group histogram after N batches equals " +
+      "the batch sketch (bounded ≤64-rows-per-group state)") {
+    val vals = docs.select(col("source"),
+      greatest(col("n_chars").cast("long"), lit(1L)).as("v"))
+      .as[(String, Long)].collect().toSeq
+    val batch = Sketches.logBins(vals.toDF("source", "v"),
+      Seq("source"), "v").orderBy("source", "bin").collect().toSeq
+
+    implicit val sqlCtx = spark.sqlContext
+    val ms = MemoryStream[(String, Long)]
+    val q = Sketches.logBins(ms.toDF().toDF("source", "v"),
+        Seq("source"), "v")
+      .writeStream.format("memory").queryName("logbins_stream")
+      .outputMode("complete").start()
+    try {
+      val (a, b) = vals.splitAt(vals.length / 2)
+      ms.addData(a: _*); q.processAllAvailable()
+      ms.addData(b: _*); q.processAllAvailable()
+      val stream = spark.table("logbins_stream")
+        .orderBy("source", "bin").collect().toSeq
+      assert(stream == batch)
+    } finally q.stop()
+  }
+
   test("streaming snapshot diff: arriving v2 docs classified " +
       "added/changed equals the batch diff minus removals") {
     import graft.operators.SnapshotDiff
