@@ -177,6 +177,61 @@ object AnalyticsQueries {
                CAST($interleave AS BIGINT) AS z
         FROM k
         ORDER BY z DESC, l_orderkey, l_linenumber LIMIT 100"""
-      })
+      }),
+
+    // ---- q118: contrastive training triples ----
+    // (anchor, positive, negative) for embedding-model training:
+    // positives = the q25 near-dup pairs (Jaccard ≥ 0.8), negatives =
+    // deterministic in-shard draws by minimal h60(anchor:candidate) —
+    // every step a pure function of the corpus, replayed exactly.
+    QueryDef(
+      "q118_contrastive_triples",
+      (s, dir) => {
+        graft.operators.Contrastive.triples(
+          Tables.load(s, dir, "documents"), "doc_id", "text",
+          threshold = 0.8, nShards = 64)
+          .orderBy("anchor", "positive")
+      },
+      Some("""
+        WITH tok AS (
+          SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        sh AS (
+          SELECT doc_id,
+                 CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
+                      ELSE list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                                          for i in generate_series(1, len(w) - 2)])
+                 END AS shingles
+          FROM tok),
+        pairs AS (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+          FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+          WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+                  / len(list_distinct(a.shingles || b.shingles)) >= 0.8),
+        cands AS (
+          SELECT doc_id AS negative,
+                 CAST(CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)),
+                      1, 15)) AS UBIGINT) % 64 AS BIGINT) AS cs
+          FROM documents),
+        anch AS (
+          SELECT doc_a, doc_b,
+                 CAST(CAST(concat('0x', substr(md5(CAST(doc_a AS VARCHAR)),
+                      1, 15)) AS UBIGINT) % 64 AS BIGINT) AS cs
+          FROM pairs),
+        cand2 AS (
+          SELECT a.doc_a, a.doc_b, c.negative,
+                 CAST(concat('0x', substr(md5(concat(
+                      CAST(a.doc_a AS VARCHAR), ':',
+                      CAST(c.negative AS VARCHAR))), 1, 15)) AS UBIGINT)
+                   AS rk
+          FROM anch a JOIN cands c USING (cs)
+          WHERE c.negative <> a.doc_a AND c.negative <> a.doc_b),
+        r AS (
+          SELECT doc_a, doc_b, negative,
+                 row_number() OVER (PARTITION BY doc_a, doc_b
+                                    ORDER BY rk, negative) AS rn
+          FROM cand2)
+        SELECT doc_a AS anchor, doc_b AS positive, negative
+        FROM r WHERE rn = 1
+        ORDER BY anchor, positive"""))
   )
 }
