@@ -80,6 +80,51 @@ object CorpusOps {
     df.filter(h < rate * 10000)
   }
 
+  /** The UP-sampling dual of [[weightedResample]]: fractional-epoch
+    * repetition per class — the data-mixing move every pretraining
+    * recipe publishes ("2.5 epochs of wiki, 0.8 of web"). Each row is
+    * emitted `floor(e)` times, plus one extra copy iff its Knuth-hash
+    * draw lands under `frac(e)` (expressed in myriads, so the
+    * boundary is integer-exact and bit-reproducible across engines).
+    * `e = 0.0` drops the class; classes absent from `epochs` get
+    * `defaultEpochs`.
+    *
+    * Output: input columns + `epoch_copy` (1-based copy index) — a
+    * stable per-copy identity, so a downstream shuffle-by-hash of
+    * (id, epoch_copy) spreads the repeats instead of co-locating
+    * them.
+    *
+    * Scale shape: scan-local `explode(sequence(1, n))` — no shuffle,
+    * no state; output size is exactly Σ n_copies. Epoch factors are
+    * capped at 8: past that, repeats belong in the training loader,
+    * not the corpus.
+    */
+  def epochUpsample(
+      df: DataFrame,
+      idCol: String,
+      classCol: String,
+      epochs: Map[String, Double],
+      defaultEpochs: Double = 1.0): DataFrame = {
+    require((epochs.values ++ Seq(defaultEpochs)).forall(e =>
+      e >= 0.0 && e <= 8.0), s"epochs must be in [0,8]: $epochs")
+    def parts(e: Double): (Int, Int) = {
+      val whole = math.floor(e).toInt
+      (whole, math.round((e - whole) * 10000).toInt)
+    }
+    val h = pmod(col(idCol) * lit(2654435761L), lit(2147483647L)) % 10000
+    def copies(e: Double) = {
+      val (whole, fracMyriad) = parts(e)
+      lit(whole) + when(h < fracMyriad, 1).otherwise(0)
+    }
+    val n = epochs.foldLeft(copies(defaultEpochs)) { case (acc, (k, e)) =>
+      when(col(classCol) === k, copies(e)).otherwise(acc)
+    }
+    df.withColumn("_n", n)
+      .filter(col("_n") > 0)
+      .select(df.columns.map(col) :+
+        explode(sequence(lit(1), col("_n"))).as("epoch_copy"): _*)
+  }
+
   /** Quantile-bucketed resampling: rank every row's `valueCol` into
     * one of `keepPerMyriad.length` buckets by EXACT corpus quantiles
     * (equi-spaced; rounded to 6 decimals so any SQL oracle derives

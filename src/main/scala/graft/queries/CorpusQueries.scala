@@ -120,6 +120,42 @@ object CorpusQueries {
                          ELSE 1.0 END) * 10000
         ORDER BY doc_id""")),
 
+    // ---- q122: fractional-epoch upsampling (q65's dual) ----
+    // Per-source epoch factors: floor(e) copies of every row plus one
+    // hash-Bernoulli extra for the fraction — scan-local explode, the
+    // published-mixture "2.5 epochs of wiki" move, bit-reproducible.
+    // src3 is dropped (e=0), unlisted sources pass through once.
+    QueryDef(
+      "q122_epoch_upsample",
+      (s, dir) => {
+        CorpusOps.epochUpsample(
+            Tables.load(s, dir, "documents"), "doc_id", "source",
+            Map("src0" -> 2.5, "src1" -> 1.25, "src2" -> 0.5,
+              "src3" -> 0.0))
+          .select(col("doc_id"), col("source"), col("lang"),
+            col("epoch_copy"))
+          .orderBy(col("doc_id"), col("epoch_copy"))
+      },
+      Some("""
+        WITH c AS (
+          SELECT doc_id, source, lang,
+                 CASE source
+                   WHEN 'src0' THEN 2 WHEN 'src1' THEN 1
+                   WHEN 'src2' THEN 0 WHEN 'src3' THEN 0
+                   ELSE 1 END +
+                 CASE WHEN source IN ('src0', 'src2') AND
+                           ((doc_id * 2654435761) % 2147483647) % 10000
+                             < 5000 THEN 1
+                      WHEN source = 'src1' AND
+                           ((doc_id * 2654435761) % 2147483647) % 10000
+                             < 2500 THEN 1
+                      ELSE 0 END AS n
+          FROM documents)
+        SELECT doc_id, source, lang, CAST(u.i AS INT) AS epoch_copy
+        FROM c, unnest(range(1, n + 1)) AS u(i)
+        WHERE n > 0
+        ORDER BY doc_id, epoch_copy""")),
+
     // ---- q88: temperature-flattened language rebalancing ----
     // q65 applies CALLER-GIVEN rates; this derives them from the data:
     // post-sampling language shares ∝ p^0.5 (the rarest language keeps

@@ -1,0 +1,145 @@
+package graft.queries
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.operators.Retrieval
+
+/** Retrieval battery (q119–q120): BM25 top-k and BM25+Jaccard
+  * reciprocal-rank fusion over the documents table. The query set is
+  * corpus-derived (every 50th document contributes its first six
+  * distinct tokens as a query), so the workload scales with the
+  * corpus and needs no fixture. Both oracles replay the full scoring
+  * arithmetic — idf table, corpus stats, per-term scores, fusion —
+  * under the q71/q78 rounding discipline, so the hash gate checks
+  * every rank and every score.
+  */
+object RetrievalQueries {
+
+  /** (qid, term): distinct first-6 tokens of every 50th doc. */
+  private def querySet(d: DataFrame): DataFrame =
+    d.filter(col("doc_id") % 50 === 7)
+      .select(col("doc_id").as("qid"),
+        explode(array_distinct(slice(split(col("text"), " "), 1, 6)))
+          .as("term"))
+
+  /** Shared oracle CTE prefix: postings, corpus stats, df, idf, the
+    * query set, and the BM25-scored candidate ranking.
+    */
+  private val bm25Ctes = """
+    d AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+    post AS (
+      SELECT doc_id, len(tk) AS dl, u.t AS term, count(*) AS tf
+      FROM d, unnest(tk) AS u(t) GROUP BY 1, 2, 3),
+    stats AS (
+      SELECT count(*) AS n_docs,
+             CAST(sum(len(tk)) AS DOUBLE) / count(*) AS avgdl
+      FROM d),
+    dfreq AS (SELECT term, count(*) AS dfc FROM post GROUP BY 1),
+    q AS (
+      SELECT DISTINCT doc_id AS qid, u.t AS term
+      FROM d, unnest(tk[1:6]) AS u(t) WHERE doc_id % 50 = 7),
+    idf AS (
+      SELECT f.term,
+             CAST(round(ln(1.0 + (s.n_docs - f.dfc + 0.5) / (f.dfc + 0.5)),
+                        4) AS DECIMAL(18,4)) AS idf4
+      FROM dfreq f CROSS JOIN stats s),
+    scored AS (
+      SELECT q.qid, p.doc_id,
+             sum(CAST(round(CAST(i.idf4 AS DOUBLE) * (p.tf * 2.2) /
+                   (p.tf + 1.2 * (0.25 + 0.75 *
+                      (CAST(p.dl AS DOUBLE) / s.avgdl))), 6)
+                 AS DECIMAL(28,6))) AS score_dec
+      FROM post p
+      JOIN q ON q.term = p.term AND p.doc_id <> q.qid
+      JOIN idf i ON i.term = p.term
+      CROSS JOIN stats s
+      GROUP BY 1, 2),
+    branked AS (
+      SELECT qid, doc_id,
+             row_number() OVER (PARTITION BY qid
+               ORDER BY score_dec DESC, doc_id) AS rank,
+             CAST(score_dec AS DOUBLE) AS score
+      FROM scored)"""
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // ---- q119: BM25 top-10 per query ----
+    // Inverted-index shape: postings exploded once and map-side
+    // combined, df collapsed to vocabulary size, query terms
+    // broadcast — candidate generation is one scan of the postings;
+    // no all-pairs. Scores DECIMAL-summed per (query, doc), top-10
+    // by a per-query window over candidates only.
+    QueryDef(
+      "q119_bm25_topk",
+      (s, dir) => {
+        val d = Tables.load(s, dir, "documents")
+        Retrieval.bm25TopK(d, "doc_id", "text", querySet(d), k = 10)
+          .orderBy(col("qid"), col("rank"))
+      },
+      Some(s"""
+        WITH $bm25Ctes
+        SELECT qid, doc_id, rank, score FROM branked
+        WHERE rank <= 10 ORDER BY qid, rank""")),
+
+    // ---- q120: reciprocal-rank fusion (BM25 ⊕ token-set Jaccard) ----
+    // The hybrid-search combiner: two structurally different lexical
+    // rankings (length-normalized BM25 vs distinct-token Jaccard),
+    // each top-50, fused by rrf = Σ 1/(60 + rank) and re-ranked.
+    // n_lists records whether a hit came from one ranking or both.
+    QueryDef(
+      "q120_rrf_fusion",
+      (s, dir) => {
+        val d = Tables.load(s, dir, "documents")
+        val qs = querySet(d)
+        // ONE tokenize+combine of the corpus feeds both rankers —
+        // the localCheckpoint stage boundary (q48/q67 argument)
+        // keeps the scan+explode from running twice
+        val post = Retrieval.postings(d, "doc_id", "text")
+          .localCheckpoint(eager = false)
+        Retrieval.rrfTopK(
+          Retrieval.bm25FromPostings(post, qs, k = 50),
+          Retrieval.jaccardFromPostings(post, qs, k = 50),
+          c = 60, k = 10)
+          .orderBy(col("qid"), col("rank"))
+      },
+      Some(s"""
+        WITH $bm25Ctes,
+        dterms AS (
+          SELECT DISTINCT doc_id, u.t AS term FROM d, unnest(tk) AS u(t)),
+        dsz AS (SELECT doc_id, count(*) AS dn FROM dterms GROUP BY 1),
+        qsz AS (SELECT qid, count(*) AS qn FROM q GROUP BY 1),
+        xn AS (
+          SELECT q.qid, t.doc_id, count(*) AS xn
+          FROM dterms t JOIN q ON q.term = t.term AND t.doc_id <> q.qid
+          GROUP BY 1, 2),
+        jac AS (
+          SELECT x.qid, x.doc_id,
+                 round(CAST(x.xn AS DOUBLE) / (s.qn + z.dn - x.xn), 6) AS jac
+          FROM xn x JOIN qsz s USING (qid) JOIN dsz z USING (doc_id)),
+        jranked AS (
+          SELECT qid, doc_id,
+                 row_number() OVER (PARTITION BY qid
+                   ORDER BY jac DESC, doc_id) AS rank
+          FROM jac),
+        pooled AS (
+          SELECT qid, doc_id,
+                 CAST(round(1.0 / (60 + rank), 6) AS DECIMAL(18,6)) AS rc
+          FROM branked WHERE rank <= 50
+          UNION ALL
+          SELECT qid, doc_id,
+                 CAST(round(1.0 / (60 + rank), 6) AS DECIMAL(18,6)) AS rc
+          FROM jranked WHERE rank <= 50),
+        fused AS (
+          SELECT qid, doc_id, sum(rc) AS rrf_dec, count(*) AS n_lists
+          FROM pooled GROUP BY 1, 2),
+        freranked AS (
+          SELECT qid, doc_id,
+                 row_number() OVER (PARTITION BY qid
+                   ORDER BY rrf_dec DESC, doc_id) AS rank,
+                 CAST(rrf_dec AS DOUBLE) AS rrf, n_lists
+          FROM fused)
+        SELECT qid, doc_id, rank, rrf, n_lists FROM freranked
+        WHERE rank <= 10 ORDER BY qid, rank"""))
+  )
+}

@@ -1,0 +1,123 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{CorpusOps, Projections, Retrieval}
+
+/** Retrieval (q119/q120), projection (q121), and epoch-upsampling
+  * (q122) invariants beyond the DuckDB hash gates: rank-list shape,
+  * repartition-invariance of the DECIMAL sums, a driver-side
+  * differential replay of the JL projection, and exact expected
+  * copy-counts for the upsampler.
+  */
+class RetrievalSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs =
+    spark.read.parquet(s"$sf0001/documents.parquet")
+  private lazy val embs =
+    spark.read.parquet(s"$sf0001/embeddings.parquet")
+
+  private lazy val queries = docs
+    .filter(col("doc_id") % 10 === 3) // denser query set at sf0.001
+    .select(col("doc_id").as("qid"),
+      explode(array_distinct(slice(split(col("text"), " "), 1, 6)))
+        .as("term"))
+
+  test("bm25: ranks contiguous from 1, scores positive and " +
+      "non-increasing, no self-hits") {
+    val out = Retrieval.bm25TopK(docs, "doc_id", "text", queries, k = 10)
+      .cache()
+    assert(out.filter(col("doc_id") === col("qid")).isEmpty)
+    assert(out.filter(col("score") <= 0).isEmpty)
+    val perQ = out.groupBy("qid").agg(
+      count(lit(1)).as("n"), max(col("rank")).as("mx"),
+      min(col("rank")).as("mn"))
+    assert(perQ.filter(col("mx") =!= col("n") || col("mn") =!= 1).isEmpty)
+    // rank order == score order (ties broken by doc_id)
+    val bad = out.as("a").join(out.as("b"),
+        col("a.qid") === col("b.qid") &&
+          col("a.rank") === col("b.rank") - 1)
+      .filter(col("a.score") < col("b.score"))
+    assert(bad.isEmpty)
+  }
+
+  test("bm25: invariant under repartitioning (DECIMAL sum discipline)") {
+    val a = Retrieval.bm25TopK(docs, "doc_id", "text", queries, k = 10)
+    val b = Retrieval.bm25TopK(docs.repartition(7, col("text")),
+      "doc_id", "text", queries.repartition(3), k = 10)
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
+  }
+
+  test("rrf: fused score replays exactly from the two input rank lists " +
+      "and n_lists counts membership") {
+    val a = Retrieval.bm25TopK(docs, "doc_id", "text", queries, k = 20)
+    val b = Retrieval.jaccardTopK(docs, "doc_id", "text", queries, k = 20)
+    val fused = Retrieval.rrfTopK(a, b, c = 60, k = 10)
+    val expect = a.select(col("qid"), col("doc_id"), col("rank"))
+      .unionByName(b.select(col("qid"), col("doc_id"), col("rank")))
+      .groupBy("qid", "doc_id")
+      .agg(sum(round(lit(1.0) / (lit(60) + col("rank")).cast("double"), 6)
+          .cast("decimal(18,6)")).cast("double").as("want"),
+        count(lit(1)).as("want_n"))
+    val joined = fused.join(expect, Seq("qid", "doc_id"))
+    assert(joined.count() === fused.count())
+    assert(joined.filter(col("rrf") =!= col("want") ||
+      col("n_lists") =!= col("want_n")).isEmpty)
+    assert(fused.filter(!col("n_lists").isin(1, 2)).isEmpty)
+  }
+
+  test("projection: driver-side differential replay is bit-exact") {
+    val k = 8
+    val out = Projections
+      .signedProjection(embs.limit(20), "vec_id", "embedding", k)
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getDouble(2))
+      .toMap
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def sign(i: Int, j: Int): Int = {
+      val h = md.digest(s"$i:$j".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      if (Integer.parseInt(h.substring(8, 9), 16) % 2 == 0) 1 else -1
+    }
+    val rows = embs.limit(20)
+      .select(col("vec_id"), col("embedding")).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val id = r.getLong(0)
+      val v = r.getSeq[Float](1)
+      (0 until k).foreach { j =>
+        val want = v.zipWithIndex.map { case (x, i) =>
+          BigDecimal(x.toDouble)
+            .setScale(6, BigDecimal.RoundingMode.HALF_UP) * sign(i, j)
+        }.sum.toDouble
+        assert(out((id, j)) === want, s"vec $id dim $j")
+      }
+    }
+  }
+
+  test("epoch upsample: per-class copy counts match the closed form, " +
+      "copies contiguous, repartition-invariant") {
+    val eps = Map("src0" -> 2.5, "src1" -> 1.25, "src2" -> 0.0)
+    val out = CorpusOps.epochUpsample(docs, "doc_id", "source", eps).cache()
+    assert(out.filter(col("source") === "src2").isEmpty)
+    // per doc: expected n from the same closed form, checked exactly
+    val h = pmod(col("doc_id") * lit(2654435761L), lit(2147483647L)) % 10000
+    val wantN = when(col("source") === "src0", lit(2) +
+        when(h < 5000, 1).otherwise(0))
+      .when(col("source") === "src1", lit(1) +
+        when(h < 2500, 1).otherwise(0))
+      .when(col("source") === "src2", lit(0))
+      .otherwise(lit(1))
+    val got = out.groupBy("doc_id").agg(
+      count(lit(1)).as("n"), max("epoch_copy").as("mx"),
+      min("epoch_copy").as("mn"))
+    val expect = docs.select(col("doc_id"), wantN.as("want"))
+      .filter(col("want") > 0)
+    val j = got.join(expect, Seq("doc_id"), "full")
+    assert(j.filter(col("n").isNull || col("want").isNull ||
+      col("n") =!= col("want") || col("mx") =!= col("n") ||
+      col("mn") =!= 1).isEmpty)
+    val b = CorpusOps.epochUpsample(
+      docs.repartition(9, col("lang")), "doc_id", "source", eps)
+    assert(out.exceptAll(b).isEmpty && b.exceptAll(out).isEmpty)
+  }
+}
