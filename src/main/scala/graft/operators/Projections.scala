@@ -14,41 +14,53 @@ import org.apache.spark.sql.functions._
   * 64 before ANN/SemDeDup so the LSH/IVF exchanges carry 16× fewer
   * bytes.
   *
-  * Cross-engine exactness: each input element is rounded to 6
-  * decimals and summed as DECIMAL (q71 discipline) — the projection
-  * is then integer-exact arithmetic on 6-decimal fixed-point values,
-  * order-independent under repartitioning, and replayable in SQL
-  * from the same md5 signs (q74's convention: first-8-hex-chars
-  * bucket, 9th-hex-char parity sign — here the parity char of
-  * md5("i:j")).
+  * Cross-engine exactness: each input element is rounded to integer
+  * MICROS (×10⁶ — 6-decimal fixed point, summed as primitive longs
+  * inside whole-stage codegen rather than the BigDecimal path) — the
+  * projection is then integer-exact, order-independent under
+  * repartitioning, and replayable in SQL from the same md5 signs
+  * (q74's convention: 9th-hex-char parity of md5("i:j")).
   *
-  * Scale shape: one posexplode (n·d rows) fanned ×k by a codegen'd
-  * array transform, collapsed by map-side partial aggregation on
-  * (id, j) — the same two-level-agg shape whose interpreted-HOF
-  * alternative benched 15× slower for q74. The single exchange is
-  * keyed (id, j): n·k rows of one decimal each, independent of the
-  * input dimension d.
+  * Scale shape: the sign "matrix" materializes ONCE as an
+  * (inDim·outDim)-row broadcast table — md5 runs inDim·outDim times
+  * total, not once per (element, output-dim) pair (measured 5.7 s →
+  * the broadcast route at sf0.1: the n·d·k md5 calls were the whole
+  * cost). The ×k fan-out is the broadcast hash join's multiplicity,
+  * collapsed by map-side partial aggregation on (id, j); the single
+  * exchange carries n·k one-decimal rows, independent of the input
+  * dimension d.
   */
 object Projections {
 
-  /** Project `vecCol` (array<float|double>) down to `outDim` dims.
+  /** Project `vecCol` (array<float|double>, elements indexed
+    * 0 ≤ i < `inDim`) down to `outDim` dims. Elements at positions
+    * ≥ `inDim` would silently miss the sign table — callers pass the
+    * schema's true dimension.
+    *
     * Output: exploded long form (idCol, j, v) — dense, `outDim` rows
     * per input vector (empty/NULL vectors yield no rows).
     */
   def signedProjection(embs: DataFrame, idCol: String, vecCol: String,
-      outDim: Int): DataFrame = {
+      outDim: Int, inDim: Int): DataFrame = {
     require(outDim >= 2 && outDim <= 512, s"outDim=$outDim")
-    val sign = when(
-      conv(substring(md5(concat(col("i").cast("string"), lit(":"),
-        col("t").cast("string"))), 9, 1), 16, 10).cast("long") % 2 === 0,
-      lit(1)).otherwise(lit(-1))
+    require(inDim >= 1 && inDim <= 16384, s"inDim=$inDim")
+    val spark = embs.sparkSession
+    val signs = spark.range(inDim.toLong * outDim)
+      .select((col("id") / outDim).cast("int").as("i"),
+        (col("id") % outDim).cast("int").as("j"))
+      .select(col("i"), col("j"),
+        when(conv(substring(md5(concat(col("i").cast("string"), lit(":"),
+          col("j").cast("string"))), 9, 1), 16, 10).cast("long") % 2 === 0,
+          lit(1)).otherwise(lit(-1)).as("s"))
     embs
       .select(col(idCol), posexplode(col(vecCol)).as(Seq("i", "x")))
       .select(col(idCol), col("i"),
-        round(col("x").cast("double"), 6).cast("decimal(18,6)").as("x6"),
-        explode(sequence(lit(0), lit(outDim - 1))).as("t"))
-      .groupBy(col(idCol), col("t").as("j"))
-      .agg(sum(col("x6") * sign).as("v_dec"))
-      .select(col(idCol), col("j"), col("v_dec").cast("double").as("v"))
+        round(col("x").cast("double") * lit(1000000.0), 0).cast("long")
+          .as("xm"))
+      .join(broadcast(signs), Seq("i"))
+      .groupBy(col(idCol), col("j"))
+      .agg(sum(col("xm") * col("s")).as("v_m"))
+      .select(col(idCol), col("j"),
+        (col("v_m").cast("double") / lit(1000000.0)).as("v"))
   }
 }

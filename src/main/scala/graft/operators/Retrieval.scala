@@ -11,15 +11,17 @@ import org.apache.spark.sql.functions._
   * retrieval operator; this is LLM-pipeline extension surface like
   * the dedup/ANN families.
   *
-  * Cross-engine exactness (the q71/q78 discipline): `ln` is the one
-  * non-IEEE-pinned step, so idf is rounded to 4 decimals; every
-  * per-(query,term,doc) score is rounded to 6 decimals and summed as
-  * DECIMAL — order-independent under repartitioning and bit-identical
-  * in any SQL engine replaying the same op tree. +, −, ×, ÷ on
-  * doubles are IEEE-754-pinned and need no rounding; corpus constants
-  * (N, avgdl) are carried as a one-row aggregate CROSS JOINed into
-  * the plan rather than driver-collected literals, so both engines
-  * derive them from the same arithmetic.
+  * Cross-engine exactness (the q71/q78 discipline, in fixed point):
+  * `ln` is the one non-IEEE-pinned step, so idf is rounded to 4
+  * decimals; every per-(query,term,doc) score is rounded to integer
+  * MICROS (×10⁶ — the same 6-decimal fixed point as a DECIMAL(_,6)
+  * sum, but summed as primitive longs inside whole-stage codegen) —
+  * order-independent under repartitioning and bit-identical in any
+  * SQL engine replaying the same op tree. +, −, ×, ÷ on doubles are
+  * IEEE-754-pinned and need no rounding; the one-row corpus stats
+  * (N, avgdl) are exact integers and one pinned division, so the
+  * driver-collected literals equal what any engine derives from its
+  * own aggregation.
   *
   * Scale shape: the term→doc posting table is the corpus exploded
   * once and map-side combined to (doc, term, tf); document
@@ -63,56 +65,70 @@ object Retrieval {
     * their own source document.
     *
     * Output: (qid, doc_id, rank, score) with rank 1 = best, ties
-    * broken by doc_id, score a double reconstructed exactly from the
-    * DECIMAL sum.
+    * broken by doc_id, score a double reconstructed from the micros
+    * sum by one pinned division.
     */
   def bm25FromPostings(post: DataFrame, queries: DataFrame, k: Int)
       : DataFrame = {
     require(k >= 1 && k <= 1000, s"k=$k")
-    // One-row corpus stats: N docs and avgdl = Σdl / N (double
-    // division, IEEE-pinned — both engines compute it from the same
-    // two exact integers). Derived from the postings (dl is constant
-    // per doc) so the corpus is not re-scanned.
-    val stats = post.groupBy("doc_id").agg(max(col("dl")).as("_dl"))
-      .agg(count(lit(1)).as("n_docs"), sum(col("_dl")).as("sum_dl"))
-      .select(col("n_docs"),
-        (col("sum_dl").cast("double") / col("n_docs")).as("avgdl"))
+    // One-row corpus stats, collected at the driver — the q78-nDocs
+    // model boundary (at deployment scale, a stats-store lookup).
+    // Driver-computing them instead of CROSS JOINing a one-row
+    // aggregate removed THREE sequential broadcast stages from the
+    // plan. Both constants stay cross-engine exact: N and Σdl are
+    // integers, avgdl = Σdl / N is one IEEE-pinned double division,
+    // so a SQL replay deriving them from its own aggregation lands on
+    // the identical double. Derived from the postings (dl is constant
+    // per doc), not a corpus re-scan.
+    val statsRow = post.groupBy("doc_id").agg(max(col("dl")).as("_dl"))
+      .agg(count(lit(1)), sum(col("_dl"))).head()
+    val nDocs = statsRow.getLong(0)
+    val avgdl = statsRow.getLong(1).toDouble / nDocs
     // post is already distinct per (doc, term), so df is a plain count
     val dfreq = post.groupBy("term").agg(count(lit(1)).as("dfc"))
-    val idf = round(
-      log(lit(1.0) + (col("n_docs") - col("dfc") + lit(0.5)) /
-        (col("dfc") + lit(0.5))), 4).cast("decimal(18,4)")
-    // K1+1 written as the literal 2.2 so a SQL replay parses the
-    // IDENTICAL double (a computed 1.2 + 1.0 is a round-to-even
-    // near-tie — not worth betting the hash gate on); 0.25 = 1 − B
-    // and 0.75 are exact binary.
-    val termScore = round(
-      col("idf4").cast("double") *
-        (col("tf") * lit(2.2)) /
+    val idf4 = round(
+      log(lit(1.0) + (lit(nDocs) - col("dfc") + lit(0.5)) /
+        (col("dfc") + lit(0.5))), 4)
+    // Per-term scores in MICROS (×10⁶ rounded to integer): the same
+    // 6-decimal fixed point as a DECIMAL(_,6) sum, but the shuffle
+    // and aggregation stay primitive-long whole-stage codegen instead
+    // of the BigDecimal path a >18-precision decimal forces. K1+1 is
+    // written as the literal 2.2 so a SQL replay parses the IDENTICAL
+    // double (a computed 1.2 + 1.0 is a round-to-even near-tie — not
+    // worth betting the hash gate on); 0.25 = 1 − B and 0.75 are
+    // exact binary.
+    val termMicros = round(
+      col("idf4") * (col("tf") * lit(2.2)) /
         (col("tf") + lit(K1) *
-          (lit(1.0 - B) + lit(B) * (col("dl").cast("double") / col("avgdl")))),
-      6).cast("decimal(28,6)")
+          (lit(1.0 - B) + lit(B) * (col("dl").cast("double") / lit(avgdl)))) *
+        lit(1000000.0), 0).cast("long")
     val scored = post
       .join(broadcast(queries.select(col("qid"), col("term"))), Seq("term"))
       .filter(col("doc_id") =!= col("qid"))
-      .join(broadcast(dfreq.crossJoin(stats).select(col("term"), idf.as("idf4"))),
-        Seq("term"))
-      .crossJoin(broadcast(stats.select(col("avgdl"))))
+      .join(broadcast(dfreq.select(col("term"), idf4.as("idf4"))), Seq("term"))
       .groupBy(col("qid"), col("doc_id"))
-      .agg(sum(termScore).as("score_dec"))
+      .agg(sum(termMicros).as("score_m"))
     val w = Window.partitionBy(col("qid"))
-      .orderBy(col("score_dec").desc, col("doc_id"))
+      .orderBy(col("score_m").desc, col("doc_id"))
     scored
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("qid"), col("doc_id"), col("rank"),
-        col("score_dec").cast("double").as("score"))
+        (col("score_m").cast("double") / lit(1000000.0)).as("score"))
   }
 
-  /** [[bm25FromPostings]] over a corpus — builds the postings inline. */
+  /** [[bm25FromPostings]] over a corpus — builds the postings inline,
+    * behind a `localCheckpoint` stage boundary: the stats, idf, and
+    * scoring branches each materialize their own broadcast subtree,
+    * so an un-checkpointed postings table would re-tokenize the
+    * corpus once PER BRANCH (measured 10 s → 3 s at sf0.1 — the
+    * q48/q67 argument).
+    */
   def bm25TopK(docs: DataFrame, idCol: String, textCol: String,
       queries: DataFrame, k: Int): DataFrame =
-    bm25FromPostings(postings(docs, idCol, textCol), queries, k)
+    bm25FromPostings(
+      postings(docs, idCol, textCol).localCheckpoint(eager = false),
+      queries, k)
 
   /** Top-`k` token-set-Jaccard hits per query — the second,
     * structurally different lexical ranking [[rrfTopK]] fuses with
@@ -145,33 +161,40 @@ object Retrieval {
       .select(col("qid"), col("doc_id"), col("rank"), col("jac"))
   }
 
-  /** [[jaccardFromPostings]] over a corpus — builds the postings inline. */
+  /** [[jaccardFromPostings]] over a corpus — builds the postings
+    * inline (checkpointed for the same reason as [[bm25TopK]]).
+    */
   def jaccardTopK(docs: DataFrame, idCol: String, textCol: String,
       queries: DataFrame, k: Int): DataFrame =
-    jaccardFromPostings(postings(docs, idCol, textCol), queries, k)
+    jaccardFromPostings(
+      postings(docs, idCol, textCol).localCheckpoint(eager = false),
+      queries, k)
 
   /** Reciprocal-rank fusion of two (qid, doc_id, rank) rankings:
     * rrf(d) = Σ_r 1/(c + rank_r(d)) over the rankings that contain
     * d — the standard Cormack/Clarke combiner for lexical+semantic
     * hybrid search. Each reciprocal is one IEEE-pinned double
-    * division rounded to 6 decimals; the (≤2-term) sum runs in
-    * DECIMAL. Output re-ranked top-`k` per qid with `n_lists` = how
-    * many input rankings contained the doc.
+    * division in 6-decimal fixed point (micros); the (≤2-term) sum is
+    * exact long arithmetic. Output re-ranked top-`k` per qid with
+    * `n_lists` = how many input rankings contained the doc.
     */
   def rrfTopK(a: DataFrame, b: DataFrame, c: Int, k: Int): DataFrame = {
     require(c >= 1 && k >= 1, s"c=$c k=$k")
-    val contrib = round(lit(1.0) / (lit(c) + col("rank")).cast("double"), 6)
-      .cast("decimal(18,6)")
+    // reciprocal contributions in micros (the bm25 fixed-point
+    // argument): one IEEE-pinned division, one half-up round
+    val contrib = round(lit(1000000.0) / (lit(c) + col("rank")).cast("double"),
+      0).cast("long")
     val pooled = a.select(col("qid"), col("doc_id"), contrib.as("rc"))
       .unionByName(b.select(col("qid"), col("doc_id"), contrib.as("rc")))
       .groupBy(col("qid"), col("doc_id"))
-      .agg(sum(col("rc")).as("rrf_dec"), count(lit(1)).as("n_lists"))
+      .agg(sum(col("rc")).as("rrf_m"), count(lit(1)).as("n_lists"))
     val w = Window.partitionBy(col("qid"))
-      .orderBy(col("rrf_dec").desc, col("doc_id"))
+      .orderBy(col("rrf_m").desc, col("doc_id"))
     pooled
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("qid"), col("doc_id"), col("rank"),
-        col("rrf_dec").cast("double").as("rrf"), col("n_lists"))
+        (col("rrf_m").cast("double") / lit(1000000.0)).as("rrf"),
+        col("n_lists"))
   }
 }

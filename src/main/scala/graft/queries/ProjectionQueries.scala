@@ -23,7 +23,8 @@ object ProjectionQueries {
         // partitioning keys for "vec", and ids are not vectors
         val e = Tables.load(s, dir, "embeddings")
           .select(col("vec_id").as("id"), col("embedding"))
-        Projections.signedProjection(e, "id", "embedding", outDim = K)
+        Projections.signedProjection(e, "id", "embedding",
+            outDim = K, inDim = 64)
           .select(col("id").as("vec_id"), col("j"), col("v"))
           .orderBy(col("vec_id"), col("j"))
       },
@@ -31,19 +32,20 @@ object ProjectionQueries {
         WITH e AS (SELECT vec_id, embedding FROM embeddings),
         el AS (
           SELECT vec_id, u.i - 1 AS i,
-                 CAST(round(CAST(embedding[u.i] AS DOUBLE), 6)
-                      AS DECIMAL(18,6)) AS x6
+                 CAST(round(CAST(embedding[u.i] AS DOUBLE) * 1000000.0, 0)
+                      AS BIGINT) AS xm
           FROM e, unnest(range(1, len(embedding) + 1)) AS u(i)),
         terms AS (
-          SELECT vec_id, el.x6, dims.j,
+          SELECT vec_id, el.xm, dims.j,
                  CASE WHEN ('0x' || substr(md5(CAST(el.i AS VARCHAR) || ':' ||
                         CAST(dims.j AS VARCHAR)), 9, 1))::BIGINT % 2 = 0
                       THEN 1 ELSE -1 END AS s
           FROM el CROSS JOIN (SELECT unnest(range(0, $K)) AS j) dims),
         proj AS (
-          SELECT vec_id, j, sum(x6 * s) AS v_dec
+          SELECT vec_id, j, sum(xm * s) AS v_m
           FROM terms GROUP BY 1, 2)
-        SELECT vec_id, CAST(j AS INT) AS j, CAST(v_dec AS DOUBLE) AS v
+        SELECT vec_id, CAST(j AS INT) AS j,
+               CAST(v_m AS DOUBLE) / 1000000.0 AS v
         FROM proj ORDER BY vec_id, j"""))
   )
 }

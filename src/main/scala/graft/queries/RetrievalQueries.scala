@@ -41,15 +41,15 @@ object RetrievalQueries {
       FROM d, unnest(tk[1:6]) AS u(t) WHERE doc_id % 50 = 7),
     idf AS (
       SELECT f.term,
-             CAST(round(ln(1.0 + (s.n_docs - f.dfc + 0.5) / (f.dfc + 0.5)),
-                        4) AS DECIMAL(18,4)) AS idf4
+             round(ln(1.0 + (s.n_docs - f.dfc + 0.5) / (f.dfc + 0.5)),
+                   4) AS idf4
       FROM dfreq f CROSS JOIN stats s),
     scored AS (
       SELECT q.qid, p.doc_id,
-             sum(CAST(round(CAST(i.idf4 AS DOUBLE) * (p.tf * 2.2) /
+             sum(CAST(round(i.idf4 * (p.tf * 2.2) /
                    (p.tf + 1.2 * (0.25 + 0.75 *
-                      (CAST(p.dl AS DOUBLE) / s.avgdl))), 6)
-                 AS DECIMAL(28,6))) AS score_dec
+                      (CAST(p.dl AS DOUBLE) / s.avgdl))) * 1000000.0, 0)
+                 AS BIGINT)) AS score_m
       FROM post p
       JOIN q ON q.term = p.term AND p.doc_id <> q.qid
       JOIN idf i ON i.term = p.term
@@ -58,8 +58,8 @@ object RetrievalQueries {
     branked AS (
       SELECT qid, doc_id,
              row_number() OVER (PARTITION BY qid
-               ORDER BY score_dec DESC, doc_id) AS rank,
-             CAST(score_dec AS DOUBLE) AS score
+               ORDER BY score_m DESC, doc_id) AS rank,
+             CAST(score_m AS DOUBLE) / 1000000.0 AS score
       FROM scored)"""
 
   val defs: Seq[QueryDef] = Seq(
@@ -68,8 +68,8 @@ object RetrievalQueries {
     // Inverted-index shape: postings exploded once and map-side
     // combined, df collapsed to vocabulary size, query terms
     // broadcast — candidate generation is one scan of the postings;
-    // no all-pairs. Scores DECIMAL-summed per (query, doc), top-10
-    // by a per-query window over candidates only.
+    // no all-pairs. Scores summed in long micros per (query, doc),
+    // top-10 by a per-query window over candidates only.
     QueryDef(
       "q119_bm25_topk",
       (s, dir) => {
@@ -124,20 +124,20 @@ object RetrievalQueries {
           FROM jac),
         pooled AS (
           SELECT qid, doc_id,
-                 CAST(round(1.0 / (60 + rank), 6) AS DECIMAL(18,6)) AS rc
+                 CAST(round(1000000.0 / (60 + rank), 0) AS BIGINT) AS rc
           FROM branked WHERE rank <= 50
           UNION ALL
           SELECT qid, doc_id,
-                 CAST(round(1.0 / (60 + rank), 6) AS DECIMAL(18,6)) AS rc
+                 CAST(round(1000000.0 / (60 + rank), 0) AS BIGINT) AS rc
           FROM jranked WHERE rank <= 50),
         fused AS (
-          SELECT qid, doc_id, sum(rc) AS rrf_dec, count(*) AS n_lists
+          SELECT qid, doc_id, sum(rc) AS rrf_m, count(*) AS n_lists
           FROM pooled GROUP BY 1, 2),
         freranked AS (
           SELECT qid, doc_id,
                  row_number() OVER (PARTITION BY qid
-                   ORDER BY rrf_dec DESC, doc_id) AS rank,
-                 CAST(rrf_dec AS DOUBLE) AS rrf, n_lists
+                   ORDER BY rrf_m DESC, doc_id) AS rank,
+                 CAST(rrf_m AS DOUBLE) / 1000000.0 AS rrf, n_lists
           FROM fused)
         SELECT qid, doc_id, rank, rrf, n_lists FROM freranked
         WHERE rank <= 10 ORDER BY qid, rank"""))

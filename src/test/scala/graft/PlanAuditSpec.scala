@@ -22,13 +22,7 @@ class PlanAuditSpec extends SparkSpec {
     // scoring every document under every label IS the cross product;
     // q110: two one-row reduces (exact count × HLL estimate) crossed
     // into the single summary row. Both NLJ sides are O(1)-bounded.
-    "q108_nb_classify", "q110_hll_distinct",
-    // q119/q120: the ONE-ROW corpus-stats aggregate (N, avgdl) is
-    // CROSS JOINed into the idf table and the scoring scan instead of
-    // being driver-collected, so both engines derive the constants
-    // from the same arithmetic — an O(1)-bounded broadcast NLJ side
-    // by construction (the q110 argument).
-    "q119_bm25_topk", "q120_rrf_fusion")
+    "q108_nb_classify", "q110_hll_distinct")
 
   private lazy val plans: Map[String, String] =
     SparkEntry.queries.map { case (name, fn) =>

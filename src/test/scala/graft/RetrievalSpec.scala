@@ -5,7 +5,7 @@ import graft.operators.{CorpusOps, Projections, Retrieval}
 
 /** Retrieval (q119/q120), projection (q121), and epoch-upsampling
   * (q122) invariants beyond the DuckDB hash gates: rank-list shape,
-  * repartition-invariance of the DECIMAL sums, a driver-side
+  * repartition-invariance of the micros fixed-point sums, a driver-side
   * differential replay of the JL projection, and exact expected
   * copy-counts for the upsampler.
   */
@@ -41,7 +41,7 @@ class RetrievalSpec extends SparkSpec {
     assert(bad.isEmpty)
   }
 
-  test("bm25: invariant under repartitioning (DECIMAL sum discipline)") {
+  test("bm25: invariant under repartitioning (micros fixed-point discipline)") {
     val a = Retrieval.bm25TopK(docs, "doc_id", "text", queries, k = 10)
     val b = Retrieval.bm25TopK(docs.repartition(7, col("text")),
       "doc_id", "text", queries.repartition(3), k = 10)
@@ -56,8 +56,8 @@ class RetrievalSpec extends SparkSpec {
     val expect = a.select(col("qid"), col("doc_id"), col("rank"))
       .unionByName(b.select(col("qid"), col("doc_id"), col("rank")))
       .groupBy("qid", "doc_id")
-      .agg(sum(round(lit(1.0) / (lit(60) + col("rank")).cast("double"), 6)
-          .cast("decimal(18,6)")).cast("double").as("want"),
+      .agg((sum(round(lit(1000000.0) / (lit(60) + col("rank")).cast("double"),
+          0).cast("long")).cast("double") / lit(1000000.0)).as("want"),
         count(lit(1)).as("want_n"))
     val joined = fused.join(expect, Seq("qid", "doc_id"))
     assert(joined.count() === fused.count())
@@ -69,7 +69,7 @@ class RetrievalSpec extends SparkSpec {
   test("projection: driver-side differential replay is bit-exact") {
     val k = 8
     val out = Projections
-      .signedProjection(embs.limit(20), "vec_id", "embedding", k)
+      .signedProjection(embs.limit(20), "vec_id", "embedding", k, inDim = 64)
       .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getDouble(2))
       .toMap
     val md = java.security.MessageDigest.getInstance("MD5")
@@ -85,11 +85,15 @@ class RetrievalSpec extends SparkSpec {
       val id = r.getLong(0)
       val v = r.getSeq[Float](1)
       (0 until k).foreach { j =>
-        val want = v.zipWithIndex.map { case (x, i) =>
-          BigDecimal(x.toDouble)
-            .setScale(6, BigDecimal.RoundingMode.HALF_UP) * sign(i, j)
-        }.sum.toDouble
-        assert(out((id, j)) === want, s"vec $id dim $j")
+        // same op tree as the operator: double ×1e6, half-up round to
+        // long micros (Spark's Round = BigDecimal(shortest-repr)
+        // setScale HALF_UP), exact long sum, one pinned division
+        val micros = v.zipWithIndex.map { case (x, i) =>
+          BigDecimal(x.toDouble * 1000000.0)
+            .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong * sign(i, j)
+        }.sum
+        assert(out((id, j)) === micros.toDouble / 1000000.0,
+          s"vec $id dim $j")
       }
     }
   }
