@@ -63,4 +63,21 @@ object Projections {
       .select(col(idCol), col("j"),
         (col("v_m").cast("double") / lit(1000000.0)).as("v"))
   }
+
+  /** [[signedProjection]] reassembled to dense (idCol, vec) rows —
+    * the input shape of the ANN/SemDeDup family, so a pipeline can
+    * project-then-search (q123). One extra exchange keyed on the id
+    * to regroup the `outDim` slots; slot order is the array order, so
+    * any engine rebuilding the list sorted by j gets the identical
+    * vector.
+    */
+  def signedProjectionVectors(embs: DataFrame, idCol: String,
+      vecCol: String, outDim: Int, inDim: Int): DataFrame =
+    signedProjection(embs, idCol, vecCol, outDim, inDim)
+      .groupBy(col(idCol))
+      .agg(map_from_entries(collect_list(struct(col("j"), col("v"))))
+        .as("_m"))
+      .select(col(idCol),
+        transform(sequence(lit(0), lit(outDim - 1)), j =>
+          element_at(col("_m"), j)).as("vec"))
 }

@@ -22,7 +22,11 @@ class PlanAuditSpec extends SparkSpec {
     // scoring every document under every label IS the cross product;
     // q110: two one-row reduces (exact count × HLL estimate) crossed
     // into the single summary row. Both NLJ sides are O(1)-bounded.
-    "q108_nb_classify", "q110_hll_distinct")
+    "q108_nb_classify", "q110_hll_distinct",
+    // q123: q28's documented all-pairs intent transplanted into the
+    // 16-dim projected space — the exact in-space baseline; scale
+    // corpora route through LSH/IVF over the same projected vectors.
+    "q123_ann_projected")
 
   private lazy val plans: Map[String, String] =
     SparkEntry.queries.map { case (name, fn) =>
