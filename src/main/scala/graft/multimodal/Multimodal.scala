@@ -500,6 +500,103 @@ object Multimodal {
     * offsets under [[Y4mDecoder]] (q51 hash-gates them), equal byte
     * slices under the stub default.
     */
+  final case class AudioFrame(
+      doc_id: Long, frame_idx: Long, n_samples: Long, energy: Long,
+      crossings: Long)
+
+  /** Frame-level DSP features over the REAL WAV decode path: the
+    * 16-bit PCM stream split into `frameLen`-sample frames (last
+    * frame may be short), each reduced to energy = Σs² and
+    * zero-crossing count — the two classic cheap audio descriptors
+    * (silence/voicing detection, segmentation). Both are EXACT
+    * integer arithmetic over the decoded samples, so with a lossless
+    * fixture the whole decode→frame→feature path hash-gates in SQL
+    * (q124), the q98 argument one stage deeper into the pipeline.
+    *
+    * Scale shape: scan-local 1→N mapPartitions (no exchange; output
+    * bounded by n/frameLen rows per payload), the same batch shape as
+    * [[decode]]. Container contract identical to [[WavDecoder]]:
+    * non-PCM / multi-channel / big-endian payloads fail loudly.
+    */
+  def audioFrameFeatures(media: DataFrame, frameLen: Int)
+      : Dataset[AudioFrame] = {
+    require(frameLen >= 2 && frameLen <= 65536, s"frameLen=$frameLen")
+    implicit val encIn = Encoders.product[MediaRow]
+    implicit val encOut = Encoders.product[AudioFrame]
+    media.as[MediaRow].filter(_.modality == "audio").mapPartitions { rows =>
+      rows.flatMap { m =>
+        val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(m.payload))
+        val fmt = in.getFormat
+        require(fmt.getSampleSizeInBits == 16 && fmt.getChannels == 1 &&
+          !fmt.isBigEndian &&
+          fmt.getEncoding == javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED,
+          s"doc ${m.doc_id}: expected 16-bit mono little-endian PCM, got $fmt")
+        val n = in.getFrameLength.toInt
+        val pcm = in.readAllBytes()
+        require(pcm.length == 2 * n,
+          s"doc ${m.doc_id}: short read ${pcm.length} for $n frames")
+        (0 until n by frameLen).iterator.map { f0 =>
+          val end = math.min(f0 + frameLen, n)
+          var e = 0L; var cr = 0L; var i = f0
+          var prevNonNeg = false
+          while (i < end) {
+            val s = (pcm(2 * i + 1).toInt << 8) | (pcm(2 * i) & 0xff)
+            e += s.toLong * s
+            val nonNeg = s >= 0
+            if (i > f0 && nonNeg != prevNonNeg) cr += 1
+            prevNonNeg = nonNeg
+            i += 1
+          }
+          AudioFrame(m.doc_id, (f0 / frameLen).toLong, (end - f0).toLong,
+            e, cr)
+        }
+      }
+    }
+  }
+
+  final case class VideoFrameStat(
+      doc_id: Long, frame_idx: Long, n_px: Long, luma_sum: Long,
+      diff_sum: Option[Long])
+
+  /** Per-frame luma statistics plus the successive-frame absolute
+    * difference Σ|yₜ − yₜ₋₁| — the scene-cut signal a video pipeline
+    * thresholds to segment shots before frame sampling. Frames come
+    * from the decoder's REAL demuxer (container offsets, not byte
+    * slicing); `diff_sum` is NULL for each payload's first frame.
+    * All-integer arithmetic over decoded planes, so a lossless
+    * container hash-gates the whole demux→diff path in SQL (q125).
+    *
+    * Scale shape: scan-local 1→N mapPartitions; the demux iterator is
+    * consumed strictly in order with ONE previous plane retained, so
+    * peak memory is two frames per task regardless of video length.
+    */
+  def videoFrameStats(media: DataFrame,
+      decoder: MediaDecoder = Y4mDecoder): Dataset[VideoFrameStat] = {
+    implicit val encIn = Encoders.product[MediaRow]
+    implicit val encOut = Encoders.product[VideoFrameStat]
+    media.as[MediaRow].filter(_.modality == "video").mapPartitions { rows =>
+      rows.flatMap { m =>
+        var prev: Array[Byte] = null
+        decoder.demuxFrames(m).map { fr =>
+          val y = fr.frame_bytes
+          var ls = 0L; var i = 0
+          while (i < y.length) { ls += (y(i) & 0xff); i += 1 }
+          val ds = if (prev == null) None
+          else {
+            var dsum = 0L; var p = 0
+            while (p < y.length) {
+              dsum += math.abs((y(p) & 0xff) - (prev(p) & 0xff)); p += 1
+            }
+            Some(dsum)
+          }
+          prev = y
+          VideoFrameStat(m.doc_id, fr.frame_idx, y.length.toLong, ls, ds)
+        }
+      }
+    }
+  }
+
   def frameSample(media: DataFrame, step: Int,
       decoder: MediaDecoder = StubDecoder): Dataset[Frame] = {
     require(step > 0, "step must be positive")

@@ -240,6 +240,73 @@ object MultimodalQueries {
                CAST(f.bucket AS BIGINT) AS bucket,
                CAST(COALESCE(hb.c, 0) AS DOUBLE) / f.n AS frac
         FROM f LEFT JOIN hb ON hb.doc_id = f.doc_id AND hb.bucket = f.bucket
-        ORDER BY f.doc_id, f.bucket"""))
+        ORDER BY f.doc_id, f.bucket""")),
+
+    // ---- q124: audio frame features (energy + zero-crossings) ----
+    // The q98 decode path one stage deeper: real WAV decode → 64-
+    // sample frames → Σs² and zero-crossing counts, all integer-exact
+    // over samples sᵢ = ((id·131 + i·7919) mod 65536) − 32768, so the
+    // oracle replays decode→frame→feature from generate_series with
+    // a lag window for the crossings.
+    QueryDef(
+      "q124_audio_frames",
+      (s, dir) => {
+        Multimodal.audioFrameFeatures(
+            Multimodal.audioFixture(Tables.load(s, dir, "documents")),
+            frameLen = 64)
+          .toDF()
+          .orderBy(col("doc_id"), col("frame_idx"))
+      },
+      Some("""
+        WITH a AS (
+          SELECT doc_id, 256 * (1 + doc_id % 2) AS n FROM documents),
+        s AS (
+          SELECT doc_id, i // 64 AS frame_idx, i % 64 AS k,
+                 ((doc_id * 131 + i * 7919) % 65536) - 32768 AS sv
+          FROM a, unnest(range(0, n)) AS u(i)),
+        l AS (
+          SELECT doc_id, frame_idx, sv,
+                 lag(sv) OVER (PARTITION BY doc_id, frame_idx
+                   ORDER BY k) AS pv
+          FROM s)
+        SELECT doc_id, frame_idx, count(*) AS n_samples,
+               CAST(sum(sv * sv) AS BIGINT) AS energy,
+               CAST(coalesce(sum(CASE WHEN pv IS NOT NULL AND
+                    ((sv >= 0) <> (pv >= 0)) THEN 1 ELSE 0 END), 0)
+                 AS BIGINT) AS crossings
+        FROM l GROUP BY doc_id, frame_idx
+        ORDER BY doc_id, frame_idx""")),
+
+    // ---- q125: video frame stats + scene-cut signal ----
+    // Real Y4M demux → per-frame luma sum + successive-frame absolute
+    // difference (NULL for each payload's first frame). The previous
+    // frame's pixel is analytic — y(j − w·h) — so the oracle needs no
+    // self-join: one generate_series per payload replays the whole
+    // demux→diff path.
+    QueryDef(
+      "q125_video_frame_stats",
+      (s, dir) => {
+        Multimodal.videoFrameStats(
+            Multimodal.videoFixture(Tables.load(s, dir, "documents")))
+          .toDF()
+          .orderBy(col("doc_id"), col("frame_idx"))
+      },
+      Some("""
+        WITH v AS (
+          SELECT doc_id, 16 * (1 + doc_id % 2) AS w,
+                 1 << (doc_id % 4) AS nf
+          FROM documents),
+        px AS (
+          SELECT doc_id, w, j // (w * 16) AS f,
+                 (doc_id * 131 + j * 7919) % 256 AS y,
+                 (doc_id * 131 + (j - w * 16) * 7919) % 256 AS yp
+          FROM v, unnest(range(0, w * 16 * nf)) AS u(j))
+        SELECT doc_id, f AS frame_idx,
+               CAST(w * 16 AS BIGINT) AS n_px,
+               CAST(sum(y) AS BIGINT) AS luma_sum,
+               CASE WHEN f = 0 THEN NULL
+                    ELSE CAST(sum(abs(y - yp)) AS BIGINT) END AS diff_sum
+        FROM px GROUP BY doc_id, f, w
+        ORDER BY doc_id, frame_idx"""))
   )
 }

@@ -313,4 +313,43 @@ class MultimodalSpec extends SparkSpec {
       .collect()
     assert(top.length == 6)
   }
+
+  test("audioFrameFeatures: frames tile the decoded stream exactly, " +
+      "crossings bounded by frame length") {
+    val docs = Tables.load(spark, sf0001, "documents").limit(40)
+    val out = Multimodal
+      .audioFrameFeatures(Multimodal.audioFixture(docs), frameLen = 64)
+      .toDF().cache()
+    // per doc: Σ n_samples = 256 << (id % 2), frame_idx contiguous
+    val perDoc = out.groupBy("doc_id").agg(
+      sum("n_samples").as("total"), count(lit(1)).as("nf"),
+      max("frame_idx").as("mx"), min("frame_idx").as("mn"))
+    val bad = perDoc.filter(
+      col("total") =!= when(col("doc_id") % 2 === 0, 256).otherwise(512) ||
+      col("mx") =!= col("nf") - 1 || col("mn") =!= 0)
+    assert(bad.isEmpty)
+    assert(out.filter(col("crossings") >= col("n_samples")).isEmpty)
+    assert(out.filter(col("energy") < 0).isEmpty)
+  }
+
+  test("videoFrameStats: one row per real frame, diff NULL exactly on " +
+      "frame 0, luma bounded by 255*n_px") {
+    val docs = Tables.load(spark, sf0001, "documents").limit(40)
+    val out = Multimodal
+      .videoFrameStats(Multimodal.videoFixture(docs)).toDF().cache()
+    val perDoc = out.groupBy("doc_id").agg(count(lit(1)).as("nf"))
+    // nf = 1 << (doc_id % 4)
+    assert(perDoc.filter(
+      col("nf") =!= expr("shiftleft(1, cast(doc_id % 4 as int))"))
+      .isEmpty)
+    assert(out.filter(col("diff_sum").isNull && col("frame_idx") =!= 0)
+      .isEmpty)
+    assert(out.filter(col("diff_sum").isNotNull && col("frame_idx") === 0)
+      .isEmpty)
+    assert(out.filter(col("luma_sum") > lit(255) * col("n_px")).isEmpty)
+    // n_px = w*h from the real container: 256 << (doc_id % 2)
+    assert(out.filter(
+      col("n_px") =!= when(col("doc_id") % 2 === 0, 256).otherwise(512))
+      .isEmpty)
+  }
 }
