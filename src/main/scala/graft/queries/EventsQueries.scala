@@ -225,5 +225,69 @@ object EventsQueries {
                COUNT(CASE WHEN c > s THEN 1 END) AS n_sig_click,
                COUNT(CASE WHEN c > s AND p > c THEN 1 END) AS n_funnel
         FROM m"""))
+  ) ++ Seq(
+
+    // ---- q126: PageRank centrality over the user↔item click graph ----
+    // Iterative graph computation in exact integer fixed point
+    // (operators/GraphRank.scala): the symmetrized bipartite graph
+    // from events (user —touched→ item via props.k), five integer
+    // PageRank steps, every step `150000 + (850·Σ r div deg) div
+    // 1000` — the oracle unrolls the same five steps as chained CTEs,
+    // so every node's final rank hash-gates with zero float drift.
+    QueryDef(
+      "q126_pagerank",
+      (s, dir) => {
+        val ev = Tables.load(s, dir, "events")
+          .select(col("user_id"),
+            get_json_object(col("props"), "$.k").cast("long").as("k"))
+          .filter(col("k").isNotNull)
+        val fwd = ev.select(
+          concat(lit("u"), col("user_id")).as("src"),
+          concat(lit("i"), col("k")).as("dst")).distinct()
+        val edges = fwd.unionByName(
+          fwd.select(col("dst").as("src"), col("src").as("dst")))
+        graft.operators.GraphRank.pageRank(edges, iters = 5)
+          .select(col("node"), col("rank_m"),
+            (col("rank_m").cast("double") / lit(1000000.0)).as("rank"))
+          .orderBy(col("node"))
+      },
+      Some("""
+        WITH raw AS (
+          SELECT DISTINCT 'u' || CAST(user_id AS VARCHAR) AS src,
+                 'i' || json_extract_string(props, '$.k') AS dst
+          FROM events
+          WHERE json_extract_string(props, '$.k') IS NOT NULL),
+        ed AS (SELECT src, dst FROM raw
+               UNION ALL SELECT dst, src FROM raw),
+        deg AS (SELECT src, count(*) AS deg FROM ed GROUP BY 1),
+        p0 AS (SELECT DISTINCT src AS node, CAST(1000000 AS BIGINT) AS r
+               FROM ed),
+        p1 AS (SELECT e.dst AS node,
+                      CAST(150000 + (850 * sum(p.r // d.deg)) // 1000
+                        AS BIGINT) AS r
+               FROM p0 p JOIN ed e ON e.src = p.node
+               JOIN deg d ON d.src = p.node GROUP BY 1),
+        p2 AS (SELECT e.dst AS node,
+                      CAST(150000 + (850 * sum(p.r // d.deg)) // 1000
+                        AS BIGINT) AS r
+               FROM p1 p JOIN ed e ON e.src = p.node
+               JOIN deg d ON d.src = p.node GROUP BY 1),
+        p3 AS (SELECT e.dst AS node,
+                      CAST(150000 + (850 * sum(p.r // d.deg)) // 1000
+                        AS BIGINT) AS r
+               FROM p2 p JOIN ed e ON e.src = p.node
+               JOIN deg d ON d.src = p.node GROUP BY 1),
+        p4 AS (SELECT e.dst AS node,
+                      CAST(150000 + (850 * sum(p.r // d.deg)) // 1000
+                        AS BIGINT) AS r
+               FROM p3 p JOIN ed e ON e.src = p.node
+               JOIN deg d ON d.src = p.node GROUP BY 1),
+        p5 AS (SELECT e.dst AS node,
+                      CAST(150000 + (850 * sum(p.r // d.deg)) // 1000
+                        AS BIGINT) AS r
+               FROM p4 p JOIN ed e ON e.src = p.node
+               JOIN deg d ON d.src = p.node GROUP BY 1)
+        SELECT node, r AS rank_m, CAST(r AS DOUBLE) / 1000000.0 AS rank
+        FROM p5 ORDER BY node"""))
   )
 }
