@@ -235,6 +235,41 @@ object CorpusStress {
       require(r95 == r95n,
         s"token-budget decomposition diverged at factor $f: $r95 vs $r95n")
 
+      // q119/q127 (late r7): retrieval + entropy at scale. The copy
+      // stride keeps the %50 query set per-copy identical, and
+      // token-disjoint copies confine every posting join within its
+      // copy — so each query still fills its top-10 from its own
+      // copy's candidates and hits scale exactly linearly.
+      val (r119, t119, sk119, cb119, cr119) = timeGuarded(
+        SparkEntry.queries("q119_bm25_topk")(spark, dirX).count())
+      val nq119 = docs.filter(col("doc_id") % 50 === 7).count()
+      require(r119 == 10 * nq119,
+        s"bm25 hits not linear at factor $f: $r119 vs ${10 * nq119}")
+      val (r127, t127) = time(
+        SparkEntry.queries("q127_token_entropy")(spark, dirX).count())
+      require(r127 == n, s"entropy not total at factor $f: $r127 vs $n")
+
+      // q126's operator on an f×-replicated click graph: per-copy
+      // node namespaces keep every copy's component separate, so the
+      // final node count replicates exactly and the five integer
+      // steps time the iterative-join shape as edges grow ×f.
+      val evG = Tables.load(spark, sfDir, "events")
+        .select(col("user_id"),
+          get_json_object(col("props"), "$.k").cast("long").as("k"))
+        .filter(col("k").isNotNull)
+        .crossJoin(spark.range(f).select(col("id").as("cp")))
+      val fwdG = evG.select(
+        concat(lit("u"), col("cp"), lit("_"), col("user_id")).as("src"),
+        concat(lit("i"), col("cp"), lit("_"), col("k")).as("dst"))
+        .distinct()
+      val edgesG = fwdG.unionByName(
+        fwdG.select(col("dst").as("src"), col("src").as("dst")))
+      val nNodesG = edgesG.select(col("src")).distinct().count()
+      val (rPr, tPr) = time(
+        graft.operators.GraphRank.pageRank(edgesG, iters = 5).count())
+      require(rPr == nNodesG,
+        s"pagerank lost nodes at factor $f: $rPr vs $nNodesG")
+
       println(s"""{"factor":$f,"docs":$n,""" +
         s""""q67_sec":$t67,"q67_rows":$r67,""" +
         s""""q71_sec":$t71,"q71_rows":$r71,""" +
@@ -257,7 +292,12 @@ object CorpusStress {
         s""""cms_sec":$tCms,"cms_cells":$rCms,""" +
         s""""hll_sec":$tHll,"hll_regs":${hll._1},"hll_est":${hll._2},""" +
         s""""ngrams_exact":$nGrams,""" +
-        s""""q95_sec":$t95,"q95_naive_sec":$t95n,"q95_rows":$r95}""")
+        s""""q95_sec":$t95,"q95_naive_sec":$t95n,"q95_rows":$r95,""" +
+        s""""q119_sec":$t119,"q119_rows":$r119,""" +
+        s""""q119_aqe_skew_splits":$sk119,""" +
+        s""""q119_cap_buckets":$cb119,"q119_cap_rows":$cr119,""" +
+        s""""q127_sec":$t127,""" +
+        s""""pr_sec":$tPr,"pr_nodes":$rPr}""")
     }
     spark.stop()
   }

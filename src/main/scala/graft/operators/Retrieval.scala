@@ -83,7 +83,10 @@ object Retrieval {
     val statsRow = post.groupBy("doc_id").agg(max(col("dl")).as("_dl"))
       .agg(count(lit(1)), sum(col("_dl"))).head()
     val nDocs = statsRow.getLong(0)
-    val avgdl = statsRow.getLong(1).toDouble / nDocs
+    // empty corpus → no postings → no candidates → empty output; the
+    // placeholder avgdl is never applied to a row (sum is NULL here)
+    val avgdl =
+      if (nDocs == 0) 1.0 else statsRow.getLong(1).toDouble / nDocs
     // post is already distinct per (doc, term), so df is a plain count
     val dfreq = post.groupBy("term").agg(count(lit(1)).as("dfc"))
     val idf4 = round(

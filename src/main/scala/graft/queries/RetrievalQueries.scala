@@ -140,6 +140,42 @@ object RetrievalQueries {
                  CAST(rrf_m AS DOUBLE) / 1000000.0 AS rrf, n_lists
           FROM fused)
         SELECT qid, doc_id, rank, rrf, n_lists FROM freranked
-        WHERE rank <= 10 ORDER BY qid, rank"""))
+        WHERE rank <= 10 ORDER BY qid, rank""")),
+
+    // ---- q128: BM25 hard-negative mining ----
+    // Retrieval-training data from the ranking itself: per query, the
+    // top hit is the positive and ranks 41–50 are the HARD negatives
+    // (lexically close enough to rank, far enough to be wrong) — the
+    // standard contrastive-training recipe for retrievers/rerankers,
+    // and the lexical dual of q118's near-dup triples. Pure
+    // composition over the q119 machinery: one ranking pass, one
+    // self-join on qid, no new exchanges beyond the ranking's own.
+    QueryDef(
+      "q128_hard_negatives",
+      (s, dir) => {
+        val d = Tables.load(s, dir, "documents")
+        val ranked = Retrieval
+          .bm25TopK(d, "doc_id", "text", querySet(d), k = 50)
+          .localCheckpoint(eager = false) // positives + negatives faces
+        val pos = ranked.filter(col("rank") === 1)
+          .select(col("qid"), col("doc_id").as("pos_id"))
+        ranked.filter(col("rank") > 40)
+          .select(col("qid"), col("doc_id").as("neg_id"),
+            col("rank").as("neg_rank"))
+          .join(pos, Seq("qid"))
+          .select(col("qid"), col("pos_id"), col("neg_id"),
+            col("neg_rank"))
+          .orderBy(col("qid"), col("neg_rank"))
+      },
+      Some(s"""
+        WITH $bm25Ctes,
+        pos AS (
+          SELECT qid, doc_id AS pos_id FROM branked WHERE rank = 1),
+        neg AS (
+          SELECT qid, doc_id AS neg_id, rank AS neg_rank
+          FROM branked WHERE rank > 40 AND rank <= 50)
+        SELECT n.qid, p.pos_id, n.neg_id, n.neg_rank
+        FROM neg n JOIN pos p USING (qid)
+        ORDER BY n.qid, n.neg_rank"""))
   )
 }

@@ -468,6 +468,47 @@ object TextQueries {
         WITH tok AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
         lead AS (SELECT doc_id, unnest(w[1:3]) AS tok FROM tok)
         SELECT tok, count(*) AS n
-        FROM lead GROUP BY tok ORDER BY n DESC, tok LIMIT 20"""))
+        FROM lead GROUP BY tok ORDER BY n DESC, tok LIMIT 20""")),
+
+    // ---- q127: per-document token entropy (diversity signal) ----
+    // H = ln n − (Σ c·ln c)/n over the doc's own unigram counts — a
+    // repetition/diversity quality signal (low entropy = template or
+    // boilerplate text). ln in micros (the fixed-point dual of the
+    // q71 4-decimal discipline): lcₘ = round(ln c · 10⁶), the weighted
+    // sum Σ c·lcₘ is exact long arithmetic, and the final subtraction
+    // and truncating div-by-n are integer — bit-identical across
+    // engines and repartitionings. Two-level agg like q74: per-doc
+    // term counts map-side combined, then one row per doc.
+    QueryDef(
+      "q127_token_entropy",
+      (s, dir) => {
+        val d = Tables.load(s, dir, "documents")
+        d.select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+          .groupBy(col("doc_id"), col("w"))
+          .agg(count(lit(1)).as("c"))
+          .groupBy(col("doc_id"))
+          .agg(sum(col("c")).as("n_tokens"),
+            sum(col("c") *
+              round(log(col("c").cast("double")) * lit(1000000.0), 0)
+                .cast("long")).as("s_m"))
+          .select(col("doc_id"), col("n_tokens"),
+            ((round(log(col("n_tokens").cast("double")) * lit(1000000.0), 0)
+              .cast("long") - expr("s_m div n_tokens")).cast("double") /
+              lit(1000000.0)).as("entropy"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""
+        WITH tc AS (
+          SELECT doc_id, unnest(string_split(text, ' ')) AS w
+          FROM documents),
+        c AS (SELECT doc_id, w, count(*) AS c FROM tc GROUP BY 1, 2),
+        agg AS (
+          SELECT doc_id, sum(c) AS n_tokens,
+                 sum(c * CAST(round(ln(c) * 1000000.0, 0) AS BIGINT)) AS s_m
+          FROM c GROUP BY 1)
+        SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+               CAST(CAST(round(ln(n_tokens) * 1000000.0, 0) AS BIGINT)
+                    - s_m // n_tokens AS DOUBLE) / 1000000.0 AS entropy
+        FROM agg ORDER BY doc_id"""))
   )
 }
