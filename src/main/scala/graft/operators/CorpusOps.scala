@@ -125,6 +125,45 @@ object CorpusOps {
         explode(sequence(lit(1), col("_n"))).as("epoch_copy"): _*)
   }
 
+  /** Weighted sampling WITHOUT replacement, k per class — the
+    * Efraimidis–Spirakis exponential-keys scheme: each row draws
+    * u ∈ (0,1) and ranks by key u^(1/w); the top-k keys per class are
+    * a weighted-without-replacement sample (inclusion probability
+    * increasing in w). The draw is the deterministic Knuth-hash
+    * myriad (u = (h + 0.5)/10⁴ — never 0 or 1), so the "random"
+    * sample is a pure function of the row ids: bit-reproducible
+    * across retries, partitionings, and engines, like q55/q65/q88.
+    *
+    * Ranking uses the monotone-equivalent key ln(u)/w (descending),
+    * with ln in micros (the q127 discipline) and ONE pinned division
+    * by the weight — cross-engine exact; ties (only 10⁴ distinct u
+    * values) break by id. Rows with non-positive weight are excluded,
+    * not sampled.
+    *
+    * Scale shape: scan-local key computation + per-class top-k — the
+    * rank exchange collapses map-side via WindowGroupLimit, so ~k
+    * rows per class per partition ride the shuffle, not the corpus.
+    */
+  def weightedSampleK(
+      df: DataFrame,
+      idCol: String,
+      classCol: String,
+      weightCol: String,
+      k: Int): DataFrame = {
+    require(k >= 1 && k <= 100000, s"k=$k")
+    val h = pmod(col(idCol) * lit(2654435761L), lit(2147483647L)) % 10000
+    val lnuM = round(
+      log((h.cast("double") + lit(0.5)) / lit(10000.0)) * lit(1000000.0),
+      0).cast("long")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(classCol)).orderBy(col("_esk").desc, col(idCol))
+    df.filter(col(weightCol) > 0)
+      .withColumn("_esk", lnuM.cast("double") / col(weightCol).cast("double"))
+      .withColumn("samp_rank", row_number().over(w).cast("long"))
+      .filter(col("samp_rank") <= k)
+      .drop("_esk")
+  }
+
   /** Quantile-bucketed resampling: rank every row's `valueCol` into
     * one of `keepPerMyriad.length` buckets by EXACT corpus quantiles
     * (equi-spaced; rounded to 6 decimals so any SQL oracle derives

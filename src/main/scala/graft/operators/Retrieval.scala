@@ -114,7 +114,7 @@ object Retrieval {
     val w = Window.partitionBy(col("qid"))
       .orderBy(col("score_m").desc, col("doc_id"))
     scored
-      .withColumn("rank", row_number().over(w))
+      .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
       .select(col("qid"), col("doc_id"), col("rank"),
         (col("score_m").cast("double") / lit(1000000.0)).as("score"))
@@ -159,7 +159,7 @@ object Retrieval {
       .join(broadcast(qSizes), Seq("qid"))
       .join(dSizes, Seq("doc_id"))
       .select(col("qid"), col("doc_id"), jac.as("jac"))
-      .withColumn("rank", row_number().over(w))
+      .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
       .select(col("qid"), col("doc_id"), col("rank"), col("jac"))
   }
@@ -194,7 +194,7 @@ object Retrieval {
     val w = Window.partitionBy(col("qid"))
       .orderBy(col("rrf_m").desc, col("doc_id"))
     pooled
-      .withColumn("rank", row_number().over(w))
+      .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
       .select(col("qid"), col("doc_id"), col("rank"),
         (col("rrf_m").cast("double") / lit(1000000.0)).as("rrf"),

@@ -120,6 +120,37 @@ object CorpusQueries {
                          ELSE 1.0 END) * 10000
         ORDER BY doc_id""")),
 
+    // ---- q129: weighted sampling without replacement (k per class) ----
+    // Efraimidis–Spirakis exponential keys over the deterministic
+    // Knuth-hash draw: 25 docs per language, inclusion probability
+    // increasing in n_chars. The oracle replays the micros-ln key and
+    // the one pinned division exactly.
+    QueryDef(
+      "q129_weighted_sample_k",
+      (s, dir) => {
+        CorpusOps.weightedSampleK(
+            Tables.load(s, dir, "documents"), "doc_id", "lang",
+            "n_chars", k = 25)
+          .select(col("doc_id"), col("lang"), col("n_chars"),
+            col("samp_rank"))
+          .orderBy(col("lang"), col("samp_rank"))
+      },
+      Some("""
+        WITH b AS (
+          SELECT doc_id, lang, n_chars,
+                 CAST(round(ln((CAST(((doc_id * 2654435761) % 2147483647)
+                        % 10000 AS DOUBLE) + 0.5) / 10000.0)
+                      * 1000000.0, 0) AS BIGINT) AS lnu_m
+          FROM documents WHERE n_chars > 0),
+        r AS (
+          SELECT doc_id, lang, n_chars,
+                 row_number() OVER (PARTITION BY lang
+                   ORDER BY CAST(lnu_m AS DOUBLE) / n_chars DESC, doc_id)
+                   AS samp_rank
+          FROM b)
+        SELECT doc_id, lang, n_chars, samp_rank FROM r
+        WHERE samp_rank <= 25 ORDER BY lang, samp_rank""")),
+
     // ---- q122: fractional-epoch upsampling (q65's dual) ----
     // Per-source epoch factors: floor(e) copies of every row plus one
     // hash-Bernoulli extra for the fraction — scan-local explode, the

@@ -500,4 +500,29 @@ class CorpusSpec extends SparkSpec {
       s"zero-token tail of the exact-budget bucket must be dropped: " +
         s"$zeroTail vs $kept")
   }
+
+  test("weighted sample-k: exactly k per class (or all), ranks " +
+      "contiguous, weight-biased vs uniform, repartition-invariant") {
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+    val out = CorpusOps.weightedSampleK(docs, "doc_id", "lang",
+      "n_chars", k = 10).cache()
+    val perClass = out.groupBy("lang").agg(
+      count(lit(1)).as("n"), max("samp_rank").as("mx"),
+      min("samp_rank").as("mn"))
+    val avail = docs.filter(col("n_chars") > 0).groupBy("lang")
+      .agg(count(lit(1)).as("av"))
+    val j = perClass.join(avail, Seq("lang"))
+    assert(j.filter(col("n") =!= least(lit(10), col("av")) ||
+      col("mx") =!= col("n") || col("mn") =!= 1).isEmpty)
+    // Efraimidis–Spirakis property: the weighted sample's mean weight
+    // must exceed the population mean (inclusion prob increases in w)
+    val sampMean = out.agg(avg("n_chars")).head.getDouble(0)
+    val popMean = docs.filter(col("n_chars") > 0)
+      .agg(avg("n_chars")).head.getDouble(0)
+    assert(sampMean > popMean,
+      s"weighted sample mean $sampMean should exceed population $popMean")
+    val b = CorpusOps.weightedSampleK(
+      docs.repartition(9, col("text")), "doc_id", "lang", "n_chars", 10)
+    assert(out.exceptAll(b).isEmpty && b.exceptAll(out).isEmpty)
+  }
 }
