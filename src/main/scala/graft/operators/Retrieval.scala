@@ -173,6 +173,80 @@ object Retrieval {
       postings(docs, idCol, textCol).localCheckpoint(eager = false),
       queries, k)
 
+  /** Fit the per-query-term BM25 model from a postings table: each
+    * query term's 4-decimal idf, plus the corpus avgdl — the bounded
+    * artifact a STANDING-QUERY scorer broadcasts (the NB-broadcast /
+    * centroid-literal model boundary: query sets are small by
+    * construction, and `maxTerms` is the budget gate). Returns
+    * ((qid, (term, idf4)*)*, avgdl).
+    */
+  def fitBm25Queries(post: DataFrame, queries: DataFrame,
+      maxTerms: Int = 512): (Seq[(Long, Seq[(String, Double)])], Double) = {
+    val statsRow = post.groupBy("doc_id").agg(max(col("dl")).as("_dl"))
+      .agg(count(lit(1)), sum(col("_dl"))).head()
+    val nDocs = statsRow.getLong(0)
+    val avgdl =
+      if (nDocs == 0) 1.0 else statsRow.getLong(1).toDouble / nDocs
+    val dfreq = post.groupBy("term").agg(count(lit(1)).as("dfc"))
+    val idf4 = round(
+      log(lit(1.0) + (lit(nDocs) - col("dfc") + lit(0.5)) /
+        (col("dfc") + lit(0.5))), 4)
+    val rows = queries.select(col("qid"), col("term")).distinct()
+      .join(dfreq, Seq("term")) // unseen terms: df undefined, contribute 0
+      .select(col("qid"), col("term"), idf4.as("idf4"))
+      .collect()
+    require(rows.length <= maxTerms,
+      s"${rows.length} fitted query terms exceed maxTerms=$maxTerms — " +
+        "a standing-query model must stay broadcast-sized")
+    val fitted = rows.map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+      .groupBy(_._1).view.mapValues(_.map(t => (t._2, t._3)).toSeq)
+      .toSeq.map { case (q, ts) => (q, ts) }
+    (fitted, avgdl)
+  }
+
+  /** Score every document row against the FITTED query models,
+    * completely scan-locally — per-document term frequencies come
+    * from array filters over the row's own tokens, so there is no
+    * aggregation and no state: the same function runs on a static
+    * frame AND an ingest STREAM (append mode, stateless) — the
+    * standing-query router that alerts when an arriving document
+    * matches a curation query. Micros rounding per term is identical
+    * to [[bm25FromPostings]], so the two routes agree EXACTLY
+    * (differential-gated in StreamingSpec).
+    *
+    * The per-term `filter(tokens, _ == t)` is an interpreted HOF —
+    * acceptable here because the fitted term count is budget-gated
+    * (≤ maxTerms, the model boundary), unlike a corpus-side explode
+    * which must stay codegen (the q74 measurement).
+    *
+    * Output: (qid, doc_id, score_m, score) for every (query, doc)
+    * pair sharing ≥1 term, self-hits excluded.
+    */
+  def bm25ScoreFitted(docs: DataFrame, idCol: String, textCol: String,
+      fitted: Seq[(Long, Seq[(String, Double)])], avgdl: Double)
+      : DataFrame = {
+    require(fitted.nonEmpty, "empty fitted model")
+    val toks = split(col(textCol), " ")
+    val dlNorm = lit(K1) * (lit(1.0 - B) +
+      lit(B) * (size(toks).cast("double") / lit(avgdl)))
+    val perQuery = fitted.map { case (qid, terms) =>
+      val scoreM = terms.map { case (t, idf4) =>
+        val tf = size(filter(toks, x => x === lit(t))).cast("double")
+        when(tf > 0,
+          round(lit(idf4) * (tf * lit(2.2)) / (tf + dlNorm) *
+            lit(1000000.0), 0).cast("long"))
+          .otherwise(lit(0L))
+      }.reduce(_ + _)
+      struct(lit(qid).as("qid"), scoreM.as("score_m"))
+    }
+    docs
+      .select(col(idCol).as("doc_id"), explode(array(perQuery: _*)).as("s"))
+      .select(col("s.qid").as("qid"), col("doc_id"), col("s.score_m"))
+      .filter(col("score_m") > 0 && col("doc_id") =!= col("qid"))
+      .withColumn("score",
+        col("score_m").cast("double") / lit(1000000.0))
+  }
+
   /** Reciprocal-rank fusion of two (qid, doc_id, rank) rankings:
     * rrf(d) = Σ_r 1/(c + rank_r(d)) over the rankings that contain
     * d — the standard Cormack/Clarke combiner for lexical+semantic

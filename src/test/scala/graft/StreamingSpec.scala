@@ -598,4 +598,47 @@ class StreamingSpec extends SparkSpec {
       } finally q.stop()
     } finally spark.conf.set("spark.sql.shuffle.partitions", before)
   }
+
+  test("standing-query BM25 scoring: arriving docs scored under the " +
+      "pre-fitted model agree EXACTLY (long micros) with the batch " +
+      "aggregation route") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.Retrieval
+    val docs = Tables.load(spark, sf0001, "documents")
+      .select(col("doc_id"), col("text"))
+    val queries = docs.filter(col("doc_id") % 10 === 3)
+      .select(col("doc_id").as("qid"),
+        explode(array_distinct(slice(split(col("text"), " "), 1, 6)))
+          .as("term"))
+    val post = Retrieval.postings(docs, "doc_id", "text")
+      .localCheckpoint(eager = false)
+    val (fitted, avgdl) = Retrieval.fitBm25Queries(post, queries)
+    // batch aggregation route, full candidate list (k beyond corpus)
+    val batch = Retrieval.bm25FromPostings(post, queries, k = 1000)
+      .select(col("qid"), col("doc_id"), col("score"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .toSet
+    // streaming literal route over the same docs as an ingest stream
+    val rows = docs.as[(Long, String)].collect()
+    val ms = MemoryStream[(Long, String)]
+    val q = Retrieval.bm25ScoreFitted(
+      ms.toDF().toDF("doc_id", "text"), "doc_id", "text", fitted, avgdl)
+      .select(col("qid"), col("doc_id"), col("score"))
+      .writeStream.format("memory").queryName("standing_bm25")
+      .outputMode("append").start()
+    try {
+      val (first, rest) = rows.splitAt(rows.length / 2)
+      ms.addData(first.toSeq)
+      q.processAllAvailable()
+      ms.addData(rest.toSeq) // scores are per-doc: batch split is free
+      q.processAllAvailable()
+      val got = spark.table("standing_bm25")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .toSet
+      assert(got == batch,
+        s"standing-query scores diverge: ${got.size} vs ${batch.size}; " +
+          s"sample diff ${(got -- batch).take(3)} / ${(batch -- got).take(3)}")
+      assert(got.nonEmpty)
+    } finally q.stop()
+  }
 }
