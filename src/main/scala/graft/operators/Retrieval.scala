@@ -69,8 +69,25 @@ object Retrieval {
     * sum by one pinned division.
     */
   def bm25FromPostings(post: DataFrame, queries: DataFrame, k: Int)
+      : DataFrame = bm25FromPostings(post, queries, k, maxDfFrac = 1.0)
+
+  /** [[bm25FromPostings]] with the 100 TB lever: `maxDfFrac < 1`
+    * drops query terms whose document frequency exceeds that corpus
+    * fraction — stopword pruning, the standard inverted-index move
+    * (a df ≈ N term contributes a near-constant to every candidate
+    * while exploding the candidate set to the whole corpus; on the
+    * 31-word synthetic vocabulary EVERY term is such a stopword,
+    * PERF.md's measured worst case). The cap CHANGES ranking
+    * semantics, so it is opt-in, replayed in the oracle as the same
+    * df predicate (the q45 skew-cap precedent), and METERED: dropped
+    * terms surface as `<dfCapMetric>: {dropped_terms}` via
+    * `Dataset.observe` — no silent caps.
+    */
+  def bm25FromPostings(post: DataFrame, queries: DataFrame, k: Int,
+      maxDfFrac: Double, dfCapMetric: String = "bm25_df_cap")
       : DataFrame = {
     require(k >= 1 && k <= 1000, s"k=$k")
+    require(maxDfFrac > 0.0 && maxDfFrac <= 1.0, s"maxDfFrac=$maxDfFrac")
     // One-row corpus stats, collected at the driver — the q78-nDocs
     // model boundary (at deployment scale, a stats-store lookup).
     // Driver-computing them instead of CROSS JOINing a one-row
@@ -88,7 +105,14 @@ object Retrieval {
     val avgdl =
       if (nDocs == 0) 1.0 else statsRow.getLong(1).toDouble / nDocs
     // post is already distinct per (doc, term), so df is a plain count
-    val dfreq = post.groupBy("term").agg(count(lit(1)).as("dfc"))
+    val dfreqAll = post.groupBy("term").agg(count(lit(1)).as("dfc"))
+    val dfreq =
+      if (maxDfFrac >= 1.0) dfreqAll
+      else dfreqAll
+        .observe(dfCapMetric,
+          sum(when(col("dfc").cast("double") > lit(maxDfFrac) * lit(nDocs),
+            1L).otherwise(0L)).as("dropped_terms"))
+        .filter(col("dfc").cast("double") <= lit(maxDfFrac) * lit(nDocs))
     val idf4 = round(
       log(lit(1.0) + (lit(nDocs) - col("dfc") + lit(0.5)) /
         (col("dfc") + lit(0.5))), 4)
@@ -105,10 +129,14 @@ object Retrieval {
         (col("tf") + lit(K1) *
           (lit(1.0 - B) + lit(B) * (col("dl").cast("double") / lit(avgdl)))) *
         lit(1000000.0), 0).cast("long")
+    // idf attaches to the QUERY terms before candidate generation —
+    // one broadcast join against the postings instead of two, and a
+    // df-capped term never generates its corpus-wide candidate list
+    val qTerms = queries.select(col("qid"), col("term"))
+      .join(dfreq.select(col("term"), idf4.as("idf4")), Seq("term"))
     val scored = post
-      .join(broadcast(queries.select(col("qid"), col("term"))), Seq("term"))
+      .join(broadcast(qTerms), Seq("term"))
       .filter(col("doc_id") =!= col("qid"))
-      .join(broadcast(dfreq.select(col("term"), idf4.as("idf4"))), Seq("term"))
       .groupBy(col("qid"), col("doc_id"))
       .agg(sum(termMicros).as("score_m"))
     val w = Window.partitionBy(col("qid"))
@@ -128,10 +156,10 @@ object Retrieval {
     * q48/q67 argument).
     */
   def bm25TopK(docs: DataFrame, idCol: String, textCol: String,
-      queries: DataFrame, k: Int): DataFrame =
+      queries: DataFrame, k: Int, maxDfFrac: Double = 1.0): DataFrame =
     bm25FromPostings(
       postings(docs, idCol, textCol).localCheckpoint(eager = false),
-      queries, k)
+      queries, k, maxDfFrac)
 
   /** Top-`k` token-set-Jaccard hits per query — the second,
     * structurally different lexical ranking [[rrfTopK]] fuses with

@@ -24,9 +24,10 @@ object RetrievalQueries {
           .as("term"))
 
   /** Shared oracle CTE prefix: postings, corpus stats, df, idf, the
-    * query set, and the BM25-scored candidate ranking.
+    * query set, and the BM25-scored candidate ranking. `capWhere`
+    * optionally replays a df cap on the idf table (q130).
     */
-  private val bm25Ctes = """
+  private def bm25CtesCapped(capWhere: String): String = s"""
     d AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
     post AS (
       SELECT doc_id, len(tk) AS dl, u.t AS term, count(*) AS tf
@@ -43,7 +44,7 @@ object RetrievalQueries {
       SELECT f.term,
              round(ln(1.0 + (s.n_docs - f.dfc + 0.5) / (f.dfc + 0.5)),
                    4) AS idf4
-      FROM dfreq f CROSS JOIN stats s),
+      FROM dfreq f CROSS JOIN stats s $capWhere),
     scored AS (
       SELECT q.qid, p.doc_id,
              sum(CAST(round(i.idf4 * (p.tf * 2.2) /
@@ -78,7 +79,7 @@ object RetrievalQueries {
           .orderBy(col("qid"), col("rank"))
       },
       Some(s"""
-        WITH $bm25Ctes
+        WITH ${bm25CtesCapped("")}
         SELECT qid, doc_id, rank, score FROM branked
         WHERE rank <= 10 ORDER BY qid, rank""")),
 
@@ -104,7 +105,7 @@ object RetrievalQueries {
           .orderBy(col("qid"), col("rank"))
       },
       Some(s"""
-        WITH $bm25Ctes,
+        WITH ${bm25CtesCapped("")},
         dterms AS (
           SELECT DISTINCT doc_id, u.t AS term FROM d, unnest(tk) AS u(t)),
         dsz AS (SELECT doc_id, count(*) AS dn FROM dterms GROUP BY 1),
@@ -168,7 +169,7 @@ object RetrievalQueries {
           .orderBy(col("qid"), col("neg_rank"))
       },
       Some(s"""
-        WITH $bm25Ctes,
+        WITH ${bm25CtesCapped("")},
         pos AS (
           SELECT qid, doc_id AS pos_id FROM branked WHERE rank = 1),
         neg AS (
@@ -176,6 +177,28 @@ object RetrievalQueries {
           FROM branked WHERE rank > 40 AND rank <= 50)
         SELECT n.qid, p.pos_id, n.neg_id, n.neg_rank
         FROM neg n JOIN pos p USING (qid)
-        ORDER BY n.qid, n.neg_rank"""))
+        ORDER BY n.qid, n.neg_rank""")),
+
+    // ---- q130: df-capped BM25 (the 100 TB stopword lever) ----
+    // q119 with maxDfFrac = 0.77: query terms in more than 77% of
+    // documents never generate their corpus-wide candidate lists —
+    // the inverted-index stopword prune, replayed in the oracle as
+    // the same df predicate (the q45 skew-cap precedent) and metered
+    // via Dataset.observe (no silent caps). On this corpus the cap
+    // drops 19 of 31 vocabulary terms; rankings re-form from the
+    // informative remainder.
+    QueryDef(
+      "q130_bm25_dfcap",
+      (s, dir) => {
+        val d = Tables.load(s, dir, "documents")
+        Retrieval.bm25TopK(d, "doc_id", "text", querySet(d), k = 10,
+            maxDfFrac = 0.77)
+          .orderBy(col("qid"), col("rank"))
+      },
+      Some(s"""
+        WITH ${bm25CtesCapped(
+          "WHERE CAST(f.dfc AS DOUBLE) <= 0.77 * s.n_docs")}
+        SELECT qid, doc_id, rank, score FROM branked
+        WHERE rank <= 10 ORDER BY qid, rank"""))
   )
 }

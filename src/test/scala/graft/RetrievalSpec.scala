@@ -98,6 +98,25 @@ class RetrievalSpec extends SparkSpec {
     }
   }
 
+  test("df cap: engaged cap is EXACTLY pre-filtering the query terms " +
+      "by df, and actually changes the ranking on this corpus") {
+    val post = Retrieval.postings(docs, "doc_id", "text")
+      .localCheckpoint(eager = false)
+    val n = docs.count()
+    val surviving = post.groupBy("term").agg(count(lit(1)).as("dfc"))
+      .filter(col("dfc").cast("double") <= lit(0.77) * n)
+      .select(col("term"))
+    val manual = Retrieval.bm25FromPostings(
+      post, queries.join(surviving, Seq("term")), k = 10)
+    val capped = Retrieval.bm25FromPostings(post, queries, k = 10,
+      maxDfFrac = 0.77)
+    assert(capped.exceptAll(manual).isEmpty &&
+      manual.exceptAll(capped).isEmpty)
+    val full = Retrieval.bm25FromPostings(post, queries, k = 10)
+    assert(capped.exceptAll(full).count() > 0,
+      "cap must be non-vacuous on the stopword-heavy corpus")
+  }
+
   test("projected-space ANN keeps useful recall vs full-dim exact " +
       "(JL distance preservation, 64 -> 16 dims)") {
     val e = embs.select(col("vec_id").as("id"), col("embedding"))
