@@ -69,7 +69,8 @@ class PlanAuditSpec extends SparkSpec {
     // dedup/corpus families (every ReadSchema of a documents scan in
     // the plan must omit the unused columns).
     for (name <- Seq("q20_dedup_exact", "q25_minhash_neardup",
-        "q63_repetition_filter", "q74_hashed_embedding")) {
+        "q63_repetition_filter", "q74_hashed_embedding",
+        "q119_bm25_topk", "q127_token_entropy")) {
       val schemas = "ReadSchema: struct<[^>]*>".r.findAllIn(plans(name))
         .filter(_.contains("text")).toList
       assert(schemas.nonEmpty, s"$name: no documents ReadSchema found")
