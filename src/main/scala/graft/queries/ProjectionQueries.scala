@@ -96,6 +96,65 @@ object ProjectionQueries {
                    ORDER BY round(raw, 9) DESC, neighbor_id) AS rnk
           FROM pairs)
         SELECT query_id, neighbor_id, cosine, rnk FROM ranked
-        WHERE rnk <= 10 ORDER BY query_id, rnk"""))
+        WHERE rnk <= 10 ORDER BY query_id, rnk""")),
+
+    // ---- q131: kNN label-consistency (embedding-space quality) ----
+    // For every 5th vector, its 5 exact cosine NN; per label, the
+    // fraction of those neighbors sharing the query's label — the
+    // standard "is this embedding space classy" report a pipeline
+    // runs before trusting semantic dedup or classifiers. Counts stay
+    // integers until ONE final pinned division, so the report is
+    // cross-engine exact. All-pairs by documented intent (q28 class).
+    QueryDef(
+      "q131_knn_label_consistency",
+      (s, dir) => {
+        val e = Tables.load(s, dir, "embeddings")
+          .select(col("vec_id").as("id"), col("embedding").as("vec"),
+            col("label"))
+          .localCheckpoint(eager = false) // corpus + queries + label faces
+        val nn = Similarity.bruteForceTopK(
+          e.select(col("id"), col("vec")),
+          e.filter(col("id") % 5 === 0).select(col("id"), col("vec")),
+          k = 5)
+        nn
+          .join(e.select(col("id").as("query_id"),
+            col("label").as("q_label")), Seq("query_id"))
+          .join(e.select(col("id").as("neighbor_id"),
+            col("label").as("n_label")), Seq("neighbor_id"))
+          .groupBy(col("q_label").as("label"))
+          .agg(countDistinct(col("query_id")).as("n_queries"),
+            sum(when(col("n_label") === col("q_label"), 1L).otherwise(0L))
+              .as("n_match"))
+          .select(col("label"), col("n_queries"), col("n_match"),
+            (col("n_match").cast("double") /
+              (lit(5) * col("n_queries")).cast("double"))
+              .as("consistency"))
+          .orderBy(col("label"))
+      },
+      Some("""
+        WITH e AS (
+          SELECT vec_id AS id, embedding::DOUBLE[] AS v, label
+          FROM embeddings),
+        pairs AS (
+          SELECT q.id AS query_id, q.label AS q_label,
+                 c.id AS neighbor_id, c.label AS n_label,
+                 list_dot_product(q.v, c.v) /
+                   (sqrt(list_dot_product(q.v, q.v)) *
+                    sqrt(list_dot_product(c.v, c.v))) AS raw
+          FROM e q JOIN e c ON c.id <> q.id
+          WHERE q.id % 5 = 0),
+        ranked AS (
+          SELECT query_id, q_label, n_label,
+                 ROW_NUMBER() OVER (PARTITION BY query_id
+                   ORDER BY round(raw, 9) DESC, neighbor_id) AS rnk
+          FROM pairs)
+        SELECT q_label AS label,
+               CAST(count(DISTINCT query_id) AS BIGINT) AS n_queries,
+               CAST(sum(CASE WHEN n_label = q_label THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n_match,
+               CAST(sum(CASE WHEN n_label = q_label THEN 1 ELSE 0 END)
+                 AS DOUBLE) / (5 * count(DISTINCT query_id)) AS consistency
+        FROM ranked WHERE rnk <= 5
+        GROUP BY q_label ORDER BY label"""))
   )
 }

@@ -509,6 +509,69 @@ object TextQueries {
         SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
                CAST(CAST(round(ln(n_tokens) * 1000000.0, 0) AS BIGINT)
                     - s_m // n_tokens AS DOUBLE) / 1000000.0 AS entropy
-        FROM agg ORDER BY doc_id"""))
+        FROM agg ORDER BY doc_id""")),
+
+    // ---- q132: sampled corpus self-similarity (diversity metric) ----
+    // Mean pairwise distinct-token Jaccard over a deterministic 1/9
+    // sample — the corpus-level diversity statistic (high = template-
+    // heavy corpus, low = diverse). Zero-overlap pairs contribute 0
+    // and are counted in the denominator via the closed-form pair
+    // count; per-pair jaccards in micros, ONE final pinned division —
+    // cross-engine exact. The pairwise join is bounded by the sample
+    // (a diversity ESTIMATE: shrink the rate as the corpus grows; the
+    // estimate converges long before the sample gets expensive).
+    QueryDef(
+      "q132_self_similarity",
+      (s, dir) => {
+        val d = Tables.load(s, dir, "documents")
+        val samp = d.filter(col("doc_id") % 9 === 2)
+        val n = samp.count() // one scalar action, the q78-nDocs boundary
+        val nPairs = n * (n - 1) / 2
+        val terms = samp.select(col("doc_id"),
+          explode(array_distinct(split(col("text"), " "))).as("term"))
+          .localCheckpoint(eager = false) // sizes + self-join faces
+        val sizes = terms.groupBy("doc_id").agg(count(lit(1)).as("dn"))
+        val inter = terms.as("a")
+          .join(terms.as("b"), col("a.term") === col("b.term") &&
+            col("a.doc_id") < col("b.doc_id"))
+          .groupBy(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+          .agg(count(lit(1)).as("xn"))
+        val jacM = round(col("xn").cast("double") /
+          (col("na") + col("nb") - col("xn")).cast("double") *
+          lit(1000000.0), 0).cast("long")
+        inter
+          .join(sizes.select(col("doc_id").as("da"), col("dn").as("na")),
+            Seq("da"))
+          .join(sizes.select(col("doc_id").as("db"), col("dn").as("nb")),
+            Seq("db"))
+          .agg(coalesce(sum(jacM), lit(0L)).as("sum_m"))
+          .select(lit(n).as("n_docs"), lit(nPairs).as("n_pairs"),
+            (col("sum_m").cast("double") / lit(nPairs * 1000000.0))
+              .as("mean_jaccard"))
+      },
+      Some("""
+        WITH d AS (
+          SELECT doc_id, string_split(text, ' ') AS tk FROM documents
+          WHERE doc_id % 9 = 2),
+        nn AS (SELECT count(*) AS n FROM d),
+        terms AS (
+          SELECT DISTINCT doc_id, u.t AS term FROM d, unnest(tk) AS u(t)),
+        sizes AS (SELECT doc_id, count(*) AS dn FROM terms GROUP BY 1),
+        inter AS (
+          SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS xn
+          FROM terms a JOIN terms b
+            ON b.term = a.term AND a.doc_id < b.doc_id
+          GROUP BY 1, 2),
+        jac AS (
+          SELECT CAST(round(CAST(i.xn AS DOUBLE) /
+                   (sa.dn + sb.dn - i.xn) * 1000000.0, 0) AS BIGINT) AS jm
+          FROM inter i
+          JOIN sizes sa ON sa.doc_id = i.da
+          JOIN sizes sb ON sb.doc_id = i.db)
+        SELECT CAST(nn.n AS BIGINT) AS n_docs,
+               CAST(nn.n * (nn.n - 1) // 2 AS BIGINT) AS n_pairs,
+               CAST(coalesce((SELECT sum(jm) FROM jac), 0) AS DOUBLE) /
+                 (nn.n * (nn.n - 1) // 2 * 1000000.0) AS mean_jaccard
+        FROM nn"""))
   )
 }

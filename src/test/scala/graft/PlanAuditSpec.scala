@@ -26,7 +26,11 @@ class PlanAuditSpec extends SparkSpec {
     // q123: q28's documented all-pairs intent transplanted into the
     // 16-dim projected space — the exact in-space baseline; scale
     // corpora route through LSH/IVF over the same projected vectors.
-    "q123_ann_projected")
+    "q123_ann_projected",
+    // q131: the label-consistency report runs q28's exact NN by
+    // design (a diagnostic over a sampled query set, not a scale
+    // path).
+    "q131_knn_label_consistency")
 
   private lazy val plans: Map[String, String] =
     SparkEntry.queries.map { case (name, fn) =>
