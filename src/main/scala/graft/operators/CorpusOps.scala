@@ -164,6 +164,46 @@ object CorpusOps {
       .drop("_esk")
   }
 
+  /** Exact proportional stratified split: within every class, rank
+    * rows by the deterministic Knuth-hash order (id tiebreak) and
+    * assign the first ⌈n_c · trainPerMyriad/10⁴⌉ to `train`, the rest
+    * to `holdout` — per-stratum proportions are EXACT (ceiling, so a
+    * non-empty stratum always contributes ≥1 training row), and the
+    * assignment is a pure function of the ids: stable under
+    * repartitioning, retries, and engines, and STABLE UNDER CORPUS
+    * GROWTH in distribution (each row's hash position doesn't move
+    * when others arrive, though ranks — and therefore boundary rows —
+    * can shift; for leakage-safe splits of near-dup corpora use the
+    * cluster-keyed q60 split instead, which this complements).
+    *
+    * Scale shape: one count-over-class window + one rank window on
+    * the same partitioning — a single exchange keyed on the class.
+    * Per-class streams sort within partitions; strata are assumed
+    * many and balanced (the stratified-split use case) — a single
+    * giant stratum degenerates to one task's sort, the same explicit
+    * trade the keyless XQuery windows document.
+    */
+  def stratifiedSplit(
+      df: DataFrame,
+      idCol: String,
+      classCol: String,
+      trainPerMyriad: Int): DataFrame = {
+    require(trainPerMyriad >= 0 && trainPerMyriad <= 10000,
+      s"trainPerMyriad=$trainPerMyriad")
+    val h = pmod(col(idCol) * lit(2654435761L), lit(2147483647L))
+    val byClass = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(classCol))
+    val rk = row_number().over(byClass.orderBy(h, col(idCol))).cast("long")
+    val nC = count(lit(1)).over(byClass)
+    df.withColumn("_rk", rk)
+      .withColumn("_n", nC)
+      .withColumn("split",
+        when(col("_rk") <= expr(s"(_n * $trainPerMyriad + 9999) div 10000"),
+          lit("train")).otherwise(lit("holdout")))
+      .select(df.columns.map(col) :+ col("split") :+
+        col("_rk").as("strat_rank"): _*)
+  }
+
   /** Quantile-bucketed resampling: rank every row's `valueCol` into
     * one of `keepPerMyriad.length` buckets by EXACT corpus quantiles
     * (equi-spaced; rounded to 6 decimals so any SQL oracle derives

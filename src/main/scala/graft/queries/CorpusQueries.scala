@@ -151,6 +151,36 @@ object CorpusQueries {
         SELECT doc_id, lang, n_chars, samp_rank FROM r
         WHERE samp_rank <= 25 ORDER BY lang, samp_rank""")),
 
+    // ---- q133: exact proportional stratified split ----
+    // 90% train per source by Knuth-hash order with ceiling (every
+    // non-empty stratum contributes >=1 training row) — the eval-set
+    // carve that keeps every source represented proportionally; the
+    // leakage-safe complement for near-dup corpora is q60's
+    // cluster-keyed split.
+    QueryDef(
+      "q133_stratified_split",
+      (s, dir) => {
+        CorpusOps.stratifiedSplit(
+            Tables.load(s, dir, "documents"), "doc_id", "source",
+            trainPerMyriad = 9000)
+          .select(col("doc_id"), col("source"), col("split"),
+            col("strat_rank"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""
+        WITH r AS (
+          SELECT doc_id, source,
+                 row_number() OVER (PARTITION BY source
+                   ORDER BY (doc_id * 2654435761) % 2147483647, doc_id)
+                   AS rk,
+                 count(*) OVER (PARTITION BY source) AS n
+          FROM documents)
+        SELECT doc_id, source,
+               CASE WHEN rk <= (n * 9000 + 9999) // 10000
+                    THEN 'train' ELSE 'holdout' END AS split,
+               CAST(rk AS BIGINT) AS strat_rank
+        FROM r ORDER BY doc_id""")),
+
     // ---- q122: fractional-epoch upsampling (q65's dual) ----
     // Per-source epoch factors: floor(e) copies of every row plus one
     // hash-Bernoulli extra for the fraction — scan-local explode, the

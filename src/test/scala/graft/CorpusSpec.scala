@@ -501,6 +501,23 @@ class CorpusSpec extends SparkSpec {
         s"$zeroTail vs $kept")
   }
 
+  test("stratified split: exact ceiling proportions per stratum, " +
+      "non-empty strata always train, repartition-invariant") {
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+    val out = CorpusOps.stratifiedSplit(docs, "doc_id", "source", 9000)
+      .cache()
+    val per = out.groupBy("source").agg(
+      count(lit(1)).as("n"),
+      sum(when(col("split") === "train", 1L).otherwise(0L)).as("tr"))
+    assert(per.filter(
+      col("tr") =!= expr("(n * 9000 + 9999) div 10000")).isEmpty)
+    assert(per.filter(col("tr") < 1).isEmpty)
+    assert(out.count() === docs.count())
+    val b = CorpusOps.stratifiedSplit(
+      docs.repartition(11, col("text")), "doc_id", "source", 9000)
+    assert(out.exceptAll(b).isEmpty && b.exceptAll(out).isEmpty)
+  }
+
   test("weighted sample-k: exactly k per class (or all), ranks " +
       "contiguous, weight-biased vs uniform, repartition-invariant") {
     val docs = spark.read.parquet(s"$sf0001/documents.parquet")
