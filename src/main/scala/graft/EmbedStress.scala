@@ -105,11 +105,31 @@ object EmbedStress {
           .count()
       }
 
+      // q121/q123 path at scale: shrink 64 → 16 via the hash-defined
+      // JL projection, then exact top-1 in the PROJECTED space for
+      // the same twin-source queries. The planted margin (twin cosine
+      // ≈ 0.97 vs ≈ 0.6 noise floor) is what the 4× shrink must
+      // preserve — recall@1 here measures exactly that, where
+      // RetrievalSpec's natural-neighbor recall measures the
+      // margin-free worst case.
+      val projVecs = graft.operators.Projections
+        .signedProjectionVectors(corpus, "id", "vec",
+          outDim = 16, inDim = 64)
+        .localCheckpoint(eager = false)
+      val qProj = projVecs
+        .join(twinSources.select(col("id")), Seq("id"))
+      val (pHits, pSec) = time {
+        Similarity.bruteForceTopK(projVecs, qProj, k = 1)
+          .filter(col("neighbor_id") === col("query_id") + 1)
+          .count()
+      }
+
       println(s"""{"factor":$f,"vectors":$n,"planted":$nTwins,""" +
         s""""sec":${sec + secCount},"found":$found,"planted_found":$planted,""" +
         s""""recall":$recall,""" +
         s""""q82_queries":$nQ,"q82_sec":$qSec,""" +
-        s""""q82_recall1":${qHits.toDouble / nQ}}""")
+        s""""q82_recall1":${qHits.toDouble / nQ},""" +
+        s""""proj_sec":$pSec,"proj_recall1":${pHits.toDouble / nQ}}""")
     }
     spark.stop()
   }
