@@ -866,6 +866,76 @@ object CorpusQueries {
         FROM documents d LEFT JOIN perdoc p USING (doc_id)
         ORDER BY d.doc_id""")),
 
+    // ---- q135: tokenizer fertility by language ----
+    // The tokenizer-evaluation statistic: BPE tokens per whitespace
+    // word, per language, under the SAME saved merge artifact q86
+    // encodes with — the report that decides whether a tokenizer
+    // under-serves a language before training on it. Integer sums
+    // until one pinned division; the oracle replays the saved merges
+    // (q86's recursive CTE) and aggregates.
+    QueryDef(
+      "q135_bpe_fertility",
+      (s, dir) => {
+        val d = Tables.load(s, dir, "documents")
+        val path = graft.operators.BpeLearn.artifactPath(dir, 24)
+        val fp = graft.operators.BpeLearn
+          .dataFingerprint(s, s"$dir/documents.parquet")
+        val merges = graft.operators.BpeLearn
+          .learnMergesIfAbsent(s, d, "text", path, numMerges = 24,
+            fingerprint = Some(fp))
+        graft.operators.BpeLearn
+          .encodeTokenCounts(d, "doc_id", "text", merges)
+          .join(d.select(col("doc_id"), col("lang")), Seq("doc_id"))
+          .groupBy(col("lang"))
+          .agg(sum(col("n_words")).as("n_words"),
+            sum(col("n_tokens")).as("n_tokens"))
+          .select(col("lang"), col("n_words"), col("n_tokens"),
+            (col("n_tokens").cast("double") / col("n_words").cast("double"))
+              .as("fertility"))
+          .orderBy(col("lang"))
+      },
+      None, oracleFn = Some(dir => s"""
+        WITH RECURSIVE
+        m AS (SELECT rank, "left" AS l, "right" AS r
+              FROM '${graft.operators.BpeLearn.artifactPath(dir, 24)}/*.parquet'),
+        tok AS (
+          SELECT doc_id, w FROM (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS w
+            FROM documents)
+          WHERE w <> ''),
+        words AS (SELECT DISTINCT w FROM tok),
+        rec AS (
+          SELECT w,
+                 array_to_string(list_transform(string_split(w, ''),
+                                 c -> chr(1) || c || chr(2)), '') AS s,
+                 CAST(0 AS BIGINT) AS r
+          FROM words
+          UNION ALL
+          SELECT rec.w,
+                 replace(rec.s,
+                         chr(1) || m.l || chr(2) || chr(1) || m.r || chr(2),
+                         chr(1) || m.l || m.r || chr(2)),
+                 rec.r + 1
+          FROM rec JOIN m ON m.rank = rec.r + 1),
+        enc AS (
+          SELECT w, CAST(length(s) - length(replace(s, chr(1), ''))
+                         AS BIGINT) AS ntok
+          FROM rec
+          WHERE r = coalesce((SELECT max(rank) FROM m), 0)),
+        perdoc AS (
+          SELECT t.doc_id,
+                 CAST(count(*) AS BIGINT) AS n_words,
+                 CAST(sum(e.ntok) AS BIGINT) AS n_tokens
+          FROM tok t JOIN enc e ON e.w = t.w
+          GROUP BY t.doc_id)
+        SELECT d.lang,
+               CAST(sum(p.n_words) AS BIGINT) AS n_words,
+               CAST(sum(p.n_tokens) AS BIGINT) AS n_tokens,
+               CAST(sum(p.n_tokens) AS DOUBLE) / sum(p.n_words)
+                 AS fertility
+        FROM documents d JOIN perdoc p USING (doc_id)
+        GROUP BY d.lang ORDER BY d.lang""")),
+
     // ---- q101: BYTE-LEVEL BPE merge learning (GPT-2 class) ----
     // The r6 verdict's #3: symbols start as GPT-2-mapped UTF-8 bytes
     // (all 256 covered — any input encodes, byte fallback for unseen

@@ -23,6 +23,9 @@ class PlanAuditSpec extends SparkSpec {
     // q110: two one-row reduces (exact count × HLL estimate) crossed
     // into the single summary row. Both NLJ sides are O(1)-bounded.
     "q108_nb_classify", "q110_hll_distinct",
+    // q134 wraps q108's classify (same docs × label-constants frame)
+    // in the confusion aggregation — same O(1)-bounded NLJ side.
+    "q134_nb_confusion",
     // q123: q28's documented all-pairs intent transplanted into the
     // 16-dim projected space — the exact in-space baseline; scale
     // corpora route through LSH/IVF over the same projected vectors.
