@@ -641,4 +641,37 @@ class StreamingSpec extends SparkSpec {
       assert(got.nonEmpty)
     } finally q.stop()
   }
+
+  test("streaming multimodal: audio frame features over an ingest " +
+      "stream equal the batch decode exactly (stateless mapPartitions)") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.multimodal.Multimodal
+    implicit val encMedia = org.apache.spark.sql.Encoders
+      .product[Multimodal.MediaRow]
+    val docs = Tables.load(spark, sf0001, "documents").limit(60)
+    val media = Multimodal.audioFixture(docs)
+    val batch = Multimodal.audioFrameFeatures(media, frameLen = 64)
+      .collect().map(a =>
+        (a.doc_id, a.frame_idx, a.n_samples, a.energy, a.crossings))
+      .toSet
+    val rows = media.as[Multimodal.MediaRow].collect()
+    val ms = MemoryStream[Multimodal.MediaRow]
+    val q = Multimodal.audioFrameFeatures(ms.toDF(), frameLen = 64)
+      .toDF()
+      .writeStream.format("memory").queryName("audio_frames_stream")
+      .outputMode("append").start()
+    try {
+      val (first, rest) = rows.splitAt(rows.length / 2)
+      ms.addData(first.toSeq)
+      q.processAllAvailable()
+      ms.addData(rest.toSeq) // features are per-payload: split is free
+      q.processAllAvailable()
+      val got = spark.table("audio_frames_stream")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4)))
+        .toSet
+      assert(got == batch && got.nonEmpty,
+        s"streaming frame features diverge: ${got.size} vs ${batch.size}")
+    } finally q.stop()
+  }
 }
