@@ -117,6 +117,19 @@ class RetrievalSpec extends SparkSpec {
       "cap must be non-vacuous on the stopword-heavy corpus")
   }
 
+  test("df cap drops are METERED through the Metrics listener " +
+      "(no silent caps)") {
+    Metrics.register(spark) // idempotent; the shared session may not have it
+    val (_, m0) = Metrics.settle()
+    Retrieval.bm25TopK(docs, "doc_id", "text", queries, k = 10,
+      maxDfFrac = 0.77).count()
+    val (_, m1) = Metrics.settle()
+    val dropped = m1.collect { case (k, v) if k.endsWith(".dropped_terms") =>
+      v - m0.getOrElse(k, 0L) }.sum
+    assert(dropped > 0,
+      s"engaged cap must surface dropped terms, metrics: ${m1.keys}")
+  }
+
   test("projected-space ANN keeps useful recall vs full-dim exact " +
       "(JL distance preservation, 64 -> 16 dims)") {
     val e = embs.select(col("vec_id").as("id"), col("embedding"))
