@@ -26,7 +26,7 @@ object TextQueries {
     s"""CAST(length(text) - length(translate(text, '.,!?;:''"-', '')) AS DOUBLE) / nullif(length(text), 0)"""
   private val meanTokSql =
     s"CAST(length(text) - ($ntokSql - 1) AS DOUBLE) / $ntokSql"
-  private val qualitySql = {
+  private[queries] val qualitySql = {
     val lenScore = s"least(CAST($ntokSql AS DOUBLE) / 64.0, 1.0)"
     val wordScore = s"CASE WHEN $meanTokSql >= 3 AND $meanTokSql <= 10 THEN 1.0 ELSE 0.5 END"
     val stopScore = s"least($stopRatioSql * 4.0, 1.0)"

@@ -1,0 +1,122 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{LanguageModel, LogReg, Pca}
+
+/** Unit coverage for the trained-model family (q136–q141): Stupid
+  * Backoff cascade faces, LR training determinism + separability,
+  * exact tie-aware AUC, PCA power-iteration recovery, curriculum
+  * invariants.
+  */
+class ModelSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("stupid backoff: all three cascade faces and the OOV floor " +
+      "score exactly") {
+    val train = Seq((1L, "a b c"), (2L, "b c d")).toDF("doc_id", "text")
+    val score = Seq((10L, "a b c"), (11L, "x b c"), (12L, "c d e"),
+      (13L, "a b")).toDF("doc_id", "text")
+    val out = LanguageModel.stupidBackoff(train, score, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some((r.getLong(1), r.getDouble(2)))))
+      .toMap
+    // (a,b,c): c3=1, c12(a,b)=1 → 1.0
+    assert(out(10L).contains((1L, 1.0)), s"seen trigram: ${out(10L)}")
+    // (x,b,c): trigram unseen, bigram (b,c) c=2, c(b)=2 → 0.4·1 = 0.4
+    assert(out(11L).contains((1L, 0.4)), s"bigram backoff: ${out(11L)}")
+    // (c,d,e): trigram unseen, bigram (d,e) unseen, e OOV → 0
+    assert(out(12L).contains((1L, 0.0)), s"OOV floor: ${out(12L)}")
+    // 2 tokens: no trigram position → null row (total output)
+    assert(out(13L).isEmpty, s"short doc must be null: ${out(13L)}")
+  }
+
+  test("stupid backoff: unigram face = α²·c(w3)/N when only the last " +
+      "word is known") {
+    val train = Seq((1L, "p q r s t")).toDF("doc_id", "text")
+    // (z1,z2,r): trigram/bigram unseen; r known: 0.16·(1/5) = 0.032
+    val score = Seq((10L, "z1 z2 r")).toDF("doc_id", "text")
+    val r = LanguageModel.stupidBackoff(train, score, "doc_id", "text")
+      .collect().head
+    assert(r.getLong(1) == 1L && math.abs(r.getDouble(2) - 0.032) < 1e-9,
+      s"unigram face: $r")
+  }
+
+  test("logreg: training is deterministic and separates a separable " +
+      "corpus") {
+    val docs = (0 until 40).map { i =>
+      if (i % 2 == 0) (i.toLong, "good clean prose text here", "en")
+      else (i.toLong, "zz yy xx ww vv uu", "xx")
+    }.toDF("doc_id", "text", "lang")
+    def weights() = {
+      val feats = LogReg.features(docs, "doc_id", "text",
+        col("lang") === "en", 32).localCheckpoint(eager = false)
+      LogReg.train(feats, "doc_id", 32, rounds = 3, lr = 0.5)
+        .collect().map(r => r.getInt(0) -> r.getDecimal(1)).toMap
+    }
+    val w1 = weights()
+    val w2 = weights()
+    assert(w1 == w2, "training must be bit-deterministic")
+    assert(w1.values.exists(_.signum != 0), "weights must move off zero")
+    val feats = LogReg.features(docs, "doc_id", "text",
+      col("lang") === "en", 32).localCheckpoint(eager = false)
+    val w = LogReg.train(feats, "doc_id", 32, rounds = 3, lr = 0.5)
+    val scored = LogReg.score(feats, "doc_id", w)
+    val auc = LogReg.auc(scored, "p", "y").collect().head.getDouble(2)
+    assert(auc == 1.0, s"separable corpus must score AUC 1.0, got $auc")
+  }
+
+  test("auc: exact tie-aware values on hand-computed cases") {
+    // all-tied scores → 0.5 exactly
+    val tied = Seq((0.9, 1), (0.9, 0), (0.9, 1), (0.9, 0)).toDF("p", "y")
+    assert(LogReg.auc(tied, "p", "y").collect().head.getDouble(2) == 0.5)
+    // perfect separation → 1.0
+    val perfect = Seq((0.9, 1), (0.8, 1), (0.2, 0), (0.1, 0)).toDF("p", "y")
+    assert(LogReg.auc(perfect, "p", "y").collect().head.getDouble(2) == 1.0)
+    // one inversion among 2×2: pairs = 4, concordant 3, discordant 1
+    // → 0.75
+    val mixed = Seq((0.9, 1), (0.3, 1), (0.5, 0), (0.1, 0)).toDF("p", "y")
+    val r = LogReg.auc(mixed, "p", "y").collect().head
+    assert(r.getLong(0) == 2 && r.getLong(1) == 2 && r.getDouble(2) == 0.75,
+      s"got $r")
+  }
+
+  test("pca: power iteration recovers a planted dominant direction " +
+      "and is repartition-invariant") {
+    // coordinate 0 carries the variance; coordinate 1 is small noise
+    val vecs = (0 until 50).map { i =>
+      (i.toLong, Array(i.toFloat, (i % 3).toFloat * 0.1f, 0f, 0f))
+    }.toDF("id", "embedding")
+    val proj = Pca.pc1Projection(vecs, "id", "embedding", dim = 4, iters = 8)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // projection must be (close to) the centered first coordinate, up
+    // to a global sign
+    val sign = math.signum(proj(49L) - proj(0L))
+    (0 until 50).foreach { i =>
+      val expected = sign * (i - 24.5)
+      assert(math.abs(proj(i.toLong) - expected) < 0.05,
+        s"id=$i proj=${proj(i.toLong)} expected≈$expected")
+    }
+    val proj2 = Pca.pc1Projection(vecs.repartition(7), "id", "embedding",
+        dim = 4, iters = 8)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(proj == proj2, "projections must be repartition-invariant")
+  }
+
+  test("curriculum: annealed admission invariants on the real corpus") {
+    val d = Tables.load(spark, sf0001, "documents")
+    val sched = SparkEntry.queries("q141_curriculum")(spark, sf0001)
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getLong(2), r.getInt(3)))
+    val n = d.count()
+    val byEpoch = sched.groupBy(_._1).view.mapValues(_.length).toMap
+    assert(byEpoch(4) == n, s"epoch 4 must admit everything: $byEpoch")
+    assert(byEpoch(1) <= byEpoch(2) && byEpoch(2) <= byEpoch(3) &&
+      byEpoch(3) <= byEpoch(4), s"monotone admission: $byEpoch")
+    assert(sched.forall { case (e, _, _, qt) => qt <= e },
+      "a doc may only appear in epochs ≥ its quartile")
+    // seq is a dense 1..k permutation per epoch
+    sched.groupBy(_._1).foreach { case (e, rows) =>
+      assert(rows.map(_._2).sorted.toSeq == (1 to rows.length),
+        s"epoch $e seq must be dense 1..${rows.length}")
+    }
+  }
+}

@@ -33,7 +33,15 @@ class PlanAuditSpec extends SparkSpec {
     // q131: the label-consistency report runs q28's exact NN by
     // design (a diagnostic over a sampled query set, not a scale
     // path).
-    "q131_knn_label_consistency")
+    "q131_knn_label_consistency",
+    // q136: the one-row training-token-count frame (N for the
+    // unigram backoff face) crossed into the scoring join — the q110
+    // one-row-reduce shape; every count-table join is hash/broadcast.
+    "q136_stupid_backoff",
+    // q141: one-row quality-threshold bands (the q79 two-pass shape
+    // collapsed to a single global band row) and the 4-row epoch
+    // frame, both broadcast — O(1)-bounded NLJ sides.
+    "q141_curriculum")
 
   private lazy val plans: Map[String, String] =
     SparkEntry.queries.map { case (name, fn) =>
