@@ -151,4 +151,114 @@ object LanguageModel {
         (col("sb").cast("double") / col("n_trigrams")).as("avg_sb"))
     score.select(col(idCol)).join(perDoc, Seq(idCol), "left")
   }
+
+  // ---- Standing (streaming) scorer -----------------------------------
+
+  /** A fitted, BROADCAST-sized Stupid Backoff model: raw n-gram
+    * counts keyed on the gram's space-joined token string. Bounded by
+    * the fit's `maxGrams` budget gate — the standing-query contract
+    * (an ingest-stream scorer must hold its model in memory; when the
+    * vocabulary outgrows the budget, the right tool is the BATCH
+    * count-table join of [[stupidBackoff]], not a bigger broadcast).
+    */
+  final case class FittedLm(nTokens: Long, uni: Map[String, Long],
+      bi: Map[String, Long], tri: Map[String, Long]) {
+
+    /** Per-document (n_trigrams, avg_sb) — None for docs with < 3
+      * tokens. EXACTLY the batch arithmetic: per-trigram-TYPE scores
+      * rounded to 6 decimals half-up (the semantics of catalyst's
+      * `round`), k-weighted exact BigDecimal sum, one double divide.
+      */
+    def scoreDoc(text: String): Option[(Long, Double)] = {
+      val tk = text.split(" ", -1)
+      if (tk.length < 3) None
+      else {
+        val types = new scala.collection.mutable.HashMap[Int, Long]()
+        val firsts = new scala.collection.mutable.ArrayBuffer[Int]()
+        val seen = new scala.collection.mutable.HashMap[String, Int]()
+        var i = 0
+        while (i + 2 < tk.length) {
+          val g = s"${tk(i)} ${tk(i + 1)} ${tk(i + 2)}"
+          val id = seen.getOrElseUpdate(g, { firsts += i; seen.size })
+          types.update(id, types.getOrElse(id, 0L) + 1L)
+          i += 1
+        }
+        var sb = java.math.BigDecimal.ZERO
+        var n = 0L
+        firsts.zipWithIndex.foreach { case (p, id) =>
+          val k = types(id)
+          val w1 = tk(p); val w2 = tk(p + 1); val w3 = tk(p + 2)
+          val s: Double = tri.get(s"$w1 $w2 $w3") match {
+            case Some(c3) => c3.toDouble / bi(s"$w1 $w2").toDouble
+            case None => bi.get(s"$w2 $w3") match {
+              case Some(c23) => Alpha * c23.toDouble / uni(w2).toDouble
+              case None => uni.get(w3) match {
+                case Some(c3u) =>
+                  Alpha * Alpha * c3u.toDouble / nTokens.toDouble
+                case None => 0.0
+              }
+            }
+          }
+          val s6 = java.math.BigDecimal.valueOf(s)
+            .setScale(6, java.math.RoundingMode.HALF_UP)
+          sb = sb.add(s6.multiply(java.math.BigDecimal.valueOf(k)))
+          n += k
+        }
+        Some((n, sb.doubleValue / n.toDouble))
+      }
+    }
+  }
+
+  /** Fit the broadcastable count model from a training frame. Three
+    * map-side-combined string-gram counts, collected behind a
+    * `maxGrams` budget gate (the fitBm25Queries contract).
+    */
+  def fit(train: DataFrame, textCol: String,
+      maxGrams: Int = 1000000): FittedLm = {
+    val tk = split(col(textCol), " ")
+    def gramCounts(n: Int): Map[String, Long] = {
+      val g = when(size(tk) >= n,
+        transform(sequence(lit(1), size(tk) - (n - 1)), i =>
+          concat_ws(" ", (0 until n).map(o => element_at(tk, i + o)): _*)))
+        .otherwise(array().cast("array<string>"))
+      val rows = train
+        .select(explode(g).as("g"))
+        .groupBy(col("g")).agg(count(lit(1)).as("c"))
+        .collect()
+      require(rows.length <= maxGrams,
+        s"${rows.length} fitted $n-grams exceed maxGrams=$maxGrams — " +
+          "a standing-query model must stay broadcast-sized; use the " +
+          "batch count-table join beyond that")
+      rows.map(r => r.getString(0) -> r.getLong(1)).toMap
+    }
+    val uni = gramCounts(1)
+    FittedLm(uni.valuesIterator.sum, uni, gramCounts(2), gramCounts(3))
+  }
+
+  /** Score a (possibly streaming) document frame under a fitted
+    * model, completely scan-locally (stateless mapPartitions — the
+    * multimodal-decode shape): runs unchanged on a static frame and
+    * an ingest stream in append mode, and agrees EXACTLY with
+    * [[stupidBackoff]] over the same training slice
+    * (differential-gated in StreamingSpec). Output matches the batch
+    * schema: (idCol, n_trigrams, avg_sb), nulls for short docs.
+    */
+  def scoreFitted(docs: DataFrame, idCol: String, textCol: String,
+      model: FittedLm): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(model)
+    docs.select(col(idCol).cast("long"), col(textCol))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        val m = bc.value
+        it.map { case (id, text) =>
+          m.scoreDoc(text) match {
+            case Some((n, avg)) => (id, Some(n), Some(avg))
+            case None => (id, None, None)
+          }
+        }
+      }
+      .toDF(idCol, "n_trigrams", "avg_sb")
+  }
 }

@@ -674,4 +674,48 @@ class StreamingSpec extends SparkSpec {
         s"streaming frame features diverge: ${got.size} vs ${batch.size}")
     } finally q.stop()
   }
+
+  test("standing Stupid-Backoff LM: arriving docs scored under the " +
+      "pre-fitted count model agree EXACTLY with the batch count-table " +
+      "join route") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.LanguageModel
+    val docs = Tables.load(spark, sf0001, "documents")
+      .select(col("doc_id"), col("text"), col("source"))
+    val train = docs.filter(col("source") =!= "src1")
+    def key(r: org.apache.spark.sql.Row) = (r.getLong(0),
+      if (r.isNullAt(1)) None else Some(r.getLong(1)),
+      if (r.isNullAt(2)) None else Some(r.getDouble(2)))
+    val batch = LanguageModel.stupidBackoff(train, docs, "doc_id", "text")
+      .collect().map(key).toSet
+    val model = LanguageModel.fit(train, "text")
+    val rows = docs.select(col("doc_id"), col("text"))
+      .as[(Long, String)].collect()
+    val ms = MemoryStream[(Long, String)]
+    val q = LanguageModel.scoreFitted(
+      ms.toDF().toDF("doc_id", "text"), "doc_id", "text", model)
+      .writeStream.format("memory").queryName("standing_lm")
+      .outputMode("append").start()
+    try {
+      val (first, rest) = rows.splitAt(rows.length / 2)
+      ms.addData(first.toSeq)
+      q.processAllAvailable()
+      ms.addData(rest.toSeq) // scores are per-doc: batch split is free
+      q.processAllAvailable()
+      val got = spark.table("standing_lm").collect().map(key).toSet
+      assert(got == batch && got.nonEmpty,
+        s"standing LM scores diverge: ${got.size} vs ${batch.size}; " +
+          s"sample ${(got -- batch).take(3)} / ${(batch -- got).take(3)}")
+    } finally q.stop()
+  }
+
+  test("standing LM fit: the maxGrams budget gate refuses an " +
+      "over-budget vocabulary instead of broadcasting it") {
+    import graft.operators.LanguageModel
+    val docs = Tables.load(spark, sf0001, "documents")
+    val e = intercept[IllegalArgumentException] {
+      LanguageModel.fit(docs, "text", maxGrams = 3)
+    }
+    assert(e.getMessage.contains("broadcast-sized"), e.getMessage)
+  }
 }
