@@ -54,14 +54,21 @@ object Pca {
     (cx, mu)
   }
 
-  /** 6-decimal covariance (j, k, c) of the centered coordinates. */
+  /** 6-decimal covariance (j, k, c) of the centered coordinates.
+    * Computed on the upper triangle only (the DECIMAL multiply is the
+    * hot path — symmetry halves it, bit-identically: (j,k) and (k,j)
+    * sum the same product multiset) and mirrored.
+    */
   def covariance(cx: DataFrame, idCol: String, n: Long): DataFrame = {
     val a = cx.select(col(idCol), col("j"), col("cx").as("cxa"))
     val b = cx.select(col(idCol), col("j").as("k"), col("cx").as("cxb"))
-    a.join(b, Seq(idCol))
+    val upper = a.join(b, Seq(idCol))
+      .filter(col("j") <= col("k"))
       .groupBy(col("j"), col("k"))
       .agg(round(sum(col("cxa") * col("cxb")).cast("double") /
         lit(n).cast("double"), 6).cast("decimal(18,6)").as("c"))
+    upper.unionByName(upper.filter(col("j") =!= col("k"))
+      .select(col("k").as("j"), col("j").as("k"), col("c")))
   }
 
   /** `iters` power-iteration rounds from the uniform unit start
@@ -122,11 +129,58 @@ object Pca {
     project(cx, idCol, v)
   }
 
+  /** All-but-the-top correction (Mu et al. 2018): every centered
+    * vector minus its PC1 component, x̂ = cx − (cx·v)·v, with the
+    * projection re-rounded to 6 decimals so the subtraction stays an
+    * exact DECIMAL. Output: (idCol, j, corrected:double) — the
+    * dominant-direction-free embedding, exploded.
+    */
+  def allButTop(emb: DataFrame, idCol: String, vecCol: String,
+      dim: Int, iters: Int): DataFrame = {
+    val x = explodeFixed(emb, idCol, vecCol)
+    val (cxRaw, _) = centered(x, idCol)
+    val cx = cxRaw.localCheckpoint(eager = false)
+    val n = emb.count()
+    val v = powerIteration(covariance(cx, idCol, n), dim, iters)
+    val proj = cx.join(broadcast(v), Seq("j"))
+      .groupBy(col(idCol))
+      .agg(round(sum(col("cx") * col("v")).cast("double"), 6)
+        .cast("decimal(18,6)").as("p6"))
+    cx.join(proj, Seq(idCol))
+      .join(broadcast(v), Seq("j"))
+      .select(col(idCol), col("j"),
+        (col("cx") - col("p6") * col("v")).cast("double").as("corrected"))
+  }
+
   /** The oracle replay of [[pc1Projection]] as DuckDB SQL, iteration
     * unrolled. Kept HERE so the arithmetic and its replay live side
     * by side (the q119 pattern).
     */
-  def pc1OracleSql(dim: Int, iters: Int): String = {
+  def pc1OracleSql(dim: Int, iters: Int): String =
+    s"""
+      WITH ${pcaCtes(dim, iters)}
+      SELECT c.id AS vec_id, CAST(sum(c.cx * v$iters.v) AS DOUBLE) AS pc1
+      FROM c JOIN v$iters ON c.j = v$iters.j
+      GROUP BY 1 ORDER BY 1"""
+
+  /** Oracle replay of [[allButTop]]: the [[pc1OracleSql]] CTEs plus
+    * the re-rounded projection and the exact-DECIMAL subtraction.
+    */
+  def abttOracleSql(dim: Int, iters: Int): String =
+    s"""
+      WITH ${pcaCtes(dim, iters)},
+      proj AS (
+        SELECT c.id,
+               CAST(round(CAST(sum(c.cx * v$iters.v) AS DOUBLE), 6)
+                 AS DECIMAL(18,6)) AS p6
+        FROM c JOIN v$iters ON c.j = v$iters.j GROUP BY 1),
+      outp AS (
+        SELECT c.id, c.j,
+               CAST(c.cx - proj.p6 * v$iters.v AS DOUBLE) AS corrected
+        FROM c JOIN proj USING (id) JOIN v$iters ON c.j = v$iters.j)
+      SELECT id AS vec_id, j, corrected FROM outp ORDER BY vec_id, j"""
+
+  private def pcaCtes(dim: Int, iters: Int): String = {
     val rounds = (1 to iters).map { r =>
       val prev = if (r == 1) "v0" else s"v${r - 1}"
       s"""u$r AS (
@@ -139,8 +193,7 @@ object Pca {
                AS DECIMAL(18,6)) AS v
         FROM u$r)"""
     }.mkString(",\n      ")
-    s"""
-      WITH x AS (
+    s"""x AS (
         SELECT vec_id AS id, CAST(j - 1 AS INT) AS j,
                CAST(round(CAST(embedding[j] AS DOUBLE), 6)
                  AS DECIMAL(18,6)) AS x
@@ -165,9 +218,6 @@ object Pca {
                CAST(round(1.0 / sqrt(CAST($dim AS DOUBLE)), 6)
                  AS DECIMAL(18,6)) AS v
         FROM range(0, $dim) AS t(j)),
-      $rounds
-      SELECT c.id AS vec_id, CAST(sum(c.cx * v$iters.v) AS DOUBLE) AS pc1
-      FROM c JOIN v$iters ON c.j = v$iters.j
-      GROUP BY 1 ORDER BY 1"""
+      $rounds"""
   }
 }

@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.operators.{LanguageModel, LogReg, Pca}
+import graft.operators.{KMeansExact, LanguageModel, LogReg, Pca}
 import graft.functions.TextFunctions.qualityScore
 
 /** Trained-model corpus operators: Stupid Backoff LM scoring, the
@@ -171,6 +171,40 @@ object ModelQueries {
           .orderBy(col("vec_id"))
       },
       Some(Pca.pc1OracleSql(dim = 64, iters = 5))),
+
+    // ---- q142: all-but-the-top embedding correction ----
+    // Mu et al. 2018's dominant-direction removal as a registered,
+    // hash-gated op: x̂ = cx − (cx·v₁)·v₁ with the projection
+    // re-rounded to 6 decimals so the subtraction stays exact
+    // DECIMAL. The oracle replays the full power-iteration chain plus
+    // the correction.
+    QueryDef(
+      "q142_abtt_correct",
+      (s, dir) => {
+        val emb = Tables.load(s, dir, "embeddings")
+          .select(col("vec_id").as("id"), col("embedding"))
+        Pca.allButTop(emb, "id", "embedding", dim = 64, iters = 5)
+          .select(col("id").as("vec_id"), col("j"), col("corrected"))
+          .orderBy(col("vec_id"), col("j"))
+      },
+      Some(Pca.abttOracleSql(dim = 64, iters = 5))),
+
+    // ---- q143: exact-replay Lloyd k-means ----
+    // The curation clustering primitive (topic balancing, cell
+    // blocking) as a first-class hash-gated operator: deterministic
+    // min-id seeding, exact-DECIMAL distances with id-ascending tie
+    // break, mean updates re-rounded to 6 — the oracle unrolls the
+    // assign/update rounds and must land on the identical assignment.
+    QueryDef(
+      "q143_kmeans",
+      (s, dir) => {
+        val emb = Tables.load(s, dir, "embeddings")
+          .select(col("vec_id").as("id"), col("embedding"))
+        KMeansExact.assign(emb, "id", "embedding", k = 8, iters = 3)
+          .select(col("id").as("vec_id"), col("cluster"), col("d2"))
+          .orderBy(col("vec_id"))
+      },
+      Some(KMeansExact.oracleSql(k = 8, iters = 3))),
 
     // ---- q141: quality-annealed curriculum schedule ----
     // Epoch e admits the top-e quality quartiles (epoch 1 = best 25%,

@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.operators.{LanguageModel, LogReg, Pca}
+import graft.operators.{KMeansExact, LanguageModel, LogReg, Pca}
 
 /** Unit coverage for the trained-model family (q136–q141): Stupid
   * Backoff cascade faces, LR training determinism + separability,
@@ -100,6 +100,44 @@ class ModelSpec extends SparkSpec {
         dim = 4, iters = 8)
       .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
     assert(proj == proj2, "projections must be repartition-invariant")
+  }
+
+  test("abtt: removing the top component kills the planted dominant " +
+      "direction") {
+    val vecs = (0 until 50).map { i =>
+      (i.toLong, Array(i.toFloat, (i % 3).toFloat * 0.1f, 0f, 0f))
+    }.toDF("id", "embedding")
+    val corrected = Pca.allButTop(vecs, "id", "embedding", dim = 4, iters = 8)
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getDouble(2))
+      .toMap
+    // the j=0 coordinate carried essentially all variance; after
+    // correction its residual must be tiny relative to the original
+    // centered magnitude (±24.5)
+    (0 until 50).foreach { i =>
+      val res = corrected((i.toLong, 0))
+      assert(math.abs(res) < 0.1, s"id=$i residual j=0: $res")
+    }
+  }
+
+  test("kmeans: recovers planted well-separated clusters and is " +
+      "repartition-invariant") {
+    // 3 tight planted blobs far apart, k=3: seeds 0,1,2 are one per
+    // blob by construction (ids interleave blobs)
+    val vecs = (0 until 30).map { i =>
+      val blob = i % 3
+      (i.toLong, Array(blob * 100f + (i / 3) * 0.01f, blob * 50f, 0f, 0f))
+    }.toDF("id", "embedding")
+    val out = KMeansExact.assign(vecs, "id", "embedding", k = 3, iters = 3)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    (0 until 30).foreach { i =>
+      assert(out(i.toLong) == out((i % 3).toLong),
+        s"id=$i must share its blob's cluster: $out")
+    }
+    assert(out.values.toSet.size == 3, s"3 distinct clusters: $out")
+    val out2 = KMeansExact.assign(vecs.repartition(7), "id", "embedding",
+        k = 3, iters = 3)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(out == out2, "assignment must be repartition-invariant")
   }
 
   test("curriculum: annealed admission invariants on the real corpus") {
