@@ -15,6 +15,65 @@ import graft.functions.TextFunctions.qualityScore
   */
 object ModelQueries {
 
+  /** NB classify CTE chain (the q108 algebra) parameterized by fold:
+    * model fitted on `doc_id % folds <> f`, scored on `= f`. Defines
+    * `pred_$f` (doc_id, pred_label). The fold filters are the ONLY
+    * difference from q108's replay.
+    */
+  private def nbFoldCtes(f: Int, folds: Int): String = {
+    val train = s"doc_id % $folds <> $f"
+    val test = s"doc_id % $folds = $f"
+    s"""tok_$f AS (
+        SELECT doc_id, lang, unnest(string_split(text, ' ')) AS w
+        FROM documents WHERE $train),
+      dt_$f AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS w
+        FROM documents WHERE $test),
+      dtc_$f AS (SELECT doc_id, w, count(*) AS k FROM dt_$f GROUP BY ALL),
+      lt_$f AS (SELECT lang AS label, w, count(*) AS cnt
+             FROM tok_$f GROUP BY ALL),
+      tot_$f AS (SELECT label, sum(cnt) AS tot FROM lt_$f GROUP BY 1),
+      v_$f AS (SELECT count(DISTINCT w) AS v FROM lt_$f),
+      n_$f AS (SELECT count(*) AS n FROM documents WHERE $train),
+      consts_$f AS (
+        SELECT d.lang AS label,
+               CAST(round(ln(count(*) * 1.0 / any_value(n_$f.n)), 6)
+                    AS DECIMAL(18,6)) AS prior,
+               CAST(round(ln(1.0 / (any_value(tot_$f.tot)
+                    + any_value(v_$f.v))), 6)
+                    AS DECIMAL(18,6)) AS smooth
+        FROM documents d CROSS JOIN n_$f CROSS JOIN v_$f
+        JOIN tot_$f ON tot_$f.label = d.lang
+        WHERE $train
+        GROUP BY 1),
+      lp_$f AS (
+        SELECT lt_$f.label, lt_$f.w,
+               CAST(round(ln((lt_$f.cnt + 1.0) / (tot_$f.tot + v_$f.v)), 6)
+                    AS DECIMAL(18,6)) AS lp
+        FROM lt_$f JOIN tot_$f USING (label) CROSS JOIN v_$f),
+      obs_$f AS (
+        SELECT dtc_$f.doc_id, lp_$f.label,
+               sum(dtc_$f.k * (lp_$f.lp - c.smooth)) AS obs_sum
+        FROM dtc_$f JOIN lp_$f ON dtc_$f.w = lp_$f.w
+        JOIN consts_$f c ON c.label = lp_$f.label
+        GROUP BY 1, 2),
+      dl_$f AS (SELECT doc_id, sum(k) AS n_tok FROM dtc_$f GROUP BY 1),
+      scored_$f AS (
+        SELECT dl_$f.doc_id, c.label,
+               c.prior + dl_$f.n_tok * c.smooth + coalesce(obs_$f.obs_sum, 0)
+                 AS score
+        FROM dl_$f CROSS JOIN consts_$f c
+        LEFT JOIN obs_$f ON obs_$f.doc_id = dl_$f.doc_id
+          AND obs_$f.label = c.label),
+      pred_$f AS (
+        SELECT doc_id, label AS pred_label
+        FROM (SELECT doc_id, label,
+                row_number() OVER (PARTITION BY doc_id
+                                   ORDER BY score DESC, label) AS rn
+              FROM scored_$f)
+        WHERE rn = 1)"""
+  }
+
   private val enLabelSql = "CASE WHEN lang = 'en' THEN 1 ELSE 0 END"
   private val LrDim = 32
   private val LrRounds = 3
@@ -205,6 +264,108 @@ object ModelQueries {
           .orderBy(col("vec_id"))
       },
       Some(KMeansExact.oracleSql(k = 8, iters = 3))),
+
+    // ---- q144: tokenizer vocabulary coverage / OOV rate ----
+    // Per-source out-of-vocabulary token-position rate under the
+    // top-V corpus vocabulary (count desc, gram asc — the q75 rank) —
+    // the report that decides whether a tokenizer's vocab budget
+    // covers every source before training starts.
+    QueryDef(
+      "q144_oov_rate",
+      (s, dir) => {
+        val d = Tables.load(s, dir, "documents")
+        val vocab = graft.operators.CorpusOps.topNgrams(d, "text", n = 1, k = 20)
+          .select(col("gram").as("w"), lit(1).as("inv"))
+        d.select(col("source"), explode(split(col("text"), " ")).as("w"))
+          .join(broadcast(vocab), Seq("w"), "left")
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_tokens"),
+            sum(when(col("inv").isNull, 1).otherwise(0)).as("n_oov"))
+          .select(col("source"), col("n_tokens"), col("n_oov"),
+            round(col("n_oov").cast("double") /
+              col("n_tokens").cast("double"), 6).as("oov_rate"))
+          .orderBy(col("source"))
+      },
+      Some("""
+        WITH g AS (
+          SELECT unnest(string_split(text, ' ')) AS gram FROM documents),
+        c AS (SELECT gram, count(*) AS cnt FROM g GROUP BY 1),
+        vocab AS (SELECT gram FROM c ORDER BY cnt DESC, gram LIMIT 20),
+        tok AS (
+          SELECT source, unnest(string_split(text, ' ')) AS w
+          FROM documents)
+        SELECT source, CAST(count(*) AS BIGINT) AS n_tokens,
+               CAST(sum(CASE WHEN v.gram IS NULL THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n_oov,
+               round(CAST(sum(CASE WHEN v.gram IS NULL THEN 1 ELSE 0 END)
+                 AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS oov_rate
+        FROM tok LEFT JOIN vocab v ON tok.w = v.gram
+        GROUP BY 1 ORDER BY 1""")),
+
+    // ---- q145: per-source quantile normalization of quality ----
+    // Scores from different sources are not comparable on a shared
+    // threshold (each source has its own distribution); the standard
+    // fix is rank-normalizing within source to [0,1]. percent_rank
+    // over the (quality, doc_id) total order is deterministic and
+    // identical on both engines.
+    QueryDef(
+      "q145_quantile_normalize",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        Tables.load(s, dir, "documents")
+          .select(col("doc_id"), col("source"),
+            round(qualityScore(col("text")), 6).as("q"))
+          .withColumn("pnorm", round(percent_rank().over(
+            Window.partitionBy(col("source"))
+              .orderBy(col("q"), col("doc_id"))), 6))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""
+        WITH scored AS (
+          SELECT doc_id, source, round(${TextQueries.qualitySql}, 6) AS q
+          FROM documents)
+        SELECT doc_id, source, q,
+               round(percent_rank() OVER (PARTITION BY source
+                 ORDER BY q, doc_id), 6) AS pnorm
+        FROM scored ORDER BY doc_id""")),
+
+    // ---- q146: k-fold cross-validated NB accuracy ----
+    // The held-out evaluation q108's self-classification cannot give:
+    // 3 deterministic folds (doc_id mod 3), model fitted on the
+    // out-fold docs, scored on the in-fold docs, per-fold accuracy.
+    // The oracle replays all three fold models with the q108 CTE
+    // chain — the entire cross-validation sits under the hash gate.
+    QueryDef(
+      "q146_nb_crossval",
+      (s, dir) => {
+        val d = Tables.load(s, dir, "documents")
+        val folds = (0 until 3).map { f =>
+          val train = d.filter(col("doc_id") % 3 =!= f)
+          val test = d.filter(col("doc_id") % 3 === f)
+          graft.operators.NaiveBayes
+            .classify(test, "doc_id", "text", train, "lang")
+            .join(test.select(col("doc_id"), col("lang")), Seq("doc_id"))
+            .agg(count(lit(1)).as("n"),
+              sum(when(col("pred_label") === col("lang"), 1L)
+                .otherwise(0L)).as("n_correct"))
+            .select(lit(f).as("fold"), col("n"), col("n_correct"),
+              round(col("n_correct").cast("double") /
+                col("n").cast("double"), 6).as("acc"))
+        }
+        folds.reduce(_ unionByName _).orderBy(col("fold"))
+      },
+      Some(s"""
+        WITH ${(0 until 3).map(nbFoldCtes(_, 3)).mkString(",\n      ")},
+        metrics AS (
+          ${(0 until 3).map { f =>
+            s"""SELECT $f AS fold, CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CASE WHEN p.pred_label = d.lang THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n_correct
+            FROM pred_$f p JOIN documents d USING (doc_id)"""
+          }.mkString("\n          UNION ALL\n          ")})
+        SELECT fold, n, n_correct,
+               round(CAST(n_correct AS DOUBLE) / CAST(n AS DOUBLE), 6) AS acc
+        FROM metrics ORDER BY fold""")),
 
     // ---- q141: quality-annealed curriculum schedule ----
     // Epoch e admits the top-e quality quartiles (epoch 1 = best 25%,

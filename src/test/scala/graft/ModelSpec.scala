@@ -140,6 +140,33 @@ class ModelSpec extends SparkSpec {
     assert(out == out2, "assignment must be repartition-invariant")
   }
 
+  test("crossval: folds partition the corpus and accuracies are " +
+      "consistent") {
+    val d = Tables.load(spark, sf0001, "documents")
+    val rows = SparkEntry.queries("q146_nb_crossval")(spark, sf0001)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3)))
+    assert(rows.map(_._1).toSeq == Seq(0, 1, 2))
+    assert(rows.map(_._2).sum == d.count(), "folds must partition")
+    rows.foreach { case (f, n, c, acc) =>
+      assert(c <= n && acc >= 0.0 && acc <= 1.0, s"fold $f: $n $c $acc")
+      assert(math.abs(acc - c.toDouble / n) < 1e-6)
+    }
+  }
+
+  test("quantile normalization: per-source pnorm spans [0,1] " +
+      "uniformly") {
+    val rows = SparkEntry.queries("q145_quantile_normalize")(spark, sf0001)
+      .collect().map(r => (r.getString(1), r.getDouble(3)))
+    rows.groupBy(_._1).foreach { case (src, rs) =>
+      val ps = rs.map(_._2)
+      assert(ps.min == 0.0 && ps.max == 1.0,
+        s"$src pnorm range: ${ps.min}..${ps.max}")
+      assert(ps.distinct.length == ps.length,
+        s"$src: strict (q, doc_id) order must make pnorm injective")
+    }
+  }
+
   test("curriculum: annealed admission invariants on the real corpus") {
     val d = Tables.load(spark, sf0001, "documents")
     val sched = SparkEntry.queries("q141_curriculum")(spark, sf0001)

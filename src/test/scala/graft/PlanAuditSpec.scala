@@ -26,6 +26,9 @@ class PlanAuditSpec extends SparkSpec {
     // q134 wraps q108's classify (same docs × label-constants frame)
     // in the confusion aggregation — same O(1)-bounded NLJ side.
     "q134_nb_confusion",
+    // q146 runs q108's classify once per fold — the same O(1)-bounded
+    // docs × label-constants frame, three times.
+    "q146_nb_crossval",
     // q123: q28's documented all-pairs intent transplanted into the
     // 16-dim projected space — the exact in-space baseline; scale
     // corpora route through LSH/IVF over the same projected vectors.
