@@ -36,6 +36,47 @@ import org.apache.spark.sql.functions._
   */
 object GraphRank {
 
+  /** Synchronous label propagation (the Zhu/Ghahramani semi-
+    * supervised labeling scheme in its exact-count form): `iters`
+    * rounds where every node adopts the MAJORITY label among its
+    * labeled neighbors — count desc, label asc tie-break, a total
+    * order, so the fixpoint is engine-independent — while `seeds`
+    * stay clamped. The corpus-curation use: spread a small set of
+    * trusted labels (human-audited docs, known-domain items) over a
+    * similarity/interaction graph.
+    *
+    * Each round is one keyed (neighbor-count) aggregation + one
+    * argmin window per node, both hash-partitioned on the node id —
+    * the 100 TB shape; the label frontier only grows, and the round
+    * count is a config constant, so plan depth is bounded (each round
+    * is localCheckpoint-ed like the PageRank loop).
+    *
+    * `edges`: directed (src, dst) — pass both directions for an
+    * undirected graph. `seeds`: (node, label). Returns (node, label)
+    * for every node labeled after `iters` rounds.
+    */
+  def labelPropagate(edges: DataFrame, seeds: DataFrame,
+      iters: Int): DataFrame = {
+    require(iters >= 1 && iters <= 16, s"iters=$iters")
+    import org.apache.spark.sql.expressions.Window
+    val e = edges.localCheckpoint(eager = false)
+    val s = seeds.localCheckpoint(eager = false)
+    var lab = s
+    for (_ <- 1 to iters) {
+      val win = e.join(lab, e("src") === lab("node"))
+        .groupBy(col("dst"), col("label"))
+        .agg(count(lit(1)).as("cnt"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("dst"))
+            .orderBy(col("cnt").desc, col("label"))))
+        .filter(col("rn") === 1)
+        .select(col("dst").as("node"), col("label"))
+      lab = s.unionByName(win.join(s, Seq("node"), "left_anti"))
+        .localCheckpoint(eager = false)
+    }
+    lab
+  }
+
   /** `edges`: DISTINCT directed (src, dst) rows, every src with
     * outdegree ≥ 1 and every node appearing as a dst at least once
     * (both hold for a symmetrized graph). Output: (node, rank_m)

@@ -288,6 +288,119 @@ object EventsQueries {
                FROM p4 p JOIN ed e ON e.src = p.node
                JOIN deg d ON d.src = p.node GROUP BY 1)
         SELECT node, r AS rank_m, CAST(r AS DOUBLE) / 1000000.0 AS rank
-        FROM p5 ORDER BY node"""))
+        FROM p5 ORDER BY node""")),
+
+    // ---- q147: ordered journey assembly ----
+    // The SFT-style record assembly primitive: flat event rows →
+    // one ordered per-user interaction transcript. Spark builds the
+    // order with sort_array over (ts, event_id, type) structs — a
+    // deterministic total order that matches the oracle's
+    // string_agg(... ORDER BY ts, event_id) exactly; the string is
+    // compared, not the list, so array-rendering differences between
+    // engines can't alias the gate.
+    QueryDef(
+      "q147_journey_assembly",
+      (s, dir) => {
+        Tables.load(s, dir, "events")
+          .groupBy(col("user_id"))
+          .agg(count(lit(1)).as("n_events"),
+            concat_ws(">", transform(
+              sort_array(collect_list(struct(col("ts"), col("event_id"),
+                col("event_type")))),
+              x => x("event_type"))).as("journey"))
+          .orderBy(col("user_id"))
+      },
+      Some("""
+        SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+               string_agg(event_type, '>' ORDER BY ts, event_id)
+                 AS journey
+        FROM events GROUP BY user_id ORDER BY user_id""")),
+
+    // ---- q148: label propagation over the click graph ----
+    // Semi-supervised labeling (Zhu–Ghahramani in exact-count form):
+    // seed labels on every 4th user (their modal event type, count
+    // desc / type asc), 3 synchronous majority rounds over the q126
+    // bipartite graph with seeds clamped. Pure counts + total-order
+    // tie-breaks — the oracle unrolls the rounds and the final
+    // labeling hash-gates exactly.
+    QueryDef(
+      "q148_label_prop",
+      (s, dir) => {
+        val ev = Tables.load(s, dir, "events")
+          .select(col("user_id"),
+            get_json_object(col("props"), "$.k").cast("long").as("k"),
+            col("event_type"))
+        val fwd = ev.filter(col("k").isNotNull).select(
+          concat(lit("u"), col("user_id")).as("src"),
+          concat(lit("i"), col("k")).as("dst")).distinct()
+        val edges = fwd.unionByName(
+          fwd.select(col("dst").as("src"), col("src").as("dst")))
+        val seeds = ev.filter(col("user_id") % 4 === 0)
+          .groupBy(col("user_id"), col("event_type"))
+          .agg(count(lit(1)).as("cnt"))
+          .withColumn("rn", row_number().over(
+            Window.partitionBy(col("user_id"))
+              .orderBy(col("cnt").desc, col("event_type"))))
+          .filter(col("rn") === 1)
+          .select(concat(lit("u"), col("user_id")).as("node"),
+            col("event_type").as("label"))
+        graft.operators.GraphRank.labelPropagate(edges, seeds, iters = 3)
+          .orderBy(col("node"))
+      },
+      Some("""
+        WITH raw AS (
+          SELECT DISTINCT 'u' || CAST(user_id AS VARCHAR) AS src,
+                 'i' || json_extract_string(props, '$.k') AS dst
+          FROM events
+          WHERE json_extract_string(props, '$.k') IS NOT NULL),
+        ed AS (SELECT src, dst FROM raw
+               UNION ALL SELECT dst, src FROM raw),
+        seeds AS (
+          SELECT 'u' || CAST(user_id AS VARCHAR) AS node, label
+          FROM (
+            SELECT user_id, event_type AS label,
+                   row_number() OVER (PARTITION BY user_id
+                     ORDER BY count(*) DESC, event_type) AS rn
+            FROM events WHERE user_id % 4 = 0
+            GROUP BY user_id, event_type)
+          WHERE rn = 1),
+        l0 AS (SELECT node, label FROM seeds),
+        w1 AS (
+          SELECT dst AS node, label FROM (
+            SELECT e.dst, l.label,
+                   row_number() OVER (PARTITION BY e.dst
+                     ORDER BY count(*) DESC, l.label) AS rn
+            FROM l0 l JOIN ed e ON e.src = l.node
+            GROUP BY e.dst, l.label)
+          WHERE rn = 1),
+        l1 AS (SELECT node, label FROM seeds
+               UNION ALL
+               SELECT w.node, w.label FROM w1 w
+               LEFT JOIN seeds s ON s.node = w.node WHERE s.node IS NULL),
+        w2 AS (
+          SELECT dst AS node, label FROM (
+            SELECT e.dst, l.label,
+                   row_number() OVER (PARTITION BY e.dst
+                     ORDER BY count(*) DESC, l.label) AS rn
+            FROM l1 l JOIN ed e ON e.src = l.node
+            GROUP BY e.dst, l.label)
+          WHERE rn = 1),
+        l2 AS (SELECT node, label FROM seeds
+               UNION ALL
+               SELECT w.node, w.label FROM w2 w
+               LEFT JOIN seeds s ON s.node = w.node WHERE s.node IS NULL),
+        w3 AS (
+          SELECT dst AS node, label FROM (
+            SELECT e.dst, l.label,
+                   row_number() OVER (PARTITION BY e.dst
+                     ORDER BY count(*) DESC, l.label) AS rn
+            FROM l2 l JOIN ed e ON e.src = l.node
+            GROUP BY e.dst, l.label)
+          WHERE rn = 1),
+        l3 AS (SELECT node, label FROM seeds
+               UNION ALL
+               SELECT w.node, w.label FROM w3 w
+               LEFT JOIN seeds s ON s.node = w.node WHERE s.node IS NULL)
+        SELECT node, label FROM l3 ORDER BY node"""))
   )
 }

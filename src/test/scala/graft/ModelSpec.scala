@@ -167,6 +167,24 @@ class ModelSpec extends SparkSpec {
     }
   }
 
+  test("label propagation: majority adoption, deterministic " +
+      "tie-break, clamped seeds") {
+    import graft.operators.GraphRank
+    // path a—b—c—d; seeds: a='x', d='y'; undirected edges both ways
+    val fwd = Seq(("a", "b"), ("b", "c"), ("c", "d")).toDF("src", "dst")
+    val edges = fwd.unionByName(fwd.select(col("dst").as("src"),
+      col("src").as("dst")))
+    val seeds = Seq(("a", "x"), ("d", "y")).toDF("node", "label")
+    val out = GraphRank.labelPropagate(edges, seeds, iters = 3)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(out("a") == "x" && out("d") == "y", s"seeds clamp: $out")
+    // round 1: b adopts a's 'x', c adopts d's 'y'; round 2: both see a
+    // 1–1 tie and the ascending label wins → c flips to 'x'; round 3
+    // is stable. The deterministic tie-break is the point.
+    assert(out("b") == "x" && out("c") == "x",
+      s"tie must break to the ascending label: $out")
+  }
+
   test("curriculum: annealed admission invariants on the real corpus") {
     val d = Tables.load(spark, sf0001, "documents")
     val sched = SparkEntry.queries("q141_curriculum")(spark, sf0001)
