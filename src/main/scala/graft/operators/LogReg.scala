@@ -138,6 +138,55 @@ object LogReg {
       .select(col(idCol), col("y"), col("sig").cast("double").as("p"))
       .withColumn("pred", (col("p") >= 0.5).cast("int"))
 
+  /** Standing (streaming) scorer: the trained dim+1 weight table is
+    * a broadcast-sized model by construction, so arriving documents
+    * score completely scan-locally (stateless mapPartitions — the
+    * standing-LM shape): same function on a static frame and an
+    * append-mode ingest stream. Replicates the batch arithmetic
+    * EXACTLY: md5 bucketing, x = round(c/n, 6) half-up, exact
+    * BigDecimal margin, one sigmoid rounded to 6
+    * (differential-gated in StreamingSpec). Output: (idCol, p, pred).
+    */
+  def scoreFitted(docs: DataFrame, idCol: String, textCol: String,
+      weights: DataFrame, dim: Int): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val w: Map[Int, java.math.BigDecimal] = weights
+      .select(col("feat"), col("weight").cast("decimal(18,6)"))
+      .collect().map(r => r.getInt(0) -> r.getDecimal(1)).toMap
+    val bc = spark.sparkContext.broadcast(w)
+    docs.select(col(idCol).cast("long"), col(textCol))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        val wm = bc.value
+        val md = java.security.MessageDigest.getInstance("MD5")
+        it.map { case (id, text) =>
+          val tk = text.split(" ", -1)
+          val counts = new scala.collection.mutable.HashMap[Int, Long]()
+          tk.foreach { t =>
+            md.reset()
+            val hex = md.digest(t.getBytes("UTF-8"))
+              .take(4).map(b => f"$b%02x").mkString
+            val f = (java.lang.Long.parseLong(hex, 16) % dim).toInt
+            counts.update(f, counts.getOrElse(f, 0L) + 1L)
+          }
+          var z = wm(-1) // bias (x = 1)
+          counts.foreach { case (f, c) =>
+            val x = java.math.BigDecimal
+              .valueOf(c.toDouble / tk.length.toDouble)
+              .setScale(6, java.math.RoundingMode.HALF_UP)
+            z = z.add(wm(f).multiply(x))
+          }
+          val p = java.math.BigDecimal
+            .valueOf(1.0 / (1.0 + math.exp(-z.doubleValue)))
+            .setScale(6, java.math.RoundingMode.HALF_UP)
+            .doubleValue
+          (id, p, if (p >= 0.5) 1 else 0)
+        }
+      }
+      .toDF(idCol, "p", "pred")
+  }
+
   /** DuckDB WITH-clause body replaying [[features]] + [[train]]:
     * defines CTEs `feats`, `nd`, and `w0..w<rounds>` (the final
     * weight table is `w<rounds>`), for `labelSql` ∈ {0,1} over

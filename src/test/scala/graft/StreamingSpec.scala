@@ -709,6 +709,39 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("standing LR scorer: arriving docs scored under the trained " +
+      "weight table agree EXACTLY with the batch sigmoid route") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.LogReg
+    val d = Tables.load(spark, sf0001, "documents")
+    val feats = LogReg.features(d, "doc_id", "text",
+      col("lang") === "en", 32).localCheckpoint(eager = false)
+    val w = LogReg.train(feats, "doc_id", 32, rounds = 3, lr = 0.5)
+    val batch = LogReg.score(feats, "doc_id", w)
+      .select(col("doc_id"), col("p"), col("pred"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getInt(2)))
+      .toSet
+    val rows = d.select(col("doc_id"), col("text"))
+      .as[(Long, String)].collect()
+    val ms = MemoryStream[(Long, String)]
+    val q = LogReg.scoreFitted(
+      ms.toDF().toDF("doc_id", "text"), "doc_id", "text", w, 32)
+      .writeStream.format("memory").queryName("standing_lr")
+      .outputMode("append").start()
+    try {
+      val (first, rest) = rows.splitAt(rows.length / 2)
+      ms.addData(first.toSeq)
+      q.processAllAvailable()
+      ms.addData(rest.toSeq)
+      q.processAllAvailable()
+      val got = spark.table("standing_lr").collect()
+        .map(r => (r.getLong(0), r.getDouble(1), r.getInt(2))).toSet
+      assert(got == batch && got.nonEmpty,
+        s"standing LR diverges: ${got.size} vs ${batch.size}; " +
+          s"sample ${(got -- batch).take(3)} / ${(batch -- got).take(3)}")
+    } finally q.stop()
+  }
+
   test("standing LM fit: the maxGrams budget gate refuses an " +
       "over-budget vocabulary instead of broadcasting it") {
     import graft.operators.LanguageModel
