@@ -270,6 +270,44 @@ object CorpusStress {
       require(rPr == nNodesG,
         s"pagerank lost nodes at factor $f: $rPr vs $nNodesG")
 
+      // q136/q148 (r8): Stupid-Backoff LM scoring + label propagation
+      // at scale. Token-disjoint copies make the LM count tables
+      // per-copy replicas, so scoring stays total (one row per doc)
+      // and the count-table joins time the vocabulary growth ×f. The
+      // namespaced click graph gives label propagation f independent
+      // components — every copy must converge to the SAME per-copy
+      // labeled count (asserted), timing the iterative majority
+      // rounds as edges grow ×f.
+      val lmTrain = docs.filter(col("source") =!= "src1")
+      val (r136, t136) = time(
+        graft.operators.LanguageModel.stupidBackoff(
+          lmTrain, docs, "doc_id", "text").count())
+      require(r136 == n, s"LM scoring not total at factor $f: $r136 vs $n")
+      val evL = Tables.load(spark, sfDir, "events")
+        .select(col("user_id"), col("event_type"))
+        .crossJoin(spark.range(f).select(col("id").as("cp")))
+      val seedsG = evL.filter(col("user_id") % 4 === 0)
+        .groupBy(col("cp"), col("user_id"), col("event_type"))
+        .agg(count(lit(1)).as("cnt"))
+        .withColumn("rn", org.apache.spark.sql.functions.row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy(col("cp"), col("user_id"))
+            .orderBy(col("cnt").desc, col("event_type"))))
+        .filter(col("rn") === 1)
+        .select(concat(lit("u"), col("cp"), lit("_"), col("user_id"))
+          .as("node"), col("event_type").as("label"))
+      val (lp, tLp) = time {
+        val out = graft.operators.GraphRank
+          .labelPropagate(edgesG, seedsG, iters = 3)
+          .withColumn("cpp", split(col("node"), "_").getItem(0))
+        val perCopy = out.groupBy(col("cpp")).agg(count(lit(1)).as("c"))
+          .select(col("c")).distinct().collect().map(_.getLong(0))
+        (out.count(), perCopy)
+      }
+      require(lp._2.length <= 2, // "uN"/"iN" prefixes may differ; per
+        // prefix-class the count must replicate across copies
+        s"label prop per-copy counts diverge at factor $f: ${lp._2.toSeq}")
+
       println(s"""{"factor":$f,"docs":$n,""" +
         s""""q67_sec":$t67,"q67_rows":$r67,""" +
         s""""q71_sec":$t71,"q71_rows":$r71,""" +
@@ -297,7 +335,9 @@ object CorpusStress {
         s""""q119_aqe_skew_splits":$sk119,""" +
         s""""q119_cap_buckets":$cb119,"q119_cap_rows":$cr119,""" +
         s""""q127_sec":$t127,""" +
-        s""""pr_sec":$tPr,"pr_nodes":$rPr}""")
+        s""""pr_sec":$tPr,"pr_nodes":$rPr,""" +
+        s""""q136_sec":$t136,"q136_rows":$r136,""" +
+        s""""lp_sec":$tLp,"lp_labeled":${lp._1}}""")
     }
     spark.stop()
   }

@@ -124,12 +124,28 @@ object EmbedStress {
           .count()
       }
 
+      // q143 path at scale (r8): exact-replay Lloyd rounds over the
+      // growing corpus. Output must stay total (one row per vector)
+      // with every cluster non-empty — the structural invariant the
+      // fixed-point arithmetic must preserve under AQE/repartition as
+      // the corpus grows.
+      val (km, kmSec) = time {
+        val sizes = graft.operators.KMeansExact
+          .assign(corpus, "id", "vec", k = 8, iters = 3)
+          .groupBy(col("cluster")).agg(count(lit(1)).as("c"))
+          .collect().map(_.getLong(1))
+        (sizes.sum, sizes.length.toLong)
+      }
+      require(km._1 == n && km._2 == 8,
+        s"kmeans at factor $f: rows ${km._1} vs $n, clusters ${km._2}")
+
       println(s"""{"factor":$f,"vectors":$n,"planted":$nTwins,""" +
         s""""sec":${sec + secCount},"found":$found,"planted_found":$planted,""" +
         s""""recall":$recall,""" +
         s""""q82_queries":$nQ,"q82_sec":$qSec,""" +
         s""""q82_recall1":${qHits.toDouble / nQ},""" +
-        s""""proj_sec":$pSec,"proj_recall1":${pHits.toDouble / nQ}}""")
+        s""""proj_sec":$pSec,"proj_recall1":${pHits.toDouble / nQ},""" +
+        s""""kmeans_sec":$kmSec,"kmeans_rows":${km._1}}""")
     }
     spark.stop()
   }

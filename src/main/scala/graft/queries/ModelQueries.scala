@@ -367,6 +367,180 @@ object ModelQueries {
                round(CAST(n_correct AS DOUBLE) / CAST(n AS DOUBLE), 6) AS acc
         FROM metrics ORDER BY fold""")),
 
+    // ---- q149: chi-squared feature selection ----
+    // The classic classifier-vocabulary builder: per-label top-10
+    // tokens by chi² over the doc-level presence contingency
+    // (observed (token,label) pairs only — the positive-evidence
+    // form sparse implementations use). Counts are exact integers;
+    // chi² is pure pinned double arithmetic in ONE textual order on
+    // both engines, rounded to 6 for the rank.
+    QueryDef(
+      "q149_chi2_features",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val d = Tables.load(s, dir, "documents")
+        val n = d.count()
+        val dt = d.select(col("lang"),
+          explode(array_distinct(split(col("text"), " "))).as("w"))
+        val a = dt.groupBy(col("w"), col("lang"))
+          .agg(count(lit(1)).as("a"))
+        val tw = a.groupBy(col("w")).agg(sum(col("a")).as("tw"))
+        val nl = d.groupBy(col("lang")).agg(count(lit(1)).as("nl"))
+        val j = a.join(tw, Seq("w")).join(broadcast(nl), Seq("lang"))
+          .filter(col("tw") < n)
+        val diff = col("a").cast("double") *
+            (lit(n) - col("tw") - col("nl") + col("a")).cast("double") -
+          (col("tw") - col("a")).cast("double") *
+            (col("nl") - col("a")).cast("double")
+        val chi2 = round(lit(n.toDouble) * diff * diff /
+          (col("tw").cast("double") * (lit(n) - col("tw")).cast("double") *
+            col("nl").cast("double") * (lit(n) - col("nl")).cast("double")),
+          6)
+        j.select(col("lang").as("label"), col("w").as("token"),
+            chi2.as("chi2"))
+          .withColumn("rank", row_number().over(
+            Window.partitionBy(col("label"))
+              .orderBy(col("chi2").desc, col("token"))))
+          .filter(col("rank") <= 10)
+          .select(col("label"), col("rank"), col("token"), col("chi2"))
+          .orderBy(col("label"), col("rank"))
+      },
+      Some("""
+        WITH nn AS (SELECT count(*) AS n FROM documents),
+        dt AS (
+          SELECT DISTINCT doc_id, lang,
+                 unnest(string_split(text, ' ')) AS w
+          FROM documents),
+        a AS (SELECT w, lang, count(*) AS a FROM dt GROUP BY 1, 2),
+        tw AS (SELECT w, CAST(sum(a) AS BIGINT) AS tw FROM a GROUP BY 1),
+        nl AS (SELECT lang, count(*) AS nl FROM documents GROUP BY 1),
+        j AS (
+          SELECT a.lang, a.w, a.a, tw.tw, nl.nl, nn.n
+          FROM a JOIN tw USING (w) JOIN nl USING (lang) CROSS JOIN nn
+          WHERE tw.tw < nn.n),
+        scored AS (
+          SELECT lang AS label, w AS token,
+                 round(CAST(n AS DOUBLE) *
+                   (CAST(a AS DOUBLE) * CAST(n - tw - nl + a AS DOUBLE) -
+                    CAST(tw - a AS DOUBLE) * CAST(nl - a AS DOUBLE)) *
+                   (CAST(a AS DOUBLE) * CAST(n - tw - nl + a AS DOUBLE) -
+                    CAST(tw - a AS DOUBLE) * CAST(nl - a AS DOUBLE)) /
+                   (CAST(tw AS DOUBLE) * CAST(n - tw AS DOUBLE) *
+                    CAST(nl AS DOUBLE) * CAST(n - nl AS DOUBLE)), 6)
+                   AS chi2
+          FROM j),
+        ranked AS (
+          SELECT label, token, chi2,
+                 row_number() OVER (PARTITION BY label
+                   ORDER BY chi2 DESC, token) AS rank
+          FROM scored)
+        SELECT label, CAST(rank AS INT) AS rank, token, chi2
+        FROM ranked WHERE rank <= 10
+        ORDER BY label, rank""")),
+
+    // ---- q150: inter-classifier agreement (Cohen's kappa) ----
+    // Do the trained NB model (q108) and the marker-word heuristic
+    // (q18) agree beyond chance? Pure integer agreement/marginal
+    // counts, pe in DECIMAL(38,0) cross products, three pinned
+    // divisions — the judge-agreement metric annotation pipelines
+    // run before trusting auto-labels.
+    QueryDef(
+      "q150_classifier_kappa",
+      (s, dir) => {
+        import graft.functions.TextFunctions.langId
+        val d = Tables.load(s, dir, "documents")
+        val both = graft.operators.NaiveBayes
+          .classify(d, "doc_id", "text", d, "lang")
+          .select(col("doc_id"), col("pred_label").as("p1"))
+          .join(d.select(col("doc_id"), langId(col("text")).as("p2")),
+            Seq("doc_id"))
+          .localCheckpoint(eager = false)
+        val base = both.agg(count(lit(1)).as("n"),
+          sum(when(col("p1") === col("p2"), 1L).otherwise(0L)).as("agree"))
+        val pe = both.groupBy(col("p1")).agg(count(lit(1)).as("c1"))
+          .join(both.groupBy(col("p2").as("p1"))
+            .agg(count(lit(1)).as("c2")), Seq("p1"))
+          .agg(sum(col("c1").cast("decimal(38,0)") *
+            col("c2").cast("decimal(38,0)")).as("cross"))
+        base.crossJoin(broadcast(pe))
+          .select(col("n"),
+            round(col("agree").cast("double") / col("n").cast("double"), 6)
+              .as("po"),
+            round(col("cross").cast("double") /
+              (col("n").cast("double") * col("n").cast("double")), 6)
+              .as("pe"))
+          .select(col("n"), col("po"), col("pe"),
+            round((col("po") - col("pe")) / (lit(1.0) - col("pe")), 6)
+              .as("kappa"))
+      },
+      Some(s"""
+        WITH tok AS (
+          SELECT doc_id, lang, unnest(string_split(text, ' ')) AS w
+          FROM documents),
+        dt AS (SELECT doc_id, w, count(*) AS k FROM tok GROUP BY ALL),
+        lt AS (SELECT lang AS label, w, count(*) AS cnt
+               FROM tok GROUP BY ALL),
+        tot AS (SELECT label, sum(cnt) AS tot FROM lt GROUP BY 1),
+        v AS (SELECT count(DISTINCT w) AS v FROM lt),
+        n AS (SELECT count(*) AS n FROM documents),
+        consts AS (
+          SELECT d.lang AS label,
+                 CAST(round(ln(count(*) * 1.0 / any_value(n.n)), 6)
+                      AS DECIMAL(18,6)) AS prior,
+                 CAST(round(ln(1.0 / (any_value(tot.tot) + any_value(v.v))), 6)
+                      AS DECIMAL(18,6)) AS smooth
+          FROM documents d CROSS JOIN n CROSS JOIN v
+          JOIN tot ON tot.label = d.lang
+          GROUP BY 1),
+        lp AS (
+          SELECT lt.label, lt.w,
+                 CAST(round(ln((lt.cnt + 1.0) / (tot.tot + v.v)), 6)
+                      AS DECIMAL(18,6)) AS lp
+          FROM lt JOIN tot USING (label) CROSS JOIN v),
+        obs AS (
+          SELECT dt.doc_id, lp.label,
+                 sum(dt.k * (lp.lp - c.smooth)) AS obs_sum
+          FROM dt JOIN lp ON dt.w = lp.w
+          JOIN consts c ON c.label = lp.label
+          GROUP BY 1, 2),
+        dl AS (SELECT doc_id, sum(k) AS n_tok FROM dt GROUP BY 1),
+        scored AS (
+          SELECT dl.doc_id, c.label,
+                 c.prior + dl.n_tok * c.smooth + coalesce(obs.obs_sum, 0)
+                   AS score
+          FROM dl CROSS JOIN consts c
+          LEFT JOIN obs ON obs.doc_id = dl.doc_id AND obs.label = c.label),
+        nbpred AS (
+          SELECT doc_id, label AS p1
+          FROM (SELECT doc_id, label,
+                  row_number() OVER (PARTITION BY doc_id
+                    ORDER BY score DESC, label) AS rn
+                FROM scored)
+          WHERE rn = 1),
+        both_p AS (
+          SELECT nb.doc_id, nb.p1, ${TextQueries.langIdSql} AS p2
+          FROM nbpred nb JOIN documents USING (doc_id)),
+        base AS (
+          SELECT CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(CASE WHEN p1 = p2 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS agree
+          FROM both_p),
+        pe AS (
+          SELECT CAST(sum(CAST(c1 AS DECIMAL(38,0))
+                          * CAST(c2 AS DECIMAL(38,0))) AS DECIMAL(38,0))
+                   AS crossp
+          FROM (SELECT p1, count(*) AS c1 FROM both_p GROUP BY 1) a
+          JOIN (SELECT p2 AS p1, count(*) AS c2 FROM both_p GROUP BY 1) b
+            USING (p1)),
+        m AS (
+          SELECT n,
+                 round(CAST(agree AS DOUBLE) / CAST(n AS DOUBLE), 6) AS po,
+                 round(CAST(crossp AS DOUBLE) /
+                   (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)), 6) AS pe
+          FROM base CROSS JOIN pe)
+        SELECT n, po, pe, round((po - pe) / (1.0 - pe), 6) AS kappa
+        FROM m""")),
+
     // ---- q141: quality-annealed curriculum schedule ----
     // Epoch e admits the top-e quality quartiles (epoch 1 = best 25%,
     // epoch 4 = everything) — the curriculum/annealing shape

@@ -33,7 +33,7 @@ object TextQueries {
     val punctPen = s"least($punctRatioSql * 2.0, 0.5)"
     s"least(greatest(0.4 * $lenScore + 0.3 * $wordScore + 0.3 * $stopScore - $punctPen, 0.0), 1.0)"
   }
-  private val langIdSql = {
+  private[queries] val langIdSql = {
     val scores = langMarkers.map { case (code, words) =>
       code -> words.map(w => occSql(padded, s" $w ")).mkString(" + ")
     }

@@ -185,6 +185,39 @@ class ModelSpec extends SparkSpec {
       s"tie must break to the ascending label: $out")
   }
 
+  test("chi2 features: perfectly separating tokens score N and " +
+      "all-corpus tokens are excluded") {
+    // 2 en docs carry 'aa', 2 fr docs carry 'cc', 'bb' is universal:
+    // (aa,en): a=2 tw=2 nl=2 N=4 → chi2 = 4·(2·2)²/(2·2·2·2) = 4.0;
+    // 'bb' has tw = N and must be filtered out
+    val sf = java.nio.file.Files.createTempDirectory("chi2").toString
+    Seq((1L, "aa bb", "en", "s", 5L), (2L, "aa bb", "en", "s", 5L),
+      (3L, "cc bb", "fr", "s", 5L), (4L, "cc bb", "fr", "s", 5L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$sf/documents.parquet")
+    val rows = SparkEntry.queries("q149_chi2_features")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getString(2),
+        r.getDouble(3)))
+    // only positive-evidence (token,label) pairs are scored, so each
+    // label surfaces exactly its own marker
+    assert(rows.toSet == Set(("en", 1, "aa", 4.0), ("fr", 1, "cc", 4.0)),
+      s"got ${rows.toSeq}")
+  }
+
+  test("classifier kappa: output is internally consistent on the " +
+      "real corpus") {
+    val r = SparkEntry.queries("q150_classifier_kappa")(spark, sf0001)
+      .collect().head
+    val (n, po, pe, kappa) =
+      (r.getLong(0), r.getDouble(1), r.getDouble(2), r.getDouble(3))
+    assert(n > 0 && po >= 0 && po <= 1 && pe > 0 && pe < 1)
+    assert(math.abs(kappa -
+      BigDecimal((po - pe) / (1 - pe))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-9,
+      s"kappa $kappa inconsistent with po=$po pe=$pe")
+    assert(kappa >= -1.0 && kappa <= 1.0)
+  }
+
   test("curriculum: annealed admission invariants on the real corpus") {
     val d = Tables.load(spark, sf0001, "documents")
     val sched = SparkEntry.queries("q141_curriculum")(spark, sf0001)

@@ -29,6 +29,10 @@ class PlanAuditSpec extends SparkSpec {
     // q146 runs q108's classify once per fold — the same O(1)-bounded
     // docs × label-constants frame, three times.
     "q146_nb_crossval",
+    // q150 wraps q108's classify (inherited label-constants frame)
+    // and crosses two ONE-ROW reduces (agreement count × marginal
+    // cross product) into the single kappa row — the q110 shape.
+    "q150_classifier_kappa",
     // q123: q28's documented all-pairs intent transplanted into the
     // 16-dim projected space — the exact in-space baseline; scale
     // corpora route through LSH/IVF over the same projected vectors.
