@@ -11,14 +11,17 @@ import org.apache.spark.sql.functions._
   *
   * Exclusions are the model-TRAINING operators whose semantics
   * genuinely require data, each failing fast with a clear message
-  * rather than a deep stack: q46/q73/q92 (KMeans coarse quantizer)
-  * and q94/q96 (label-centroid classifier requires labeled rows).
+  * rather than a deep stack: q46/q73/q92 (KMeans coarse quantizer),
+  * q94/q96 (label-centroid classifier requires labeled rows), and
+  * q137/q138/q139 (logistic-regression GD requires a non-empty batch
+  * — `require(nDocs > 0, "empty corpus")`).
   */
 class EmptyCorpusSpec extends SparkSpec {
 
   private val trainRequiresData =
     Set("q46_ann_ivf", "q73_semdedup", "q92_cluster_balanced_sample",
-      "q94_centroid_classify", "q96_classifier_balanced")
+      "q94_centroid_classify", "q96_classifier_balanced",
+      "q137_logreg_train", "q138_logreg_score", "q139_auc")
 
   private lazy val emptyDir: String = {
     val dir = new java.io.File("target/empty_sf").getAbsolutePath
