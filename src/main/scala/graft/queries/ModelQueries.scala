@@ -541,6 +541,71 @@ object ModelQueries {
         SELECT n, po, pe, round((po - pe) / (1.0 - pe), 6) AS kappa
         FROM m""")),
 
+    // ---- q151: budget-constrained mixture allocation ----
+    // The dataset-mixing allocator: given a token budget (half the
+    // corpus) and a uniform per-source target, give each source its
+    // target or its capacity, then redistribute the shortfall to
+    // sources with headroom in ONE proportional round — water-filling
+    // with pure integer arithmetic (`div` floors on both engines), so
+    // the allocation hash-gates exactly; the ≤ k+1 residual tokens of
+    // flooring are deliberately left unallocated (documented, not
+    // hidden in float shares). Completes the q65/q88/q95 sampling
+    // family with the budgeted-allocation step that PRECEDES them.
+    QueryDef(
+      "q151_mixture_alloc",
+      (s, dir) => {
+        import graft.functions.TextFunctions.tokenCount
+        val d = Tables.load(s, dir, "documents")
+        val tok = d.select(col("source"),
+            tokenCount(col("text")).cast("long").as("nt"))
+          .groupBy(col("source")).agg(sum(col("nt")).as("tokens"))
+        val tot = tok.agg(sum(col("tokens")).as("total"),
+          count(lit(1)).as("k"))
+        val a1 = tok.crossJoin(broadcast(tot))
+          .withColumn("budget", expr("total div 2"))
+          .withColumn("alloc1", least(col("tokens"),
+            expr("(total div 2) div k")))
+        val caps = a1.agg(sum(col("alloc1")).as("allocated"),
+          sum(col("tokens") - col("alloc1")).as("cap_total"))
+        a1.crossJoin(broadcast(caps))
+          .withColumn("leftover", col("budget") - col("allocated"))
+          .withColumn("alloc", when(col("cap_total") > 0,
+              col("alloc1") + least(col("tokens") - col("alloc1"),
+                expr("(leftover * (tokens - alloc1)) div cap_total")))
+            .otherwise(col("alloc1")))
+          .select(col("source"), col("tokens"), col("alloc"),
+            round(col("alloc").cast("double") /
+              col("tokens").cast("double"), 6).as("rate"))
+          .orderBy(col("source"))
+      },
+      Some("""
+        WITH tok AS (
+          SELECT source,
+                 CAST(sum(len(string_split(text, ' '))) AS BIGINT)
+                   AS tokens
+          FROM documents GROUP BY 1),
+        tot AS (SELECT CAST(sum(tokens) AS BIGINT) AS total,
+                       count(*) AS k FROM tok),
+        a1 AS (
+          SELECT source, tokens, total // 2 AS budget,
+                 least(tokens, (total // 2) // k) AS alloc1
+          FROM tok CROSS JOIN tot),
+        caps AS (SELECT CAST(sum(alloc1) AS BIGINT) AS allocated,
+                        CAST(sum(tokens - alloc1) AS BIGINT) AS cap_total
+                 FROM a1),
+        a2 AS (
+          SELECT source, tokens,
+                 CASE WHEN cap_total > 0
+                   THEN alloc1 + least(tokens - alloc1,
+                     ((budget - allocated) * (tokens - alloc1))
+                       // cap_total)
+                   ELSE alloc1 END AS alloc
+          FROM a1 CROSS JOIN caps)
+        SELECT source, tokens, alloc,
+               round(CAST(alloc AS DOUBLE) / CAST(tokens AS DOUBLE), 6)
+                 AS rate
+        FROM a2 ORDER BY source""")),
+
     // ---- q141: quality-annealed curriculum schedule ----
     // Epoch e admits the top-e quality quartiles (epoch 1 = best 25%,
     // epoch 4 = everything) — the curriculum/annealing shape

@@ -218,6 +218,23 @@ class ModelSpec extends SparkSpec {
     assert(kappa >= -1.0 && kappa <= 1.0)
   }
 
+  test("mixture allocation: water-filling redistributes a " +
+      "capacity-limited source's shortfall, hand-computed") {
+    // A=10, B=100, C=100 tokens; budget = 210/2 = 105, target 35 each:
+    // A caps at 10, leftover 25 splits 12/12 to B/C (integer floor)
+    // → B = C = 47, one residual token deliberately unallocated
+    val sf = java.nio.file.Files.createTempDirectory("alloc").toString
+    def text(n: Int) = Seq.fill(n)("w").mkString(" ")
+    Seq((1L, text(10), "en", "A", 1L), (2L, text(100), "en", "B", 1L),
+      (3L, text(100), "en", "C", 1L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$sf/documents.parquet")
+    val rows = SparkEntry.queries("q151_mixture_alloc")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(rows.toSeq == Seq(("A", 10L, 10L), ("B", 100L, 47L),
+      ("C", 100L, 47L)), s"got ${rows.toSeq}")
+  }
+
   test("curriculum: annealed admission invariants on the real corpus") {
     val d = Tables.load(spark, sf0001, "documents")
     val sched = SparkEntry.queries("q141_curriculum")(spark, sf0001)

@@ -33,6 +33,10 @@ class PlanAuditSpec extends SparkSpec {
     // and crosses two ONE-ROW reduces (agreement count × marginal
     // cross product) into the single kappa row — the q110 shape.
     "q150_classifier_kappa",
+    // q151 crosses two one-row reduces (corpus totals, allocation
+    // totals) into the sources-sized allocation frame — O(1) NLJ
+    // sides again.
+    "q151_mixture_alloc",
     // q123: q28's documented all-pairs intent transplanted into the
     // 16-dim projected space — the exact in-space baseline; scale
     // corpora route through LSH/IVF over the same projected vectors.
