@@ -459,6 +459,42 @@ object Relational {
                COUNT(*) AS n
         FROM orders
         GROUP BY CUBE(o_orderstatus, o_orderpriority)
-        ORDER BY st, pr"""))
+        ORDER BY st, pr""")),
+
+    // ---- q152: frame-based moving aggregate (7-day revenue) ----
+    // The RANGE-frame window the reference lacks entirely (SURVEY
+    // §2.3): daily revenue in exact DECIMAL, then a 7-day trailing
+    // sum over the integer day index — RANGE handles calendar gaps
+    // (a missing day still bounds the frame by value, not by rows).
+    // The global ordered window runs over the DAYS domain (one row
+    // per date), never the orders corpus — the same bounded-window
+    // argument as the AUC score-vocabulary table.
+    QueryDef(
+      "q152_moving_revenue",
+      (s, dir) => {
+        val daily = Tables.load(s, dir, "orders")
+          .select(to_date(col("o_orderdate")).as("day_date"),
+            col("o_totalprice").cast("decimal(18,2)").as("p"))
+          .groupBy(col("day_date")).agg(sum(col("p")).as("rev"))
+          .withColumn("day",
+            datediff(col("day_date"), lit("1992-01-01")))
+        daily
+          .withColumn("rev_7d", sum(col("rev")).over(
+            Window.orderBy(col("day")).rangeBetween(-6, 0)))
+          .select(col("day_date"), col("rev").cast("double").as("rev"),
+            col("rev_7d").cast("double").as("rev_7d"))
+          .orderBy(col("day_date"))
+      },
+      Some("""
+        WITH daily AS (
+          SELECT CAST(o_orderdate AS DATE) AS day_date,
+                 sum(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+          FROM orders GROUP BY 1)
+        SELECT day_date, CAST(rev AS DOUBLE) AS rev,
+               CAST(sum(rev) OVER (
+                 ORDER BY date_diff('day', DATE '1992-01-01', day_date)
+                 RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+                 AS DOUBLE) AS rev_7d
+        FROM daily ORDER BY day_date"""))
   )
 }
