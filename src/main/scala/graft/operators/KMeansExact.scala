@@ -38,7 +38,67 @@ object KMeansExact {
     * centroid, cast from DECIMAL.
     */
   def assign(emb: DataFrame, idCol: String, vecCol: String,
-      k: Int, iters: Int): DataFrame = {
+      k: Int, iters: Int): DataFrame =
+    loop(emb, idCol, vecCol, k, iters)._1
+
+  /** The centroid table the FINAL assignment was computed against
+    * (i.e. after iters−1 updates — exactly what [[assign]]'s output
+    * row distances refer to), collected as the broadcastable standing
+    * model: (cluster, j) → 6-decimal coordinate.
+    */
+  def fitModel(emb: DataFrame, idCol: String, vecCol: String,
+      k: Int, iters: Int): Map[(Int, Int), java.math.BigDecimal] =
+    loop(emb, idCol, vecCol, k, iters)._2
+      .collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> r.getDecimal(2).setScale(6))
+      .toMap
+
+  /** Standing (streaming) assigner: arriving vectors are assigned
+    * under the fitted centroid table completely scan-locally
+    * (stateless mapPartitions — the standing-LM/LR shape), with the
+    * IDENTICAL fixed-point arithmetic as [[assign]]: coordinates
+    * rounded half-up to 6, exact BigDecimal squared distances,
+    * (d2, cluster) total-order argmin. Parity proven in
+    * StreamingSpec. Output: (idCol, cluster, d2).
+    */
+  def assignFitted(docs: DataFrame, idCol: String, vecCol: String,
+      model: Map[(Int, Int), java.math.BigDecimal]): DataFrame = {
+    require(model.nonEmpty, "empty centroid model")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(model)
+    docs.select(col(idCol).cast("long"), col(vecCol).cast("array<float>"))
+      .as[(Long, Array[Float])]
+      .mapPartitions { it =>
+        val m = bc.value
+        val clusters = m.keys.map(_._1).toArray.distinct.sorted
+        it.map { case (id, vec) =>
+          val x6 = vec.map(v => java.math.BigDecimal
+            .valueOf(v.toDouble).setScale(6, java.math.RoundingMode.HALF_UP))
+          var bestK = -1
+          var bestD: java.math.BigDecimal = null
+          clusters.foreach { c =>
+            var d = java.math.BigDecimal.ZERO
+            var j = 0
+            while (j < x6.length) {
+              m.get((c, j)).foreach { cj =>
+                val diff = x6(j).subtract(cj)
+                d = d.add(diff.multiply(diff))
+              }
+              j += 1
+            }
+            if (bestD == null || d.compareTo(bestD) < 0) {
+              bestK = c; bestD = d
+            }
+          }
+          (id, bestK, bestD.doubleValue)
+        }
+      }
+      .toDF(idCol, "cluster", "d2")
+  }
+
+  private def loop(emb: DataFrame, idCol: String, vecCol: String,
+      k: Int, iters: Int): (DataFrame, DataFrame) = {
     require(k >= 2 && k <= 256 && iters >= 1 && iters <= 16,
       s"k=$k iters=$iters")
     val spark = emb.sparkSession
@@ -58,7 +118,9 @@ object KMeansExact {
       .localCheckpoint(eager = false)
 
     var assigned: DataFrame = null
+    var centUsed: DataFrame = cent
     for (_ <- 1 to iters) {
+      centUsed = cent
       // the difference re-cast to (18,6) is exact (same scale) and
       // keeps the squared term inside DECIMAL(38) on both engines
       val diff = (col("x") - col("c")).cast("decimal(18,6)")
@@ -84,8 +146,8 @@ object KMeansExact {
           coalesce(col("cnew"), col("c")).as("c"))
         .localCheckpoint(eager = false)
     }
-    assigned.select(col(idCol), col("cluster"),
-      col("d2").cast("double").as("d2"))
+    (assigned.select(col(idCol), col("cluster"),
+      col("d2").cast("double").as("d2")), centUsed)
   }
 
   /** DuckDB replay of [[assign]], rounds unrolled (the Pca/LogReg

@@ -123,6 +123,61 @@ object TemporalQueries {
                r.purchase_ms - l.click_ms AS delta_ms
         FROM l JOIN r ON l.user_id = r.user_id
           AND abs(l.click_ms - r.purchase_ms) <= 3600000
-        ORDER BY l.click_id, r.purchase_id"""))
+        ORDER BY l.click_id, r.purchase_id""")),
+
+    // ---- q153: per-user daily gap-fill with forward fill ----
+    // The feature-store resample primitive: each user's sparse
+    // purchase activity becomes a DENSE daily series over their own
+    // [first, last] day span, missing days carrying the last observed
+    // value forward. Daily value = max(value) that day (total,
+    // order-free); the grid explode is per-user-bounded and the fill
+    // is one keyed window — everything partitions by user, nothing
+    // global. The oracle builds the same grid via a LATERAL range and
+    // replays the fill with a windowed last_value IGNORE NULLS.
+    QueryDef(
+      "q153_gap_fill",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val daily = Tables.load(s, dir, "events")
+          .filter(col("event_type") === "purchase")
+          .select(col("user_id"),
+            expr("(ts DIV 1000000) DIV 86400000").as("day"),
+            col("value"))
+          .groupBy(col("user_id"), col("day"))
+          .agg(max(col("value")).as("v"))
+        val grid = daily.groupBy(col("user_id"))
+          .agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+          .select(col("user_id"),
+            explode(sequence(col("d0"), col("d1"))).as("day"))
+        grid.join(daily, Seq("user_id", "day"), "left")
+          .select(col("user_id"), col("day"),
+            last(col("v"), ignoreNulls = true).over(
+              Window.partitionBy(col("user_id")).orderBy(col("day"))
+                .rowsBetween(Window.unboundedPreceding, 0))
+              .as("value_filled"),
+            col("v").isNotNull.as("observed"))
+          .orderBy(col("user_id"), col("day"))
+      },
+      Some("""
+        WITH daily AS (
+          SELECT user_id, epoch_ms(ts) // 86400000 AS day,
+                 max(value) AS v
+          FROM events WHERE event_type = 'purchase'
+          GROUP BY 1, 2),
+        span AS (
+          SELECT user_id, min(day) AS d0, max(day) AS d1
+          FROM daily GROUP BY 1),
+        grid AS (
+          SELECT user_id, t.day
+          FROM span, LATERAL unnest(range(d0, d1 + 1)) AS t(day))
+        SELECT g.user_id, g.day,
+               last_value(d.v IGNORE NULLS) OVER (
+                 PARTITION BY g.user_id ORDER BY g.day
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS value_filled,
+               d.v IS NOT NULL AS observed
+        FROM grid g LEFT JOIN daily d
+          ON g.user_id = d.user_id AND g.day = d.day
+        ORDER BY g.user_id, g.day"""))
   )
 }

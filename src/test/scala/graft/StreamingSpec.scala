@@ -742,6 +742,37 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("standing k-means assigner: arriving vectors assigned under " +
+      "the fitted centroid table agree EXACTLY with the batch " +
+      "assignment") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.KMeansExact
+    val emb = Tables.load(spark, sf0001, "embeddings")
+      .select(col("vec_id").as("id"), col("embedding"))
+    val batch = KMeansExact.assign(emb, "id", "embedding", k = 4, iters = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2)))
+      .toSet
+    val model = KMeansExact.fitModel(emb, "id", "embedding", k = 4, iters = 2)
+    val rows = emb.as[(Long, Array[Float])].collect()
+    val ms = MemoryStream[(Long, Array[Float])]
+    val q = KMeansExact.assignFitted(
+      ms.toDF().toDF("id", "embedding"), "id", "embedding", model)
+      .writeStream.format("memory").queryName("standing_kmeans")
+      .outputMode("append").start()
+    try {
+      val (first, rest) = rows.splitAt(rows.length / 2)
+      ms.addData(first.toSeq)
+      q.processAllAvailable()
+      ms.addData(rest.toSeq)
+      q.processAllAvailable()
+      val got = spark.table("standing_kmeans").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getDouble(2))).toSet
+      assert(got == batch && got.nonEmpty,
+        s"standing k-means diverges: ${got.size} vs ${batch.size}; " +
+          s"sample ${(got -- batch).take(3)} / ${(batch -- got).take(3)}")
+    } finally q.stop()
+  }
+
   test("standing LM fit: the maxGrams budget gate refuses an " +
       "over-budget vocabulary instead of broadcasting it") {
     import graft.operators.LanguageModel
