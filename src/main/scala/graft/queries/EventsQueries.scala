@@ -297,7 +297,11 @@ object EventsQueries {
     // deterministic total order that matches the oracle's
     // string_agg(... ORDER BY ts, event_id) exactly; the string is
     // compared, not the list, so array-rendering differences between
-    // engines can't alias the gate.
+    // engines can't alias the gate. Per-user state is bounded by that
+    // user's OWN activity; a 100 TB corpus with pathological power
+    // users bounds it further by assembling per (user, session)
+    // instead — swap the grouping key for q23's sessionize output,
+    // same plan shape.
     QueryDef(
       "q147_journey_assembly",
       (s, dir) => {

@@ -75,9 +75,10 @@ object ModelQueries {
   }
 
   private val enLabelSql = "CASE WHEN lang = 'en' THEN 1 ELSE 0 END"
-  private val LrDim = 32
-  private val LrRounds = 3
-  private val LrLr = 0.5
+  private val LrDim = 64
+  private val LrRounds = 6
+  private val LrLr = 4.0
+  private val LrLrSql = "4.0"
 
   private def lrScored(s: org.apache.spark.sql.SparkSession, dir: String) = {
     val d = Tables.load(s, dir, "documents")
@@ -171,7 +172,7 @@ object ModelQueries {
           .orderBy(col("feat"))
       },
       Some(s"""
-        WITH ${LogReg.trainOracleCtes(enLabelSql, LrDim, LrRounds, "0.5")}
+        WITH ${LogReg.trainOracleCtes(enLabelSql, LrDim, LrRounds, LrLrSql)}
         SELECT feat, CAST(w AS DOUBLE) AS weight
         FROM w$LrRounds ORDER BY feat""")),
 
@@ -183,7 +184,7 @@ object ModelQueries {
       "q138_logreg_score",
       (s, dir) => lrScored(s, dir).orderBy(col("doc_id")),
       Some(s"""
-        WITH ${LogReg.scoreOracleCtes(enLabelSql, LrDim, LrRounds, "0.5")}
+        WITH ${LogReg.scoreOracleCtes(enLabelSql, LrDim, LrRounds, LrLrSql)}
         SELECT doc_id, y, p, CAST(p >= 0.5 AS INT) AS pred
         FROM scored ORDER BY doc_id""")),
 
@@ -196,7 +197,7 @@ object ModelQueries {
       "q139_auc",
       (s, dir) => LogReg.auc(lrScored(s, dir), "p", "y"),
       Some(s"""
-        WITH ${LogReg.scoreOracleCtes(enLabelSql, LrDim, LrRounds, "0.5")},
+        WITH ${LogReg.scoreOracleCtes(enLabelSql, LrDim, LrRounds, LrLrSql)},
         bys AS (
           SELECT p AS s, count(*) AS c, sum(y) AS cp FROM scored GROUP BY 1),
         rk AS (
@@ -211,6 +212,49 @@ object ModelQueries {
                round(CAST(rsum2 - np * (np + 1) AS DOUBLE)
                  / CAST(2 * np * nn AS DOUBLE), 6) AS auc
         FROM agg""")),
+
+    // ---- q154: classifier calibration (reliability bins) ----
+    // Before a probability threshold gates a 100 TB corpus, check the
+    // probabilities MEAN something: EQUAL-FREQUENCY decile bins
+    // (ntile over the strict (p, doc_id) order — deterministic and
+    // identical on both engines; equal-frequency is the reliability-
+    // diagram form that stays informative when scores cluster).
+    // Per-bin confidence is an exact DECIMAL sum under one pinned
+    // division; |conf − acc| folded over these rows IS the ECE. At
+    // 100 TB the bin edges come from percentiles over DISTINCT
+    // 6-decimal scores (the q139 argument) instead of a corpus ntile.
+    QueryDef(
+      "q154_calibration",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        lrScored(s, dir)
+          .withColumn("bin", ntile(10).over(
+            Window.orderBy(col("p"), col("doc_id"))))
+          .groupBy(col("bin"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("p").cast("decimal(18,6)")).as("psum"),
+            sum(col("y")).as("npos"))
+          .select(col("bin"), col("n"),
+            round(col("psum").cast("double") / col("n").cast("double"), 6)
+              .as("conf"),
+            round(col("npos").cast("double") / col("n").cast("double"), 6)
+              .as("acc"))
+          .orderBy(col("bin"))
+      },
+      Some(s"""
+        WITH ${LogReg.scoreOracleCtes(enLabelSql, LrDim, LrRounds, LrLrSql)},
+        binned AS (
+          SELECT ntile(10) OVER (ORDER BY p, doc_id) AS bin, p, y
+          FROM scored),
+        agged AS (
+          SELECT bin, count(*) AS n,
+                 sum(CAST(p AS DECIMAL(18,6))) AS psum,
+                 CAST(sum(y) AS BIGINT) AS npos
+          FROM binned GROUP BY 1)
+        SELECT bin, n,
+               round(CAST(psum AS DOUBLE) / CAST(n AS DOUBLE), 6) AS conf,
+               round(CAST(npos AS DOUBLE) / CAST(n AS DOUBLE), 6) AS acc
+        FROM agged ORDER BY bin""")),
 
     // ---- q140: PCA top component by power iteration ----
     // Dominant-direction projection (the "all-but-the-top" embedding

@@ -21,7 +21,8 @@ class EmptyCorpusSpec extends SparkSpec {
   private val trainRequiresData =
     Set("q46_ann_ivf", "q73_semdedup", "q92_cluster_balanced_sample",
       "q94_centroid_classify", "q96_classifier_balanced",
-      "q137_logreg_train", "q138_logreg_score", "q139_auc")
+      "q137_logreg_train", "q138_logreg_score", "q139_auc",
+      "q154_calibration")
 
   private lazy val emptyDir: String = {
     val dir = new java.io.File("target/empty_sf").getAbsolutePath

@@ -41,6 +41,21 @@ class ModelSpec extends SparkSpec {
       s"unigram face: $r")
   }
 
+  test("stupid backoff: a corpus scored under its own counts never " +
+      "backs off and never scores zero") {
+    // every scored trigram occurs in training (the doc itself), so
+    // the cascade stays on the trigram face: s = c3/c12 ∈ (0, 1]
+    val d = Tables.load(spark, sf0001, "documents")
+    val out = LanguageModel.stupidBackoff(d, d, "doc_id", "text")
+      .filter(col("n_trigrams").isNotNull)
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("avg_sb") > 0 && col("avg_sb") <= 1.0, 1L)
+          .otherwise(0L)).as("in_range"))
+      .head
+    assert(out.getLong(0) > 0 && out.getLong(0) == out.getLong(1),
+      s"self-trained scores must sit in (0,1]: $out")
+  }
+
   test("logreg: training is deterministic and separates a separable " +
       "corpus") {
     val docs = (0 until 40).map { i =>
