@@ -256,6 +256,85 @@ object ModelQueries {
                round(CAST(npos AS DOUBLE) / CAST(n AS DOUBLE), 6) AS acc
         FROM agged ORDER BY bin""")),
 
+    // ---- q155: population-stability drift monitor (PSI) ----
+    // The retraining tripwire: does today's corpus (odd doc_ids, the
+    // stand-in "new" batch) still look like the reference slice (even
+    // doc_ids) on the quality signal? Reference-quantile decile edges
+    // (the q79 percentile discipline) bin BOTH sides; per-bin shares
+    // are Laplace-smoothed ((cnt+1)/(total+10), exact and
+    // zero-bin-safe), and each PSI term (p−q)·ln(p/q) rounds its one
+    // non-pinned ln to 4 before the 6-decimal product — total PSI is
+    // the exact DECIMAL sum of the rows. > 0.25 conventionally means
+    // "distribution moved, re-examine before gating".
+    QueryDef(
+      "q155_psi_drift",
+      (s, dir) => {
+        val scored = Tables.load(s, dir, "documents")
+          .select(col("doc_id"),
+            round(qualityScore(col("text")), 6).as("q"),
+            (col("doc_id") % 2 === 0).as("is_ref"))
+        val edgeCols = (1 to 9).map(i =>
+          round(expr(s"percentile(q, 0.${i})"), 6).as(s"e$i"))
+        val edges = scored.filter(col("is_ref"))
+          .agg(edgeCols.head, edgeCols.tail: _*)
+        val bin = (1 to 9).map(i =>
+          when(col("q") >= col(s"e$i"), 1).otherwise(0))
+          .reduce(_ + _) + 1
+        val counts = scored.crossJoin(broadcast(edges))
+          .groupBy(bin.as("bin"))
+          .agg(sum(when(col("is_ref"), 1L).otherwise(0L)).as("n_ref"),
+            sum(when(!col("is_ref"), 1L).otherwise(0L)).as("n_new"))
+        val tot = counts.agg(sum(col("n_ref")).as("t_ref"),
+          sum(col("n_new")).as("t_new"))
+        counts.crossJoin(broadcast(tot))
+          .select(col("bin"), col("n_ref"), col("n_new"),
+            round((col("n_ref") + 1).cast("double") /
+              (col("t_ref") + 10).cast("double"), 6).as("p_ref"),
+            round((col("n_new") + 1).cast("double") /
+              (col("t_new") + 10).cast("double"), 6).as("p_new"))
+          .select(col("bin"), col("n_ref"), col("n_new"),
+            col("p_ref"), col("p_new"),
+            round((col("p_new") - col("p_ref")) *
+              round(log(col("p_new") / col("p_ref")), 4), 6)
+              .as("psi_term"))
+          .orderBy(col("bin"))
+      },
+      Some(s"""
+        WITH scored AS (
+          SELECT doc_id, round(${TextQueries.qualitySql}, 6) AS q,
+                 doc_id % 2 = 0 AS is_ref
+          FROM documents),
+        edges AS (
+          SELECT ${(1 to 9).map(i =>
+            s"round(quantile_cont(q, 0.$i), 6) AS e$i").mkString(", ")}
+          FROM scored WHERE is_ref),
+        binned AS (
+          SELECT ${(1 to 9).map(i =>
+            s"CASE WHEN q >= e$i THEN 1 ELSE 0 END").mkString(" + ")}
+                 + 1 AS bin,
+                 is_ref
+          FROM scored CROSS JOIN edges),
+        counts AS (
+          SELECT bin,
+                 CAST(sum(CASE WHEN is_ref THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_ref,
+                 CAST(sum(CASE WHEN is_ref THEN 0 ELSE 1 END) AS BIGINT)
+                   AS n_new
+          FROM binned GROUP BY 1),
+        tot AS (SELECT CAST(sum(n_ref) AS BIGINT) AS t_ref,
+                       CAST(sum(n_new) AS BIGINT) AS t_new FROM counts),
+        shares AS (
+          SELECT bin, n_ref, n_new,
+                 round(CAST(n_ref + 1 AS DOUBLE) /
+                   CAST(t_ref + 10 AS DOUBLE), 6) AS p_ref,
+                 round(CAST(n_new + 1 AS DOUBLE) /
+                   CAST(t_new + 10 AS DOUBLE), 6) AS p_new
+          FROM counts CROSS JOIN tot)
+        SELECT bin, n_ref, n_new, p_ref, p_new,
+               round((p_new - p_ref) * round(ln(p_new / p_ref), 4), 6)
+                 AS psi_term
+        FROM shares ORDER BY bin""")),
+
     // ---- q140: PCA top component by power iteration ----
     // Dominant-direction projection (the "all-but-the-top" embedding
     // hygiene primitive): 5 power-iteration rounds over the 6-decimal

@@ -37,6 +37,10 @@ class PlanAuditSpec extends SparkSpec {
     // totals) into the sources-sized allocation frame — O(1) NLJ
     // sides again.
     "q151_mixture_alloc",
+    // q155 crosses the one-row reference-quantile edge frame into the
+    // scan and the one-row totals into the 10-bin frame — O(1) NLJ
+    // sides.
+    "q155_psi_drift",
     // q123: q28's documented all-pairs intent transplanted into the
     // 16-dim projected space — the exact in-space baseline; scale
     // corpora route through LSH/IVF over the same projected vectors.
