@@ -232,6 +232,39 @@ object AnalyticsQueries {
           FROM cand2)
         SELECT doc_a AS anchor, doc_b AS positive, negative
         FROM r WHERE rn = 1
-        ORDER BY anchor, positive"""))
+        ORDER BY anchor, positive""")),
+
+    // ---- q156: column profile (Deequ-style data-quality report) ----
+    // The pre-flight every ingest runs before ANY operator trusts a
+    // column: per-column row/null/exact-distinct counts and lexical
+    // min/max (stringified so one long-form schema carries every
+    // type; string ordering is binary on both engines). One query,
+    // one row per column — at 100 TB the exact distincts swap for
+    // the q110 HLL registers with the same report shape.
+    QueryDef(
+      "q156_profile",
+      (s, dir) => {
+        val d = Tables.load(s, dir, "documents")
+        val cols = Seq("doc_id", "text", "lang", "source", "n_chars")
+        cols.map { c =>
+          d.agg(count(lit(1)).as("n"),
+            sum(when(col(c).isNull, 1L).otherwise(0L)).as("n_null"),
+            countDistinct(col(c)).as("n_distinct"),
+            min(col(c)).cast("string").as("min_val"),
+            max(col(c)).cast("string").as("max_val"))
+            .select(lit(c).as("column"), col("n"), col("n_null"),
+              col("n_distinct"), col("min_val"), col("max_val"))
+        }.reduce(_ unionByName _).orderBy(col("column"))
+      },
+      Some(Seq("doc_id", "text", "lang", "source", "n_chars").map { c =>
+        s"""SELECT '$c' AS "column", CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_null,
+               CAST(count(DISTINCT $c) AS BIGINT) AS n_distinct,
+               CAST(min($c) AS VARCHAR) AS min_val,
+               CAST(max($c) AS VARCHAR) AS max_val
+        FROM documents"""
+      }.mkString("\n        UNION ALL\n        ") +
+        "\n        ORDER BY \"column\""))
   )
 }
