@@ -1,0 +1,46 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Drift monitoring (q155's PSI) split into its production faces:
+  * a reference model FIT once offline (decile edges over the
+  * reference slice's score distribution) and a counting face that
+  * runs over a static frame OR an ingest stream — per-bin counts are
+  * an ordinary keyed aggregation, which in Structured Streaming is a
+  * stateful agg whose state is the 10-row bin frame (the CMS/HLL
+  * argument: monitoring state must be sketch-sized, never
+  * corpus-sized). StreamingSpec proves the streamed counts equal the
+  * batch monitor's bin counts exactly.
+  */
+object Drift {
+
+  /** Reference decile edges (9 values, 6-decimal rounded — the q79
+    * percentile discipline) of `scoreCol` over `ref`.
+    */
+  def fitEdges(ref: DataFrame, scoreCol: String): Seq[Double] = {
+    val row = ref.agg(
+      round(expr(s"percentile($scoreCol, 0.1)"), 6).as("e1"),
+      (2 to 9).map(i =>
+        round(expr(s"percentile($scoreCol, 0.$i)"), 6).as(s"e$i")): _*)
+      .head
+    (0 until 9).map(row.getDouble)
+  }
+
+  /** Bin 1..10 of a score under fitted `edges` — the same
+    * (score >= edge) fold the batch monitor uses, as literals.
+    */
+  def binCol(edges: Seq[Double], score: Column): Column = {
+    require(edges.length == 9, s"need 9 decile edges, got ${edges.length}")
+    edges.map(e => when(score >= e, 1).otherwise(0)).reduce(_ + _) + 1
+  }
+
+  /** Per-bin arriving counts of `scoreCol` under the fitted edges —
+    * runs unchanged on a static frame and on a stream (complete-mode
+    * stateful aggregation, state = 10 rows).
+    */
+  def binCounts(docs: DataFrame, scoreCol: String,
+      edges: Seq[Double]): DataFrame =
+    docs.groupBy(binCol(edges, col(scoreCol)).as("bin"))
+      .agg(count(lit(1)).as("n"))
+}

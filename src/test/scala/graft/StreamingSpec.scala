@@ -773,6 +773,41 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming drift monitor: per-bin counts of arriving docs " +
+      "under the fitted reference edges equal the batch q155 monitor " +
+      "exactly") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.Drift
+    import graft.functions.TextFunctions.qualityScore
+    val scored = Tables.load(spark, sf0001, "documents")
+      .select(col("doc_id"), round(qualityScore(col("text")), 6).as("q"),
+        (col("doc_id") % 2 === 0).as("is_ref"))
+      .localCheckpoint(eager = false)
+    val edges = Drift.fitEdges(scored.filter(col("is_ref")), "q")
+    // batch face = q155's n_new per bin (the 'new batch' side)
+    val batch = SparkEntry.queries("q155_psi_drift")(spark, sf0001)
+      .select(col("bin"), col("n_new"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val rows = scored.filter(!col("is_ref"))
+      .select(col("doc_id"), col("q"))
+      .as[(Long, Double)].collect()
+    val ms = MemoryStream[(Long, Double)]
+    val q = Drift.binCounts(ms.toDF().toDF("doc_id", "q"), "q", edges)
+      .writeStream.format("memory").queryName("drift_bins")
+      .outputMode("complete").start()
+    try {
+      val (first, rest) = rows.splitAt(rows.length / 2)
+      ms.addData(first.toSeq)
+      q.processAllAvailable()
+      ms.addData(rest.toSeq)
+      q.processAllAvailable()
+      val got = spark.table("drift_bins").collect()
+        .map(r => r.getInt(0) -> r.getLong(1)).toMap
+      assert(got == batch && got.nonEmpty,
+        s"streamed bin counts diverge: $got vs $batch")
+    } finally q.stop()
+  }
+
   test("standing LM fit: the maxGrams budget gate refuses an " +
       "over-budget vocabulary instead of broadcasting it") {
     import graft.operators.LanguageModel
