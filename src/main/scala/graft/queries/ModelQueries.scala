@@ -335,6 +335,79 @@ object ModelQueries {
                  AS psi_term
         FROM shares ORDER BY bin""")),
 
+    // ---- q157: temperature scaling (the q154 fix) ----
+    // q154 showed the classifier ranks but is badly under-spread; the
+    // standard one-parameter fix is temperature scaling: p_T =
+    // σ(z/T), T chosen by NLL over a fixed grid — a DETERMINISTIC
+    // grid search, so the whole calibration fit sits under the hash
+    // gate (the grid replaces the usual LBFGS, whose float path no
+    // oracle could replay). Margins are the exact DECIMAL z the LR
+    // oracle already derives; each candidate's NLL is a 4-decimal
+    // rounded-ln DECIMAL sum; probabilities clamp to
+    // [1e-6, 1−1e-6] in DECIMAL so ln never sees 0.
+    QueryDef(
+      "q157_temperature_scaling",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val d = Tables.load(s, dir, "documents")
+        val feats = LogReg.features(d, "doc_id", "text",
+          col("lang") === "en", LrDim).localCheckpoint(eager = false)
+        val w = LogReg.train(feats, "doc_id", LrDim, LrRounds, LrLr)
+        val margins = feats
+          .join(broadcast(w.select(col("feat"),
+            col("weight").as("w"))), Seq("feat"))
+          .groupBy(col("doc_id"), col("y"))
+          .agg(sum(col("w") * col("x")).as("z"))
+          .localCheckpoint(eager = false)
+        val lo = lit(0.000001).cast("decimal(18,6)")
+        val hi = lit(0.999999).cast("decimal(18,6)")
+        val perT = Seq(0.25, 0.5, 1.0, 2.0, 4.0, 8.0).map { t =>
+          val p = least(greatest(
+            round(lit(1.0) / (lit(1.0) +
+              exp(-col("z").cast("double") / lit(t))), 6)
+              .cast("decimal(18,6)"), lo), hi)
+          margins.select(col("y"), p.as("p"))
+            .agg(count(lit(1)).as("n"),
+              sum(round(-log(when(col("y") === 1, col("p"))
+                .otherwise(lit(1).cast("decimal(18,6)") - col("p"))
+                .cast("double")), 4).cast("decimal(18,4)")).as("nll"))
+            .select(lit(t).as("temp"), col("n"), col("nll"))
+        }.reduce(_ unionByName _)
+        perT
+          .withColumn("rn", row_number().over(
+            Window.orderBy(col("nll"), col("temp"))))
+          .select(col("temp"), col("n"),
+            (col("nll").cast("double") / col("n").cast("double"))
+              .as("mean_nll"),
+            (col("rn") === 1).as("is_best"))
+          .orderBy(col("temp"))
+      },
+      Some(s"""
+        WITH ${LogReg.scoreOracleCtes(enLabelSql, LrDim, LrRounds, LrLrSql)},
+        perT AS (
+          ${Seq(0.25, 0.5, 1.0, 2.0, 4.0, 8.0).map { t =>
+            s"""SELECT CAST($t AS DOUBLE) AS temp, CAST(count(*) AS BIGINT) AS n,
+               sum(CAST(round(-ln(CAST(CASE WHEN y = 1 THEN pc
+                     ELSE CAST(1 AS DECIMAL(18,6)) - pc END AS DOUBLE)), 4)
+                 AS DECIMAL(18,4))) AS nll
+            FROM (
+              SELECT y,
+                     least(greatest(
+                       CAST(round(1.0 / (1.0 +
+                         exp(-CAST(z AS DOUBLE) / $t)), 6)
+                         AS DECIMAL(18,6)),
+                       CAST(0.000001 AS DECIMAL(18,6))),
+                       CAST(0.999999 AS DECIMAL(18,6))) AS pc
+              FROM mz)"""
+          }.mkString("\n          UNION ALL\n          ")}),
+        ranked AS (
+          SELECT temp, n, nll,
+                 row_number() OVER (ORDER BY nll, temp) AS rn
+          FROM perT)
+        SELECT temp, n, CAST(nll AS DOUBLE) / n AS mean_nll,
+               rn = 1 AS is_best
+        FROM ranked ORDER BY temp""")),
+
     // ---- q140: PCA top component by power iteration ----
     // Dominant-direction projection (the "all-but-the-top" embedding
     // hygiene primitive): 5 power-iteration rounds over the 6-decimal
