@@ -250,6 +250,29 @@ class ModelSpec extends SparkSpec {
       ("C", 100L, 47L)), s"got ${rows.toSeq}")
   }
 
+  test("monitoring reports: PSI reference deciles, profile totals, " +
+      "and temperature grid are internally consistent") {
+    // q155: the reference side binned by its own deciles must sit at
+    // ~1/10 per bin (exact up to percentile ties)
+    val psi = SparkEntry.queries("q155_psi_drift")(spark, sf0001)
+      .collect().map(r => (r.getInt(0), r.getLong(1)))
+    val nRef = psi.map(_._2).sum
+    psi.foreach { case (bin, n) =>
+      assert(math.abs(n - nRef / 10.0) <= nRef * 0.04 + 2,
+        s"ref bin $bin holds $n of $nRef — deciles must be balanced")
+    }
+    // q156: doc_id is a dense unique key — distinct = n, nulls = 0
+    val prof = SparkEntry.queries("q156_profile")(spark, sf0001)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    val (n, nNull, nDist) = prof("doc_id")
+    assert(nNull == 0 && nDist == n, s"doc_id profile: ${prof("doc_id")}")
+    // q157: exactly one winning temperature
+    val temps = SparkEntry.queries("q157_temperature_scaling")(
+      spark, sf0001).collect().map(r => (r.getDouble(0), r.getBoolean(3)))
+    assert(temps.count(_._2) == 1, s"exactly one is_best: ${temps.toSeq}")
+  }
+
   test("curriculum: annealed admission invariants on the real corpus") {
     val d = Tables.load(spark, sf0001, "documents")
     val sched = SparkEntry.queries("q141_curriculum")(spark, sf0001)
