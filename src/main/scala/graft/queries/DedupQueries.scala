@@ -975,6 +975,54 @@ object DedupQueries {
         SELECT CAST(pred_label AS BIGINT) AS pred_label,
                rnk AS rank_in_class, vec_id
         FROM bal WHERE rnk <= 40
-        ORDER BY pred_label, rank_in_class"""))
+        ORDER BY pred_label, rank_in_class""")),
+
+    // ---- q159: near-dup degree distribution ----
+    // The corpus-health histogram behind the dedup decision: how many
+    // documents have 0, 1, 2… near-duplicates at the q25 threshold.
+    // Degree = pair memberships on either side (the undirected
+    // near-dup graph's degree); degree-0 docs are kept via the left
+    // join, so the histogram is total and its n_docs sum is the
+    // corpus size. Oracle = the exact all-pairs replay of q25's
+    // semantics + the same degree fold.
+    QueryDef(
+      "q159_dup_degree",
+      (s, dir) => {
+        val d = Tables.load(s, dir, "documents")
+        val pairs = graft.operators.MinHashDedup.nearDuplicatePairs(
+          d, "doc_id", "text", threshold = 0.8)
+        val deg = pairs.select(col("doc_a").as("doc_id"))
+          .unionByName(pairs.select(col("doc_b").as("doc_id")))
+          .groupBy(col("doc_id")).agg(count(lit(1)).as("degree"))
+        d.select(col("doc_id"))
+          .join(deg, Seq("doc_id"), "left")
+          .select(coalesce(col("degree"), lit(0L)).as("degree"))
+          .groupBy(col("degree")).agg(count(lit(1)).as("n_docs"))
+          .orderBy(col("degree"))
+      },
+      Some("""
+        WITH tok AS (
+          SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        sh AS (
+          SELECT doc_id,
+                 CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
+                      ELSE list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                                          for i in generate_series(1, len(w) - 2)])
+                 END AS shingles
+          FROM tok),
+        pairs AS (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+          FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+          WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+                  / len(list_distinct(a.shingles || b.shingles)) >= 0.8),
+        deg AS (
+          SELECT doc_id, count(*) AS degree FROM (
+            SELECT doc_a AS doc_id FROM pairs
+            UNION ALL SELECT doc_b FROM pairs)
+          GROUP BY 1)
+        SELECT coalesce(deg.degree, 0) AS degree,
+               CAST(count(*) AS BIGINT) AS n_docs
+        FROM documents d LEFT JOIN deg USING (doc_id)
+        GROUP BY 1 ORDER BY 1"""))
   )
 }

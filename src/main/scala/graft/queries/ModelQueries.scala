@@ -155,6 +155,96 @@ object ModelQueries {
         FROM documents d LEFT JOIN per USING (doc_id)
         ORDER BY d.doc_id""")),
 
+    // ---- q158: per-source LM divergence report ----
+    // q136's per-document fluency folded to the curation decision:
+    // which SOURCES look least like the reference LM. Per-doc scores
+    // re-enter fixed point (round 6 → DECIMAL) before the group sum,
+    // so the per-source means are order-free; rank ascending = most
+    // divergent first.
+    QueryDef(
+      "q158_lm_source_report",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val d = Tables.load(s, dir, "documents")
+        LanguageModel.stupidBackoff(
+            d.filter(col("source") =!= "src1"), d, "doc_id", "text")
+          .join(d.select(col("doc_id"), col("source")), Seq("doc_id"))
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(when(col("avg_sb").isNotNull, 1L).otherwise(0L))
+              .as("n_scored"),
+            sum(round(col("avg_sb"), 6).cast("decimal(18,6)")).as("sb"))
+          .select(col("source"), col("n_docs"), col("n_scored"),
+            round(col("sb").cast("double") /
+              col("n_scored").cast("double"), 6).as("mean_sb"))
+          .withColumn("rank", row_number().over(
+            Window.orderBy(col("mean_sb"), col("source"))))
+          .orderBy(col("rank"))
+      },
+      Some("""
+        WITH tr AS (
+          SELECT string_split(text, ' ') AS tk FROM documents
+          WHERE source <> 'src1'),
+        uni AS (
+          SELECT tk[i] AS w, count(*) AS c
+          FROM tr, LATERAL unnest(range(1, len(tk) + 1)) AS u(i)
+          GROUP BY 1),
+        n AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM uni),
+        big AS (
+          SELECT tk[i] AS w1, tk[i+1] AS w2, count(*) AS c
+          FROM tr, LATERAL unnest(range(1, greatest(len(tk), 1))) AS u(i)
+          GROUP BY 1, 2),
+        tri AS (
+          SELECT tk[i] AS w1, tk[i+1] AS w2, tk[i+2] AS w3, count(*) AS c
+          FROM tr, LATERAL unnest(range(1, greatest(len(tk) - 1, 1))) AS u(i)
+          GROUP BY 1, 2, 3),
+        sd AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+        pos AS (
+          SELECT doc_id, tk[i] AS w1, tk[i+1] AS w2, tk[i+2] AS w3
+          FROM sd, LATERAL unnest(range(1, greatest(len(tk) - 1, 1))) AS u(i)),
+        dt AS (
+          SELECT doc_id, w1, w2, w3, count(*) AS k FROM pos GROUP BY ALL),
+        j AS (
+          SELECT dt.doc_id, dt.k,
+                 t.c AS c3, b12.c AS c2, b23.c AS c23,
+                 u2.c AS cu2, u3.c AS cu3, n.n
+          FROM dt
+          LEFT JOIN tri t ON dt.w1 = t.w1 AND dt.w2 = t.w2 AND dt.w3 = t.w3
+          LEFT JOIN big b12 ON dt.w1 = b12.w1 AND dt.w2 = b12.w2
+          LEFT JOIN big b23 ON dt.w2 = b23.w1 AND dt.w3 = b23.w2
+          LEFT JOIN uni u2 ON dt.w2 = u2.w
+          LEFT JOIN uni u3 ON dt.w3 = u3.w
+          CROSS JOIN n),
+        per AS (
+          SELECT doc_id, CAST(sum(k) AS BIGINT) AS n_trigrams,
+                 sum(CAST(round(CASE
+                   WHEN c3 IS NOT NULL THEN c3 / CAST(c2 AS DOUBLE)
+                   WHEN c23 IS NOT NULL
+                     THEN CAST(0.4 AS DOUBLE) * c23 / CAST(cu2 AS DOUBLE)
+                   WHEN cu3 IS NOT NULL
+                     THEN CAST(0.4 AS DOUBLE) * CAST(0.4 AS DOUBLE)
+                          * cu3 / CAST(n AS DOUBLE)
+                   ELSE 0 END, 6) AS DECIMAL(18,6)) * k) AS sb
+          FROM j GROUP BY 1),
+        docsb AS (
+          SELECT d.doc_id, d.source,
+                 CAST(per.sb AS DOUBLE) / per.n_trigrams AS avg_sb
+          FROM documents d LEFT JOIN per USING (doc_id)),
+        bysrc AS (
+          SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+                 CAST(sum(CASE WHEN avg_sb IS NOT NULL THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n_scored,
+                 sum(CAST(round(avg_sb, 6) AS DECIMAL(18,6))) AS sb
+          FROM docsb GROUP BY 1)
+        SELECT source, n_docs, n_scored,
+               round(CAST(sb AS DOUBLE) / CAST(n_scored AS DOUBLE), 6)
+                 AS mean_sb,
+               CAST(row_number() OVER (
+                 ORDER BY round(CAST(sb AS DOUBLE)
+                   / CAST(n_scored AS DOUBLE), 6), source) AS INT)
+                 AS rank
+        FROM bysrc ORDER BY rank""")),
+
     // ---- q137: logistic-regression training ----
     // The fastText-style trained quality/language gate: 3 full-batch
     // GD rounds over md5-hashed bag-of-words, every margin/gradient

@@ -53,6 +53,9 @@ class PlanAuditSpec extends SparkSpec {
     // unigram backoff face) crossed into the scoring join — the q110
     // one-row-reduce shape; every count-table join is hash/broadcast.
     "q136_stupid_backoff",
+    // q158 wraps q136's scorer (same one-row N frame) in the
+    // per-source fold.
+    "q158_lm_source_report",
     // q141: one-row quality-threshold bands (the q79 two-pass shape
     // collapsed to a single global band row) and the 4-row epoch
     // frame, both broadcast — O(1)-bounded NLJ sides.
