@@ -892,6 +892,98 @@ object ModelQueries {
                  AS rate
         FROM a2 ORDER BY source""")),
 
+    // ---- q160: model-driven curation program ----
+    // The round-8 composition (the q48/q90 pattern for the trained-
+    // model family): admit a document only if BOTH models put it in
+    // their top half — Stupid-Backoff fluency ≥ its corpus median AND
+    // LR probability ≥ its corpus median (each an exact percentile in
+    // a one-row broadcast frame; an absolute p ≥ 0.5 gate was
+    // measured to admit NOTHING on the under-spread classifier — the
+    // q154 finding biting a composition, fixed by ranking gates).
+    // Two model scores, one admission decision, every stage the
+    // already-gated arithmetic — the oracle replays the entire
+    // program as one CTE chain.
+    QueryDef(
+      "q160_model_curation",
+      (s, dir) => {
+        val d = Tables.load(s, dir, "documents")
+        val lm = LanguageModel.stupidBackoff(
+          d.filter(col("source") =!= "src1"), d, "doc_id", "text")
+        val med = lm.filter(col("avg_sb").isNotNull)
+          .agg(round(expr("percentile(avg_sb, 0.5)"), 6).as("med"))
+        val lr = lrScored(s, dir)
+          .select(col("doc_id"), col("p"))
+        val pmed = lr.agg(
+          round(expr("percentile(p, 0.5)"), 6).as("pmed"))
+        lm.join(lr, Seq("doc_id"))
+          .crossJoin(broadcast(med)).crossJoin(broadcast(pmed))
+          .filter(col("avg_sb").isNotNull &&
+            col("avg_sb") >= col("med") && col("p") >= col("pmed"))
+          .select(col("doc_id"),
+            round(col("avg_sb"), 6).as("avg_sb"), col("p"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""
+        WITH ${LogReg.scoreOracleCtes(enLabelSql, LrDim, LrRounds, LrLrSql)},
+        tr AS (
+          SELECT string_split(text, ' ') AS tk FROM documents
+          WHERE source <> 'src1'),
+        uni AS (
+          SELECT tk[i] AS w, count(*) AS c
+          FROM tr, LATERAL unnest(range(1, len(tk) + 1)) AS u(i)
+          GROUP BY 1),
+        lmn AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM uni),
+        big AS (
+          SELECT tk[i] AS w1, tk[i+1] AS w2, count(*) AS c
+          FROM tr, LATERAL unnest(range(1, greatest(len(tk), 1))) AS u(i)
+          GROUP BY 1, 2),
+        tri AS (
+          SELECT tk[i] AS w1, tk[i+1] AS w2, tk[i+2] AS w3, count(*) AS c
+          FROM tr, LATERAL unnest(range(1, greatest(len(tk) - 1, 1))) AS u(i)
+          GROUP BY 1, 2, 3),
+        sd2 AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+        pos AS (
+          SELECT doc_id, tk[i] AS w1, tk[i+1] AS w2, tk[i+2] AS w3
+          FROM sd2, LATERAL unnest(range(1, greatest(len(tk) - 1, 1))) AS u(i)),
+        dtg AS (
+          SELECT doc_id, w1, w2, w3, count(*) AS k FROM pos GROUP BY ALL),
+        jj AS (
+          SELECT dtg.doc_id, dtg.k,
+                 t.c AS c3, b12.c AS c2, b23.c AS c23,
+                 u2.c AS cu2, u3.c AS cu3, lmn.n
+          FROM dtg
+          LEFT JOIN tri t ON dtg.w1 = t.w1 AND dtg.w2 = t.w2 AND dtg.w3 = t.w3
+          LEFT JOIN big b12 ON dtg.w1 = b12.w1 AND dtg.w2 = b12.w2
+          LEFT JOIN big b23 ON dtg.w2 = b23.w1 AND dtg.w3 = b23.w2
+          LEFT JOIN uni u2 ON dtg.w2 = u2.w
+          LEFT JOIN uni u3 ON dtg.w3 = u3.w
+          CROSS JOIN lmn),
+        per AS (
+          SELECT doc_id, CAST(sum(k) AS BIGINT) AS n_trigrams,
+                 sum(CAST(round(CASE
+                   WHEN c3 IS NOT NULL THEN c3 / CAST(c2 AS DOUBLE)
+                   WHEN c23 IS NOT NULL
+                     THEN CAST(0.4 AS DOUBLE) * c23 / CAST(cu2 AS DOUBLE)
+                   WHEN cu3 IS NOT NULL
+                     THEN CAST(0.4 AS DOUBLE) * CAST(0.4 AS DOUBLE)
+                          * cu3 / CAST(n AS DOUBLE)
+                   ELSE 0 END, 6) AS DECIMAL(18,6)) * k) AS sb
+          FROM jj GROUP BY 1),
+        lmsc AS (
+          SELECT d.doc_id, CAST(per.sb AS DOUBLE) / per.n_trigrams AS avg_sb
+          FROM documents d LEFT JOIN per USING (doc_id)),
+        med AS (
+          SELECT round(quantile_cont(avg_sb, 0.5), 6) AS med
+          FROM lmsc WHERE avg_sb IS NOT NULL),
+        pmed AS (
+          SELECT round(quantile_cont(p, 0.5), 6) AS pmed FROM scored)
+        SELECT lmsc.doc_id, round(lmsc.avg_sb, 6) AS avg_sb, scored.p
+        FROM lmsc JOIN scored USING (doc_id)
+        CROSS JOIN med CROSS JOIN pmed
+        WHERE lmsc.avg_sb IS NOT NULL AND lmsc.avg_sb >= med.med
+          AND scored.p >= pmed.pmed
+        ORDER BY lmsc.doc_id""")),
+
     // ---- q141: quality-annealed curriculum schedule ----
     // Epoch e admits the top-e quality quartiles (epoch 1 = best 25%,
     // epoch 4 = everything) — the curriculum/annealing shape

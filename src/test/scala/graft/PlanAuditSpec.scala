@@ -56,6 +56,9 @@ class PlanAuditSpec extends SparkSpec {
     // q158 wraps q136's scorer (same one-row N frame) in the
     // per-source fold.
     "q158_lm_source_report",
+    // q160 composes q136's scorer (one-row N frame) with the one-row
+    // median-threshold frame — O(1) NLJ sides.
+    "q160_model_curation",
     // q141: one-row quality-threshold bands (the q79 two-pass shape
     // collapsed to a single global band row) and the 4-row epoch
     // frame, both broadcast — O(1)-bounded NLJ sides.
