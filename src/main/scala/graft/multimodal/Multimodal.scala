@@ -464,7 +464,7 @@ object Multimodal {
     * Dataset so downstream keeps a real schema.
     */
   def decode(media: DataFrame,
-      decoder: MediaDecoder = StubDecoder): Dataset[Decoded] = {
+      decoder: MediaDecoder): Dataset[Decoded] = {
     implicit val encIn = Encoders.product[MediaRow]
     implicit val encOut = Encoders.product[Decoded]
     media.as[MediaRow].mapPartitions { rows =>
@@ -598,7 +598,7 @@ object Multimodal {
   }
 
   def frameSample(media: DataFrame, step: Int,
-      decoder: MediaDecoder = StubDecoder): Dataset[Frame] = {
+      decoder: MediaDecoder): Dataset[Frame] = {
     require(step > 0, "step must be positive")
     implicit val encIn = Encoders.product[MediaRow]
     implicit val encOut = Encoders.product[Frame]

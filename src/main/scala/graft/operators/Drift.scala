@@ -24,6 +24,9 @@ object Drift {
       (2 to 9).map(i =>
         round(expr(s"percentile($scoreCol, 0.$i)"), 6).as(s"e$i")): _*)
       .head
+    require(!row.isNullAt(0),
+      s"empty reference slice: percentile($scoreCol) is null — " +
+        "fit the drift edges on a non-empty reference frame")
     (0 until 9).map(row.getDouble)
   }
 
@@ -43,4 +46,26 @@ object Drift {
       edges: Seq[Double]): DataFrame =
     docs.groupBy(binCol(edges, col(scoreCol)).as("bin"))
       .agg(count(lit(1)).as("n"))
+
+  /** The alerting face: total PSI of arriving bin counts against the
+    * fitted reference counts — the q155 Laplace-smoothed per-term
+    * arithmetic (round-6 shares, round-4 ln) folded to one scalar.
+    * Inputs are the two 10-row count maps (exactly the streaming
+    * monitor's state), so the drift decision is O(bins) driver-side
+    * work on the complete-mode output table; the conventional
+    * fire threshold is 0.25 ("significant shift"), 0.1 "watch".
+    */
+  def psiValue(nRef: Map[Int, Long], nNew: Map[Int, Long]): Double = {
+    def r(x: Double, s: Int): Double =
+      BigDecimal(x).setScale(s, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val tRef = nRef.values.sum
+    val tNew = nNew.values.sum
+    require(tRef > 0, "empty reference counts")
+    require(tNew > 0, "empty arriving counts")
+    (1 to 10).map { b =>
+      val pr = r((nRef.getOrElse(b, 0L) + 1).toDouble / (tRef + 10), 6)
+      val pn = r((nNew.getOrElse(b, 0L) + 1).toDouble / (tNew + 10), 6)
+      r((pn - pr) * r(math.log(pn / pr), 4), 6)
+    }.sum
+  }
 }

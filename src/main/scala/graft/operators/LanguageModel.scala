@@ -221,12 +221,16 @@ object LanguageModel {
         transform(sequence(lit(1), size(tk) - (n - 1)), i =>
           concat_ws(" ", (0 until n).map(o => element_at(tk, i + o)): _*)))
         .otherwise(array().cast("array<string>"))
+      // Budget gate BEFORE materializing (r8 ADVICE): collect at most
+      // maxGrams+1 rows, so an over-budget vocabulary is refused with
+      // driver memory bounded by the budget itself, never by the corpus.
       val rows = train
         .select(explode(g).as("g"))
         .groupBy(col("g")).agg(count(lit(1)).as("c"))
+        .limit(maxGrams + 1)
         .collect()
       require(rows.length <= maxGrams,
-        s"${rows.length} fitted $n-grams exceed maxGrams=$maxGrams — " +
+        s"more than maxGrams=$maxGrams fitted $n-grams — " +
           "a standing-query model must stay broadcast-sized; use the " +
           "batch count-table join beyond that")
       rows.map(r => r.getString(0) -> r.getLong(1)).toMap

@@ -193,6 +193,52 @@ object LogReg {
     * `documents`. Kept HERE so the arithmetic and its replay live
     * side by side (the q119/Pca pattern).
     */
+  /** The feature prologue alone (CTEs `tk`..`feats`, `nd`) — shared
+    * by the unrolled training replay and the artifact-based scoring
+    * replay below.
+    */
+  def featureOracleCtes(labelSql: String, dim: Int): String =
+    s"""tk AS (
+        SELECT doc_id, $labelSql AS y, string_split(text, ' ') AS tk
+        FROM documents),
+      tf AS (SELECT doc_id, y, len(tk) AS n, unnest(tk) AS t FROM tk),
+      hf AS (
+        SELECT doc_id, y, n,
+               CAST(('0x' || substr(md5(t), 1, 8))::BIGINT % $dim AS INT)
+                 AS feat,
+               count(*) AS c
+        FROM tf GROUP BY ALL),
+      feats AS (
+        SELECT doc_id, feat, y,
+               CAST(round(c / CAST(n AS DOUBLE), 6) AS DECIMAL(18,6)) AS x
+        FROM hf
+        UNION ALL
+        SELECT doc_id, CAST(-1 AS INT), $labelSql, CAST(1 AS DECIMAL(18,6))
+        FROM documents),
+      nd AS (SELECT count(*) AS n FROM documents)"""
+
+  /** CTE body replaying [[score]] from the SAVED weight artifact (the
+    * train-once-reuse contract): `wart` scans the parquet the q137
+    * build wrote — whose content the unrolled-CTE train gate verifies
+    * — so dependent queries pay scoring cost only, on both engines.
+    * Defines `feats`, `mz`, `scored` with the same shapes as
+    * [[scoreOracleCtes]].
+    */
+  def scoreArtifactCtes(labelSql: String, dim: Int,
+      weightsDir: String): String =
+    s"""${featureOracleCtes(labelSql, dim)},
+      wart AS (
+        SELECT feat, CAST(weight AS DECIMAL(18,6)) AS w
+        FROM '$weightsDir/*.parquet'),
+      mz AS (
+        SELECT doc_id, y, sum(w * x) AS z
+        FROM feats JOIN wart USING (feat) GROUP BY 1, 2),
+      scored AS (
+        SELECT doc_id, y,
+               CAST(CAST(round(1.0 / (1.0 + exp(-CAST(z AS DOUBLE))), 6)
+                 AS DECIMAL(18,6)) AS DOUBLE) AS p
+        FROM mz)"""
+
   def trainOracleCtes(labelSql: String, dim: Int, rounds: Int,
       lr: String): String = {
     val steps = (1 to rounds).map { r =>
@@ -214,24 +260,7 @@ object LogReg {
                  AS DECIMAL(18,6)) AS DECIMAL(18,6)) AS w
         FROM w${r - 1} w LEFT JOIN g$r g USING (feat))"""
     }.mkString(",\n      ")
-    s"""tk AS (
-        SELECT doc_id, $labelSql AS y, string_split(text, ' ') AS tk
-        FROM documents),
-      tf AS (SELECT doc_id, y, len(tk) AS n, unnest(tk) AS t FROM tk),
-      hf AS (
-        SELECT doc_id, y, n,
-               CAST(('0x' || substr(md5(t), 1, 8))::BIGINT % $dim AS INT)
-                 AS feat,
-               count(*) AS c
-        FROM tf GROUP BY ALL),
-      feats AS (
-        SELECT doc_id, feat, y,
-               CAST(round(c / CAST(n AS DOUBLE), 6) AS DECIMAL(18,6)) AS x
-        FROM hf
-        UNION ALL
-        SELECT doc_id, CAST(-1 AS INT), $labelSql, CAST(1 AS DECIMAL(18,6))
-        FROM documents),
-      nd AS (SELECT count(*) AS n FROM documents),
+    s"""${featureOracleCtes(labelSql, dim)},
       w0 AS (
         SELECT CAST(t.f AS INT) AS feat, CAST(0 AS DECIMAL(18,6)) AS w
         FROM range(-1, $dim) AS t(f)),
@@ -283,9 +312,14 @@ object LogReg {
           * col("cp").cast("decimal(38,0)")).as("rsum2"))
       .select(col("np").cast("bigint").as("n_pos"),
         col("nn").cast("bigint").as("n_neg"),
-        round((col("rsum2") - col("np") * (col("np") + lit(1)))
-            .cast("double")
-          / (lit(2) * col("np") * col("nn")).cast("double"), 6)
+        // single-class guard (r8 ADVICE): AUC is undefined when either
+        // class is absent — emit an explicit null instead of a silent
+        // NaN from the 0 denominator (DuckDB mirrors null here too)
+        when(col("np") > 0 && col("nn") > 0,
+          round((col("rsum2") - col("np") * (col("np") + lit(1)))
+              .cast("double")
+            / (lit(2) * col("np") * col("nn")).cast("double"), 6))
+          .otherwise(lit(null).cast("double"))
           .as("auc"))
   }
 }

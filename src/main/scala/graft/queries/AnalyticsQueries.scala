@@ -37,7 +37,8 @@ object AnalyticsQueries {
           col("n").as("n_b"))
         a.join(b, Seq("blk"))
           .where(col("name_a") < col("name_b"))
-          .withColumn("dist", levenshtein(col("name_a"), col("name_b")))
+          .withColumn("dist",
+            levenshtein(col("name_a"), col("name_b")).cast("long"))
           .where(col("dist") <= 3)
           .select(col("name_a"), col("name_b"), col("dist"),
             col("n_a"), col("n_b"))

@@ -86,7 +86,8 @@ object MatchQueries {
             "nat" -> col("nat"), "nkey" -> col("nkey").cast("long"))
       },
       Some("""
-        SELECT c_name AS nm, c_acctbal AS bal, n_name AS nat, n_nationkey AS nkey
+        SELECT c_name AS nm, c_acctbal AS bal, n_name AS nat,
+               CAST(n_nationkey AS BIGINT) AS nkey
         FROM customer JOIN nation ON c_nationkey = n_nationkey
         WHERE c_mktsegment = 'AUTOMOBILE' AND c_acctbal < 5000
         ORDER BY nm""")),

@@ -80,12 +80,47 @@ object ModelQueries {
   private val LrLr = 4.0
   private val LrLrSql = "4.0"
 
+  /** Train-once-reuse (r8 verdict #4): the LR family shares ONE
+    * fingerprint-guarded weight artifact per data dir — q137 gates
+    * its content against the full unrolled-CTE training replay, and
+    * every dependent query (q138/q139/q154/q157/q160) loads the
+    * saved dim+1-row parquet instead of re-running the 6-round GD,
+    * with its oracle replaying scoring from the SAME parquet (the
+    * q46/q86 `buildIfAbsent` + dir-parameterized-oracle pattern).
+    */
+  private[queries] def lrArtifactDir(dir: String): String =
+    "/tmp/graft_lr/" + dir.replaceAll("[^A-Za-z0-9]", "_") +
+      s"_d${LrDim}_r$LrRounds"
+
+  private val lrWeightCache =
+    scala.collection.concurrent.TrieMap[String, Unit]()
+
+  private def lrWeights(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    import graft.sources.ArtifactGuard
+    val path = lrArtifactDir(dir)
+    val fp = graft.operators.BpeLearn
+      .dataFingerprint(s, s"$dir/documents.parquet")
+    lrWeightCache.getOrElseUpdate(path + "#" + fp, {
+      if (!ArtifactGuard.fresh(s, path, s"$path/weights/_SUCCESS",
+          Some(fp))) {
+        val d = Tables.load(s, dir, "documents")
+        val feats = LogReg.features(d, "doc_id", "text",
+          col("lang") === "en", LrDim).localCheckpoint(eager = false)
+        LogReg.train(feats, "doc_id", LrDim, LrRounds, LrLr)
+          .repartition(1)
+          .write.mode("overwrite").parquet(s"$path/weights")
+        ArtifactGuard.stamp(s, path, Some(fp))
+      }
+    })
+    s.read.parquet(s"$path/weights")
+  }
+
   private def lrScored(s: org.apache.spark.sql.SparkSession, dir: String) = {
     val d = Tables.load(s, dir, "documents")
     val feats = LogReg.features(d, "doc_id", "text",
       col("lang") === "en", LrDim).localCheckpoint(eager = false)
-    val w = LogReg.train(feats, "doc_id", LrDim, LrRounds, LrLr)
-    LogReg.score(feats, "doc_id", w)
+    LogReg.score(feats, "doc_id", lrWeights(s, dir))
   }
 
   def defs: Seq[QueryDef] = Seq(
@@ -253,14 +288,12 @@ object ModelQueries {
     // on the IDENTICAL weight table.
     QueryDef(
       "q137_logreg_train",
-      (s, dir) => {
-        val d = Tables.load(s, dir, "documents")
-        val feats = LogReg.features(d, "doc_id", "text",
-          col("lang") === "en", LrDim).localCheckpoint(eager = false)
-        LogReg.train(feats, "doc_id", LrDim, LrRounds, LrLr)
-          .select(col("feat"), col("weight").cast("double").as("weight"))
-          .orderBy(col("feat"))
-      },
+      // builds (or freshness-checks) the shared weight artifact, then
+      // answers FROM it — so the unrolled training oracle below gates
+      // exactly the parquet every dependent query replays
+      (s, dir) => lrWeights(s, dir)
+        .select(col("feat"), col("weight").cast("double").as("weight"))
+        .orderBy(col("feat")),
       Some(s"""
         WITH ${LogReg.trainOracleCtes(enLabelSql, LrDim, LrRounds, LrLrSql)}
         SELECT feat, CAST(w AS DOUBLE) AS weight
@@ -273,8 +306,10 @@ object ModelQueries {
     QueryDef(
       "q138_logreg_score",
       (s, dir) => lrScored(s, dir).orderBy(col("doc_id")),
-      Some(s"""
-        WITH ${LogReg.scoreOracleCtes(enLabelSql, LrDim, LrRounds, LrLrSql)}
+      None,
+      oracleFn = Some(dir => s"""
+        WITH ${LogReg.scoreArtifactCtes(enLabelSql, LrDim,
+          s"${lrArtifactDir(dir)}/weights")}
         SELECT doc_id, y, p, CAST(p >= 0.5 AS INT) AS pred
         FROM scored ORDER BY doc_id""")),
 
@@ -286,8 +321,10 @@ object ModelQueries {
     QueryDef(
       "q139_auc",
       (s, dir) => LogReg.auc(lrScored(s, dir), "p", "y"),
-      Some(s"""
-        WITH ${LogReg.scoreOracleCtes(enLabelSql, LrDim, LrRounds, LrLrSql)},
+      None,
+      oracleFn = Some(dir => s"""
+        WITH ${LogReg.scoreArtifactCtes(enLabelSql, LrDim,
+          s"${lrArtifactDir(dir)}/weights")},
         bys AS (
           SELECT p AS s, count(*) AS c, sum(y) AS cp FROM scored GROUP BY 1),
         rk AS (
@@ -299,8 +336,10 @@ object ModelQueries {
                      * CAST(cp AS DECIMAL(38,0))) AS rsum2
           FROM rk)
         SELECT CAST(np AS BIGINT) AS n_pos, CAST(nn AS BIGINT) AS n_neg,
-               round(CAST(rsum2 - np * (np + 1) AS DOUBLE)
-                 / CAST(2 * np * nn AS DOUBLE), 6) AS auc
+               CASE WHEN np > 0 AND nn > 0
+                 THEN round(CAST(rsum2 - np * (np + 1) AS DOUBLE)
+                   / CAST(2 * np * nn AS DOUBLE), 6)
+                 ELSE NULL END AS auc
         FROM agg""")),
 
     // ---- q154: classifier calibration (reliability bins) ----
@@ -324,15 +363,17 @@ object ModelQueries {
           .agg(count(lit(1)).as("n"),
             sum(col("p").cast("decimal(18,6)")).as("psum"),
             sum(col("y")).as("npos"))
-          .select(col("bin"), col("n"),
+          .select(col("bin").cast("long").as("bin"), col("n"),
             round(col("psum").cast("double") / col("n").cast("double"), 6)
               .as("conf"),
             round(col("npos").cast("double") / col("n").cast("double"), 6)
               .as("acc"))
           .orderBy(col("bin"))
       },
-      Some(s"""
-        WITH ${LogReg.scoreOracleCtes(enLabelSql, LrDim, LrRounds, LrLrSql)},
+      None,
+      oracleFn = Some(dir => s"""
+        WITH ${LogReg.scoreArtifactCtes(enLabelSql, LrDim,
+          s"${lrArtifactDir(dir)}/weights")},
         binned AS (
           SELECT ntile(10) OVER (ORDER BY p, doc_id) AS bin, p, y
           FROM scored),
@@ -442,7 +483,7 @@ object ModelQueries {
         val d = Tables.load(s, dir, "documents")
         val feats = LogReg.features(d, "doc_id", "text",
           col("lang") === "en", LrDim).localCheckpoint(eager = false)
-        val w = LogReg.train(feats, "doc_id", LrDim, LrRounds, LrLr)
+        val w = lrWeights(s, dir)
         val margins = feats
           .join(broadcast(w.select(col("feat"),
             col("weight").as("w"))), Seq("feat"))
@@ -472,8 +513,10 @@ object ModelQueries {
             (col("rn") === 1).as("is_best"))
           .orderBy(col("temp"))
       },
-      Some(s"""
-        WITH ${LogReg.scoreOracleCtes(enLabelSql, LrDim, LrRounds, LrLrSql)},
+      None,
+      oracleFn = Some(dir => s"""
+        WITH ${LogReg.scoreArtifactCtes(enLabelSql, LrDim,
+          s"${lrArtifactDir(dir)}/weights")},
         perT AS (
           ${Seq(0.25, 0.5, 1.0, 2.0, 4.0, 8.0).map { t =>
             s"""SELECT CAST($t AS DOUBLE) AS temp, CAST(count(*) AS BIGINT) AS n,
@@ -672,8 +715,11 @@ object ModelQueries {
           .agg(count(lit(1)).as("a"))
         val tw = a.groupBy(col("w")).agg(sum(col("a")).as("tw"))
         val nl = d.groupBy(col("lang")).agg(count(lit(1)).as("nl"))
+        // tw < n drops always-present tokens; nl < n (r8 ADVICE)
+        // drops the degenerate one-label corpus whose (n - nl)
+        // denominator is 0 — Infinity/NaN, engine-divergent
         val j = a.join(tw, Seq("w")).join(broadcast(nl), Seq("lang"))
-          .filter(col("tw") < n)
+          .filter(col("tw") < n && col("nl") < n)
         val diff = col("a").cast("double") *
             (lit(n) - col("tw") - col("nl") + col("a")).cast("double") -
           (col("tw") - col("a")).cast("double") *
@@ -703,7 +749,7 @@ object ModelQueries {
         j AS (
           SELECT a.lang, a.w, a.a, tw.tw, nl.nl, nn.n
           FROM a JOIN tw USING (w) JOIN nl USING (lang) CROSS JOIN nn
-          WHERE tw.tw < nn.n),
+          WHERE tw.tw < nn.n AND nl.nl < nn.n),
         scored AS (
           SELECT lang AS label, w AS token,
                  round(CAST(n AS DOUBLE) *
@@ -855,9 +901,15 @@ object ModelQueries {
           sum(col("tokens") - col("alloc1")).as("cap_total"))
         a1.crossJoin(broadcast(caps))
           .withColumn("leftover", col("budget") - col("allocated"))
+          // proportional step in DECIMAL(38,0) (r8 ADVICE): leftover ×
+          // residual-capacity is a Long×Long product that wraps at the
+          // corpus scale the allocator targets; `div` on decimals is
+          // Spark's IntegralDivide → exact Long quotient, no overflow
           .withColumn("alloc", when(col("cap_total") > 0,
               col("alloc1") + least(col("tokens") - col("alloc1"),
-                expr("(leftover * (tokens - alloc1)) div cap_total")))
+                expr("""(cast(leftover as decimal(38,0))
+                         * cast(tokens - alloc1 as decimal(38,0)))
+                        div cast(cap_total as decimal(38,0))""")))
             .otherwise(col("alloc1")))
           .select(col("source"), col("tokens"), col("alloc"),
             round(col("alloc").cast("double") /
@@ -883,8 +935,9 @@ object ModelQueries {
           SELECT source, tokens,
                  CASE WHEN cap_total > 0
                    THEN alloc1 + least(tokens - alloc1,
-                     ((budget - allocated) * (tokens - alloc1))
-                       // cap_total)
+                     CAST((CAST(budget - allocated AS HUGEINT)
+                           * CAST(tokens - alloc1 AS HUGEINT))
+                       // CAST(cap_total AS HUGEINT) AS BIGINT))
                    ELSE alloc1 END AS alloc
           FROM a1 CROSS JOIN caps)
         SELECT source, tokens, alloc,
@@ -923,8 +976,10 @@ object ModelQueries {
             round(col("avg_sb"), 6).as("avg_sb"), col("p"))
           .orderBy(col("doc_id"))
       },
-      Some(s"""
-        WITH ${LogReg.scoreOracleCtes(enLabelSql, LrDim, LrRounds, LrLrSql)},
+      None,
+      oracleFn = Some(dir => s"""
+        WITH ${LogReg.scoreArtifactCtes(enLabelSql, LrDim,
+          s"${lrArtifactDir(dir)}/weights")},
         tr AS (
           SELECT string_split(text, ' ') AS tk FROM documents
           WHERE source <> 'src1'),

@@ -18,7 +18,8 @@ object MultimodalQueries {
       "q38_multimodal",
       (s, dir) => {
         Multimodal.decode(
-          Multimodal.mediaTable(Tables.load(s, dir, "documents")))
+          Multimodal.mediaTable(Tables.load(s, dir, "documents")),
+          Multimodal.StubDecoder)
           .toDF()
           .select(col("doc_id"), col("modality"), col("n_bytes"),
             col("width").cast("long").as("width"),
@@ -83,8 +84,8 @@ object MultimodalQueries {
         SELECT doc_id, frame_idx,
                38 + (frame_idx + 1) * 6 + frame_idx * sz AS offset,
                sz AS frame_len,
-               sum((doc_id * 131 + (frame_idx * sz + k) * 7919) % 256)
-                 AS luma_sum
+               CAST(sum((doc_id * 131 + (frame_idx * sz + k) * 7919) % 256)
+                 AS BIGINT) AS luma_sum
         FROM px
         GROUP BY doc_id, frame_idx, sz
         ORDER BY doc_id, frame_idx""")),
@@ -131,9 +132,9 @@ object MultimodalQueries {
                CAST(height AS BIGINT) AS height,
                CAST(1 AS BIGINT) AS n_frames,
                CAST(bucket AS BIGINT) AS bucket,
-               CASE WHEN b1 = b2 AND bucket = b1 THEN 1.0
+               CAST(CASE WHEN b1 = b2 AND bucket = b1 THEN 1.0
                     WHEN bucket = b1 OR bucket = b2 THEN 0.5
-                    ELSE 0.0 END AS frac
+                    ELSE 0.0 END AS DOUBLE) AS frac
         FROM f ORDER BY doc_id, bucket""")),
 
     // ---- q98: REAL audio decoding via javax.sound.sampled ----

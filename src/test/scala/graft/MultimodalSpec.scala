@@ -9,7 +9,7 @@ class MultimodalSpec extends SparkSpec {
     val media = Multimodal.mediaTable(Tables.load(spark, sf0001, "documents"))
     assert(media.schema("payload").dataType.typeName == "binary")
 
-    val decoded = Multimodal.decode(media)
+    val decoded = Multimodal.decode(media, Multimodal.StubDecoder)
     val rows = decoded.collect()
     assert(rows.length == 500)
     // feature = normalized 8-bucket histogram → sums to ~1
@@ -19,7 +19,7 @@ class MultimodalSpec extends SparkSpec {
       assert(d.width == (640 - d.n_bytes % 320).toInt)
     }
     // deterministic across runs
-    val again = Multimodal.decode(media).collect()
+    val again = Multimodal.decode(media, Multimodal.StubDecoder).collect()
     assert(rows.map(_.doc_id).sorted.toSeq == again.map(_.doc_id).sorted.toSeq)
     assert(rows.sortBy(_.doc_id).map(_.feature.toSeq).toSeq ==
       again.sortBy(_.doc_id).map(_.feature.toSeq).toSeq)
@@ -27,13 +27,13 @@ class MultimodalSpec extends SparkSpec {
 
   test("decode is a scan-local pass (no exchange in the plan)") {
     val media = Multimodal.mediaTable(Tables.load(spark, sf0001, "documents"))
-    val plan = Multimodal.decode(media).queryExecution.executedPlan.toString
+    val plan = Multimodal.decode(media, Multimodal.StubDecoder).queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), s"decode should not shuffle:\n$plan")
   }
 
   test("resize fits the target box, preserves aspect, never upscales") {
     val media = Multimodal.mediaTable(Tables.load(spark, sf0001, "documents"))
-    val decoded = Multimodal.decode(media)
+    val decoded = Multimodal.decode(media, Multimodal.StubDecoder)
     val resized = Multimodal.resize(decoded, maxW = 320, maxH = 240).collect()
     val orig = decoded.collect().map(d => d.doc_id -> d).toMap
     resized.foreach { r =>
@@ -50,10 +50,10 @@ class MultimodalSpec extends SparkSpec {
   test("frameSample: every step-th frame, contiguous deterministic " +
       "slices, scan-local") {
     val media = Multimodal.mediaTable(Tables.load(spark, sf0001, "documents"))
-    val frames = Multimodal.frameSample(media, step = 4)
+    val frames = Multimodal.frameSample(media, step = 4, Multimodal.StubDecoder)
     assert(!frames.queryExecution.executedPlan.toString.contains("Exchange"))
     val byDoc = frames.collect().groupBy(_.doc_id)
-    val meta = Multimodal.decode(media).collect().map(d => d.doc_id -> d).toMap
+    val meta = Multimodal.decode(media, Multimodal.StubDecoder).collect().map(d => d.doc_id -> d).toMap
     byDoc.foreach { case (id, fs) =>
       val d = meta(id)
       assert(d.modality == "video")
@@ -90,7 +90,7 @@ class MultimodalSpec extends SparkSpec {
     val videos = media.filter(col("modality") === "video").count()
     assert(frames.size == videos && frames.values.forall(_.length == 2))
     // and the default stub still yields its own shape on the same rows
-    val stubDecoded = Multimodal.decode(media).collect()
+    val stubDecoded = Multimodal.decode(media, Multimodal.StubDecoder).collect()
     assert(stubDecoded.exists(d => d.width != 128))
   }
 
@@ -306,7 +306,8 @@ class MultimodalSpec extends SparkSpec {
 
   test("features feed the ANN operators (array<float> compatible)") {
     val feats = Multimodal.decode(
-      Multimodal.mediaTable(Tables.load(spark, sf0001, "documents")))
+      Multimodal.mediaTable(Tables.load(spark, sf0001, "documents")),
+      Multimodal.StubDecoder)
       .toDF().select(col("doc_id").as("id"), col("feature").as("vec"))
     val top = graft.operators.Similarity
       .bruteForceTopK(feats, feats.filter(col("id") < 3), k = 2)

@@ -808,6 +808,50 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming drift monitor FIRES on a planted mid-stream shift: " +
+      "PSI stays under threshold on in-distribution batches and " +
+      "crosses 0.25 when the score distribution moves") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.Drift
+    import graft.functions.TextFunctions.qualityScore
+    val scored = Tables.load(spark, sf0001, "documents")
+      .select(col("doc_id"), round(qualityScore(col("text")), 6).as("q"),
+        (col("doc_id") % 2 === 0).as("is_ref"))
+      .localCheckpoint(eager = false)
+    val ref = scored.filter(col("is_ref"))
+    val edges = Drift.fitEdges(ref, "q")
+    val refCounts = Drift.binCounts(ref, "q", edges)
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val rows = scored.filter(!col("is_ref"))
+      .select(col("doc_id"), col("q"))
+      .as[(Long, Double)].collect()
+    val ms = MemoryStream[(Long, Double)]
+    val q = Drift.binCounts(ms.toDF().toDF("doc_id", "q"), "q", edges)
+      .writeStream.format("memory").queryName("drift_fire")
+      .outputMode("complete").start()
+    try {
+      def arrived(): Map[Int, Long] = spark.table("drift_fire").collect()
+        .map(r => r.getInt(0) -> r.getLong(1)).toMap
+      // batch 1: in-distribution (the held-out half of the corpus) —
+      // the monitor must NOT fire
+      ms.addData(rows.toSeq)
+      q.processAllAvailable()
+      val calm = Drift.psiValue(refCounts, arrived())
+      assert(calm < 0.25,
+        s"monitor fired on an in-distribution batch: psi=$calm")
+      // batch 2: planted drift — every arriving score shifted past
+      // the top reference decile, the mid-stream regression a drift
+      // monitor exists to catch
+      val shifted = rows.map { case (id, s) => (id + 1000000L, s + 1.0) }
+      ms.addData(shifted.toSeq)
+      q.processAllAvailable()
+      val fired = Drift.psiValue(refCounts, arrived())
+      assert(fired > 0.25,
+        s"monitor failed to fire on the planted shift: psi=$fired " +
+          s"(calm was $calm)")
+    } finally q.stop()
+  }
+
   test("standing LM fit: the maxGrams budget gate refuses an " +
       "over-budget vocabulary instead of broadcasting it") {
     import graft.operators.LanguageModel

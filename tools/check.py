@@ -36,6 +36,24 @@ for name in sorted(os.listdir(out)):
         print(f"{name}: ORACLE-FAIL {e}")
         fails += 1
         continue
+    # Strict dtype gate (r8 verdict item 2): the driver hashes DuckDB's
+    # *rendered* values, so a HUGEINT/DECIMAL/DOUBLE oracle column vs a
+    # BIGINT Spark column fails its hash even when values are equal.
+    # Compare DuckDB-side types of both results and fail on mismatch.
+    try:
+        st = {r[0]: r[1] for r in con.execute(
+            f"DESCRIBE SELECT * FROM '{out}/{name}/*.parquet'").fetchall()}
+        ot = {r[0]: r[1] for r in con.execute(
+            f"DESCRIBE ({oracle[name]})").fetchall()}
+        ok_types = True
+        for c in sorted(set(st) | set(ot)):
+            a, b = st.get(c), ot.get(c)
+            if a != b:
+                ok_types = False
+                print(f"  {name}.{c} DTYPE mismatch: spark={a} oracle={b}")
+    except Exception as e:
+        ok_types = False
+        print(f"  {name} dtype-describe error: {e}")
     s = s[sorted(s.columns)].reset_index(drop=True)
     o = o[sorted(o.columns)].reset_index(drop=True)
     ok_rows = len(s) == len(o)
@@ -59,10 +77,11 @@ for name in sorted(os.listdir(out)):
                           f"spark={a.iloc[idx].tolist()} oracle={b.iloc[idx].tolist()}")
         except Exception as e:
             print(f"  {name} compare error: {e}")
-    status = "OK" if (ok_rows and ok_cols and ok_vals) else "FAIL"
+    status = "OK" if (ok_rows and ok_cols and ok_vals and ok_types) else "FAIL"
     if status == "FAIL":
         fails += 1
         print(f"{name}: {status} rows {len(s)}/{len(o)} cols_match={ok_cols} "
+              f"types_match={ok_types} "
               f"spark_cols={list(s.columns)} oracle_cols={list(o.columns)}")
     else:
         print(f"{name}: OK ({len(s)} rows)")
