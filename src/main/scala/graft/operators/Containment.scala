@@ -1,0 +1,74 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Containment dedup (Broder 1997's *containment* measure, as used by
+  * the CC-style pipelines to catch quote-inclusion pairs): resemblance
+  * (Jaccard) scores a small document quoted whole inside a much larger
+  * one near ZERO, but containment = |A∩B| / min(|A|,|B|) scores it
+  * near one — the pair every "remove the boilerplate-wrapped copy"
+  * rule needs and MinHash-resemblance dedup structurally misses.
+  *
+  * Candidate generation is rare-shingle blocking: only shingles with
+  * document frequency in [dfMin, dfMax] block, so per-shingle fanout
+  * is capped at C(dfMax, 2) pairs and the candidate exchange carries
+  * ids only (SCALE.md §1 df-cap rule — common shingles are useless
+  * for blocking AND skew the exchange, so dropping them is both the
+  * recall-harmless and the scale-safe choice). Exact verify joins the
+  * candidate ids back onto the distinct-shingle table — one keyed
+  * exchange each side, no text movement.
+  */
+object Containment {
+
+  /** Distinct w-shingle table (idCol, s:string). */
+  def shingles(docs: DataFrame, idCol: String, textCol: String,
+      w: Int): DataFrame = {
+    require(w >= 2 && w <= 16, s"w=$w")
+    val tk = split(col(textCol), " ")
+    docs.select(col(idCol),
+        explode(when(size(tk) >= w,
+          transform(sequence(lit(1), size(tk) - (w - 1)), i =>
+            concat_ws(" ", (0 until w).map(o =>
+              element_at(tk, i + o)): _*)))
+          .otherwise(array().cast("array<string>"))).as("s"))
+      .distinct()
+  }
+
+  /** Candidate pairs admitted at containment ≥ threshold:
+    * (id_a, id_b, n_a, n_b, inter, containment) with id_a < id_b and
+    * containment rounded to 6 (one pinned double division).
+    */
+  def pairs(docs: DataFrame, idCol: String, textCol: String,
+      w: Int = 5, dfMin: Int = 2, dfMax: Int = 5,
+      threshold: Double = 0.5): DataFrame = {
+    require(dfMin >= 2 && dfMax >= dfMin, s"df window [$dfMin,$dfMax]")
+    val sh = shingles(docs, idCol, textCol, w)
+      .localCheckpoint(eager = false)
+    val ns = sh.groupBy(col(idCol)).agg(count(lit(1)).as("n"))
+    val rare = sh.groupBy(col("s")).agg(count(lit(1)).as("df"))
+      .filter(col("df") >= dfMin && col("df") <= dfMax)
+      .select(col("s"))
+    val blocked = sh.join(rare, Seq("s"))
+    val cand = blocked.select(col("s"), col(idCol).as("ia"))
+      .join(blocked.select(col("s"), col(idCol).as("ib")), Seq("s"))
+      .filter(col("ia") < col("ib"))
+      .select(col("ia"), col("ib")).distinct()
+    val inter = cand
+      .join(sh.select(col(idCol).as("ia"), col("s")), Seq("ia"))
+      .join(sh.select(col(idCol).as("ib"), col("s")), Seq("ib", "s"))
+      .groupBy(col("ia"), col("ib"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(ns.select(col(idCol).as("ia"), col("n").as("n_a")),
+        Seq("ia"))
+      .join(ns.select(col(idCol).as("ib"), col("n").as("n_b")),
+        Seq("ib"))
+      .select(col("ia").as("id_a"), col("ib").as("id_b"),
+        col("n_a"), col("n_b"), col("inter"),
+        round(col("inter").cast("double") /
+          least(col("n_a"), col("n_b")).cast("double"), 6)
+          .as("containment"))
+      .filter(col("containment") >= threshold)
+  }
+}

@@ -1,0 +1,258 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.operators.{Containment, Dsir, Similarity}
+
+/** Round-9 curation battery: DSIR importance selection, margin-
+  * criterion embedding alignment, α-temperature source sampling, and
+  * rare-shingle containment dedup — four public techniques the
+  * trained-model family (q136–q160) doesn't cover. Same contracts as
+  * everywhere: exact fixed-point arithmetic, full DuckDB replay,
+  * SCALE.md §1 plan shapes.
+  */
+object CurationQueries {
+
+  private val DsirBuckets = 512
+
+  def defs: Seq[QueryDef] = Seq(
+
+    // ---- q161: DSIR importance-weighted selection ----
+    // Xie et al. 2023: hashed-n-gram importance weights of the
+    // target distribution (here lang='en') against the raw rest,
+    // thresholded at the corpus 80th percentile (a one-row broadcast
+    // plan literal — the q160 ranking-gate lesson: absolute
+    // thresholds don't transfer across corpora, quantile gates do).
+    QueryDef(
+      "q161_dsir_select",
+      (s, dir) => {
+        val d = Tables.load(s, dir, "documents")
+        val w = Dsir.importanceWeights(d, "doc_id", "text",
+          col("lang") === "en", DsirBuckets)
+          .select(col("doc_id"), col("logw").cast("double").as("logw"))
+        val thr = w.agg(
+          round(expr("percentile(logw, 0.8)"), 6).as("thr"))
+        w.crossJoin(broadcast(thr))
+          .select(col("doc_id"), col("logw"),
+            (col("logw") >= col("thr")).as("selected"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""
+        WITH tk AS (
+          SELECT doc_id, lang = 'en' AS tgt,
+                 string_split(text, ' ') AS tk
+          FROM documents),
+        g AS (
+          SELECT doc_id, tgt, tk[i] AS g
+          FROM tk, LATERAL unnest(range(1, len(tk) + 1)) AS u(i)
+          UNION ALL
+          SELECT doc_id, tgt, tk[i] || ' ' || tk[i+1] AS g
+          FROM tk, LATERAL unnest(range(1, len(tk))) AS u(i)),
+        dk AS (
+          SELECT doc_id, tgt,
+                 CAST(('0x' || substr(md5(g), 1, 8))::BIGINT
+                   % $DsirBuckets AS INT) AS b,
+                 count(*) AS k
+          FROM g GROUP BY ALL),
+        m AS (
+          SELECT b,
+                 sum(CASE WHEN tgt THEN k ELSE 0 END) AS ct,
+                 sum(CASE WHEN tgt THEN 0 ELSE k END) AS cr
+          FROM dk GROUP BY 1),
+        tot AS (SELECT CAST(sum(ct) AS BIGINT) AS tt,
+                       CAST(sum(cr) AS BIGINT) AS tr FROM m),
+        lw AS (
+          SELECT b,
+                 CAST(round(ln(CAST(ct + 1 AS DOUBLE) /
+                     CAST(tt + $DsirBuckets AS DOUBLE)), 6)
+                   AS DECIMAL(18,6))
+               - CAST(round(ln(CAST(cr + 1 AS DOUBLE) /
+                     CAST(tr + $DsirBuckets AS DOUBLE)), 6)
+                   AS DECIMAL(18,6)) AS lw
+          FROM m CROSS JOIN tot),
+        dw AS (
+          SELECT doc_id,
+                 CAST(sum(CAST(k AS DECIMAL(18,0)) * lw) AS DOUBLE)
+                   AS logw
+          FROM dk JOIN lw USING (b) GROUP BY 1),
+        thr AS (SELECT round(quantile_cont(logw, 0.8), 6) AS thr FROM dw)
+        SELECT doc_id, logw, logw >= thr AS selected
+        FROM dw CROSS JOIN thr
+        ORDER BY doc_id""")),
+
+    // ---- q162: margin-criterion embedding alignment ----
+    // Artetxe & Schwenk 2019 (the LASER/CCMatrix bitext-mining
+    // score): pair each even-id vector with its best odd-id neighbor,
+    // but accept on the MARGIN — cosine normalized by the mean top-k
+    // cosine of BOTH endpoints — which kills hub vectors that are
+    // everyone's nearest neighbor. Exact kNN here (the q41 oracle-
+    // anchor pattern, bench-exempt); the 100 TB path swaps the exact
+    // kNN for the IVF probe (q46) and keeps the margin arithmetic
+    // unchanged. Mean-of-k cosines is an exact DECIMAL(12,9) sum
+    // under one pinned /k; margin is one pinned division, round 6.
+    QueryDef(
+      "q162_margin_align",
+      (s, dir) => {
+        val emb = Tables.load(s, dir, "embeddings")
+          .select(col("vec_id").as("id"), col("embedding").as("vec"))
+        val a = emb.filter(col("id") % 2 === 0)
+        val b = emb.filter(col("id") % 2 === 1)
+        val k = 4
+        def meanTopK(df: org.apache.spark.sql.DataFrame, out: String) =
+          df.groupBy(col("query_id"))
+            .agg((sum(col("cosine").cast("decimal(12,9)")).cast("double")
+              / k.toDouble).as(out))
+        val fwd = Similarity.bruteForceTopK(b, a, k)
+          .localCheckpoint(eager = false)
+        val bwd = Similarity.bruteForceTopK(a, b, k)
+        val af = meanTopK(fwd, "af")
+        val ab = meanTopK(bwd, "ab")
+          .withColumnRenamed("query_id", "match_id")
+        fwd.filter(col("rnk") === 1)
+          .select(col("query_id"), col("neighbor_id").as("match_id"),
+            col("cosine"))
+          .join(af, Seq("query_id"))
+          .join(ab, Seq("match_id"))
+          .select(col("query_id"), col("match_id"), col("cosine"),
+            round(col("cosine") / ((col("af") + col("ab")) / 2.0), 6)
+              .as("margin"))
+          .withColumn("accepted", col("margin") >= 1.0)
+          .orderBy(col("query_id"))
+      },
+      inBench = false,
+      oracle = Some("""
+        WITH e AS (
+          SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
+        pairs AS (
+          SELECT a.id AS qid, b.id AS nid,
+                 round(list_dot_product(a.v, b.v) /
+                   (sqrt(list_dot_product(a.v, a.v)) *
+                    sqrt(list_dot_product(b.v, b.v))), 9) AS cos
+          FROM e a JOIN e b ON a.id % 2 = 0 AND b.id % 2 = 1),
+        fwd AS (
+          SELECT qid, nid, cos,
+                 row_number() OVER (PARTITION BY qid
+                   ORDER BY cos DESC, nid) AS rnk
+          FROM pairs),
+        bwd AS (
+          SELECT nid, cos,
+                 row_number() OVER (PARTITION BY nid
+                   ORDER BY cos DESC, qid) AS rnk
+          FROM pairs),
+        af AS (
+          SELECT qid, CAST(sum(CAST(cos AS DECIMAL(12,9))) AS DOUBLE) / 4
+                   AS af
+          FROM fwd WHERE rnk <= 4 GROUP BY 1),
+        ab AS (
+          SELECT nid, CAST(sum(CAST(cos AS DECIMAL(12,9))) AS DOUBLE) / 4
+                   AS ab
+          FROM bwd WHERE rnk <= 4 GROUP BY 1)
+        SELECT f.qid AS query_id, f.nid AS match_id, f.cos AS cosine,
+               round(f.cos / ((af.af + ab.ab) / 2.0), 6) AS margin,
+               round(f.cos / ((af.af + ab.ab) / 2.0), 6) >= 1.0
+                 AS accepted
+        FROM fwd f JOIN af ON af.qid = f.qid JOIN ab ON ab.nid = f.nid
+        WHERE f.rnk = 1
+        ORDER BY query_id""")),
+
+    // ---- q163: α-temperature source sampling ----
+    // The multilingual/source re-balancing rule (XLM-R, mT5):
+    // p_s ∝ n_s^α with α = 0.3 — upsample the tail without letting
+    // the head starve it. n^α = exp(α·ln n) under the rounded-ln/exp
+    // guards; the normalized rates become exact scaled integers
+    // (round-6 DECIMAL × 10⁶) so the draw allocation is the q151
+    // 128-bit integer water-fill, overflow-safe on both engines.
+    QueryDef(
+      "q163_alpha_sampling",
+      (s, dir) => {
+        val d = Tables.load(s, dir, "documents")
+        val tok = d.groupBy(col("source"))
+          .agg(sum(size(split(col("text"), " "))).as("n_tokens"))
+        val u = tok.select(col("source"), col("n_tokens"),
+          (round(exp(lit(0.3) *
+              round(log(col("n_tokens").cast("double")), 6)), 6)
+            .cast("decimal(18,6)") * 1000000).cast("long").as("ui"))
+        val z = u.agg(sum(col("ui")).as("z"))
+        u.crossJoin(broadcast(z))
+          .select(col("source"), col("n_tokens"),
+            round(col("ui").cast("double") / col("z").cast("double"), 6)
+              .as("p"),
+            expr("""(cast(ui as decimal(38,0)) * 100000)
+                    div cast(z as decimal(38,0))""").as("draws"))
+          .orderBy(col("source"))
+      },
+      Some("""
+        WITH tok AS (
+          SELECT source,
+                 CAST(sum(len(string_split(text, ' '))) AS BIGINT)
+                   AS n_tokens
+          FROM documents GROUP BY 1),
+        u AS (
+          SELECT source, n_tokens,
+                 CAST(CAST(round(exp(0.3 *
+                     round(ln(CAST(n_tokens AS DOUBLE)), 6)), 6)
+                   AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS ui
+          FROM tok),
+        z AS (SELECT CAST(sum(ui) AS BIGINT) AS z FROM u)
+        SELECT source, n_tokens,
+               round(CAST(ui AS DOUBLE) / CAST(z AS DOUBLE), 6) AS p,
+               CAST((CAST(ui AS HUGEINT) * 100000)
+                 // CAST(z AS HUGEINT) AS BIGINT) AS draws
+        FROM u CROSS JOIN z
+        ORDER BY source""")),
+
+    // ---- q164: rare-shingle containment dedup ----
+    // Jaccard misses near-SUPERSET pairs (a doc quoted whole inside a
+    // larger one scores low resemblance but containment ≈ 1).
+    // Candidates come from rare-shingle blocking — 5-gram shingles
+    // with document frequency in [2,5], so per-shingle fanout is
+    // capped at C(5,2) pairs and the candidate exchange carries ids
+    // only (the SCALE.md df-cap argument; common shingles are USELESS
+    // for blocking and skew the exchange, so dropping them is both
+    // the recall-harmless and the scale-safe choice). Exact verify:
+    // distinct-shingle intersection over candidate pairs, containment
+    // = inter / min(|A|,|B|), admitted at ≥ 0.5.
+    QueryDef(
+      "q164_containment_dedup",
+      (s, dir) => {
+        val d = Tables.load(s, dir, "documents")
+        Containment.pairs(d, "doc_id", "text",
+            w = 5, dfMin = 2, dfMax = 5, threshold = 0.5)
+          .orderBy(col("id_a"), col("id_b"))
+      },
+      Some("""
+        WITH tk AS (
+          SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+        sh AS (
+          SELECT DISTINCT doc_id,
+                 tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] || ' ' ||
+                 tk[i+3] || ' ' || tk[i+4] AS s
+          FROM tk, LATERAL unnest(range(1, greatest(len(tk) - 3, 1)))
+            AS u(i)),
+        ns AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+        rare AS (
+          SELECT s FROM sh GROUP BY s
+          HAVING count(*) BETWEEN 2 AND 5),
+        cand AS (
+          SELECT DISTINCT a.doc_id AS ia, b.doc_id AS ib
+          FROM sh a JOIN rare r ON r.s = a.s
+          JOIN sh b ON b.s = a.s AND a.doc_id < b.doc_id),
+        inter AS (
+          SELECT c.ia, c.ib, count(*) AS inter
+          FROM cand c
+          JOIN sh x ON x.doc_id = c.ia
+          JOIN sh y ON y.doc_id = c.ib AND y.s = x.s
+          GROUP BY 1, 2)
+        SELECT i.ia AS id_a, i.ib AS id_b,
+               CAST(na.n AS BIGINT) AS n_a, CAST(nb.n AS BIGINT) AS n_b,
+               CAST(i.inter AS BIGINT) AS inter,
+               round(CAST(i.inter AS DOUBLE) /
+                 CAST(least(na.n, nb.n) AS DOUBLE), 6) AS containment
+        FROM inter i
+        JOIN ns na ON na.doc_id = i.ia
+        JOIN ns nb ON nb.doc_id = i.ib
+        WHERE round(CAST(i.inter AS DOUBLE) /
+                CAST(least(na.n, nb.n) AS DOUBLE), 6) >= 0.5
+        ORDER BY id_a, id_b"""))
+  )
+}

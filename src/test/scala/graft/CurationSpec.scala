@@ -1,0 +1,110 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Semantic invariants for the round-9 curation battery (q161–q164) —
+  * the hash gates pin the arithmetic; these pin the MEANING (the
+  * q160-lesson: a gate can be bit-exact and still admit nothing).
+  */
+class CurationSpec extends SparkSpec {
+
+  test("q161 DSIR: target-language docs score higher on average, and " +
+      "the percentile gate admits ~20% of the corpus") {
+    val w = SparkEntry.queries("q161_dsir_select")(spark, sf0001)
+      .join(Tables.load(spark, sf0001, "documents")
+        .select(col("doc_id"), col("lang")), Seq("doc_id"))
+      .localCheckpoint(eager = false)
+    val Array(tgt, rest) = w
+      .groupBy(col("lang") === "en").agg(avg(col("logw")))
+      .orderBy(col("(lang = en)").desc).collect().map(_.getDouble(1))
+    assert(tgt > rest,
+      s"importance weights point the wrong way: en=$tgt rest=$rest")
+    val n = w.count()
+    val sel = w.filter(col("selected")).count()
+    assert(sel >= n / 10 && sel <= 3 * n / 10,
+      s"80th-percentile gate admitted $sel of $n")
+  }
+
+  test("q162 margin alignment: margins discriminate beyond raw " +
+      "cosine — some top-1 pairs are rejected, and every accepted " +
+      "margin clears the hub-normalized bar") {
+    val m = SparkEntry.queries("q162_margin_align")(spark, sf0001)
+      .collect()
+    assert(m.nonEmpty)
+    m.foreach { r =>
+      assert(r.getLong(0) % 2 == 0 && r.getLong(1) % 2 == 1)
+    }
+    val accepted = m.count(_.getBoolean(4))
+    assert(accepted > 0 && accepted < m.length,
+      s"margin gate degenerate: $accepted of ${m.length} accepted " +
+        "(all-or-nothing means the normalization does no work)")
+  }
+
+  test("q163 alpha sampling: rates are monotone in corpus size but " +
+      "COMPRESSED (the tail is upsampled relative to proportional), " +
+      "and the integer draws exhaust the budget modulo floors") {
+    val rows = SparkEntry.queries("q163_alpha_sampling")(spark, sf0001)
+      .orderBy(col("n_tokens")).collect()
+    assert(rows.length >= 2)
+    val ps = rows.map(_.getDouble(2))
+    val toks = rows.map(_.getLong(1))
+    assert(ps.zip(ps.tail).forall { case (a, b) => a <= b },
+      "p not monotone in n_tokens")
+    val spreadP = ps.max / ps.min
+    val spreadN = toks.max.toDouble / toks.min.toDouble
+    assert(spreadP < spreadN,
+      s"alpha<1 must compress the head: p-spread $spreadP vs " +
+        s"n-spread $spreadN")
+    val draws = rows.map(_.getLong(3)).sum
+    assert(draws <= 100000L && draws >= 100000L - rows.length,
+      s"draws=$draws should fill the 100000 budget modulo floors")
+  }
+
+  test("q164 containment: intersection bounded by both shingle sets, " +
+      "and containment dominates Jaccard on every admitted pair") {
+    val rows = SparkEntry.queries("q164_containment_dedup")(spark, sf0001)
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (na, nb, inter) = (r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(inter <= math.min(na, nb) && inter > 0)
+      assert(r.getDouble(5) >= 0.5 && r.getDouble(5) <= 1.0)
+      val jaccard = inter.toDouble / (na + nb - inter).toDouble
+      assert(r.getDouble(5) >= jaccard - 1e-6,
+        s"containment ${r.getDouble(5)} < jaccard $jaccard")
+    }
+  }
+
+  test("containment operator: a doc quoted whole inside a larger one " +
+      "is caught at containment 1.0 where Jaccard-resemblance misses it") {
+    // The testdata near-dup pairs are SYMMETRIC (same-length edits),
+    // so the asymmetric capability — the reason containment exists —
+    // is proven on a constructed quote-inclusion fixture run through
+    // the SAME operator the registered query calls.
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val small = (1 to 12).map(i => s"tok$i").mkString(" ")
+    val filler = (1 to 120).map(i => s"pad$i").mkString(" ")
+    val other = (1 to 40).map(i => s"alt$i").mkString(" ")
+    val docs = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(
+        Row(1L, small),                   // the quoted original
+        Row(2L, s"$filler $small"),       // wrapper containing it whole
+        Row(3L, other))),                 // unrelated control
+      StructType(Seq(StructField("doc_id", LongType),
+        StructField("text", StringType))))
+    val got = graft.operators.Containment
+      .pairs(docs, "doc_id", "text", w = 5, dfMin = 2, dfMax = 5,
+        threshold = 0.5)
+      .collect()
+    assert(got.length == 1, s"expected exactly the (1,2) pair: " +
+      got.map(_.toString).mkString(", "))
+    val r = got.head
+    assert(r.getLong(0) == 1L && r.getLong(1) == 2L)
+    assert(r.getDouble(5) == 1.0, s"containment ${r.getDouble(5)}")
+    val (na, nb, inter) = (r.getLong(2), r.getLong(3), r.getLong(4))
+    val jaccard = inter.toDouble / (na + nb - inter).toDouble
+    assert(jaccard < 0.2,
+      s"fixture should be low-resemblance, jaccard=$jaccard")
+  }
+}

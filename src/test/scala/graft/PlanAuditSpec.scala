@@ -62,7 +62,18 @@ class PlanAuditSpec extends SparkSpec {
     // q141: one-row quality-threshold bands (the q79 two-pass shape
     // collapsed to a single global band row) and the 4-row epoch
     // frame, both broadcast — O(1)-bounded NLJ sides.
-    "q141_curriculum")
+    "q141_curriculum",
+    // q161: two one-row broadcast frames (model totals for the
+    // Laplace denominators; the 80th-percentile selection threshold)
+    // crossed into B-row/corpus-row frames — O(1) NLJ sides.
+    "q161_dsir_select",
+    // q162: exact-kNN margin alignment — the q41/q28 documented
+    // all-pairs intent (bench-exempt); the scale path is the IVF
+    // probe with unchanged margin arithmetic.
+    "q162_margin_align",
+    // q163: the one-row normalizer Z crossed into the sources-sized
+    // rate frame — the q151 shape.
+    "q163_alpha_sampling")
 
   private lazy val plans: Map[String, String] =
     SparkEntry.queries.map { case (name, fn) =>
