@@ -17,7 +17,7 @@ object SparkEntry {
       SpanQueries.defs ++ ClassifierQueries.defs ++ SketchQueries.defs ++
       AnalyticsQueries.defs ++ RetrievalQueries.defs ++
       ProjectionQueries.defs ++ ModelQueries.defs ++
-      CurationQueries.defs
+      CurationQueries.defs ++ SuffixQueries.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * TPC-H Q3 shape: 3-way join, grouped revenue, top-k — exercises scan
