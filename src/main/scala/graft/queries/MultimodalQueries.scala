@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.multimodal.Multimodal
+import graft.multimodal.{ImageHash, Multimodal}
 
 /** q38: multimodal binary-column pipeline — documents → opaque binary
   * payloads + modality → batch decode pass → typed metadata. The
@@ -308,6 +308,93 @@ object MultimodalQueries {
                CASE WHEN f = 0 THEN NULL
                     ELSE CAST(sum(abs(y - yp)) AS BIGINT) END AS diff_sum
         FROM px GROUP BY doc_id, f, w
-        ORDER BY doc_id, frame_idx"""))
+        ORDER BY doc_id, frame_idx""")),
+
+    // ---- q167: perceptual image hash (dHash) over REAL decode ----
+    // 18x16 gray PNG per doc (2x2 constant blocks of quadratic
+    // residues; id % 50 == 1 replays the previous id's pattern with 3
+    // perturbed blocks = planted image near-dups), REAL ImageIO
+    // decode, 9x8 dHash packed as two non-negative 32-bit halves.
+    // The oracle replays the DECODED hash from the block arithmetic
+    // (PNG is lossless, constant 2x2 blocks make the block-sum
+    // comparison equal the block-gray comparison).
+    QueryDef(
+      "q167_image_dhash",
+      (s, dir) => {
+        ImageHash.dhash(
+            ImageHash.dhashFixture(Tables.load(s, dir, "documents")))
+          .select(col("doc_id"), col("width").cast("long").as("width"),
+            col("height").cast("long").as("height"),
+            col("hash_hi"), col("hash_lo"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""
+        $dhashCte
+        SELECT doc_id, CAST(18 AS BIGINT) AS width,
+               CAST(16 AS BIGINT) AS height, hash_hi, hash_lo
+        FROM h ORDER BY doc_id""")),
+
+    // ---- q168: image near-dup via banded dHash Hamming join ----
+    // 8 bands of 8 bits block candidates — EXACT recall at Hamming
+    // <= 7 by pigeonhole (7 differing bits cannot touch all 8 bands),
+    // so the blocked Spark plan must equal the oracle's brute-force
+    // all-pairs scan, not approximate it. Ids-only candidate
+    // exchange; exact bit_count verify.
+    QueryDef(
+      "q168_dhash_neardup",
+      (s, dir) => {
+        ImageHash.nearDuplicatePairs(
+            ImageHash.dhash(ImageHash.dhashFixture(
+              Tables.load(s, dir, "documents"))), maxHamming = 7)
+          .orderBy(col("doc_a"), col("doc_b"))
+      },
+      Some(s"""
+        $dhashCte
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               CAST(bit_count(xor(a.hash_hi, b.hash_hi)) +
+                    bit_count(xor(a.hash_lo, b.hash_lo)) AS BIGINT)
+                 AS hamming
+        FROM h a JOIN h b ON a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.hash_hi, b.hash_hi)) +
+              bit_count(xor(a.hash_lo, b.hash_lo)) <= 7
+        ORDER BY doc_a, doc_b"""))
   )
+
+  /** Shared oracle CTE: the q167 fixture's decoded dHash, replayed
+    * arithmetically — per (doc, block) gray b, difference bits, bits
+    * packed into 32-bit halves (k = (r % 4) * 8 + c).
+    */
+  private def dhashCte = """
+        WITH d AS (
+          SELECT doc_id,
+                 CASE WHEN doc_id % 50 = 1 THEN doc_id - 1
+                      ELSE doc_id END AS seed
+          FROM documents),
+        i AS (
+          SELECT doc_id, seed, unnest(range(0, 72)) AS idx FROM d),
+        v AS (
+          SELECT doc_id, idx,
+                 (seed * 999983 + idx * 7919 + 12345) % 1000003 AS v
+          FROM i),
+        b AS (
+          SELECT doc_id, idx,
+                 CASE WHEN doc_id % 50 = 1 AND idx % 29 = 0
+                      THEN ((v * v) % 1000003 % 256 + 128) % 256
+                      ELSE (v * v) % 1000003 % 256 END AS b
+          FROM v),
+        bits AS (
+          SELECT l.doc_id, l.idx // 9 AS r, l.idx % 9 AS c,
+                 CASE WHEN l.b < rt.b THEN 1 ELSE 0 END AS bit
+          FROM b l JOIN b rt
+            ON rt.doc_id = l.doc_id AND rt.idx = l.idx + 1
+          WHERE l.idx % 9 < 8),
+        h AS (
+          SELECT doc_id,
+                 CAST(sum(CASE WHEN r < 4
+                     THEN bit * (CAST(1 AS BIGINT) << ((r % 4) * 8 + c))
+                     ELSE 0 END) AS BIGINT) AS hash_hi,
+                 CAST(sum(CASE WHEN r >= 4
+                     THEN bit * (CAST(1 AS BIGINT) << ((r % 4) * 8 + c))
+                     ELSE 0 END) AS BIGINT) AS hash_lo
+          FROM bits GROUP BY 1)"""
 }
