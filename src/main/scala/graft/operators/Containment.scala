@@ -43,7 +43,12 @@ object Containment {
       w: Int = 5, dfMin: Int = 2, dfMax: Int = 5,
       threshold: Double = 0.5): DataFrame = {
     require(dfMin >= 2 && dfMax >= dfMin, s"df window [$dfMin,$dfMax]")
+    // every downstream exchange keys on the shingle — carry an 8-byte
+    // xxhash64 instead of the w-token string (internal grouping key
+    // only, never oracle-visible; the distinct() above already
+    // deduplicated on the true string)
     val sh = shingles(docs, idCol, textCol, w)
+      .select(col(idCol), xxhash64(col("s")).as("s"))
       .localCheckpoint(eager = false)
     val ns = sh.groupBy(col(idCol)).agg(count(lit(1)).as("n"))
     val rare = sh.groupBy(col("s")).agg(count(lit(1)).as("df"))
