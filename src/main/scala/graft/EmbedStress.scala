@@ -38,7 +38,7 @@ object EmbedStress {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
     val factors = (if (args.length > 1) args(1) else "1,10,50")
       .split(",").map(_.trim.toInt).toSeq
-    val outBase = if (args.length > 2) args(2) else "/tmp/graft_embstress"
+    val outBase = if (args.length > 2) args(2) else graft.sources.Artifacts.root + "/embstress"
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")

@@ -350,8 +350,7 @@ object BpeLearn {
     * artifact trained with a different budget.
     */
   def artifactPath(dataDir: String, numMerges: Int): String =
-    "/tmp/graft_bpe/" + dataDir.replaceAll("[^A-Za-z0-9]", "_") +
-      s"_m$numMerges"
+    graft.sources.Artifacts.dir("bpe", dataDir, s"m$numMerges")
 
   /** Fingerprint of the input data's file listing — see
     * [[graft.sources.ArtifactGuard.dataFingerprint]] (shared with the
@@ -396,8 +395,7 @@ object BpeLearn {
     * other's merges.
     */
   def bytesArtifactPath(dataDir: String, numMerges: Int): String =
-    "/tmp/graft_bpe/" + dataDir.replaceAll("[^A-Za-z0-9]", "_") +
-      s"_bl$numMerges"
+    graft.sources.Artifacts.dir("bpe", dataDir, s"bl$numMerges")
 
   /** Encode one word by replaying the merges in rank order — the same
     * `mergePair` walk training used, so encode(training word) IS the

@@ -18,10 +18,22 @@ import org.apache.spark.sql.functions._
   * recall-harmless and the scale-safe choice). Exact verify joins the
   * candidate ids back onto the distinct-shingle table — one keyed
   * exchange each side, no text movement.
+  *
+  * Shingle identity is the 60-bit md5-prefix key, computed BEFORE the
+  * first distinct so no exchange anywhere in the plan ever carries
+  * w-token text — 8-byte keys from the first shuffle on (r9 verdict
+  * #1). md5 (not xxhash64) because it is the one hash both engines
+  * share, so the DuckDB oracle computes the IDENTICAL keys and the
+  * gate stays bit-exact at any scale. Accepted approximation vs
+  * true-string containment (r9 advisory): two distinct shingles can
+  * collide on 60 bits — expected colliding pairs ≈ D²/2⁶¹ for D
+  * distinct shingles, so ~4·10⁻⁴ relative error in df/inter at
+  * D = 10⁹ and still < 0.1 % at D = 10¹¹ (100 TB) — negligible for a
+  * dedup gate, and both engines agree on every collision.
   */
 object Containment {
 
-  /** Distinct w-shingle table (idCol, s:string). */
+  /** Distinct w-shingle table (idCol, s: 60-bit md5-prefix long). */
   def shingles(docs: DataFrame, idCol: String, textCol: String,
       w: Int): DataFrame = {
     require(w >= 2 && w <= 16, s"w=$w")
@@ -31,7 +43,10 @@ object Containment {
           transform(sequence(lit(1), size(tk) - (w - 1)), i =>
             concat_ws(" ", (0 until w).map(o =>
               element_at(tk, i + o)): _*)))
-          .otherwise(array().cast("array<string>"))).as("s"))
+          .otherwise(array().cast("array<string>"))).as("_sx"))
+      .select(col(idCol),
+        conv(substring(md5(col("_sx")), 1, 15), 16, 10)
+          .cast("long").as("s"))
       .distinct()
   }
 
@@ -43,12 +58,9 @@ object Containment {
       w: Int = 5, dfMin: Int = 2, dfMax: Int = 5,
       threshold: Double = 0.5): DataFrame = {
     require(dfMin >= 2 && dfMax >= dfMin, s"df window [$dfMin,$dfMax]")
-    // every downstream exchange keys on the shingle — carry an 8-byte
-    // xxhash64 instead of the w-token string (internal grouping key
-    // only, never oracle-visible; the distinct() above already
-    // deduplicated on the true string)
+    // shingles are already 8-byte md5-prefix keys (hashed scan-side,
+    // before the first exchange — see object scaladoc)
     val sh = shingles(docs, idCol, textCol, w)
-      .select(col(idCol), xxhash64(col("s")).as("s"))
       .localCheckpoint(eager = false)
     val ns = sh.groupBy(col(idCol)).agg(count(lit(1)).as("n"))
     val rare = sh.groupBy(col("s")).agg(count(lit(1)).as("df"))

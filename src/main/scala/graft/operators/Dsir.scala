@@ -29,20 +29,33 @@ object Dsir {
     * (idCol, carry..., b:int, k:long). The md5-prefix bucket is the
     * same cross-engine-exact hash `LogReg.features` uses.
     */
-  def hashedGramCounts(docs: DataFrame, idCol: String, textCol: String,
-      buckets: Int, carry: Seq[String] = Nil): DataFrame = {
-    require(buckets >= 2 && buckets <= 65536, s"buckets=$buckets")
+  /** The unigram+bigram array of a text column — shared by the batch
+    * counter below and the streaming scan-local scorer
+    * ([[graft.streaming.Streams.dsirScoreStream]]) so the two can
+    * never drift on gram extraction.
+    */
+  def gramsExpr(textCol: String): Column = {
     val tk = split(col(textCol), " ")
     val bigrams = when(size(tk) >= 2,
       transform(sequence(lit(1), size(tk) - 1), i =>
         concat_ws(" ", element_at(tk, i), element_at(tk, i + 1))))
       .otherwise(array().cast("array<string>"))
+    concat(tk, bigrams)
+  }
+
+  /** The gram's hashed bucket — one definition for batch and stream. */
+  def bucketExpr(g: Column, buckets: Int): Column =
+    (conv(substring(md5(g), 1, 8), 16, 10).cast("long")
+      % buckets).cast("int")
+
+  def hashedGramCounts(docs: DataFrame, idCol: String, textCol: String,
+      buckets: Int, carry: Seq[String] = Nil): DataFrame = {
+    require(buckets >= 2 && buckets <= 65536, s"buckets=$buckets")
     val keep = (col(idCol) +: carry.map(col)) :+
-      explode(concat(tk, bigrams)).as("g")
+      explode(gramsExpr(textCol)).as("g")
     docs.select(keep: _*)
       .groupBy((col(idCol) +: carry.map(col)) :+
-        (conv(substring(md5(col("g")), 1, 8), 16, 10).cast("long")
-          % buckets).cast("int").as("b"): _*)
+        bucketExpr(col("g"), buckets).as("b"): _*)
       .agg(count(lit(1)).as("k"))
   }
 
@@ -54,10 +67,33 @@ object Dsir {
     */
   def importanceWeights(docs: DataFrame, idCol: String, textCol: String,
       isTarget: Column, buckets: Int): DataFrame = {
+    // NULL predicate rows (e.g. a NULL lang) count as raw, pinned
+    // EXPLICITLY: Spark's when(!tgt, k) yields 0 for NULL while SQL's
+    // CASE WHEN tgt THEN 0 ELSE k END yields k — coalescing to false
+    // here (and COALESCE in the oracle) removes the latent
+    // cross-engine divergence (r9 advisory #2).
     val dk = hashedGramCounts(
-      docs.withColumn("_tgt", isTarget), idCol, textCol, buckets,
-      carry = Seq("_tgt"))
+      docs.withColumn("_tgt", coalesce(isTarget, lit(false))),
+      idCol, textCol, buckets, carry = Seq("_tgt"))
       .localCheckpoint(eager = false)
+    dk.join(broadcast(lwFromCounts(dk, buckets)), Seq("b"))
+      .groupBy(col(idCol))
+      .agg(sum(col("k").cast("decimal(18,0)") * col("lw")).as("logw"))
+  }
+
+  /** The fitted (b, lw:decimal(19,6)) log-weight MODEL alone —
+    * ≤ `buckets` rows, so it broadcasts (SCALE.md §2) and, for the
+    * streaming face, collapses to a plan-literal map: fit once here
+    * in batch, score any arriving stream scan-locally via
+    * [[graft.streaming.Streams.dsirScoreStream]].
+    */
+  def logWeights(docs: DataFrame, idCol: String, textCol: String,
+      isTarget: Column, buckets: Int): DataFrame =
+    lwFromCounts(hashedGramCounts(
+      docs.withColumn("_tgt", coalesce(isTarget, lit(false))),
+      idCol, textCol, buckets, carry = Seq("_tgt")), buckets)
+
+  private def lwFromCounts(dk: DataFrame, buckets: Int): DataFrame = {
     val m = dk.groupBy(col("b"))
       .agg(sum(when(col("_tgt"), col("k")).otherwise(0L)).as("ct"),
         sum(when(!col("_tgt"), col("k")).otherwise(0L)).as("cr"))
@@ -65,11 +101,8 @@ object Dsir {
     def lp(c: Column, t: Column): Column =
       round(log((c + 1).cast("double") /
         (t + buckets).cast("double")), 6).cast("decimal(18,6)")
-    val lw = m.crossJoin(broadcast(tot))
+    m.crossJoin(broadcast(tot))
       .select(col("b"),
         (lp(col("ct"), col("tt")) - lp(col("cr"), col("tr"))).as("lw"))
-    dk.join(broadcast(lw), Seq("b"))
-      .groupBy(col(idCol))
-      .agg(sum(col("k").cast("decimal(18,0)") * col("lw")).as("logw"))
   }
 }

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.VectorFunctions._
@@ -339,7 +339,15 @@ object Similarity {
       val assigned: DataFrame, val centroids: Seq[Seq[Double]]) {
     def nLists: Int = centroids.length
 
-    def topK(queries: DataFrame, k: Int, nProbe: Int): DataFrame = {
+    /** Probe top-k; `neighborFilter` restricts the candidate set
+      * INSIDE the probed cells (e.g. q169's parity split — top-k is
+      * then exact over the filtered candidates, which a post-filter
+      * on an unfiltered top-k would not be). Defaults to no filter;
+      * Catalyst folds the `true` literal away, so q46/q73/q92 plans
+      * are untouched.
+      */
+    def topK(queries: DataFrame, k: Int, nProbe: Int,
+        neighborFilter: Column = lit(true)): DataFrame = {
       // nProbe nearest centroids per query (centroids are tiny — plan
       // literals, no join)
       val distStructs = array(centroids.zipWithIndex.map { case (c, i) =>
@@ -356,6 +364,7 @@ object Similarity {
       // unique, no dedupe exchange needed
       assigned.join(broadcast(qprobes), Seq("list_id"))
         .filter(col("neighbor_id") =!= col("query_id"))
+        .filter(neighborFilter)
         .withColumn("cosine", round(cosineWithNorms(col("qvec"), col("cvec"),
           col("qn"), col("cn")), 9))
         .withColumn("rnk", row_number().over(w).cast("long"))

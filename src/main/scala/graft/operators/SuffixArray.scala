@@ -62,16 +62,31 @@ object SuffixArray {
       .drop("_bk", "_lr", "_boff")
   }
 
+  /** Bucket-count sizing rule (r9 verdict #8, documented in SCALE.md
+    * §"suffix-array"): one range bucket per ~4M suffix positions so
+    * each per-bucket `row_number` sort stays executor-memory-sized at
+    * ANY corpus scale, clamped to [256, 65536] (floor keeps small
+    * corpora parallel; ceiling bounds the offset table the prefix-sum
+    * window scans — still one tiny config-bounded task).
+    */
+  def nBucketsFor(positions: Long): Int =
+    math.min(65536L, math.max(256L, positions / 4000000L)).toInt
+
   /** Suffix rank tables at levels 1, 2, 4, …, maxLen:
     * level → (idCol, pos, rank:long). maxLen must be a power of two.
+    * nBuckets = 0 (the default) derives the bucket count from the
+    * corpus position count via [[nBucketsFor]] — one count() on the
+    * token table the pyramid scans anyway.
     */
   def rankLevels(docs: DataFrame, idCol: String, textCol: String,
-      maxLen: Int = 16, nBuckets: Int = 256): Map[Int, DataFrame] = {
+      maxLen: Int = 16, nBuckets: Int = 0): Map[Int, DataFrame] = {
     require(maxLen >= 2 && (maxLen & (maxLen - 1)) == 0,
       s"maxLen=$maxLen must be a power of two")
-    require(nBuckets >= 2 && nBuckets <= 65536, s"nBuckets=$nBuckets")
+    require(nBuckets == 0 || (nBuckets >= 2 && nBuckets <= 65536),
+      s"nBuckets=$nBuckets")
     val tok = tokens(docs, idCol, textCol)
       .localCheckpoint(eager = false)
+    val nb = if (nBuckets > 0) nBuckets else nBucketsFor(tok.count())
     // round 1: vocabulary rank, bucketed by the first two chars
     // (order-compatible: (c1, c2) is a prefix of the string order;
     // ascii('') = 0 sorts the 1-char tokens first, same as strings)
@@ -94,11 +109,16 @@ object SuffixArray {
       val paired = s.join(shifted, Seq(idCol, "pos"), "left")
         .withColumn("r2", coalesce(col("r2"), lit(0L)))
       // previous ranks are dense in [1, R] → equal ranges are
-      // uniform buckets; R rides in as a one-row broadcast literal
+      // uniform buckets; R rides in as a one-row broadcast literal.
+      // Integral `div` over DECIMAL(38,0), not double division: IEEE
+      // floor((r-1)·nB/rmax) silently loses exactness once the
+      // product passes 2⁵³, which 100 TB rank counts approach (r9
+      // advisory #4) — the decimal product is exact at any scale.
       val rmax = s.agg(max(col("r")).as("_rmax"))
       val withB = paired.crossJoin(broadcast(rmax))
         .withColumn("_b",
-          floor((col("r") - 1) * nBuckets / col("_rmax")))
+          expr(s"cast((r - 1) as decimal(38,0)) * $nb" +
+            " div cast(_rmax as decimal(38,0))"))
         .drop("_rmax")
       val pairs = withB.select(col("_b"), col("r"), col("r2")).distinct()
       val ranked = bucketedDenseRank(pairs, col("_b"),

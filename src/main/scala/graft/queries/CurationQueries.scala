@@ -39,7 +39,7 @@ object CurationQueries {
       },
       Some(s"""
         WITH tk AS (
-          SELECT doc_id, lang = 'en' AS tgt,
+          SELECT doc_id, coalesce(lang = 'en', FALSE) AS tgt,
                  string_split(text, ' ') AS tk
           FROM documents),
         g AS (
@@ -155,6 +155,105 @@ object CurationQueries {
         WHERE f.rnk = 1
         ORDER BY query_id""")),
 
+    // ---- q169: margin alignment, IVF-probed (the scale path) ----
+    // q162's margin arithmetic UNCHANGED, but every kNN comes from
+    // the prebuilt q46 coarse quantizer instead of exact all-pairs —
+    // the q41→q45 anchor/scale-path pattern completed (r9 verdict
+    // #2). Candidates are cell-blocked (nProbe of nLists cells, the
+    // opposite-parity filter applied INSIDE the cells so top-k is
+    // exact over the filtered candidate set); cost is
+    // nProbe·|corpus|/nLists per query instead of |corpus|. The
+    // oracle replays the whole probe from the saved index parquet
+    // (the q46 pattern) plus the q162 margin arithmetic; recall vs
+    // the exact q162 anchor is gated in RetrievalSpec.
+    QueryDef(
+      "q169_margin_align_ivf",
+      (s, dir) => {
+        val emb = Tables.load(s, dir, "embeddings")
+          .select(col("vec_id").as("id"), col("embedding").as("vec"))
+        val idx = DedupQueries.sharedIvfIndex(s, dir, emb)
+        val a = emb.filter(col("id") % 2 === 0)
+        val b = emb.filter(col("id") % 2 === 1)
+        val k = 4
+        def meanTopK(df: org.apache.spark.sql.DataFrame, out: String) =
+          df.groupBy(col("query_id"))
+            .agg((sum(col("cosine").cast("decimal(12,9)")).cast("double")
+              / k.toDouble).as(out))
+        val fwd = idx.topK(a, k, nProbe = 8,
+            neighborFilter = col("neighbor_id") % 2 === 1)
+          .localCheckpoint(eager = false)
+        val bwd = idx.topK(b, k, nProbe = 8,
+          neighborFilter = col("neighbor_id") % 2 === 0)
+        val af = meanTopK(fwd, "af")
+        val ab = meanTopK(bwd, "ab")
+          .withColumnRenamed("query_id", "match_id")
+        fwd.filter(col("rnk") === 1)
+          .select(col("query_id"), col("neighbor_id").as("match_id"),
+            col("cosine"))
+          .join(af, Seq("query_id"))
+          .join(ab, Seq("match_id"))
+          .select(col("query_id"), col("match_id"), col("cosine"),
+            round(col("cosine") / ((col("af") + col("ab")) / 2.0), 6)
+              .as("margin"))
+          .withColumn("accepted", col("margin") >= 1.0)
+          .orderBy(col("query_id"))
+      },
+      None, oracleFn = Some(dir => s"""
+        WITH e AS (
+          SELECT vec_id AS id, embedding::DOUBLE[] AS v,
+                 sqrt(list_dot_product(embedding::DOUBLE[],
+                   embedding::DOUBLE[])) AS nrm
+          FROM embeddings),
+        cent AS (
+          SELECT CAST(list_id AS INT) AS list_id, centroid
+          FROM read_parquet(
+            '${DedupQueries.ivfArtifactDir(dir)}/centroids/*.parquet')),
+        asn AS (
+          SELECT CAST(list_id AS INT) AS list_id, neighbor_id,
+                 cvec::DOUBLE[] AS cv, cn
+          FROM read_parquet(
+            '${DedupQueries.ivfArtifactDir(dir)}/assigned/*/*.parquet',
+            hive_partitioning = true)),
+        probes AS (
+          SELECT id AS query_id, list_id,
+                 ROW_NUMBER() OVER (PARTITION BY id
+                   ORDER BY d2, list_id) AS pr
+          FROM (
+            SELECT id, list_id, list_dot_product(d, d) AS d2 FROM (
+              SELECT e.id, c.list_id,
+                     list_transform(list_zip(e.v, c.centroid),
+                                    p -> p[1] - p[2]) AS d
+              FROM e CROSS JOIN cent c))),
+        cand AS (
+          SELECT p.query_id, a.neighbor_id,
+                 round(list_dot_product(q.v, a.cv) / (q.nrm * a.cn), 9)
+                   AS cosine
+          FROM probes p
+          JOIN e q ON q.id = p.query_id
+          JOIN asn a ON a.list_id = p.list_id
+          WHERE p.pr <= 8 AND a.neighbor_id <> p.query_id
+            AND (a.neighbor_id % 2) <> (p.query_id % 2)),
+        ranked AS (
+          SELECT query_id, neighbor_id, cosine,
+                 ROW_NUMBER() OVER (PARTITION BY query_id
+                   ORDER BY cosine DESC, neighbor_id) AS rnk
+          FROM cand),
+        mt AS (
+          SELECT query_id,
+                 CAST(sum(CAST(cosine AS DECIMAL(12,9))) AS DOUBLE) / 4
+                   AS m
+          FROM ranked WHERE rnk <= 4 GROUP BY 1)
+        SELECT r.query_id AS query_id, r.neighbor_id AS match_id,
+               r.cosine,
+               round(r.cosine / ((qa.m + qb.m) / 2.0), 6) AS margin,
+               round(r.cosine / ((qa.m + qb.m) / 2.0), 6) >= 1.0
+                 AS accepted
+        FROM ranked r
+        JOIN mt qa ON qa.query_id = r.query_id
+        JOIN mt qb ON qb.query_id = r.neighbor_id
+        WHERE r.rnk = 1 AND r.query_id % 2 = 0
+        ORDER BY 1""")),
+
     // ---- q163: α-temperature source sampling ----
     // The multilingual/source re-balancing rule (XLM-R, mT5):
     // p_s ∝ n_s^α with α = 0.3 — upsample the tail without letting
@@ -211,7 +310,11 @@ object CurationQueries {
     // for blocking and skew the exchange, so dropping them is both
     // the recall-harmless and the scale-safe choice). Exact verify:
     // distinct-shingle intersection over candidate pairs, containment
-    // = inter / min(|A|,|B|), admitted at ≥ 0.5.
+    // = inter / min(|A|,|B|), admitted at ≥ 0.5. Shingle identity is
+    // the 60-bit md5-prefix key hashed BEFORE the first distinct —
+    // both engines hash identically, so the gate is bit-exact and no
+    // exchange carries 5-gram text (r9 verdict #1 + advisory #1; see
+    // Containment scaladoc for the collision-probability budget).
     QueryDef(
       "q164_containment_dedup",
       (s, dir) => {
@@ -225,8 +328,9 @@ object CurationQueries {
           SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
         sh AS (
           SELECT DISTINCT doc_id,
-                 tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] || ' ' ||
-                 tk[i+3] || ' ' || tk[i+4] AS s
+                 ('0x' || substr(md5(
+                   tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] || ' ' ||
+                   tk[i+3] || ' ' || tk[i+4]), 1, 15))::BIGINT AS s
           FROM tk, LATERAL unnest(range(1, greatest(len(tk) - 3, 1)))
             AS u(i)),
         ns AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),

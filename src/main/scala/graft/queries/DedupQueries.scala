@@ -36,9 +36,9 @@ object DedupQueries {
     * replay the sf0.01 artifact when the gate runs at another scale.
     */
   private[queries] def ivfArtifactDir(dir: String): String =
-    "/tmp/graft_ivf/" + dir.replaceAll("[^A-Za-z0-9]", "_") + "_n16"
+    graft.sources.Artifacts.dir("ivf", dir, "n16")
 
-  private def sharedIvfIndex(s: org.apache.spark.sql.SparkSession,
+  private[queries] def sharedIvfIndex(s: org.apache.spark.sql.SparkSession,
       dir: String, emb: org.apache.spark.sql.DataFrame)
       : graft.operators.Similarity.IvfIndex = {
     val idxPath = ivfArtifactDir(dir)
@@ -55,7 +55,8 @@ object DedupQueries {
     * query functions. Pure function of the parameters — no
     * fingerprint guard needed.
     */
-  private val lshPlanesPath = "/tmp/graft_lsh/planes_d64_b4_t24_s7"
+  private val lshPlanesPath =
+    graft.sources.Artifacts.root + "/lsh/planes_d64_b4_t24_s7"
 
   /** Shared oracle prologue for the hyperplane-LSH queries: every
     * vector's sign-bit bucket per table, replayed from the planes

@@ -89,8 +89,8 @@ object ModelQueries {
     * q46/q86 `buildIfAbsent` + dir-parameterized-oracle pattern).
     */
   private[queries] def lrArtifactDir(dir: String): String =
-    "/tmp/graft_lr/" + dir.replaceAll("[^A-Za-z0-9]", "_") +
-      s"_d${LrDim}_r$LrRounds"
+    graft.sources.Artifacts.dir("lr", dir,
+      s"d${LrDim}_r${LrRounds}_lr$LrLr")
 
   private val lrWeightCache =
     scala.collection.concurrent.TrieMap[String, Unit]()

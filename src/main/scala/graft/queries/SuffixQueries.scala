@@ -1,19 +1,60 @@
 package graft.queries
 
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.operators.SuffixArray
+import graft.sources.{ArtifactGuard, Artifacts}
 
-/** q165/q166: the suffix-array family — distributed prefix-doubling
-  * suffix ranks (the exact-substring-dedup primitive; Lee et al.
-  * 2021) and the repeated-span curve it powers. Oracles replay the
-  * ranks as one global dense_rank over space-joined token prefixes
-  * (order-equivalent because corpus tokens are non-empty [a-z0-9_] —
-  * every token char > ' '; see SuffixArray scaladoc).
+/** q165/q166/q170: the suffix-array family — distributed prefix-
+  * doubling suffix ranks (the exact-substring-dedup primitive; Lee et
+  * al. 2021, arXiv:2107.06499), the repeated-span curve, and the
+  * span-granular exact-substring dedup ranges the ranks exist to
+  * power. Oracles replay the ranks as one global dense_rank over
+  * space-joined token prefixes (order-equivalent because corpus
+  * tokens are non-empty [a-z0-9_] — every token char > ' '; see
+  * SuffixArray scaladoc).
+  *
+  * The rank pyramid is a learn-once ARTIFACT (r9 verdict #3, the
+  * IVF/BPE/LR `buildIfAbsent` precedent): the first caller runs the
+  * doubling rounds and persists each level as parquet under the
+  * fingerprint guard; q165 hash-gates the BUILD against the
+  * one-window oracle, and q166/q170 replay from the same parquet —
+  * the ~7 s pyramid is paid once per corpus, not once per consumer.
   */
 object SuffixQueries {
 
   private val MaxLen = 16
+  private val PersistedLevels = Seq(2, 4, 8, 16)
+
+  private[queries] def rankArtifactDir(dir: String): String =
+    Artifacts.dir("suffix", dir, s"L$MaxLen")
+
+  private val rankCache =
+    scala.collection.concurrent.TrieMap[String, Unit]()
+
+  /** level → (doc_id, pos, r) rank tables, loaded from the
+    * fingerprint-guarded artifact (built here iff absent/stale).
+    */
+  private def sharedRanks(s: SparkSession, dir: String)
+      : Map[Int, DataFrame] = {
+    val path = rankArtifactDir(dir)
+    val fp = graft.operators.BpeLearn
+      .dataFingerprint(s, s"$dir/documents.parquet")
+    rankCache.getOrElseUpdate(path + "#" + fp, {
+      if (!ArtifactGuard.fresh(s, path,
+          s"$path/level_$MaxLen/_SUCCESS", Some(fp))) {
+        val d = Tables.load(s, dir, "documents")
+        val levels = SuffixArray.rankLevels(d, "doc_id", "text", MaxLen)
+        PersistedLevels.foreach(l => levels(l)
+          .write.mode("overwrite").parquet(s"$path/level_$l"))
+        ArtifactGuard.stamp(s, path, Some(fp))
+      }
+    })
+    PersistedLevels.map(l =>
+      l -> s.read.parquet(s"$path/level_$l")).toMap
+  }
 
   def defs: Seq[QueryDef] = Seq(
 
@@ -21,12 +62,13 @@ object SuffixQueries {
     // Every token-level suffix ranked by its first 16 tokens in 4
     // doubling rounds (keyed shift-join + two-level bucketed dense
     // rank per round — no single-task global window; the oracle
-    // SPELLS the one-window form the decomposition equals).
+    // SPELLS the one-window form the decomposition equals). This
+    // query GATES the shared artifact: its hash compares the
+    // persisted pyramid's top level to the from-scratch oracle.
     QueryDef(
       "q165_suffix_ranks",
       (s, dir) => {
-        val d = Tables.load(s, dir, "documents")
-        SuffixArray.rankLevels(d, "doc_id", "text", MaxLen)(MaxLen)
+        sharedRanks(s, dir)(MaxLen)
           .select(col("doc_id"), col("pos"), col("r").as("rank"))
           .orderBy(col("doc_id"), col("pos"))
       },
@@ -45,12 +87,13 @@ object SuffixQueries {
     // L = 2, 4, 8, 16 — equal level-L rank = identical L-gram, so the
     // doubling structure answers every level at once (the statistic
     // driving "dedup before you train"; positions shorter than L are
-    // excluded, they rank by a shorter prefix).
+    // excluded, they rank by a shorter prefix). Replays the SHARED
+    // artifact q165 gated — no pyramid recompute.
     QueryDef(
       "q166_repeated_spans",
       (s, dir) => {
         val d = Tables.load(s, dir, "documents")
-        val levels = SuffixArray.rankLevels(d, "doc_id", "text", MaxLen)
+        val levels = sharedRanks(s, dir)
         val lens = d.select(col("doc_id"),
           size(split(col("text"), " ")).cast("long").as("n"))
         Seq(2, 4, 8, 16).map { l =>
@@ -85,6 +128,73 @@ object SuffixQueries {
                CAST(coalesce(a.n_dup_spans, 0) AS BIGINT) AS n_dup_spans,
                CAST(coalesce(a.dup_positions, 0) AS BIGINT) AS dup_positions,
                CAST(coalesce(a.max_repeat, 0) AS BIGINT) AS max_repeat
-        FROM lv LEFT JOIN agg a USING (level) ORDER BY level"""))
+        FROM lv LEFT JOIN agg a USING (level) ORDER BY level""")),
+
+    // ---- q170: exact-substring dedup spans ----
+    // Lee et al. 2021's deduplicate-training-spans output at span
+    // granularity: every corpus position whose FULL 16-token window
+    // repeats anywhere (level-16 rank shared by ≥ 2 full windows)
+    // marks [pos, pos+16); overlapping/adjacent marked windows merge
+    // into maximal per-document spans — the byte ranges an
+    // ExactSubstr pass strips before training. Scale shape: one
+    // keyed count on the artifact's rank column, a broadcast-joined
+    // dup-rank filter, then per-DOCUMENT gaps-and-islands windows
+    // (partitioned by doc_id — never a global window). Third consumer
+    // of the shared pyramid; pays zero doubling rounds.
+    QueryDef(
+      "q170_exact_substr_spans",
+      (s, dir) => {
+        val d = Tables.load(s, dir, "documents")
+        val lens = d.select(col("doc_id"),
+          size(split(col("text"), " ")).cast("long").as("n"))
+        val full = sharedRanks(s, dir)(MaxLen)
+          .join(lens, Seq("doc_id"))
+          .filter(col("pos") + MaxLen <= col("n"))
+          .select(col("doc_id"), col("pos"), col("r"))
+        val dupRanks = full.groupBy(col("r"))
+          .agg(count(lit(1)).as("cnt"))
+          .filter(col("cnt") >= 2).select(col("r"))
+        val marked = full.join(dupRanks, Seq("r"))
+        val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+        val isl = marked
+          .withColumn("_brk",
+            when(lag(col("pos"), 1).over(w).isNull ||
+              col("pos") > lag(col("pos"), 1).over(w) + MaxLen, 1L)
+              .otherwise(0L))
+          .withColumn("_isl", sum(col("_brk")).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        isl.groupBy(col("doc_id"), col("_isl"))
+          .agg(min(col("pos")).as("span_start"),
+            (max(col("pos")) + MaxLen).as("span_end"))
+          .select(col("doc_id"), col("span_start"), col("span_end"),
+            (col("span_end") - col("span_start")).as("span_len"))
+          .orderBy(col("doc_id"), col("span_start"))
+      },
+      Some("""
+        WITH tk AS (
+          SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+        g AS (
+          SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
+                 array_to_string(tk[i:i+15], ' ') AS g
+          FROM tk, LATERAL unnest(range(1, len(tk) - 14)) AS u(i)),
+        dup AS (SELECT g FROM g GROUP BY g HAVING count(*) >= 2),
+        p AS (SELECT doc_id, pos FROM g JOIN dup USING (g)),
+        m AS (
+          SELECT doc_id, pos,
+                 CASE WHEN lag(pos) OVER w IS NULL
+                        OR pos > lag(pos) OVER w + 16
+                      THEN 1 ELSE 0 END AS brk
+          FROM p WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+        isl AS (
+          SELECT doc_id, pos,
+                 sum(brk) OVER (PARTITION BY doc_id ORDER BY pos)
+                   AS island
+          FROM m)
+        SELECT doc_id,
+               min(pos) AS span_start,
+               max(pos) + 16 AS span_end,
+               max(pos) + 16 - min(pos) AS span_len
+        FROM isl GROUP BY doc_id, island
+        ORDER BY doc_id, span_start"""))
   )
 }

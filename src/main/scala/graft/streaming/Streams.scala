@@ -187,6 +187,34 @@ object Streams {
     tokenBudgetStream(budgeted, budgetPerLang)
   }
 
+  /** DSIR standing scorer — the streaming face of q161 (r9 verdict
+    * #7): the batch-fitted (b, lw) table from
+    * [[graft.operators.Dsir.logWeights]] is a MODEL (≤ buckets rows),
+    * so it collapses to a plan-literal map and scoring an arriving
+    * document is completely scan-local — stateless, no watermark, no
+    * aggregation state, one row in → one scored row out. Exact batch
+    * parity (StreamingSpec): Σ_b k_b·lw_b over the doc's distinct
+    * buckets equals the fold of lw over its gram OCCURRENCES, and
+    * micros-integer addition is order-free, so the streamed
+    * `logw_micros` is bit-identical to the batch `logw × 10⁶`.
+    */
+  def dsirScoreStream(docs: DataFrame, lw: DataFrame, buckets: Int,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    import graft.operators.Dsir
+    // bounded model boundary: ≤ buckets rows by construction
+    val entries = lw.collect()
+    require(entries.nonEmpty && entries.length <= buckets,
+      s"lw model has ${entries.length} rows; expected 1..$buckets")
+    val lwMap = map(entries.flatMap(r => Seq(
+      lit(r.getInt(0)),
+      lit(r.getDecimal(1).movePointRight(6).longValueExact()))): _*)
+    docs.withColumn("logw_micros",
+      aggregate(Dsir.gramsExpr(textCol), lit(0L), (acc, g) =>
+        acc + coalesce(
+          element_at(lwMap, Dsir.bucketExpr(g, buckets)), lit(0L))))
+      .select(col(idCol), col("logw_micros"))
+  }
+
   def tokenBudgetStream(docs: Dataset[BudgetDoc], budget: Long)
       : Dataset[BudgetDoc] = {
     require(budget > 0, s"budget=$budget")
