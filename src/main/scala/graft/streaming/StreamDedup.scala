@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, Encoders}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
 
@@ -455,5 +455,58 @@ object StreamDedup {
           size(array_union(col("sh_c"), col("sh_r"))))
       .filter(col("jaccard") >= threshold)
       .select(col("doc_id"), col("ref_id"), col("jaccard"))
+  }
+
+  /** Arriving-image near-dup flagging against a STATIC corpus dHash
+    * table — the streaming face of q168 (r9 verdict #7). `media` is a
+    * stream of (doc_id, payload) real images; `corpusHashes` is the
+    * batch `ImageHash.dhash` output of the indexed corpus. Decode +
+    * dHash are scan-local (the payload never shuffles — each image
+    * collapses to 16 bytes in the scan), banding explodes 8×(band,
+    * 8-bit key) rows, and candidates come from a stream-static join
+    * on the band key — stateless, no watermark, recall exact to 7
+    * bits by the same pigeonhole as the batch operator.
+    *
+    * The batch operator dedupes band-collisions with `distinct()`;
+    * a streaming distinct would be STATE. Instead each matched row
+    * recomputes, scan-locally from the two fingerprints it already
+    * carries, the pair's FIRST matching band, and survives only if it
+    * IS that band — exactly-once per pair with zero state.
+    */
+  def dhashNearDupStream(media: DataFrame, corpusHashes: DataFrame,
+      maxHamming: Int = 7): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 7,
+      s"maxHamming=$maxHamming: 8x8-bit banding guarantees recall only to 7")
+    def bandKey(hi: Column, lo: Column, j: Int): Column = {
+      val h = if (j < 4) hi else lo
+      h.bitwiseAND(lit(255L << (8 * (j % 4))))
+    }
+    val hs = graft.multimodal.ImageHash.dhash(media)
+      .select(col("doc_id"), explode(array((0 until 8).map(j =>
+          struct(lit(j).as("band"),
+            bandKey(col("hash_hi"), col("hash_lo"), j).as("key"))): _*))
+          .as("bk"),
+        col("hash_hi").as("hi_a"), col("hash_lo").as("lo_a"))
+      .select(col("doc_id"), col("bk.band"), col("bk.key"),
+        col("hi_a"), col("lo_a"))
+    val corpus = corpusHashes
+      .select(col("doc_id").as("corpus_id"), explode(array((0 until 8).map(j =>
+          struct(lit(j).as("band"),
+            bandKey(col("hash_hi"), col("hash_lo"), j).as("key"))): _*))
+          .as("bk"),
+        col("hash_hi").as("hi_b"), col("hash_lo").as("lo_b"))
+      .select(col("corpus_id"), col("bk.band"), col("bk.key"),
+        col("hi_b"), col("lo_b"))
+    val firstBand = least((0 until 8).map { j =>
+      when(bandKey(col("hi_a"), col("lo_a"), j) ===
+        bandKey(col("hi_b"), col("lo_b"), j), lit(j))
+    }: _*)
+    hs.join(corpus, Seq("band", "key"))
+      .filter(col("doc_id") =!= col("corpus_id"))
+      .filter(col("band") === firstBand)
+      .select(col("doc_id"), col("corpus_id"),
+        (expr("bit_count(hi_a ^ hi_b)") +
+          expr("bit_count(lo_a ^ lo_b)")).cast("long").as("hamming"))
+      .filter(col("hamming") <= maxHamming)
   }
 }

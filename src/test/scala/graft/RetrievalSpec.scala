@@ -181,4 +181,27 @@ class RetrievalSpec extends SparkSpec {
       docs.repartition(9, col("lang")), "doc_id", "source", eps)
     assert(out.exceptAll(b).isEmpty && b.exceptAll(out).isEmpty)
   }
+
+  test("margin alignment: the IVF-probed scale path (q169) recovers " +
+      ">= 90% of the exact anchor's matched pairs and >= 90% of its " +
+      "accepted pairs (the q41-to-q45 anchor/scale-path contract)") {
+    def pairs(name: String, acceptedOnly: Boolean): Set[(Long, Long)] = {
+      val out = SparkEntry.queries(name)(spark, sf0001)
+      (if (acceptedOnly) out.filter(col("accepted")) else out)
+        .select(col("query_id"), col("match_id"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    }
+    val exact = pairs("q162_margin_align", acceptedOnly = false)
+    val probed = pairs("q169_margin_align_ivf", acceptedOnly = false)
+    assert(exact.nonEmpty)
+    val matchRecall =
+      exact.intersect(probed).size.toDouble / exact.size
+    assert(matchRecall >= 0.9, s"match recall $matchRecall")
+    val exactAcc = pairs("q162_margin_align", acceptedOnly = true)
+    val probedAcc = pairs("q169_margin_align_ivf", acceptedOnly = true)
+    assert(exactAcc.nonEmpty)
+    val accRecall =
+      exactAcc.intersect(probedAcc).size.toDouble / exactAcc.size
+    assert(accRecall >= 0.9, s"accepted recall $accRecall")
+  }
 }

@@ -861,4 +861,82 @@ class StreamingSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("broadcast-sized"), e.getMessage)
   }
+
+  test("DSIR standing scorer: streamed logw_micros are bit-identical " +
+      "to the batch importance weights on the real corpus") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.Dsir
+    val buckets = 64
+    val d = Tables.load(spark, sf0001, "documents")
+      .select(col("doc_id"), col("text"), col("lang"))
+    val lw = Dsir.logWeights(d, "doc_id", "text",
+      col("lang") === "en", buckets)
+    val want = Dsir.importanceWeights(d, "doc_id", "text",
+        col("lang") === "en", buckets)
+      .collect().map(r => r.getLong(0) ->
+        r.getDecimal(1).movePointRight(6).longValueExact()).toMap
+    val rows = d.select(col("doc_id"), col("text"))
+      .as[(Long, String)].collect()
+    val ms = MemoryStream[(Long, String)]
+    val q = Streams.dsirScoreStream(
+      ms.toDF().toDF("doc_id", "text"), lw, buckets)
+      .writeStream.format("memory").queryName("dsir_s")
+      .outputMode("append").start()
+    try {
+      val (a, b) = rows.splitAt(rows.length / 2)
+      ms.addData(a.toSeq)
+      q.processAllAvailable()
+      ms.addData(b.toSeq) // stateless: the batch split can't matter
+      q.processAllAvailable()
+      val got = spark.table("dsir_s")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got.size == want.size && got == want,
+        s"stream/batch divergence: ${got.toSet.diff(want.toSet).take(3)}")
+      assert(got.values.exists(_ != 0L))
+    } finally q.stop()
+  }
+
+  test("dHash streaming near-dup vs the static corpus hash table " +
+      "equals the brute-force pair set at hamming <= 7") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.multimodal.ImageHash
+    val d = Tables.load(spark, sf0001, "documents").select(col("doc_id"))
+    val hashes = ImageHash.dhash(ImageHash.dhashFixture(d)).cache()
+    // arriving images: the planted near-dup ids (id % 50 == 1 reuses
+    // id-1's pattern with 3 perturbed blocks) plus some clean ids
+    val arriving = d.filter(col("doc_id") % 25 === 1)
+      .as[Long].collect().toSeq
+    val payloads = arriving.map(id =>
+      id -> graft.multimodal.ImageHash.dhashPngBytes(id))
+    val ms = MemoryStream[(Long, Array[Byte])]
+    val q = graft.streaming.StreamDedup.dhashNearDupStream(
+      ms.toDF().toDF("doc_id", "payload"), hashes, maxHamming = 7)
+      .writeStream.format("memory").queryName("dhash_s")
+      .outputMode("append").start()
+    try {
+      val (a, b) = payloads.splitAt(payloads.length / 2)
+      ms.addData(a)
+      q.processAllAvailable()
+      ms.addData(b)
+      q.processAllAvailable()
+      val got = spark.table("dhash_s")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .toSet
+      // exactly-once without state: the first-matching-band filter
+      // must also dedupe band collisions, so compare SEQ sizes too
+      assert(spark.table("dhash_s").count() == got.size,
+        "pair emitted more than once")
+      val hs = hashes.collect()
+        .map(r => r.getLong(0) -> (r.getLong(3), r.getLong(4))).toMap
+      val want = (for {
+        aid <- arriving
+        (cid, (hib, lob)) <- hs if cid != aid
+        ham = java.lang.Long.bitCount(hs(aid)._1 ^ hib) +
+          java.lang.Long.bitCount(hs(aid)._2 ^ lob)
+        if ham <= 7
+      } yield (aid, cid, ham.toLong)).toSet
+      assert(got == want, s"stream=${got.size} brute=${want.size}")
+      assert(got.nonEmpty) // planted pairs must surface
+    } finally q.stop()
+  }
 }
