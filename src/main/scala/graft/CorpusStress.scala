@@ -89,6 +89,10 @@ object CorpusStress {
     require(maxBaseId < stride,
       s"base doc_id $maxBaseId >= stride $stride: copies would collide")
 
+    // factor-1 reference values for the r9-family exact-linearity
+    // invariants (token-disjoint copies ⇒ counts replicate per copy)
+    val baseCounts = scala.collection.mutable.Map[String, Long]()
+
     factors.foreach { f =>
       val dirX = s"$outBase/x$f"
       val path = s"$dirX/documents.parquet"
@@ -314,7 +318,65 @@ object CorpusStress {
         // prefix-class the count must replicate across copies
         s"label prop per-copy counts diverge at factor $f: ${lp._2.toSeq}")
 
+      // r9 family (r9 verdict #5): containment dedup, the suffix-rank
+      // repeated-span curve, DSIR selection, and dHash near-dup.
+      // Token-disjoint copies confine every rare-shingle block and
+      // every repeated 16-gram within its copy, so containment pairs
+      // and the span curve replicate EXACTLY ×f (and per-level
+      // max_repeat is factor-invariant); the DSIR scorer must stay
+      // total with its quantile gate selecting ~20%; the dHash planted
+      // near-dup pairs ride the id%50 structure the stride preserves,
+      // so the planted-adjacent pair count is exactly linear.
+      def linear(key: String, v: Long): Unit =
+        if (f == 1) baseCounts(key) = v
+        else baseCounts.get(key).foreach(b => require(v == b * f,
+          s"$key not linear at factor $f: $v vs ${b * f}"))
+      val (r164, t164, sk164, cb164, cr164) = timeGuarded(
+        SparkEntry.queries("q164_containment_dedup")(spark, dirX).count())
+      linear("q164_pairs", r164)
+      val (curve166, t166) = time(
+        SparkEntry.queries("q166_repeated_spans")(spark, dirX)
+          .collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+            r.getLong(3))))
+      curve166.foreach { case (level, nSpans, dupPos, maxRep) =>
+        linear(s"q166_L${level}_spans", nSpans)
+        linear(s"q166_L${level}_positions", dupPos)
+        if (f == 1) baseCounts(s"q166_L${level}_maxrep") = maxRep
+        else baseCounts.get(s"q166_L${level}_maxrep").foreach(b =>
+          require(maxRep == b,
+            s"q166 L$level max_repeat drifted at factor $f: $maxRep vs $b"))
+      }
+      val (r170, t170) = time(
+        SparkEntry.queries("q170_exact_substr_spans")(spark, dirX).count())
+      linear("q170_spans", r170)
+      val (sel161, t161) = time {
+        val r = SparkEntry.queries("q161_dsir_select")(spark, dirX)
+          .agg(count(lit(1)).as("n"),
+            sum(when(col("selected"), 1L).otherwise(0L)).as("sel")).head
+        (r.getLong(0), r.getLong(1))
+      }
+      require(sel161._1 == n,
+        s"DSIR scoring not total at factor $f: ${sel161._1} vs $n")
+      require(sel161._2 >= (n * 15) / 100 && sel161._2 <= (n * 35) / 100,
+        s"DSIR p80 gate selected ${sel161._2} of $n at factor $f")
+      val (adj168, t168) = time {
+        val media = graft.multimodal.ImageHash.dhashFixture(docs)
+        graft.multimodal.ImageHash.nearDuplicatePairs(
+            graft.multimodal.ImageHash.dhash(media), maxHamming = 7)
+          .filter(col("doc_b") - col("doc_a") === 1).count()
+      }
+      linear("q168_adjacent_pairs", adj168)
+
       println(s"""{"factor":$f,"docs":$n,""" +
+        s""""q164_sec":$t164,"q164_pairs":$r164,""" +
+        s""""q164_aqe_skew_splits":$sk164,""" +
+        s""""q164_cap_buckets":$cb164,"q164_cap_rows":$cr164,""" +
+        s""""q166_sec":$t166,""" +
+        s""""q166_dup_positions":${curve166.map(_._3).sum},""" +
+        s""""q170_sec":$t170,"q170_spans":$r170,""" +
+        s""""q161_sec":$t161,"q161_selected":${sel161._2},""" +
+        s""""q168_sec":$t168,"q168_adjacent_pairs":$adj168,""" +
         s""""q67_sec":$t67,"q67_rows":$r67,""" +
         s""""q71_sec":$t71,"q71_rows":$r71,""" +
         s""""q74_sec":$t74,"q74_rows":$r74,""" +

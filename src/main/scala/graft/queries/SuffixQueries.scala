@@ -56,6 +56,36 @@ object SuffixQueries {
       l -> s.read.parquet(s"$path/level_$l")).toMap
   }
 
+  /** q170/q171 shared core: merged maximal repeated-16-gram spans per
+    * document, from the shared rank artifact (unordered).
+    */
+  private def exactSubstrSpans(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.load(s, dir, "documents")
+    val lens = d.select(col("doc_id"),
+      size(split(col("text"), " ")).cast("long").as("n"))
+    val full = sharedRanks(s, dir)(MaxLen)
+      .join(lens, Seq("doc_id"))
+      .filter(col("pos") + MaxLen <= col("n"))
+      .select(col("doc_id"), col("pos"), col("r"))
+    val dupRanks = full.groupBy(col("r"))
+      .agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= 2).select(col("r"))
+    val marked = full.join(dupRanks, Seq("r"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val isl = marked
+      .withColumn("_brk",
+        when(lag(col("pos"), 1).over(w).isNull ||
+          col("pos") > lag(col("pos"), 1).over(w) + MaxLen, 1L)
+          .otherwise(0L))
+      .withColumn("_isl", sum(col("_brk")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    isl.groupBy(col("doc_id"), col("_isl"))
+      .agg(min(col("pos")).as("span_start"),
+        (max(col("pos")) + MaxLen).as("span_end"))
+      .select(col("doc_id"), col("span_start"), col("span_end"),
+        (col("span_end") - col("span_start")).as("span_len"))
+  }
+
   def defs: Seq[QueryDef] = Seq(
 
     // ---- q165: suffix-array ranks by prefix doubling ----
@@ -143,33 +173,8 @@ object SuffixQueries {
     // of the shared pyramid; pays zero doubling rounds.
     QueryDef(
       "q170_exact_substr_spans",
-      (s, dir) => {
-        val d = Tables.load(s, dir, "documents")
-        val lens = d.select(col("doc_id"),
-          size(split(col("text"), " ")).cast("long").as("n"))
-        val full = sharedRanks(s, dir)(MaxLen)
-          .join(lens, Seq("doc_id"))
-          .filter(col("pos") + MaxLen <= col("n"))
-          .select(col("doc_id"), col("pos"), col("r"))
-        val dupRanks = full.groupBy(col("r"))
-          .agg(count(lit(1)).as("cnt"))
-          .filter(col("cnt") >= 2).select(col("r"))
-        val marked = full.join(dupRanks, Seq("r"))
-        val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-        val isl = marked
-          .withColumn("_brk",
-            when(lag(col("pos"), 1).over(w).isNull ||
-              col("pos") > lag(col("pos"), 1).over(w) + MaxLen, 1L)
-              .otherwise(0L))
-          .withColumn("_isl", sum(col("_brk")).over(
-            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-        isl.groupBy(col("doc_id"), col("_isl"))
-          .agg(min(col("pos")).as("span_start"),
-            (max(col("pos")) + MaxLen).as("span_end"))
-          .select(col("doc_id"), col("span_start"), col("span_end"),
-            (col("span_end") - col("span_start")).as("span_len"))
-          .orderBy(col("doc_id"), col("span_start"))
-      },
+      (s, dir) => exactSubstrSpans(s, dir)
+        .orderBy(col("doc_id"), col("span_start")),
       Some("""
         WITH tk AS (
           SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
@@ -195,6 +200,67 @@ object SuffixQueries {
                max(pos) + 16 AS span_end,
                max(pos) + 16 - min(pos) AS span_len
         FROM isl GROUP BY doc_id, island
-        ORDER BY doc_id, span_start"""))
+        ORDER BY doc_id, span_start""")),
+
+    // ---- q171: per-document duplication profile ----
+    // The decision statistic behind "strip or drop": what fraction of
+    // each document's tokens sits inside a repeated 16-token span
+    // (the q170 merged ranges, summed per doc over ALL docs — zero
+    // for documents with no repeats). A fourth consumer of the shared
+    // pyramid; per-doc spans aggregate with one keyed sum + a
+    // broadcast-joinable doc-length frame.
+    QueryDef(
+      "q171_dup_fraction",
+      (s, dir) => {
+        val d = Tables.load(s, dir, "documents")
+        val lens = d.select(col("doc_id"),
+          size(split(col("text"), " ")).cast("long").as("n_tokens"))
+        val spans = exactSubstrSpans(s, dir)
+          .groupBy(col("doc_id"))
+          .agg(sum(col("span_len")).as("dup_tokens"))
+        lens.join(spans, Seq("doc_id"), "left")
+          .select(col("doc_id"), col("n_tokens"),
+            coalesce(col("dup_tokens"), lit(0L)).as("dup_tokens"))
+          .withColumn("dup_frac",
+            round(col("dup_tokens").cast("double") /
+              col("n_tokens").cast("double"), 6))
+          .orderBy(col("doc_id"))
+      },
+      Some("""
+        WITH tk AS (
+          SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+        g AS (
+          SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
+                 array_to_string(tk[i:i+15], ' ') AS g
+          FROM tk, LATERAL unnest(range(1, len(tk) - 14)) AS u(i)),
+        dup AS (SELECT g FROM g GROUP BY g HAVING count(*) >= 2),
+        p AS (SELECT doc_id, pos FROM g JOIN dup USING (g)),
+        m AS (
+          SELECT doc_id, pos,
+                 CASE WHEN lag(pos) OVER w IS NULL
+                        OR pos > lag(pos) OVER w + 16
+                      THEN 1 ELSE 0 END AS brk
+          FROM p WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+        isl AS (
+          SELECT doc_id, pos,
+                 sum(brk) OVER (PARTITION BY doc_id ORDER BY pos)
+                   AS island
+          FROM m),
+        spans AS (
+          SELECT doc_id, max(pos) + 16 - min(pos) AS span_len
+          FROM isl GROUP BY doc_id, island),
+        dt AS (
+          SELECT doc_id, CAST(sum(span_len) AS BIGINT) AS dup_tokens
+          FROM spans GROUP BY 1),
+        lens AS (
+          SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT)
+                   AS n_tokens
+          FROM documents)
+        SELECT l.doc_id, l.n_tokens,
+               coalesce(dt.dup_tokens, 0) AS dup_tokens,
+               round(CAST(coalesce(dt.dup_tokens, 0) AS DOUBLE) /
+                 CAST(l.n_tokens AS DOUBLE), 6) AS dup_frac
+        FROM lens l LEFT JOIN dt ON dt.doc_id = l.doc_id
+        ORDER BY l.doc_id"""))
   )
 }
