@@ -261,6 +261,59 @@ object SuffixQueries {
                round(CAST(coalesce(dt.dup_tokens, 0) AS DOUBLE) /
                  CAST(l.n_tokens AS DOUBLE), 6) AS dup_frac
         FROM lens l LEFT JOIN dt ON dt.doc_id = l.doc_id
-        ORDER BY l.doc_id"""))
+        ORDER BY l.doc_id""")),
+
+    // ---- q172: exact clone pairs by shared 16-gram count ----
+    // MOSS-style clone detection at exact granularity: which document
+    // PAIRS share repeated 16-token windows, ranked by how many
+    // distinct windows they share — the attribution view q170's spans
+    // deliberately drop. Fifth consumer of the rank artifact. Scale
+    // shape: (doc, rank) dedup is one keyed exchange on 16-byte rows;
+    // pair fanout is df-capped at ranks shared by ≤ 8 documents
+    // (C(8,2) = 28 pairs max per rank — boilerplate windows shared by
+    // hundreds of docs are attribution-useless AND would explode the
+    // exchange, the q164 df-cap argument); the pair count is one
+    // keyed sum on 16-byte id pairs.
+    QueryDef(
+      "q172_clone_pairs",
+      (s, dir) => {
+        val d = Tables.load(s, dir, "documents")
+        val lens = d.select(col("doc_id"),
+          size(split(col("text"), " ")).cast("long").as("n"))
+        val dg = sharedRanks(s, dir)(MaxLen)
+          .join(lens, Seq("doc_id"))
+          .filter(col("pos") + MaxLen <= col("n"))
+          .select(col("doc_id"), col("r")).distinct()
+          .localCheckpoint(eager = false)
+        val shared = dg.groupBy(col("r"))
+          .agg(count(lit(1)).as("cnt"))
+          .filter(col("cnt") >= 2 && col("cnt") <= 8)
+          .select(col("r"))
+        val blocked = dg.join(shared, Seq("r"))
+        blocked.select(col("r"), col("doc_id").as("doc_a"))
+          .join(blocked.select(col("r"), col("doc_id").as("doc_b")),
+            Seq("r"))
+          .filter(col("doc_a") < col("doc_b"))
+          .groupBy(col("doc_a"), col("doc_b"))
+          .agg(count(lit(1)).as("shared_grams"))
+          .filter(col("shared_grams") >= 3)
+          .orderBy(col("doc_a"), col("doc_b"))
+      },
+      Some("""
+        WITH tk AS (
+          SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+        dg AS (
+          SELECT DISTINCT doc_id,
+                 array_to_string(tk[i:i+15], ' ') AS g
+          FROM tk, LATERAL unnest(range(1, len(tk) - 14)) AS u(i)),
+        shared AS (
+          SELECT g FROM dg GROUP BY g
+          HAVING count(*) BETWEEN 2 AND 8)
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               count(*) AS shared_grams
+        FROM dg a JOIN shared s ON s.g = a.g
+        JOIN dg b ON b.g = a.g AND a.doc_id < b.doc_id
+        GROUP BY 1, 2 HAVING count(*) >= 3
+        ORDER BY doc_a, doc_b"""))
   )
 }
