@@ -22,7 +22,10 @@ class EmptyCorpusSpec extends SparkSpec {
     Set("q46_ann_ivf", "q73_semdedup", "q92_cluster_balanced_sample",
       "q94_centroid_classify", "q96_classifier_balanced",
       "q137_logreg_train", "q138_logreg_score", "q139_auc",
-      "q154_calibration", "q157_temperature_scaling", "q160_model_curation")
+      "q154_calibration", "q157_temperature_scaling", "q160_model_curation",
+      // q169 probes the same KMeans coarse quantizer as q46 — the
+      // index build genuinely requires vectors
+      "q169_margin_align_ivf")
 
   private lazy val emptyDir: String = {
     val dir = new java.io.File("target/empty_sf").getAbsolutePath
