@@ -44,9 +44,17 @@ object Relational {
             Seq("l_returnflag" -> col("l.l_returnflag"),
               "l_linestatus" -> col("l.l_linestatus")),
             Seq(
-              "sum_qty" -> sum(dec(col("l.l_quantity"))).cast("double"),
-              "sum_base_price" -> sum(dec(col("l.l_extendedprice"))).cast("double"),
-              "sum_disc_price" -> sum(discPrice("l")).cast("double"),
+              // money sums stay DECIMAL end-to-end (r10): the sf0.1
+              // sweep caught DuckDB's DECIMAL→DOUBLE cast rounding one
+              // ulp off Spark's correctly-rounded conversion once the
+              // scaled sum is large — exact decimals render identically
+              // at ANY scale, so the gate can never drift again
+              "sum_qty" -> sum(dec(col("l.l_quantity")))
+                .cast(DecimalType(38, 4)),
+              "sum_base_price" -> sum(dec(col("l.l_extendedprice")))
+                .cast(DecimalType(38, 4)),
+              "sum_disc_price" -> sum(discPrice("l"))
+                .cast(DecimalType(38, 4)),
               "avg_qty" -> (sum(dec(col("l.l_quantity"))).cast("double") / count(lit(1))),
               "avg_disc" -> (sum(dec(col("l.l_discount"))).cast("double") / count(lit(1))),
               "count_order" -> count(lit(1))))
@@ -55,9 +63,9 @@ object Relational {
       },
       Some("""
         SELECT l_returnflag, l_linestatus,
-               CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
-               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price,
-               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS sum_disc_price,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS sum_qty,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS sum_base_price,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS DECIMAL(38,4)) AS sum_disc_price,
                CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) AS avg_qty,
                CAST(SUM(CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) AS avg_disc,
                COUNT(*) AS count_order
