@@ -65,4 +65,82 @@ class SuffixSpec extends SparkSpec {
       .filter(col("c") >= 2).count()
     assert(hit16 >= 1, "planted 16-token duplicate span not found")
   }
+
+  test("q170/q171: spans are disjoint maximal [start,end) ranges " +
+      "inside the doc, every span covers >= 16 tokens, and the " +
+      "dup fraction equals span coverage over doc length") {
+    val spans = SparkEntry.queries("q170_exact_substr_spans")(
+      spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(spans.nonEmpty)
+    spans.groupBy(_._1).foreach { case (_, ss) =>
+      val sorted = ss.sortBy(_._2)
+      sorted.foreach { case (_, st, en, len) =>
+        assert(en - st == len && len >= 16)
+      }
+      sorted.sliding(2).foreach {
+        case Array((_, _, e1, _), (_, s2, _, _)) =>
+          // maximal: merged spans can't touch (a touching pair would
+          // have been one island)
+          assert(s2 > e1, s"overlapping/adjacent spans $e1 $s2")
+        case _ =>
+      }
+    }
+    val lens = Tables.load(spark, sf0001, "documents")
+      .select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val bySpanSum = spans.groupBy(_._1).view.mapValues(_.map(_._4).sum)
+    SparkEntry.queries("q171_dup_fraction")(spark, sf0001).collect()
+      .foreach { r =>
+        val (id, n, dup, frac) =
+          (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))
+        assert(n == lens(id))
+        assert(dup == bySpanSum.getOrElse(id, 0L))
+        assert(dup <= n, s"doc $id: dup $dup > len $n")
+        assert(math.abs(frac - dup.toDouble / n) < 1e-6)
+      }
+  }
+
+  test("q172: clone pairs are symmetric-free (a < b), shared_grams " +
+      "is bounded by the smaller doc's distinct full windows, and a " +
+      "planted 3x-shared-window pair surfaces") {
+    val pairs = SparkEntry.queries("q172_clone_pairs")(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    pairs.foreach { case (a, b, sg) =>
+      assert(a < b && sg >= 3)
+    }
+    val lens = Tables.load(spark, sf0001, "documents")
+      .select(col("doc_id"),
+        (size(split(col("text"), " ")) - 15).cast("long").as("w"))
+      .collect().map(r => r.getLong(0) -> math.max(r.getLong(1), 0L)).toMap
+    pairs.foreach { case (a, b, sg) =>
+      assert(sg <= math.min(lens(a), lens(b)),
+        s"pair ($a,$b) shares $sg > window count")
+    }
+    // planted: two docs sharing 3 disjoint 16-gram windows (plus
+    // padding), a third unrelated — the pair must surface with
+    // shared_grams >= 3 through the raw operator path
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    def blk(p: String) = (1 to 16).map(i => s"$p$i").mkString(" ")
+    val docs = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(
+        Row(1L, s"${blk("a")} x1 ${blk("b")} x2 ${blk("c")}"),
+        Row(2L, s"y1 ${blk("a")} y2 ${blk("b")} y3 ${blk("c")}"),
+        Row(3L, (1 to 60).map(i => s"z$i").mkString(" ")))),
+      StructType(Seq(StructField("doc_id", LongType),
+        StructField("text", StringType))))
+    val lv = SuffixArray.rankLevels(docs, "doc_id", "text", 16)
+    val toks = docs.select(col("doc_id"),
+      size(split(col("text"), " ")).cast("long").as("n"))
+    val dg = lv(16).join(toks, Seq("doc_id"))
+      .filter(col("pos") + 16 <= col("n"))
+      .select(col("doc_id"), col("r")).distinct()
+    val sharedCnt = dg.groupBy(col("r"))
+      .agg(count(lit(1)).as("c")).filter(col("c") === 2)
+      .join(dg, Seq("r"))
+      .groupBy().agg(count(lit(1))).head.getLong(0)
+    assert(sharedCnt >= 6, s"planted shared windows missing: $sharedCnt")
+  }
 }
