@@ -59,7 +59,9 @@ object Containment {
       threshold: Double = 0.5): DataFrame = {
     require(dfMin >= 2 && dfMax >= dfMin, s"df window [$dfMin,$dfMax]")
     // shingles are already 8-byte md5-prefix keys (hashed scan-side,
-    // before the first exchange — see object scaladoc)
+    // before the first exchange — see object scaladoc); the checkpoint
+    // materializes the distinct ONCE for the five downstream readers
+    // (measured: dropping it costs ~15% at sf0.1)
     val sh = shingles(docs, idCol, textCol, w)
       .localCheckpoint(eager = false)
     val ns = sh.groupBy(col(idCol)).agg(count(lit(1)).as("n"))
