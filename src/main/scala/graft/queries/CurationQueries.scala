@@ -300,6 +300,84 @@ object CurationQueries {
         FROM u CROSS JOIN z
         ORDER BY source""")),
 
+    // ---- q173: DoReMi-style one-step domain reweighting ----
+    // Xie et al. 2023 (arXiv:2305.10429): upweight the domains where
+    // the proxy loss is highest — here the single exponentiated-
+    // gradient step w_s ∝ exp(η·loss_s) with η = 0.1 over the q71
+    // bigram cross-entropy as the proxy loss (the full method
+    // iterates this update during proxy training; one step over a
+    // fixed loss is its closed curation form). Exactness: per-doc CE
+    // is the q71 pinned division rounded to 6 into DECIMAL; the
+    // per-source mean is one pinned division; exp carries the
+    // round-6 guard; the normalizer Z is an exact integer sum of
+    // micro-scaled weights (the q163 shape). Scale: per-source agg +
+    // one-row Z broadcast — model-sized frames only.
+    QueryDef(
+      "q173_doremi_weights",
+      (s, dir) => {
+        val d = Tables.load(s, dir, "documents")
+        val ce = graft.operators.CorpusOps
+          .bigramCrossEntropy(d, "doc_id", "text")
+          .filter(col("avg_ce").isNotNull)
+          .select(col("doc_id"),
+            round(col("avg_ce"), 6).cast("decimal(18,6)").as("ce6"))
+        val ls = ce
+          .join(d.select(col("doc_id"), col("source")), Seq("doc_id"))
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_docs"),
+            round(sum(col("ce6")).cast("double") / count(lit(1)), 6)
+              .as("loss"))
+        val u = ls.select(col("source"), col("n_docs"), col("loss"),
+          (round(exp(lit(0.1) * col("loss")), 6).cast("decimal(18,6)")
+            * 1000000).cast("long").as("ui"))
+        val z = u.agg(sum(col("ui")).as("z"))
+        u.crossJoin(broadcast(z))
+          .select(col("source"), col("n_docs"), col("loss"),
+            round(col("ui").cast("double") / col("z").cast("double"), 6)
+              .as("weight"))
+          .orderBy(col("source"))
+      },
+      Some("""
+        WITH t AS (
+          SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+        pos AS (
+          SELECT doc_id, tk[i] AS w1, tk[i+1] AS w2
+          FROM t, LATERAL unnest(range(1, greatest(len(tk), 1))) AS u(i)),
+        db AS (
+          SELECT doc_id, w1, w2, count(*) AS k FROM pos GROUP BY ALL),
+        cb AS (
+          SELECT w1, w2, CAST(sum(k) AS BIGINT) AS cb FROM db GROUP BY ALL),
+        cu AS (
+          SELECT w1, CAST(sum(k) AS BIGINT) AS cu FROM db GROUP BY 1),
+        per AS (
+          SELECT db.doc_id,
+                 CAST(sum(db.k) AS BIGINT) AS n_bigrams,
+                 sum(CAST(round(-ln(cb.cb / cu.cu), 4) AS DECIMAL(18,4))
+                   * db.k) AS ce
+          FROM db
+          JOIN cb ON db.w1 = cb.w1 AND db.w2 = cb.w2
+          JOIN cu ON db.w1 = cu.w1
+          GROUP BY 1),
+        pd AS (
+          SELECT s.source,
+                 CAST(round(CAST(per.ce AS DOUBLE) / per.n_bigrams, 6)
+                   AS DECIMAL(18,6)) AS ce6
+          FROM per JOIN documents s USING (doc_id)),
+        ls AS (
+          SELECT source, count(*) AS n_docs,
+                 round(CAST(sum(ce6) AS DOUBLE) / count(*), 6) AS loss
+          FROM pd GROUP BY 1),
+        u AS (
+          SELECT source, n_docs, loss,
+                 CAST(CAST(round(exp(0.1 * loss), 6) AS DECIMAL(18,6))
+                   * 1000000 AS BIGINT) AS ui
+          FROM ls),
+        z AS (SELECT CAST(sum(ui) AS BIGINT) AS z FROM u)
+        SELECT source, n_docs, loss,
+               round(CAST(ui AS DOUBLE) / CAST(z AS DOUBLE), 6) AS weight
+        FROM u CROSS JOIN z
+        ORDER BY source""")),
+
     // ---- q164: rare-shingle containment dedup ----
     // Jaccard misses near-SUPERSET pairs (a doc quoted whole inside a
     // larger one scores low resemblance but containment ≈ 1).

@@ -107,4 +107,27 @@ class CurationSpec extends SparkSpec {
     assert(jaccard < 0.2,
       s"fixture should be low-resemblance, jaccard=$jaccard")
   }
+
+  test("DSIR: a NULL target predicate counts as RAW on both the model " +
+      "and scoring sides (r9 advisory #2 — the coalesce pin)") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(StructField("doc_id", LongType),
+      StructField("text", StringType), StructField("lang", StringType)))
+    def df(rows: Seq[Row]) = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows), schema)
+    val base = Seq(
+      Row(1L, "alpha beta gamma delta", "en"),
+      Row(2L, "epsilon zeta eta theta", "de"),
+      Row(3L, "iota kappa lambda mu", null))
+    val asNull = df(base)
+    // the same corpus with the NULL lang spelled as an explicit
+    // non-target: weights must be IDENTICAL if NULL pins to raw
+    val asRaw = df(base.init :+ Row(3L, "iota kappa lambda mu", "xx"))
+    def w(d: org.apache.spark.sql.DataFrame) =
+      graft.operators.Dsir.importanceWeights(d, "doc_id", "text",
+        col("lang") === "en", buckets = 32)
+        .collect().map(r => r.getLong(0) -> r.getDecimal(1)).toMap
+    assert(w(asNull) == w(asRaw))
+  }
 }

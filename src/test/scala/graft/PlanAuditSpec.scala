@@ -73,7 +73,10 @@ class PlanAuditSpec extends SparkSpec {
     "q162_margin_align",
     // q163: the one-row normalizer Z crossed into the sources-sized
     // rate frame — the q151 shape.
-    "q163_alpha_sampling")
+    "q163_alpha_sampling",
+    // q173: same one-row Z normalizer crossed into the per-source
+    // weight frame — the q163/q151 shape.
+    "q173_doremi_weights")
 
   private lazy val plans: Map[String, String] =
     SparkEntry.queries.map { case (name, fn) =>
