@@ -66,6 +66,22 @@ class SuffixSpec extends SparkSpec {
     assert(hit16 >= 1, "planted 16-token duplicate span not found")
   }
 
+  test("nBucketsFor: one bucket per ~4M positions, clamped to " +
+      "[256, 65536] (the SCALE.md sizing rule, r9 verdict #8)") {
+    assert(SuffixArray.nBucketsFor(0) == 256)
+    assert(SuffixArray.nBucketsFor(1000000000L) == 256)
+    assert(SuffixArray.nBucketsFor(4000000000L) == 1000)
+    assert(SuffixArray.nBucketsFor(Long.MaxValue / 4) == 65536)
+    // ranks are invariant to the bucket count (the decomposition is
+    // exact for ANY order-compatible bucketing)
+    val docs = Tables.load(spark, sf0001, "documents").limit(50)
+    val a = SuffixArray.rankLevels(docs, "doc_id", "text", 4,
+      nBuckets = 7)(4)
+    val b = SuffixArray.rankLevels(docs, "doc_id", "text", 4,
+      nBuckets = 256)(4)
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
+  }
+
   test("q170/q171: spans are disjoint maximal [start,end) ranges " +
       "inside the doc, every span covers >= 16 tokens, and the " +
       "dup fraction equals span coverage over doc length") {
