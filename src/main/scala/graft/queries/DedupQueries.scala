@@ -100,6 +100,50 @@ object DedupQueries {
 
   private val simhashFpCte = simhashFpCteW(64)
 
+  /** Cap-aware SimHash pair replay appended after a `fp` CTE: models
+    * the operator's LshSkew whole-bucket drop (buckets over `cap`
+    * members generate no candidates — drops are metered, not silent)
+    * with the EXACT band layout `SimHashDedup.nearDuplicatePairs`
+    * derives (bounds = j·width/numBands; fp bit i-from-MSB = char i+1
+    * of the bits string, so the band bucket IS the substring). The
+    * r10 sf0.1 sweep caught the uncapped brute-force oracle
+    * diverging the moment a band bucket passed the cap — the q45
+    * precedent (model the cap, don't ignore it) now applied to the
+    * SimHash family.
+    */
+  private def simhashCappedPairsSql(width: Int, maxHamming: Int,
+      cap: Int): String = {
+    val numBands = maxHamming + 1
+    val bounds = (0 to numBands).map(j => j * width / numBands)
+    val values = (0 until numBands).map(j =>
+      s"($j, ${bounds(j) + 1}, ${bounds(j + 1) - bounds(j)})")
+      .mkString(", ")
+    s""",
+        bands AS (SELECT * FROM (VALUES $values) AS t(j, st, w)),
+        bk AS (
+          SELECT doc_id, j, substring(bits, st, w) AS bk
+          FROM fp CROSS JOIN bands),
+        ok AS (
+          SELECT j, bk FROM bk GROUP BY j, bk
+          HAVING count(*) <= $cap),
+        cand AS (
+          SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+          FROM bk a JOIN ok USING (j, bk)
+          JOIN bk b ON b.j = a.j AND b.bk = a.bk
+            AND a.doc_id < b.doc_id)
+        SELECT c.doc_a, c.doc_b,
+               len(list_filter(generate_series(1, $width),
+                   i -> substring(fa.bits, i, 1) <> substring(fb.bits, i, 1)))
+                 AS hamming
+        FROM cand c
+        JOIN fp fa ON fa.doc_id = c.doc_a
+        JOIN fp fb ON fb.doc_id = c.doc_b
+        WHERE len(list_filter(generate_series(1, $width),
+              i -> substring(fa.bits, i, 1) <> substring(fb.bits, i, 1)))
+              <= $maxHamming
+        ORDER BY doc_a, doc_b"""
+  }
+
   val defs: Seq[QueryDef] = Seq(
 
     // ---- q25: MinHash+LSH near-dup pairs, exact-Jaccard verified ----
@@ -177,8 +221,10 @@ object DedupQueries {
 
     // ---- q27: SimHash near-dup pairs (Hamming ≤ 8) ----
     // Bands derived from the radius (9 bands ⇒ pigeonhole-perfect
-    // candidate recall), so the LSH plan provably equals the O(n²)
-    // brute-force oracle.
+    // candidate recall), and the oracle models the LshSkew bucket cap
+    // exactly (r10: at sf0.1 the 7-bit bands saturate — ~128 buckets
+    // for 5000 docs — so the cap ENGAGES and an uncapped brute-force
+    // oracle diverges; drops stay metered through the listener).
     QueryDef(
       "q27_simhash_neardup",
       (s, dir) => {
@@ -188,13 +234,7 @@ object DedupQueries {
           .orderBy(col("doc_a"), col("doc_b"))
       },
       Some(s"""
-        $simhashFpCte
-        SELECT doc_a, doc_b, hamming FROM (
-          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-                 len(list_filter(generate_series(1, 64),
-                     i -> substring(a.bits, i, 1) <> substring(b.bits, i, 1))) AS hamming
-          FROM fp a JOIN fp b ON a.doc_id < b.doc_id)
-        WHERE hamming <= 8 ORDER BY doc_a, doc_b""")),
+        $simhashFpCte${simhashCappedPairsSql(64, 8, 1000)}""")),
 
     // ---- q59: duplicate-cluster resolution (the dedup endgame) ----
     // MinHash near-dup pairs induce a graph; every doc gets the min
@@ -345,9 +385,10 @@ object DedupQueries {
     // ---- q56: 128-bit SimHash near-dup pairs (Hamming ≤ 8) ----
     // The scale fix for the measured radius-8 band saturation: all 128
     // md5 bits instead of the first 64, so the 9 pigeonhole bands are
-    // ~14 bits wide (~16k buckets/band vs ~128). Same brute-force
-    // oracle construction as q27 — candidate recall is still perfect,
-    // so the LSH plan provably equals the O(n²) DuckDB result.
+    // ~14 bits wide (~16k buckets/band vs ~128). Same cap-modeled
+    // oracle construction as q27 (candidate recall is pigeonhole-
+    // perfect; the cap doesn't engage at gate scales here, but the
+    // oracle models it anyway so it can never silently diverge).
     QueryDef(
       "q56_simhash128",
       (s, dir) => {
@@ -358,13 +399,7 @@ object DedupQueries {
           .orderBy(col("doc_a"), col("doc_b"))
       },
       Some(s"""
-        ${simhashFpCteW(128)}
-        SELECT doc_a, doc_b, hamming FROM (
-          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-                 len(list_filter(generate_series(1, 128),
-                     i -> substring(a.bits, i, 1) <> substring(b.bits, i, 1))) AS hamming
-          FROM fp a JOIN fp b ON a.doc_id < b.doc_id)
-        WHERE hamming <= 8 ORDER BY doc_a, doc_b""")),
+        ${simhashFpCteW(128)}${simhashCappedPairsSql(128, 8, 1000)}""")),
 
     // ---- q28: brute-force cosine top-k (ANN exactness baseline) ----
     // Exact same double arithmetic in DuckDB (dot/norm over DOUBLE[],
