@@ -1,0 +1,242 @@
+package graft.queries
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.operators.{CorpusOps, Diversity, KsDrift, MinHashDedup, Triangles}
+
+/** Round-10 corpus-statistics battery: exact two-sample KS drift
+  * (the binning-free complement of q155's PSI), triangle count /
+  * clustering coefficient of the near-dup graph (structure the
+  * degree histogram q159 can't see), exact mean-pairwise-cosine
+  * diversity via the centroid identity (an O(n·d) computation of an
+  * O(n²) statistic), and a Zipf-law fit for the corpus card. Same
+  * contracts as everywhere: exact fixed-point arithmetic with one
+  * pinned double division, full DuckDB replay, SCALE.md plan shapes.
+  */
+object StatQueries {
+
+  /** OLS slope/intercept of ln(cnt) on ln(rank) over a top-k vocab
+    * table (cnt, rank) — shared by q177 and the planted-Zipf spec.
+    * ln's round to 4 (the q155 non-pinned-fn discipline); OLS sums
+    * are exact DECIMAL; slope and intercept each pay one pinned
+    * double division, rounded to 6.
+    */
+  private[graft] def zipfFit(top: DataFrame): DataFrame = {
+    val xy = top.select(
+      round(log(col("rank").cast("double")), 4)
+        .cast("decimal(8,4)").as("x"),
+      round(log(col("cnt").cast("double")), 4)
+        .cast("decimal(12,4)").as("y"))
+    val sums = xy.agg(count(lit(1)).as("r"),
+      sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+      sum(col("x") * col("x")).as("sxx"),
+      sum(col("x") * col("y")).as("sxy"))
+    val slope = round(
+      (col("r") * col("sxy") - col("sx") * col("sy")).cast("double") /
+        (col("r") * col("sxx") - col("sx") * col("sx"))
+          .cast("double"), 6)
+    sums.select(col("r").as("n_ranks"), slope.as("slope"),
+      round((col("sy") - slope.cast("decimal(10,6)") * col("sx"))
+          .cast("double") /
+        col("r").cast("double"), 6).as("intercept"))
+  }
+
+  def defs: Seq[QueryDef] = Seq(
+
+    // ---- q174: per-source exact two-sample KS drift ----
+    // KS of each source's n_chars distribution against the rest of
+    // the corpus. The numerator |cum_s·n_rest − cum_rest·n_s| stays
+    // integer (DECIMAL(38,0)) at every value; only the per-source
+    // maximum pays the one pinned double division. Every frame after
+    // the first (source, value) count exchange is value-domain ×
+    // sources sized — never corpus rows.
+    QueryDef(
+      "q174_ks_drift",
+      (s, dir) => {
+        KsDrift.perGroupKs(Tables.load(s, dir, "documents")
+            .select(col("source"), col("n_chars")),
+          "source", "n_chars")
+          .orderBy(col("source"))
+      },
+      Some("""
+        WITH c AS (
+          SELECT source, CAST(n_chars AS BIGINT) AS v, count(*) AS c
+          FROM documents GROUP BY ALL),
+        pv AS (SELECT v, CAST(sum(c) AS BIGINT) AS ctot FROM c GROUP BY v),
+        pvc AS (SELECT v, sum(ctot) OVER (ORDER BY v) AS cumtot FROM pv),
+        s AS (SELECT source, CAST(sum(c) AS BIGINT) AS n_grp
+              FROM c GROUP BY source),
+        s2 AS (SELECT source, n_grp,
+                      CAST(sum(n_grp) OVER () - n_grp AS BIGINT) AS n_rest
+               FROM s),
+        grid AS (
+          SELECT p.v, p.cumtot, s2.source, s2.n_grp, s2.n_rest,
+                 coalesce(c.c, 0) AS c
+          FROM pvc p CROSS JOIN s2
+          LEFT JOIN c ON c.source = s2.source AND c.v = p.v),
+        g AS (
+          SELECT source, n_grp, n_rest, v, cumtot,
+                 sum(c) OVER (PARTITION BY source ORDER BY v) AS cum_grp
+          FROM grid),
+        d AS (
+          SELECT source, n_grp, n_rest, v,
+                 abs(CAST(cum_grp AS DECIMAL(38,0)) * n_rest -
+                     CAST(cumtot - cum_grp AS DECIMAL(38,0)) * n_grp)
+                   AS d_num
+          FROM g),
+        m AS (SELECT source, n_grp, n_rest, max(d_num) AS d_max
+              FROM d GROUP BY ALL)
+        SELECT m.source, m.n_grp,
+               round(d_max::DOUBLE /
+                 (CAST(m.n_grp AS DECIMAL(38,0)) * m.n_rest)::DOUBLE,
+                 6) AS ks,
+               min(d.v) AS at_value
+        FROM m JOIN d ON d.source = m.source AND d.d_num = m.d_max
+        GROUP BY m.source, m.n_grp, m.n_rest, d_max
+        ORDER BY m.source""")),
+
+    // ---- q175: triangle count / clustering coefficient of the
+    // near-dup graph ----
+    // Duplication STRUCTURE: q159's degree histogram can't tell a
+    // clique (one document family, high clustering) from a star
+    // (boilerplate hub, zero clustering); triangles can. Edges are
+    // the q25 MinHash near-dup pairs (a < b); triangles enumerate by
+    // the compact-forward a < b < c orientation — two keyed
+    // id-only joins, no node ever sees more than its
+    // forward-neighborhood (Schank & Wagner 2005). cc = 2T/(d(d−1)),
+    // one pinned double division per node.
+    QueryDef(
+      "q175_dup_triangles",
+      (s, dir) => {
+        Triangles.perNode(MinHashDedup.nearDuplicatePairs(
+            Tables.load(s, dir, "documents"), "doc_id", "text",
+            threshold = 0.8)
+            .select(col("doc_a").as("a"), col("doc_b").as("b")))
+          .orderBy(col("doc_id"))
+      },
+      Some("""
+        WITH tok AS (
+          SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        sh AS (
+          SELECT doc_id,
+                 CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
+                      ELSE list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                                          for i in generate_series(1, len(w) - 2)])
+                 END AS shingles
+          FROM tok),
+        e AS (
+          SELECT a.doc_id AS a, b.doc_id AS b
+          FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+          WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+                  / len(list_distinct(a.shingles || b.shingles)) >= 0.8),
+        tri AS (
+          SELECT e1.a, e1.b, e2.b AS c
+          FROM e e1 JOIN e e2 ON e2.a = e1.b
+          JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b),
+        tn AS (
+          SELECT node, count(*) AS t FROM (
+            SELECT a AS node FROM tri UNION ALL
+            SELECT b FROM tri UNION ALL
+            SELECT c FROM tri) GROUP BY node),
+        deg AS (
+          SELECT node, count(*) AS degree FROM (
+            SELECT a AS node FROM e UNION ALL
+            SELECT b FROM e) GROUP BY node)
+        SELECT deg.node AS doc_id, degree,
+               CAST(coalesce(t, 0) AS BIGINT) AS triangles,
+               CASE WHEN degree >= 2 THEN
+                 round(2.0 * coalesce(t, 0)::DOUBLE /
+                   (degree * (degree - 1))::DOUBLE, 6)
+               ELSE 0.0 END AS cc
+        FROM deg LEFT JOIN tn ON tn.node = deg.node
+        ORDER BY doc_id""")),
+
+    // ---- q176: exact mean pairwise cosine per label (diversity) ----
+    // The centroid identity: for unit vectors, Σ_{i≠j} uᵢ·uⱼ =
+    // ‖Σu‖² − Σ‖uᵢ‖² — an O(n·d) EXACT computation of the O(n²)
+    // diversity statistic (the SemDeDup/diversity-report signal,
+    // Abbas et al. 2023, without sampling). Normalized coordinates
+    // are rounded to 9 and carried as DECIMAL(10,9); per-dimension
+    // sums are cast DECIMAL(18,9) (exact up to 10⁹ vectors/label)
+    // so their squares stay inside DECIMAL(38,18); one pinned double
+    // division by n(n−1) at the end. Plan: one (label, dim) exchange
+    // + one label exchange — the corpus never pairs.
+    QueryDef(
+      "q176_diversity",
+      (s, dir) => {
+        Diversity.meanPairwiseCosine(
+          Tables.load(s, dir, "embeddings")
+            .select(col("label"), col("embedding")),
+          "label", "embedding")
+          .orderBy(col("label"))
+      },
+      Some("""
+        WITH e AS (
+          SELECT label, vec_id, embedding::DOUBLE[] AS v,
+                 sqrt(list_dot_product(embedding::DOUBLE[],
+                                       embedding::DOUBLE[])) AS nm
+          FROM embeddings),
+        u AS (
+          SELECT label, vec_id, i,
+                 CAST(round(v[i] / nm, 9) AS DECIMAL(10,9)) AS u
+          FROM e, LATERAL unnest(range(1, len(v) + 1)) AS t(i)),
+        sj AS (
+          SELECT label, i, CAST(sum(u) AS DECIMAL(18,9)) AS sj
+          FROM u GROUP BY label, i),
+        ss AS (SELECT label, sum(sj * sj) AS sumsq FROM sj GROUP BY label),
+        sq AS (SELECT label, sum(u * u) AS sumq FROM u GROUP BY label),
+        n AS (SELECT label, count(*) AS n_vecs FROM embeddings
+              GROUP BY label)
+        SELECT n.label, n_vecs,
+               CASE WHEN n_vecs >= 2 THEN
+                 round((sumsq - sumq)::DOUBLE /
+                   (CAST(n_vecs AS DECIMAL(38,0)) * (n_vecs - 1))::DOUBLE,
+                   6)
+               END AS diversity
+        FROM n JOIN ss USING (label) JOIN sq USING (label)
+        ORDER BY label""")),
+
+    // ---- q177: Zipf-law fit over the top-100 vocabulary ----
+    // OLS slope/intercept of ln(freq) on ln(rank) — the corpus-card
+    // "is this natural-language-shaped" check (Zipf slope ≈ −1 for
+    // organic text; templated/synthetic corpora flatten it). The two
+    // non-IEEE-pinned ln's are rounded to 4 (the q155 discipline);
+    // all OLS sums are exact DECIMAL; slope and intercept each pay
+    // one pinned double division. The vocab table is q75's top-k
+    // (vocab-bounded ORDER BY + LIMIT — map-side top-k, never a
+    // corpus sort).
+    QueryDef(
+      "q177_zipf_fit",
+      (s, dir) => {
+        zipfFit(CorpusOps.topNgrams(
+          Tables.load(s, dir, "documents"), "text", n = 1, k = 100))
+      },
+      Some("""
+        WITH g AS (
+          SELECT unnest(string_split(text, ' ')) AS gram FROM documents),
+        c AS (SELECT gram, count(*) AS cnt FROM g GROUP BY 1),
+        topk AS (
+          SELECT cnt,
+                 row_number() OVER (ORDER BY cnt DESC, gram) AS rank
+          FROM c ORDER BY cnt DESC, gram LIMIT 100),
+        xy AS (
+          SELECT CAST(round(ln(rank::DOUBLE), 4) AS DECIMAL(8,4)) AS x,
+                 CAST(round(ln(cnt::DOUBLE), 4) AS DECIMAL(12,4)) AS y
+          FROM topk),
+        sums AS (
+          SELECT count(*) AS r, sum(x) AS sx, sum(y) AS sy,
+                 sum(x * x) AS sxx, sum(x * y) AS sxy
+          FROM xy),
+        sl AS (
+          SELECT r AS n_ranks, sx, sy, r,
+                 round((r * sxy - sx * sy)::DOUBLE /
+                       (r * sxx - sx * sx)::DOUBLE, 6) AS slope
+          FROM sums)
+        SELECT n_ranks, slope,
+               round((sy - CAST(slope AS DECIMAL(10,6)) * sx)::DOUBLE /
+                     r::DOUBLE, 6) AS intercept
+        FROM sl"""))
+  )
+}
