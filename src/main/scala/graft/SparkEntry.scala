@@ -17,7 +17,8 @@ object SparkEntry {
       SpanQueries.defs ++ ClassifierQueries.defs ++ SketchQueries.defs ++
       AnalyticsQueries.defs ++ RetrievalQueries.defs ++
       ProjectionQueries.defs ++ ModelQueries.defs ++
-      CurationQueries.defs ++ SuffixQueries.defs
+      CurationQueries.defs ++ SuffixQueries.defs ++ StatQueries.defs ++
+      VectorQueries.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * TPC-H Q3 shape: 3-way join, grouped revenue, top-k — exercises scan

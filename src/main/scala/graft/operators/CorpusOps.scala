@@ -444,10 +444,18 @@ object CorpusOps {
       idCol: String,
       nTokCol: String,
       budget: Long,
-      nShards: Int): DataFrame = {
+      nShards: Int,
+      decreasing: Boolean = false): DataFrame = {
     require(budget > 0 && nShards > 0, s"budget=$budget nShards=$nShards")
     val spark = df.sparkSession
     import spark.implicits._
+    // `decreasing` = next-fit-DECREASING (Johnson 1973): walk each
+    // shard longest-first, which tail-packs the short docs into the
+    // space long docs leave — strictly the same one-exchange plan,
+    // only the within-partition sort key changes
+    val order =
+      if (decreasing) Seq(col("shard"), col("n").desc, col("id"))
+      else Seq(col("shard"), col("id"))
     df.select(
         pmod(col(idCol), lit(nShards.toLong)).as("shard"),
         col(idCol).cast("long").as("id"),
@@ -456,7 +464,7 @@ object CorpusOps {
         coalesce(col(nTokCol).cast("long"), lit(0L)).as("n"))
       .as[(Long, Long, Long)]
       .repartition(col("shard"))
-      .sortWithinPartitions(col("shard"), col("id"))
+      .sortWithinPartitions(order: _*)
       .mapPartitions { it =>
         var shard = -1L
         var acc = 0L

@@ -400,6 +400,41 @@ object CorpusQueries {
         SELECT doc_id, shard, n AS n_tokens, pack_id
         FROM packed ORDER BY doc_id""")),
 
+    // ---- q181: next-fit-DECREASING sequence packing ----
+    // q70's walk with the shard sorted longest-first (Johnson 1973's
+    // decreasing heuristic): short docs tail-fill the space long docs
+    // leave, cutting wasted pad tokens vs arrival order — the packing
+    // most training pipelines actually ship. Identical one-exchange plan
+    // (the sort key is the only change); CorpusSpec asserts the
+    // fill-ratio win on a planted mix.
+    QueryDef(
+      "q181_pack_decreasing",
+      (s, dir) => {
+        val d = Tables.load(s, dir, "documents")
+          .withColumn("n_tok", tokenCount(col("text")).cast("long"))
+        CorpusOps.packGreedy(d, "doc_id", "n_tok", budget = 256,
+          nShards = 8, decreasing = true)
+          .orderBy(col("doc_id"))
+      },
+      Some("""
+        WITH RECURSIVE ord AS (
+          SELECT doc_id, doc_id % 8 AS shard,
+                 CAST(len(string_split(text, ' ')) AS BIGINT) AS n,
+                 row_number() OVER (PARTITION BY doc_id % 8
+                   ORDER BY len(string_split(text, ' ')) DESC, doc_id)
+                   AS rn
+          FROM documents),
+        packed AS (
+          SELECT shard, rn, doc_id, n, CAST(0 AS BIGINT) AS pack_id, n AS acc
+          FROM ord WHERE rn = 1
+          UNION ALL
+          SELECT o.shard, o.rn, o.doc_id, o.n,
+                 CASE WHEN p.acc + o.n <= 256 THEN p.pack_id ELSE p.pack_id + 1 END,
+                 CASE WHEN p.acc + o.n <= 256 THEN p.acc + o.n ELSE o.n END
+          FROM packed p JOIN ord o ON o.shard = p.shard AND o.rn = p.rn + 1)
+        SELECT doc_id, shard, n AS n_tokens, pack_id
+        FROM packed ORDER BY doc_id""")),
+
     // ---- q71: bigram language-model cross-entropy ----
     // CCNet-style fluency scoring under the corpus's own bigram LM.
     // ln is the one non-IEEE-pinned step, so per-bigram terms are

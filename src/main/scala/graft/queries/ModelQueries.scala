@@ -1099,6 +1099,46 @@ object ModelQueries {
           FROM quart CROSS JOIN range(1, 5) AS t(e)
           WHERE quartile <= t.e)
         SELECT epoch, CAST(seq AS INT) AS seq, doc_id, quartile
-        FROM sched ORDER BY epoch, seq"""))
+        FROM sched ORDER BY epoch, seq""")),
+
+    // ---- q179: InfoBatch-style confidence-band pruning ----
+    // Qin et al. 2024: prune a fixed fraction of LOW-LOSS (well-
+    // learned) examples and rescale the surviving easy examples'
+    // weight by 1/(1−r), so the expected gradient of the pruned
+    // epoch is unbiased; hard examples always survive at weight 1.
+    // Loss proxy is |y − p| under the SHARED trained-LR artifact
+    // (q137's weights — no retraining); easy iff |y − p| < 0.3; the
+    // r = 0.5 prune uses the q55 Knuth-hash sampler so the gate is
+    // deterministic and engine-replayable. Plan: scoring is the q138
+    // broadcast-weights scan; the prune adds zero exchanges.
+    QueryDef(
+      "q179_infobatch_prune",
+      (s, dir) => {
+        lrScored(s, dir)
+          .select(col("doc_id"), col("y"), col("p"),
+            (abs(col("y") - col("p")) < 0.3).as("easy"))
+          .withColumn("kept", !col("easy") ||
+            pmod(pmod(col("doc_id") * lit(2654435761L),
+              lit(2147483647L)), lit(2L)) === 0)
+          .withColumn("w",
+            when(!col("kept"), lit(0.0))
+              .when(col("easy"), lit(2.0)).otherwise(lit(1.0)))
+          .orderBy(col("doc_id"))
+      },
+      None,
+      oracleFn = Some(dir => s"""
+        WITH ${LogReg.scoreArtifactCtes(enLabelSql, LrDim,
+          s"${lrArtifactDir(dir)}/weights")},
+        flags AS (
+          SELECT doc_id, y, p, abs(y - p) < 0.3 AS easy,
+                 ((doc_id * 2654435761) % 2147483647) % 2 = 0 AS lucky
+          FROM scored),
+        gated AS (
+          SELECT doc_id, y, p, easy, (NOT easy) OR lucky AS kept
+          FROM flags)
+        SELECT doc_id, y, p, easy, kept,
+               CAST(CASE WHEN NOT kept THEN 0
+                         WHEN easy THEN 2 ELSE 1 END AS DOUBLE) AS w
+        FROM gated ORDER BY doc_id"""))
   )
 }

@@ -189,6 +189,37 @@ class CorpusSpec extends SparkSpec {
     assert(got.map(_._4).toSeq == Seq(0L, 1L, 2L))
   }
 
+  test("decreasing packing matches the longest-first walk and beats " +
+      "arrival order on a planted mix") {
+    // planted worst case for arrival order: longs alternate with
+    // shorts and every adjacent pair overflows the budget (one doc
+    // per bin); longest-first separates the phases so the shorts
+    // pack two per bin
+    val docs = (0L until 100L).map(i =>
+      (i, if (i % 2 == 0) 200L else 100L))
+    val df = docs.toDF("id", "n")
+    val budget = 256L
+    val got = CorpusOps.packGreedy(df, "id", "n", budget,
+      nShards = 1, decreasing = true)
+      .as[(Long, Long, Long, Long)].collect()
+      .map { case (id, sh, n, p) => id -> ((sh, n, p)) }.toMap
+    // sequential reference: same walk over (n desc, id) order
+    val want = {
+      var acc = 0L; var pack = -1L
+      docs.sortBy { case (id, n) => (-n, id) }.map { case (id, n) =>
+        if (pack < 0 || acc + n > budget) { pack += 1; acc = n } else acc += n
+        id -> ((0L, n, pack))
+      }.toMap
+    }
+    assert(got == want)
+    val binsDec = got.values.map(_._3).max + 1
+    val binsArr = CorpusOps.packGreedy(df, "id", "n", budget,
+      nShards = 1)
+      .as[(Long, Long, Long, Long)].collect().map(_._4).max + 1
+    assert(binsDec < binsArr,
+      s"decreasing ($binsDec bins) must beat arrival order ($binsArr)")
+  }
+
   test("bigram cross-entropy matches hand-computed corpus LM values") {
     // corpus positions: (a,b)×3 [2 in d0, 1 in d1], (b,a)×1, (b,c)×1
     // cu: a·=3, b·=2  →  P(b|a)=1, P(a|b)=P(c|b)=1/2

@@ -25,7 +25,10 @@ class EmptyCorpusSpec extends SparkSpec {
       "q154_calibration", "q157_temperature_scaling", "q160_model_curation",
       // q169 probes the same KMeans coarse quantizer as q46 — the
       // index build genuinely requires vectors
-      "q169_margin_align_ivf")
+      "q169_margin_align_ivf",
+      // q179 scores under the q137/q138 trained-LR artifact — same
+      // GD-requires-data precondition
+      "q179_infobatch_prune")
 
   private lazy val emptyDir: String = {
     val dir = new java.io.File("target/empty_sf").getAbsolutePath

@@ -76,7 +76,15 @@ class PlanAuditSpec extends SparkSpec {
     "q163_alpha_sampling",
     // q173: same one-row Z normalizer crossed into the per-source
     // weight frame — the q163/q151 shape.
-    "q173_doremi_weights")
+    "q173_doremi_weights",
+    // q174: the domain-bounded distinct-value table crossed with the
+    // sources-sized cardinality frame (broadcast) — both NLJ sides
+    // bounded by the value domain / source count, never corpus rows.
+    "q174_ks_drift",
+    // q178: q28's documented all-pairs intent, once per truncated
+    // dimension (bounded broadcast query frame), plus the one-row
+    // denominator cross — the q123/q110 shapes.
+    "q178_mrl_recall")
 
   private lazy val plans: Map[String, String] =
     SparkEntry.queries.map { case (name, fn) =>
