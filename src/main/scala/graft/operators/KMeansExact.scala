@@ -97,6 +97,14 @@ object KMeansExact {
       .toDF(idCol, "cluster", "d2")
   }
 
+  /** Assignment plus the centroid TABLE it was computed against
+    * (cluster, j, c: DECIMAL(18,6)) — for operators that persist
+    * both sides as artifacts (the PQ codebook build).
+    */
+  def assignAndModel(emb: DataFrame, idCol: String, vecCol: String,
+      k: Int, iters: Int): (DataFrame, DataFrame) =
+    loop(emb, idCol, vecCol, k, iters)
+
   private def loop(emb: DataFrame, idCol: String, vecCol: String,
       k: Int, iters: Int): (DataFrame, DataFrame) = {
     require(k >= 2 && k <= 256 && iters >= 1 && iters <= 16,

@@ -1,0 +1,158 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Product quantization (Jégou et al. 2011): split every d-dim
+  * vector into M contiguous subvectors, k-means each subspace to a
+  * `k`-entry codebook, store each vector as M small codes
+  * (M bytes at k ≤ 256 — a 32× compression of a 64-dim float
+  * vector), and answer top-k with ASYMMETRIC DISTANCE (ADC): the
+  * query stays exact, each subspace contributes the exact distance
+  * from the query subvector to the corpus vector's ASSIGNED
+  * centroid, and the total approximate distance is the sum of M
+  * table lookups — no corpus vector is ever read at query time.
+  *
+  * Exactness contract: the codebooks come from [[KMeansExact]]
+  * (6-decimal fixed-point Lloyd, deterministic seeding), ADC terms
+  * are exact DECIMAL squared differences of 6-decimal fixed points,
+  * and the ranking key is the exact DECIMAL distance with id
+  * tie-break — bit-replayable by the DuckDB oracle from the same
+  * parquet artifacts.
+  *
+  * Scale shape: training + encoding are the OFFLINE artifact pass
+  * (the q46 IVF build/probe split); the online probe joins the
+  * (M·k·subDim)-row codebook — broadcast — against the bounded query
+  * frame to form the per-query distance table (queries × M × k rows,
+  * broadcast), then scans the codes table once, scan-local, with one
+  * (query, id) partial-aggregated exchange for the M-term sums.
+  * The float vectors never move at query time.
+  */
+object ProductQuant {
+
+  /** Train per-subspace codebooks and encode the corpus.
+    * `emb`: (id, vec: array<float>) with dim = m·subDim. Returns
+    * (codebook: (m, cluster, j, c DECIMAL(18,6)),
+    *  codes: (id, m, code)).
+    */
+  def build(emb: DataFrame, m: Int, subDim: Int, k: Int, iters: Int)
+      : (DataFrame, DataFrame) = {
+    require(m >= 2 && subDim >= 1 && k >= 2, s"m=$m subDim=$subDim k=$k")
+    val parts = (0 until m).map { s =>
+      val sub = emb.select(col("id"),
+        slice(col("vec"), s * subDim + 1, subDim).as("vec"))
+      val (assigned, cent) = KMeansExact.assignAndModel(
+        sub, "id", "vec", k, iters)
+      (assigned.select(col("id"), lit(s).as("m"),
+          col("cluster").as("code")),
+        cent.select(lit(s).as("m"), col("cluster"), col("j"), col("c")))
+    }
+    (parts.map(_._2).reduce(_ union _), parts.map(_._1).reduce(_ union _))
+  }
+
+  /** Persist codebook + codes under `path` iff absent (fingerprint-
+    * guarded, the IVF/BPE artifact contract), then return the loaded
+    * parquet-backed pair.
+    */
+  def buildIfAbsent(spark: SparkSession, emb: => DataFrame, path: String,
+      m: Int, subDim: Int, k: Int, iters: Int,
+      fingerprint: Option[String] = None): (DataFrame, DataFrame) = {
+    import graft.sources.ArtifactGuard
+    if (!ArtifactGuard.fresh(spark, path, s"$path/codes/_SUCCESS",
+        fingerprint)) {
+      val e = emb
+      require(e.limit(1).count() > 0, "empty corpus: PQ codebook " +
+        "training requires vectors")
+      val (codebook, codes) = build(e, m, subDim, k, iters)
+      codebook.coalesce(1).write.mode("overwrite")
+        .parquet(s"$path/codebook")
+      codes.write.mode("overwrite").parquet(s"$path/codes")
+      ArtifactGuard.stamp(spark, path, fingerprint)
+    }
+    (spark.read.parquet(s"$path/codebook"),
+      spark.read.parquet(s"$path/codes"))
+  }
+
+  /** L2-normalize (id, vec) — norm computed ONCE per vector, then one
+    * element-wise transform. Quantizing NORMALIZED vectors makes ADC
+    * chase the cosine order (‖u−v‖² = 2 − 2·cos on the unit sphere).
+    */
+  def normalize(emb: DataFrame): DataFrame =
+    emb.select(col("id"), col("vec").as("v0"),
+        graft.functions.VectorFunctions.l2Norm(col("vec")).as("nm"))
+      .select(col("id"),
+        transform(col("v0"), x => x.cast("double") / col("nm"))
+          .as("vec"))
+
+  /** The deployed probe: ADC-rank the corpus from codes alone, then
+    * exact-cosine rescore ONLY the top-`overfetch` shortlist (the
+    * int8-overfetch discipline — PQ codes carry quantization noise
+    * comparable to neighbor gaps on unstructured embeddings, so the
+    * shortlist recalls and the rescore ranks). `corpus`/`queries`
+    * are RAW (id, vec float) — queries are normalized internally to
+    * match the codebook space; the rescore is the brute-force cosine
+    * arithmetic verbatim (round 9, id tie-break), so
+    * overfetch ≥ |corpus| degenerates to exactly the brute-force
+    * result. Output: (query_id, neighbor_id, cosine, rnk).
+    */
+  def rescoredTopK(corpus: DataFrame, queries: DataFrame,
+      codebook: DataFrame, codes: DataFrame, subDim: Int, kTop: Int,
+      overfetch: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import graft.functions.VectorFunctions
+    val short = adcTopK(normalize(queries), codebook, codes, subDim,
+        kTop = overfetch)
+      .select(col("query_id"), col("neighbor_id"))
+    val q = queries
+      .select(col("id").as("query_id"), col("vec").as("qvec"))
+      .withColumn("qn", VectorFunctions.l2Norm(col("qvec")))
+    val c = corpus.select(col("id").as("neighbor_id"),
+        col("vec").as("cvec"))
+      .withColumn("cn", VectorFunctions.l2Norm(col("cvec")))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    short.join(c, Seq("neighbor_id")).join(broadcast(q), Seq("query_id"))
+      .withColumn("cosine", round(VectorFunctions.cosineWithNorms(
+        col("qvec"), col("cvec"), col("qn"), col("cn")), 9))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= kTop)
+      .select(col("query_id"), col("neighbor_id"), col("cosine"),
+        col("rnk"))
+  }
+
+  /** ADC top-k: exact query subvectors against assigned centroids.
+    * `queries`: (id, vec). Output: (query_id, neighbor_id, adist, rnk),
+    * self-matches excluded, adist the 6-rounded double of the exact
+    * DECIMAL sum.
+    */
+  def adcTopK(queries: DataFrame, codebook: DataFrame, codes: DataFrame,
+      subDim: Int, kTop: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // per-(query, subspace, centroid) exact distance table:
+    // queries × M × k rows — broadcast-sized
+    val qd = queries
+      .select(col("id").as("query_id"),
+        posexplode(col("vec")).as(Seq("jg", "x")))
+      .select(col("query_id"),
+        (col("jg") / subDim).cast("int").as("m"),
+        pmod(col("jg"), lit(subDim)).as("j"),
+        round(col("x").cast("double"), 6).cast("decimal(18,6)").as("qx"))
+    val diff = (col("qx") - col("c")).cast("decimal(18,6)")
+    val dtab = qd.join(broadcast(codebook), Seq("m", "j"))
+      .groupBy(col("query_id"), col("m"), col("cluster"))
+      .agg(sum(diff * diff).as("sub_d2"))
+    // one scan of the codes table against the broadcast distance
+    // table; the (query, id) sum is M-term, partial-aggregated
+    val cand = codes.join(broadcast(dtab),
+        codes("m") === dtab("m") && codes("code") === dtab("cluster"))
+      .filter(col("id") =!= col("query_id"))
+      .groupBy(col("query_id"), col("id").as("neighbor_id"))
+      .agg(sum(col("sub_d2")).as("adist_x"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("adist_x"), col("neighbor_id"))
+    cand.withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= kTop)
+      .select(col("query_id"), col("neighbor_id"),
+        round(col("adist_x").cast("double"), 6).as("adist"), col("rnk"))
+  }
+}

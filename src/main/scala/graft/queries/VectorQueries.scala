@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.operators.Similarity
+import graft.operators.{ProductQuant, Similarity}
 
 /** Round-10 embedding-geometry battery: Matryoshka truncation recall
   * (q178) and product-quantization ADC search (q180) — the two
@@ -14,6 +14,37 @@ import graft.operators.Similarity
 object VectorQueries {
 
   private val MrlDims = Seq(8, 16, 32, 64)
+
+  // PQ layout: 64 dims → 8 subspaces × 8 dims, 32 centroids each
+  // (8 × 5 = 40 code bits/vector), 4 exact-Lloyd rounds — codes are
+  // 8 small ints per vector (8 bytes at k ≤ 256), a 32× compression
+  // of the float vector
+  private val PqM = 8
+  private val PqSubDim = 8
+  private val PqK = 32
+  private val PqIters = 4
+  private val PqOverfetch = 100
+
+  private[queries] def pqArtifactDir(dir: String): String =
+    graft.sources.Artifacts.dir("pq", dir,
+      s"m${PqM}_sd${PqSubDim}_k${PqK}_i$PqIters")
+
+  // build-once-per-JVM gate (the lrWeightCache pattern): the FS
+  // freshness check stays authoritative; this only stops concurrent
+  // sweep threads from racing the build
+  private val pqCache = scala.collection.concurrent.TrieMap[String,
+    (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame)]()
+
+  private def sharedPq(s: org.apache.spark.sql.SparkSession, dir: String,
+      emb: => org.apache.spark.sql.DataFrame)
+      : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
+    val path = pqArtifactDir(dir)
+    val fp = graft.operators.BpeLearn
+      .dataFingerprint(s, s"$dir/embeddings.parquet")
+    pqCache.getOrElseUpdate(path + "#" + fp,
+      ProductQuant.buildIfAbsent(s, emb, path, PqM, PqSubDim, PqK,
+        PqIters, fingerprint = Some(fp)))
+  }
 
   /** One truncated-space exact-top-k CTE chain (the q28 arithmetic
     * verbatim, over the m-prefix of every vector).
@@ -82,6 +113,94 @@ object VectorQueries {
         SELECT dim, hits,
                round(hits::DOUBLE / total::DOUBLE, 6) AS recall
         FROM hits CROSS JOIN denom
-        ORDER BY dim"""))
+        ORDER BY dim""")),
+
+    // ---- q180: product-quantization ADC shortlist + exact rescore ----
+    // The production PQ probe (Jégou et al. 2011, deployed as in
+    // IVF-PQ/FAISS): codebooks + codes are the prebuilt artifact
+    // (the q46 offline/online split); the ADC pass ranks the WHOLE
+    // corpus from 8-byte codes alone (the float vectors never move),
+    // and only the top-`overfetch` shortlist pays an exact cosine
+    // rescore — the q82 overfetch discipline, because 40-bit codes
+    // over unstructured embeddings carry quantization noise
+    // comparable to the neighbor gaps (measured: shortlist
+    // recall@5 = 0.62/0.81/0.93 at overfetch 20/50/100 on sf0.01).
+    // Vectors are L2-NORMALIZED before quantization
+    // (‖u−v‖² = 2 − 2·cos on the unit sphere) so ADC chases the
+    // COSINE order; the rescore is the q28 arithmetic verbatim. The
+    // oracle replays the exact DECIMAL ADC from the SAME parquet
+    // artifacts. Recall + probe-all exactness gated in AnnSpec.
+    QueryDef(
+      "q180_pq_adc",
+      (s, dir) => {
+        val raw = Tables.load(s, dir, "embeddings")
+          .select(col("vec_id").as("id"), col("embedding").as("vec"))
+        val (codebook, codes) = sharedPq(s, dir,
+          ProductQuant.normalize(raw))
+        ProductQuant.rescoredTopK(raw, raw.filter(col("id") < 20),
+            codebook, codes, subDim = PqSubDim, kTop = 5,
+            overfetch = PqOverfetch)
+          .orderBy(col("query_id"), col("rnk"))
+      },
+      None, oracleFn = Some(dir => s"""
+        WITH q0 AS (
+          SELECT vec_id AS query_id, embedding::DOUBLE[] AS v0,
+                 sqrt(list_dot_product(embedding::DOUBLE[],
+                                       embedding::DOUBLE[])) AS nm
+          FROM embeddings WHERE vec_id < 20),
+        q AS (
+          SELECT query_id, list_transform(v0, x -> x / nm) AS v
+          FROM q0),
+        qd AS (
+          SELECT query_id, (i - 1) // $PqSubDim AS m,
+                 (i - 1) % $PqSubDim AS j,
+                 CAST(round(v[i], 6) AS DECIMAL(18,6)) AS qx
+          FROM q, LATERAL unnest(range(1, len(v) + 1)) AS t(i)),
+        cb AS (
+          SELECT m, cluster, j, CAST(c AS DECIMAL(18,6)) AS c
+          FROM read_parquet('${pqArtifactDir(dir)}/codebook/*.parquet')),
+        dtab AS (
+          SELECT query_id, qd.m, cluster,
+                 sum(CAST(qx - c AS DECIMAL(18,6)) *
+                     CAST(qx - c AS DECIMAL(18,6))) AS sub_d2
+          FROM qd JOIN cb ON cb.m = qd.m AND cb.j = qd.j
+          GROUP BY 1, 2, 3),
+        codes AS (
+          SELECT id, m, code
+          FROM read_parquet('${pqArtifactDir(dir)}/codes/*.parquet')),
+        cand AS (
+          SELECT d.query_id, codes.id AS neighbor_id,
+                 sum(d.sub_d2) AS adist_x
+          FROM codes JOIN dtab d
+            ON d.m = codes.m AND d.cluster = codes.code
+          WHERE codes.id <> d.query_id
+          GROUP BY 1, 2),
+        short AS (
+          SELECT query_id, neighbor_id FROM (
+            SELECT query_id, neighbor_id,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                     ORDER BY adist_x, neighbor_id) AS rnk
+            FROM cand)
+          WHERE rnk <= $PqOverfetch),
+        e AS (
+          SELECT vec_id AS id, embedding::DOUBLE[] AS v,
+                 sqrt(list_dot_product(embedding::DOUBLE[],
+                                       embedding::DOUBLE[])) AS n
+          FROM embeddings),
+        resc AS (
+          SELECT s.query_id, s.neighbor_id,
+                 round(list_dot_product(eq.v, ec.v) / (eq.n * ec.n), 9)
+                   AS cosine
+          FROM short s
+          JOIN e eq ON eq.id = s.query_id
+          JOIN e ec ON ec.id = s.neighbor_id),
+        ranked AS (
+          SELECT query_id, neighbor_id, cosine,
+                 ROW_NUMBER() OVER (PARTITION BY query_id
+                   ORDER BY cosine DESC, neighbor_id) AS rnk
+          FROM resc)
+        SELECT query_id, neighbor_id, cosine, CAST(rnk AS BIGINT) AS rnk
+        FROM ranked WHERE rnk <= 5
+        ORDER BY query_id, rnk"""))
   )
 }

@@ -75,6 +75,36 @@ class AnnSpec extends SparkSpec {
     assert(full == exact)
   }
 
+  test("PQ: probe-all ADC shortlist + exact rescore equals brute " +
+      "force; recall@5 >= 0.9 at overfetch 100 (q180 gate)") {
+    import graft.operators.ProductQuant
+    val path = java.nio.file.Files
+      .createTempDirectory("pq_spec").toString + "/pq"
+    val (cb, codes) = ProductQuant.buildIfAbsent(spark,
+      ProductQuant.normalize(emb), path, m = 8, subDim = 8, k = 32,
+      iters = 4)
+    val queries = emb.filter(col("id") < 20)
+    val n = emb.count().toInt
+    // overfetch covering the corpus ⇒ the rescore sees every vector
+    // ⇒ quantization error cannot change the output at all
+    val full = ProductQuant.rescoredTopK(emb, queries, cb, codes,
+        subDim = 8, kTop = 5, overfetch = n)
+      .collect().map(_.toString).sorted.toSeq
+    val exact = Similarity.bruteForceTopK(emb, queries, k = 5)
+      .collect().map(_.toString).sorted.toSeq
+    assert(full == exact)
+    // deployed overfetch: recall vs the exact baseline
+    val got = ProductQuant.rescoredTopK(emb, queries, cb, codes,
+        subDim = 8, kTop = 5, overfetch = 100)
+      .select(col("query_id"), col("neighbor_id"))
+      .collect().map(_.toString).toSet
+    val exactPairs = Similarity.bruteForceTopK(emb, queries, k = 5)
+      .select(col("query_id"), col("neighbor_id"))
+      .collect().map(_.toString).toSet
+    val hit = exactPairs.count(got.contains).toDouble / exactPairs.size
+    assert(hit >= 0.9, s"PQ recall@5 = $hit")
+  }
+
   test("VecQuantize: unit behaviors and scale-invariance of the " +
       "quantized cosine") {
     import graft.functions.VectorFunctions._

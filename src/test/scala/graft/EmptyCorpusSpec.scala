@@ -28,7 +28,10 @@ class EmptyCorpusSpec extends SparkSpec {
       "q169_margin_align_ivf",
       // q179 scores under the q137/q138 trained-LR artifact — same
       // GD-requires-data precondition
-      "q179_infobatch_prune")
+      "q179_infobatch_prune",
+      // q180's PQ codebook training is per-subspace KMeans — requires
+      // vectors (require("empty corpus") in ProductQuant.buildIfAbsent)
+      "q180_pq_adc")
 
   private lazy val emptyDir: String = {
     val dir = new java.io.File("target/empty_sf").getAbsolutePath
