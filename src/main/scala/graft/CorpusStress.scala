@@ -92,6 +92,9 @@ object CorpusStress {
     // factor-1 reference values for the r9-family exact-linearity
     // invariants (token-disjoint copies ⇒ counts replicate per copy)
     val baseCounts = scala.collection.mutable.Map[String, Long]()
+    // factor-1 anchors for the r10-family distribution invariants
+    var baseKs: Seq[(String, Double, Long)] = Seq.empty
+    var baseFill: Double = 0.0
 
     factors.foreach { f =>
       val dirX = s"$outBase/x$f"
@@ -368,6 +371,66 @@ object CorpusStress {
       }
       linear("q168_adjacent_pairs", adj168)
 
+      // r10 family: KS drift, dup-graph triangles, Zipf fit,
+      // decreasing packing. The replication invariants are
+      // DISTRIBUTION-level: the ×f corpus repeats every
+      // (source, n_chars) row f times, so every per-source CDF — and
+      // therefore every KS statistic, numerator and denominator both
+      // scaling f² — is EXACTLY factor-invariant (value and
+      // at_value); the near-dup graph replicates per copy, so node
+      // rows and total triangles are exactly linear; uniform ×f
+      // count scaling leaves the Zipf SLOPE invariant (within the
+      // 4-decimal ln rounding) while the intercept shifts by ln f;
+      // decreasing packing must hold its fill ratio as shards absorb
+      // f× tokens.
+      val (ks174, t174) = time(
+        SparkEntry.queries("q174_ks_drift")(spark, dirX).collect()
+          .map(r => (r.getString(0), r.getDouble(2), r.getLong(3)))
+          .sortBy(_._1).toSeq)
+      if (f == 1) baseKs = ks174
+      else require(ks174 == baseKs,
+        s"KS stats not factor-invariant at $f:\n$ks174\nvs\n$baseKs")
+      val (tri175, t175) = time {
+        val r = SparkEntry.queries("q175_dup_triangles")(spark, dirX)
+          .agg(count(lit(1)).as("nodes"),
+            sum(col("triangles")).as("tri"),
+            sum(col("degree")).as("deg")).head
+        (r.getLong(0), r.getLong(1), r.getLong(2))
+      }
+      linear("q175_nodes", tri175._1)
+      linear("q175_triangles", tri175._2)
+      linear("q175_degree_sum", tri175._3)
+      // Zipf: the ×f-scaled count table must fit the same slope —
+      // computed directly on the scaled top-k frame (no second
+      // corpus write needed; the property under test is the fit's
+      // invariance to uniform scaling)
+      val (zf, t177) = time {
+        val top = CorpusOps.topNgrams(docs, "text", n = 1, k = 100)
+        val s1 = graft.queries.StatQueries.zipfFit(top).head
+        val sf = graft.queries.StatQueries.zipfFit(
+          top.withColumn("cnt", col("cnt") * f)).head
+        (s1.getDouble(1), sf.getDouble(1), s1.getDouble(2),
+          sf.getDouble(2))
+      }
+      require(math.abs(zf._2 - zf._1) < 0.01,
+        s"Zipf slope not scale-invariant at $f: ${zf._2} vs ${zf._1}")
+      require(math.abs(zf._4 - (zf._3 + math.log(f.toDouble))) < 0.02,
+        s"Zipf intercept must shift by ln f at $f: ${zf._4}")
+      val (pk181, t181) = time {
+        val packed = CorpusOps.packGreedy(withTok, "doc_id", "n_tok",
+          budget = 256, nShards = shards, decreasing = true)
+        val r = packed.groupBy(col("shard"))
+          .agg((max(col("pack_id")) + 1).as("packs"),
+            sum(col("n_tokens")).as("tok"))
+          .agg(sum(col("packs")).as("packs"), sum(col("tok")).as("tok"))
+          .head
+        (r.getLong(0), r.getLong(1))
+      }
+      val fill181 = pk181._2.toDouble / (pk181._1 * 256L)
+      if (f == 1) baseFill = fill181
+      else require(math.abs(fill181 - baseFill) < 0.02,
+        s"decreasing-pack fill ratio drifted at $f: $fill181 vs $baseFill")
+
       println(s"""{"factor":$f,"docs":$n,""" +
         s""""q164_sec":$t164,"q164_pairs":$r164,""" +
         s""""q164_aqe_skew_splits":$sk164,""" +
@@ -377,6 +440,10 @@ object CorpusStress {
         s""""q170_sec":$t170,"q170_spans":$r170,""" +
         s""""q161_sec":$t161,"q161_selected":${sel161._2},""" +
         s""""q168_sec":$t168,"q168_adjacent_pairs":$adj168,""" +
+        s""""q174_sec":$t174,""" +
+        s""""q175_sec":$t175,"q175_triangles":${tri175._2},""" +
+        s""""q177_sec":$t177,""" +
+        s""""q181_sec":$t181,"q181_fill":$fill181,""" +
         s""""q67_sec":$t67,"q67_rows":$r67,""" +
         s""""q71_sec":$t71,"q71_rows":$r71,""" +
         s""""q74_sec":$t74,"q74_rows":$r74,""" +

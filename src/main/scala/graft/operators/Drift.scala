@@ -68,4 +68,50 @@ object Drift {
       r((pn - pr) * r(math.log(pn / pr), 4), 6)
     }.sum
   }
+
+  /** Rolling PSI across consecutive tumbling windows from a
+    * (win, bin, c) count table — the shared tail of q185 and its
+    * streaming face ([[graft.streaming.Streams.windowedBinCountsStream]]
+    * emits exactly this table shape as windows close). Each window's
+    * Laplace-smoothed bin shares are scored against the PREVIOUS
+    * window's over the fixed `nBins` bin frame; the first window has
+    * no predecessor and is dropped. All frames here are
+    * domain-bounded: the spine is |windows| × nBins rows, the lag
+    * window partitions by bin (nBins partitions over |windows| rows
+    * each), and the per-term product goes DECIMAL before the
+    * per-window sum so the result is exact and order-free.
+    */
+  def rollingPsi(counts: DataFrame, nBins: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val s = counts.sparkSession
+    // fresh aliases on every rejoined side: the spine is derived FROM
+    // `counts`, so joining the original attributes back would ship
+    // conflicting expression ids (fatal when the input is a sink
+    // table whose lineage Spark can't auto-dedup)
+    val byBin = counts.select(col("win").as("_cw"), col("bin").as("_cb"),
+      col("c"))
+    val tot = counts.groupBy(col("win")).agg(sum(col("c")).as("t"))
+      .select(col("win").as("_tw"), col("t"))
+    val wb = Window.partitionBy(col("bin")).orderBy(col("win"))
+    val spine = counts.select(col("win")).distinct()
+      .crossJoin(broadcast(
+        s.range(1, nBins + 1).select(col("id").cast("int").as("bin"))))
+    spine
+      .join(byBin, col("win") === col("_cw") && col("bin") === col("_cb"),
+        "left")
+      .join(tot, col("win") === col("_tw"))
+      .select(col("win"), col("bin"),
+        round((coalesce(col("c"), lit(0L)) + 1).cast("double") /
+          (col("t") + nBins).cast("double"), 6).as("p"))
+      .withColumn("p_prev", lag(col("p"), 1).over(wb))
+      .filter(col("p_prev").isNotNull)
+      .select(col("win"), col("bin"),
+        round((col("p") - col("p_prev")) *
+          round(log(col("p") / col("p_prev")), 4), 6)
+          .cast("decimal(18,6)").as("term"))
+      .groupBy(col("win"))
+      .agg(sum(col("term")).as("psi0"), count(lit(1)).as("n_bins"))
+      .select(col("win").as("win_ms"), col("n_bins"),
+        col("psi0").cast("double").as("psi"))
+  }
 }

@@ -405,6 +405,133 @@ object EventsQueries {
                UNION ALL
                SELECT w.node, w.label FROM w3 w
                LEFT JOIN seeds s ON s.node = w.node WHERE s.node IS NULL)
-        SELECT node, label FROM l3 ORDER BY node"""))
+        SELECT node, label FROM l3 ORDER BY node""")),
+
+    // ---- q184: event-type Markov transition matrix ----
+    // First-order behavioral model over each user's event stream:
+    // P(next | current) from adjacent pairs in (ts, event_id) order —
+    // the sequence-level profile behind "did the interaction pattern
+    // change" monitoring and synthetic-journey generation. One
+    // per-user window (lead), one (src, dst) count exchange; the
+    // row-normalizing total rides a types-bounded window; p is the
+    // one pinned double division, rounded 6.
+    QueryDef(
+      "q184_event_transitions",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val wu = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts"), col("event_id"))
+        val pairs = Tables.load(s, dir, "events")
+          .select(col("user_id"), col("ts"), col("event_id"),
+            col("event_type").as("src"))
+          .withColumn("dst", lead(col("src"), 1).over(wu))
+          .filter(col("dst").isNotNull)
+          .groupBy(col("src"), col("dst")).agg(count(lit(1)).as("cnt"))
+        pairs
+          .withColumn("tot", sum(col("cnt")).over(
+            Window.partitionBy(col("src"))))
+          .select(col("src"), col("dst"), col("cnt"),
+            round(col("cnt").cast("double") / col("tot").cast("double"),
+              6).as("p"))
+          .orderBy(col("src"), col("dst"))
+      },
+      Some("""
+        WITH seq AS (
+          SELECT user_id, event_type AS src,
+                 lead(event_type) OVER (PARTITION BY user_id
+                   ORDER BY ts, event_id) AS dst
+          FROM events),
+        c AS (
+          SELECT src, dst, count(*) AS cnt FROM seq
+          WHERE dst IS NOT NULL GROUP BY src, dst)
+        SELECT src, dst, cnt,
+               round(cnt::DOUBLE /
+                 (sum(cnt) OVER (PARTITION BY src))::DOUBLE, 6) AS p
+        FROM c ORDER BY src, dst""")),
+
+    // ---- q185: rolling PSI drift over tumbling event-time windows ----
+    // q155's PSI monitor deployed the way production runs it: the
+    // `value` distribution of each 1-day tumbling window scored
+    // against the PREVIOUS window over a FIXED global-decile bin
+    // frame (fixed edges make consecutive PSIs comparable; per-window
+    // re-binning would hide drift inside the bins). Per-(window, bin)
+    // counts are one keyed exchange; the previous-window counts ride
+    // a lag over the bins-bounded per-bin frame; Laplace-smoothed
+    // shares and the 4-rounded ln follow q155 exactly.
+    QueryDef(
+      "q185_rolling_psi",
+      (s, dir) => {
+        val ev = Tables.load(s, dir, "events")
+          .select((expr("ts DIV 1000000") -
+            pmod(expr("ts DIV 1000000"), lit(86400000L))).as("win"),
+            col("value"))
+        val edgeCols = (1 to 9).map(i =>
+          round(expr(s"percentile(value, 0.${i})"), 6).as(s"e$i"))
+        val edges = ev.agg(edgeCols.head, edgeCols.tail: _*)
+        val bin = (1 to 9).map(i =>
+          when(col("value") >= col(s"e$i"), 1).otherwise(0))
+          .reduce(_ + _) + 1
+        val counts = ev.crossJoin(broadcast(edges))
+          .groupBy(col("win"), bin.as("bin"))
+          .agg(count(lit(1)).as("c"))
+        // the spine/shares/lag/DECIMAL-term tail is shared with the
+        // streaming face (windowedBinCountsStream emits this exact
+        // count-table shape) — one arithmetic, two execution modes
+        graft.operators.Drift.rollingPsi(counts)
+          .orderBy(col("win_ms"))
+      },
+      Some("""
+        WITH ev AS (
+          SELECT epoch_ms(ts) - (epoch_ms(ts) % 86400000) AS win, value
+          FROM events),
+        edges AS (
+          SELECT round(quantile_cont(value, 0.1), 6) AS e1,
+                 round(quantile_cont(value, 0.2), 6) AS e2,
+                 round(quantile_cont(value, 0.3), 6) AS e3,
+                 round(quantile_cont(value, 0.4), 6) AS e4,
+                 round(quantile_cont(value, 0.5), 6) AS e5,
+                 round(quantile_cont(value, 0.6), 6) AS e6,
+                 round(quantile_cont(value, 0.7), 6) AS e7,
+                 round(quantile_cont(value, 0.8), 6) AS e8,
+                 round(quantile_cont(value, 0.9), 6) AS e9
+          FROM ev),
+        binned AS (
+          SELECT win,
+                 (CASE WHEN value >= e1 THEN 1 ELSE 0 END +
+                  CASE WHEN value >= e2 THEN 1 ELSE 0 END +
+                  CASE WHEN value >= e3 THEN 1 ELSE 0 END +
+                  CASE WHEN value >= e4 THEN 1 ELSE 0 END +
+                  CASE WHEN value >= e5 THEN 1 ELSE 0 END +
+                  CASE WHEN value >= e6 THEN 1 ELSE 0 END +
+                  CASE WHEN value >= e7 THEN 1 ELSE 0 END +
+                  CASE WHEN value >= e8 THEN 1 ELSE 0 END +
+                  CASE WHEN value >= e9 THEN 1 ELSE 0 END) + 1 AS bin
+          FROM ev CROSS JOIN edges),
+        counts AS (
+          SELECT win, bin, count(*) AS c FROM binned GROUP BY win, bin),
+        tot AS (SELECT win, sum(c) AS t FROM counts GROUP BY win),
+        spine AS (
+          SELECT w.win, CAST(b.b AS INT) AS bin
+          FROM (SELECT DISTINCT win FROM counts) w
+          CROSS JOIN range(1, 11) b(b)),
+        shares AS (
+          SELECT s.win, s.bin,
+                 round((coalesce(c.c, 0) + 1)::DOUBLE /
+                       (t.t + 10)::DOUBLE, 6) AS p
+          FROM spine s
+          LEFT JOIN counts c ON c.win = s.win AND c.bin = s.bin
+          JOIN tot t ON t.win = s.win),
+        lagged AS (
+          SELECT win, bin, p,
+                 lag(p) OVER (PARTITION BY bin ORDER BY win) AS p_prev
+          FROM shares),
+        terms AS (
+          SELECT win, bin,
+                 CAST(round((p - p_prev) * round(ln(p / p_prev), 4), 6)
+                   AS DECIMAL(18,6)) AS term
+          FROM lagged WHERE p_prev IS NOT NULL)
+        SELECT win AS win_ms, count(*) AS n_bins,
+               CAST(sum(term) AS DOUBLE) AS psi
+        FROM terms GROUP BY win ORDER BY win_ms"""))
   )
 }

@@ -237,6 +237,196 @@ object StatQueries {
         SELECT n_ranks, slope,
                round((sy - CAST(slope AS DECIMAL(10,6)) * sx)::DOUBLE /
                      r::DOUBLE, 6) AS intercept
-        FROM sl"""))
+        FROM sl""")),
+
+    // ---- q182: Heaps'-law vocabulary-growth fit ----
+    // V(n) ≈ K·n^β over log-spaced corpus prefixes — the corpus-card
+    // companion of q177 (β ≈ 0.5 for organic text; β → 1 flags
+    // synthetic/ID-heavy corpora, β → 0 templated ones). The naive
+    // computation is |checkpoints| distinct-counts over growing
+    // prefixes; the linear plan is the FIRST-OCCURRENCE collapse: one
+    // (token → min doc_id) exchange, then every checkpoint count is a
+    // bucket of that vocab-sized table (V(c) = #tokens first seen at
+    // doc ≤ c) — cumulative sums over the 7-row checkpoint spine.
+    // ln's round to 4 (q155 discipline), OLS sums exact DECIMAL, β
+    // pays the one pinned double division.
+    QueryDef(
+      "q182_heaps_fit",
+      (s, dir) => {
+        val dens = Seq(64, 32, 16, 8, 4, 2, 1)
+        val d = Tables.load(s, dir, "documents")
+        val cw = d.agg(max(col("doc_id")).as("mx"))
+          .select(dens.zipWithIndex.map { case (den, j) =>
+            expr(s"mx div $den").as(s"c$j") }: _*)
+        def buck(v: org.apache.spark.sql.Column) =
+          (0 to 5).reverse.foldLeft(lit(6).cast("int")) { (acc, j) =>
+            when(v <= col(s"c$j"), lit(j).cast("int")).otherwise(acc)
+          }
+        val minDoc = d
+          .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+          .groupBy(col("tok")).agg(min(col("doc_id")).as("md"))
+        val vb = minDoc.crossJoin(broadcast(cw))
+          .select(buck(col("md")).as("chk"))
+          .groupBy(col("chk")).agg(count(lit(1)).as("dv"))
+        val db = d.select(col("doc_id")).crossJoin(broadcast(cw))
+          .select(buck(col("doc_id")).as("chk"))
+          .groupBy(col("chk")).agg(count(lit(1)).as("dd"))
+        val w7 = org.apache.spark.sql.expressions.Window
+          .orderBy(col("chk")) // 7-row spine, config-bounded
+        val spine = s.range(0, 7).select(col("id").cast("int").as("chk"))
+        val cum = spine.join(vb, Seq("chk"), "left")
+          .join(db, Seq("chk"), "left")
+          .select(col("chk"),
+            sum(coalesce(col("dv"), lit(0L))).over(w7).as("vocab"),
+            sum(coalesce(col("dd"), lit(0L))).over(w7).as("n_docs"))
+        val xy = cum.select(col("chk"), col("n_docs"), col("vocab"),
+          round(log(col("n_docs").cast("double")), 4)
+            .cast("decimal(12,4)").as("x"),
+          round(log(col("vocab").cast("double")), 4)
+            .cast("decimal(12,4)").as("y"))
+        val beta = xy.agg(count(lit(1)).as("r"),
+            sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+            sum(col("x") * col("x")).as("sxx"),
+            sum(col("x") * col("y")).as("sxy"))
+          .select(round(
+            (col("r") * col("sxy") - col("sx") * col("sy"))
+              .cast("double") /
+            (col("r") * col("sxx") - col("sx") * col("sx"))
+              .cast("double"), 6).as("beta"))
+        xy.select(col("chk"), col("n_docs"), col("vocab"))
+          .crossJoin(broadcast(beta))
+          .orderBy(col("chk"))
+      },
+      Some("""
+        WITH mx AS (SELECT max(doc_id) AS mx FROM documents),
+        cw AS (SELECT mx // 64 AS c0, mx // 32 AS c1, mx // 16 AS c2,
+                      mx // 8 AS c3, mx // 4 AS c4, mx // 2 AS c5,
+                      mx AS c6 FROM mx),
+        tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+                FROM documents),
+        md AS (SELECT tok, min(doc_id) AS md FROM tok GROUP BY tok),
+        vb AS (
+          SELECT CASE WHEN md <= c0 THEN 0 WHEN md <= c1 THEN 1
+                      WHEN md <= c2 THEN 2 WHEN md <= c3 THEN 3
+                      WHEN md <= c4 THEN 4 WHEN md <= c5 THEN 5
+                      ELSE 6 END AS chk, count(*) AS dv
+          FROM md CROSS JOIN cw GROUP BY 1),
+        db AS (
+          SELECT CASE WHEN doc_id <= c0 THEN 0 WHEN doc_id <= c1 THEN 1
+                      WHEN doc_id <= c2 THEN 2 WHEN doc_id <= c3 THEN 3
+                      WHEN doc_id <= c4 THEN 4 WHEN doc_id <= c5 THEN 5
+                      ELSE 6 END AS chk, count(*) AS dd
+          FROM documents CROSS JOIN cw GROUP BY 1),
+        spine AS (SELECT CAST(t.j AS INT) AS chk FROM range(0, 7) t(j)),
+        cum AS (
+          SELECT chk,
+                 CAST(sum(coalesce(dv, 0)) OVER (ORDER BY chk)
+                   AS BIGINT) AS vocab,
+                 CAST(sum(coalesce(dd, 0)) OVER (ORDER BY chk)
+                   AS BIGINT) AS n_docs
+          FROM spine LEFT JOIN vb USING (chk) LEFT JOIN db USING (chk)),
+        xy AS (
+          SELECT chk, n_docs, vocab,
+                 CAST(round(ln(n_docs::DOUBLE), 4) AS DECIMAL(12,4)) AS x,
+                 CAST(round(ln(vocab::DOUBLE), 4) AS DECIMAL(12,4)) AS y
+          FROM cum),
+        sums AS (
+          SELECT count(*) AS r, sum(x) AS sx, sum(y) AS sy,
+                 sum(x * x) AS sxx, sum(x * y) AS sxy
+          FROM xy),
+        beta AS (
+          SELECT round((r * sxy - sx * sy)::DOUBLE /
+                       (r * sxx - sx * sx)::DOUBLE, 6) AS beta
+          FROM sums)
+        SELECT chk, n_docs, vocab, beta
+        FROM xy CROSS JOIN beta ORDER BY chk""")),
+
+    // ---- q183: curation funnel report ----
+    // The q48 cleaning pipeline instrumented the way a data-ops team
+    // actually reads it: per-STAGE survivor counts and token totals
+    // (raw → quality gate → language agreement → exact dedup →
+    // MinHash near-dup), so a gate that silently empties a corpus
+    // shows up as a cliff in one table instead of a missing-rows
+    // mystery downstream. Every stage reuses the registered
+    // operators' exact semantics; the union is 5 one-row aggregates
+    // over one scored scan (checkpointed once — the q48 boundary
+    // discipline).
+    QueryDef(
+      "q183_curation_funnel",
+      (s, dir) => {
+        import graft.functions.TextFunctions.{fingerprintMd5, langId, qualityScore, tokenCount}
+        import org.apache.spark.sql.expressions.Window
+        val scored = Tables.load(s, dir, "documents")
+          .select(col("doc_id"), col("text"), col("lang"),
+            tokenCount(col("text")).cast("long").as("n_tok"),
+            qualityScore(col("text")).as("quality"),
+            langId(col("text")).as("lang_pred"),
+            fingerprintMd5(col("text")).as("fp"))
+          .localCheckpoint(eager = false)
+        val s1 = scored.filter(col("quality") >= 0.5)
+        val s2 = s1.filter(col("lang_pred") === col("lang"))
+        val s3 = s2.withColumn("min_id",
+            min(col("doc_id")).over(Window.partitionBy("fp")))
+          .filter(col("doc_id") === col("min_id"))
+          .select(col("doc_id"), col("text"), col("n_tok"))
+          .localCheckpoint(eager = false)
+        val drops = MinHashDedup.nearDuplicatePairs(
+            s3.select(col("doc_id"), col("text")), "doc_id", "text",
+            threshold = 0.8)
+          .select(col("doc_b").as("doc_id")).distinct()
+        val s4 = s3.join(drops, Seq("doc_id"), "left_anti")
+        def stageRow(stage: Int, rule: String,
+            df: org.apache.spark.sql.DataFrame) =
+          df.agg(count(lit(1)).as("docs"),
+              coalesce(sum(col("n_tok")), lit(0L)).as("tokens"))
+            .select(lit(stage).as("stage"), lit(rule).as("rule"),
+              col("docs"), col("tokens"))
+        Seq(stageRow(0, "raw", scored),
+          stageRow(1, "quality_gate", s1),
+          stageRow(2, "lang_agreement", s2),
+          stageRow(3, "exact_dedup", s3),
+          stageRow(4, "near_dedup", s4))
+          .reduce(_ union _).orderBy(col("stage"))
+      },
+      Some(s"""
+        WITH scored AS (
+          SELECT doc_id, text, lang,
+                 CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+                 ${TextQueries.qualitySql} AS quality,
+                 ${TextQueries.langIdSql} AS lang_pred,
+                 ${TextQueries.fpSql} AS fp
+          FROM documents),
+        s1 AS (SELECT * FROM scored WHERE quality >= 0.5),
+        s2 AS (SELECT * FROM s1 WHERE lang_pred = lang),
+        keepers AS (SELECT min(doc_id) AS doc_id FROM s2 GROUP BY fp),
+        s3 AS (SELECT * FROM s2
+               WHERE doc_id IN (SELECT doc_id FROM keepers)),
+        tok AS (SELECT doc_id, string_split(text, ' ') AS w FROM s3),
+        sh AS (
+          SELECT doc_id,
+                 CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
+                      ELSE list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                                          for i in generate_series(1, len(w) - 2)])
+                 END AS shingles
+          FROM tok),
+        drops AS (
+          SELECT DISTINCT b.doc_id
+          FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+          WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+                  / len(list_distinct(a.shingles || b.shingles)) >= 0.8),
+        s4 AS (SELECT * FROM s3
+               WHERE doc_id NOT IN (SELECT doc_id FROM drops))
+        SELECT 0 AS stage, 'raw' AS rule, count(*) AS docs,
+               CAST(coalesce(sum(n_tok), 0) AS BIGINT) AS tokens
+        FROM scored
+        UNION ALL SELECT 1, 'quality_gate', count(*),
+               CAST(coalesce(sum(n_tok), 0) AS BIGINT) FROM s1
+        UNION ALL SELECT 2, 'lang_agreement', count(*),
+               CAST(coalesce(sum(n_tok), 0) AS BIGINT) FROM s2
+        UNION ALL SELECT 3, 'exact_dedup', count(*),
+               CAST(coalesce(sum(n_tok), 0) AS BIGINT) FROM s3
+        UNION ALL SELECT 4, 'near_dedup', count(*),
+               CAST(coalesce(sum(n_tok), 0) AS BIGINT) FROM s4
+        ORDER BY stage"""))
   )
 }

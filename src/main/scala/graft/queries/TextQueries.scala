@@ -42,7 +42,7 @@ object TextQueries {
       .mkString(" ")
     s"CASE $cases ELSE '${scores.head._1}' END"
   }
-  private val fpSql =
+  private[queries] val fpSql =
     "md5(trim(regexp_replace(lower(nfc_normalize(text)), '\\s+', ' ', 'g')))"
 
   val defs: Seq[QueryDef] = Seq(

@@ -84,7 +84,15 @@ class PlanAuditSpec extends SparkSpec {
     // q178: q28's documented all-pairs intent, once per truncated
     // dimension (bounded broadcast query frame), plus the one-row
     // denominator cross — the q123/q110 shapes.
-    "q178_mrl_recall")
+    "q178_mrl_recall",
+    // q182: two one-row broadcast frames (the checkpoint thresholds
+    // crossed into the vocab/docs scans; the one-row OLS beta crossed
+    // into the 7-row spine) — O(1) NLJ sides, the q155/q163 shapes.
+    "q182_heaps_fit",
+    // q185: q155's one-row decile-edge frame crossed into the scan,
+    // plus the 10-row bin spine crossed into the windows frame —
+    // O(1) NLJ sides.
+    "q185_rolling_psi")
 
   private lazy val plans: Map[String, String] =
     SparkEntry.queries.map { case (name, fn) =>

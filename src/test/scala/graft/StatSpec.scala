@@ -76,6 +76,96 @@ class StatSpec extends SparkSpec {
     assert(out(3).isNullAt(2), "singleton group has no pairs")
   }
 
+  test("curation funnel: monotone stages, final stage equals the " +
+      "q48 survivor set") {
+    val rows = SparkEntry.queries("q183_curation_funnel")(spark, sf0001)
+      .orderBy("stage").collect()
+      .map(r => (r.getInt(0), r.getLong(2), r.getLong(3)))
+    assert(rows.map(_._1).toSeq == Seq(0, 1, 2, 3, 4))
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(b._2 <= a._2 && b._3 <= a._3,
+        s"funnel must be monotone: $a -> $b")
+    }
+    val q48 = SparkEntry.queries("q48_clean_pipeline")(spark, sf0001)
+      .count()
+    assert(rows.last._2 == q48,
+      s"final funnel stage ${rows.last._2} != q48 survivors $q48")
+  }
+
+  test("Heaps fit: all-novel corpus gives beta ≈ 1, shared-vocab " +
+      "corpus gives beta ≈ 0") {
+    // q182's operator logic over planted corpora, replayed inline on
+    // a temp dir through the registered query
+    def betaOf(texts: Seq[String]): Double = {
+      val dir = java.nio.file.Files
+        .createTempDirectory("heaps_spec").toString
+      texts.zipWithIndex.map { case (t, i) => (i.toLong, t, "en", "s",
+          t.length.toLong) }
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+        .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      SparkEntry.queries("q182_heaps_fit")(spark, dir)
+        .head().getDouble(3)
+    }
+    val novel = (0 until 256).map(d =>
+      (0 until 8).map(w => s"w${d}_$w").mkString(" "))
+    val bNovel = betaOf(novel)
+    assert(math.abs(bNovel - 1.0) < 0.05,
+      s"all-novel corpus must fit beta ≈ 1, got $bNovel")
+    val shared = (0 until 256).map(_ => "a b c d e f g h")
+    val bShared = betaOf(shared)
+    assert(math.abs(bShared) < 0.05,
+      s"shared-vocab corpus must fit beta ≈ 0, got $bShared")
+  }
+
+  test("event transition matrix rows are probability distributions " +
+      "and match a hand-walked sequence") {
+    val out = SparkEntry.queries("q184_event_transitions")(spark, sf0001)
+    val sums = out.groupBy("src")
+      .agg(round(sum(col("p")), 3).as("s")).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    // rounded per-pair probabilities re-sum to 1 within rounding slack
+    sums.values.foreach(s => assert(math.abs(s - 1.0) < 0.01, sums))
+    // hand-walked planted sequence: one user, a b a b a → (a→b)×2,
+    // (b→a)×2
+    val dir = java.nio.file.Files
+      .createTempDirectory("mk_spec").toString
+    Seq((0L, 1000L, 7L, "a", 0.0, "{}"), (1L, 2000L, 7L, "b", 0.0, "{}"),
+      (2L, 3000L, 7L, "a", 0.0, "{}"), (3L, 4000L, 7L, "b", 0.0, "{}"),
+      (4L, 5000L, 7L, "a", 0.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = SparkEntry.queries("q184_event_transitions")(spark, dir)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getDouble(3))).toSet
+    assert(got == Set(("a", "b", 2L, 1.0), ("b", "a", 2L, 1.0)), got)
+  }
+
+  test("rolling PSI fires on a planted window shift and stays near " +
+      "zero on stationary windows") {
+    // 3 days of events: days 0-1 identical distribution, day 2
+    // shifted — PSI(day1 vs day0) ≈ 0, PSI(day2 vs day1) large
+    val day = 86400000000L // µs→ns? events ts is ns under nanosAsLong
+    val ev = (0 until 1000).map { i =>
+      val d = i % 3
+      val v = if (d < 2) (i % 100).toDouble
+        else 1000.0 + (i % 100)
+      (i.toLong, d * 86400000L * 1000000L + i * 1000000L, (i % 10).toLong,
+        "e", v, "{}")
+    }
+    val dir = java.nio.file.Files
+      .createTempDirectory("psi_spec").toString
+    ev.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = SparkEntry.queries("q185_rolling_psi")(spark, dir)
+      .orderBy("win_ms").collect()
+      .map(r => (r.getLong(0), r.getDouble(2)))
+    assert(out.length == 2, out.toSeq)
+    assert(math.abs(out(0)._2) < 0.05,
+      s"stationary window must score ≈ 0: ${out(0)}")
+    assert(out(1)._2 > 0.25,
+      s"planted shift must exceed the 0.25 convention: ${out(1)}")
+  }
+
   test("a planted 1/r corpus fits Zipf slope ≈ −1") {
     // token w_r appears max(1, 1000/r) times, r = 1..100
     val docs = (1 to 100).map { r =>
