@@ -240,4 +240,63 @@ object Streams {
           kept.iterator
       }
   }
+
+  /** Tumbling-window bin counts under a batch-fitted edge frame — the
+    * streaming face of q185's rolling PSI monitor. `edges` is the
+    * fixed global decile MODEL (9 values, [[graft.operators.Drift
+    * .fitEdges]]), so bin assignment is a scan-local literal fold;
+    * the only stateful stage is the (window × bin) count aggregation
+    * (state ≤ open-windows × 10 rows, evicted as the watermark closes
+    * each window). Emitted rows are exactly the (win, bin, c) table
+    * [[graft.operators.Drift.rollingPsi]] consumes, so the
+    * cross-window PSI tail — inherently a comparison of CLOSED
+    * windows — rides the emitted table with the identical batch
+    * arithmetic (StreamingSpec proves q185 parity on planted drift).
+    * Input needs (ts timestamp, value double).
+    */
+  def windowedBinCountsStream(events: DataFrame, edges: Seq[Double],
+      width: String = "1 day", watermark: String = "1 day"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), width).as("w"),
+        graft.operators.Drift.binCol(edges, col("value")).as("bin"))
+      .agg(count(lit(1)).as("c"))
+      .select(unix_millis(col("w.start")).as("win"), col("bin"),
+        col("c"))
+
+  final case class TransEvent(
+      user_id: Long, ts: Long, event_id: Long, event_type: String)
+  final case class TransPair(user_id: Long, src: String, dst: String)
+
+  /** Adjacent-event transition pairs — the streaming face of q184's
+    * Markov matrix. State per user is ONE (ts, event_id, event_type)
+    * triple (the latest event seen); each micro-batch sorts its
+    * per-user slice by (ts, event_id) — the batch query's exact
+    * window order — chains it onto the stored last event, and emits
+    * one (src → dst) pair per arrival. The count/normalize tail is a
+    * plain aggregation over the emitted pairs (batch code, q184's),
+    * so the matrix is reproducible as long as ingestion respects
+    * per-user event-time order across batches — the same
+    * order-at-the-source contract as [[tokenBudgetStream]].
+    */
+  def transitionPairsStream(events: Dataset[TransEvent])
+      : Dataset[TransPair] = {
+    implicit val pairEnc = Encoders.product[TransPair]
+    implicit val keyEnc = Encoders.scalaLong
+    implicit val stateEnc = Encoders.product[TransEvent]
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[TransEvent, TransPair](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (_: Long, rows: Iterator[TransEvent], state: GroupState[TransEvent]) =>
+          val ordered = rows.toSeq.sortBy(e => (e.ts, e.event_id))
+          if (ordered.isEmpty) Iterator.empty
+          else {
+            val chain = state.getOption.toSeq ++ ordered
+            state.update(ordered.last)
+            chain.sliding(2).collect { case Seq(a, b) =>
+              TransPair(b.user_id, a.event_type, b.event_type)
+            }.toSeq.iterator
+          }
+      }
+  }
 }

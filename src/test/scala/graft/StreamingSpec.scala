@@ -939,4 +939,91 @@ class StreamingSpec extends SparkSpec {
       assert(got.nonEmpty) // planted pairs must surface
     } finally q.stop()
   }
+
+  test("rolling PSI: streamed window×bin counts + the shared batch " +
+      "tail reproduce q185 bit-identically on planted drift") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.Drift
+    // the StatSpec fixture: days 0-1 stationary, day 2 shifted
+    val ev = (0 until 1000).map { i =>
+      val d = i % 3
+      val v = if (d < 2) (i % 100).toDouble else 1000.0 + (i % 100)
+      (i.toLong, d * 86400000L * 1000000L + i * 1000000L,
+        (i % 10).toLong, "e", v, "{}")
+    }
+    val dir = java.nio.file.Files
+      .createTempDirectory("psi_stream").toString
+    ev.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val batch = SparkEntry.queries("q185_rolling_psi")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .toSet
+    // stream face: edges fitted batch-side (q185's exact percentile
+    // arithmetic), arriving events binned scan-locally, windows
+    // closed by the watermark, PSI tail on the emitted counts
+    val evDF = Tables.load(spark, dir, "events")
+      .select(col("value"))
+    val edges = Drift.fitEdges(evDF, "value")
+    val ms = MemoryStream[(Long, Double)]
+    val stream = Streams.windowedBinCountsStream(
+      ms.toDF().select(timestamp_millis(col("_1")).as("ts"),
+        col("_2").as("value")), edges)
+    val q = stream.writeStream.format("memory").queryName("psi_counts")
+      .outputMode("append").start()
+    try {
+      val rows = ev.map(e => (e._2 / 1000000L, e._5))
+      val (d01, d2) = rows.partition(_._1 < 2L * 86400000L)
+      ms.addData(d01)
+      q.processAllAvailable()
+      ms.addData(d2)
+      q.processAllAvailable()
+      // sentinel far past day 2 pushes the watermark over every real
+      // window; its own (still-open) window never emits
+      ms.addData(Seq((30L * 86400000L, 0.0)))
+      q.processAllAvailable()
+      val got = Drift.rollingPsi(spark.table("psi_counts"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .toSet
+      assert(got == batch && got.nonEmpty,
+        s"streamed rolling PSI diverges:\n$got\nvs\n$batch")
+    } finally q.stop()
+  }
+
+  test("transition pairs: streamed per-user last-event chaining " +
+      "reproduces q184's adjacent-pair counts across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    import Streams.{TransEvent, TransPair}
+    val batch = SparkEntry.queries("q184_event_transitions")(
+        spark, sf0001)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      .toSet
+    // Tables.load exposes ts as nanos-since-epoch LONG — the exact
+    // column the batch window orders by, so the stream sorts on it
+    val evs = Tables.load(spark, sf0001, "events")
+      .select(col("user_id"), col("ts"), col("event_id"),
+        col("event_type"))
+      .as[(Long, Long, Long, String)].collect()
+      .map(e => TransEvent(e._1, e._2, e._3, e._4))
+      .sortBy(e => (e.ts, e.event_id))
+    // split at a strict ts boundary so per-user event-time order
+    // holds across the two micro-batches (the ingestion contract)
+    var cut = evs.length / 2
+    while (cut < evs.length && evs(cut).ts == evs(cut - 1).ts) cut += 1
+    val ms = MemoryStream[TransEvent]
+    val q = Streams.transitionPairsStream(ms.toDS())
+      .writeStream.format("memory").queryName("trans_pairs")
+      .outputMode("append").start()
+    try {
+      ms.addData(evs.take(cut).toSeq)
+      q.processAllAvailable()
+      ms.addData(evs.drop(cut).toSeq)
+      q.processAllAvailable()
+      val got = spark.table("trans_pairs")
+        .groupBy(col("src"), col("dst")).agg(count(lit(1)).as("cnt"))
+        .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+        .toSet
+      assert(got == batch && got.nonEmpty,
+        s"streamed transitions diverge: ${got.size} vs ${batch.size}")
+    } finally q.stop()
+  }
 }
