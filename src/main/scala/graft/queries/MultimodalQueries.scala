@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.multimodal.{ImageHash, Multimodal}
+import graft.multimodal.{ImageHash, Multimodal, Segmentation}
 
 /** q38: multimodal binary-column pipeline — documents → opaque binary
   * payloads + modality → batch decode pass → typed metadata. The
@@ -357,7 +357,128 @@ object MultimodalQueries {
         FROM h a JOIN h b ON a.doc_id < b.doc_id
         WHERE bit_count(xor(a.hash_hi, b.hash_hi)) +
               bit_count(xor(a.hash_lo, b.hash_lo)) <= 7
-        ORDER BY doc_a, doc_b"""))
+        ORDER BY doc_a, doc_b""")),
+
+    // ---- q186: voice-activity segments over the REAL WAV decode ----
+    // q124's frame energies thresholded into maximal voiced runs —
+    // the silence-trim pass a speech pipeline runs before ASR. The
+    // per-doc threshold is an exact integer cross-multiply (energy ·
+    // n_frames > Σenergy), runs become segments via the
+    // gaps-and-islands frame_idx − row_number key, and the oracle
+    // replays the whole decode→frame→segment path from the q124
+    // analytic signal. One doc_id exchange end-to-end.
+    QueryDef(
+      "q186_audio_segments",
+      (s, dir) => {
+        Segmentation.audioSegments(
+            Multimodal.audioFrameFeatures(
+              Multimodal.audioFixture(Tables.load(s, dir, "documents")),
+              frameLen = 64).toDF())
+          .orderBy(col("doc_id"), col("seg_idx"))
+      },
+      Some("""
+        WITH a AS (
+          SELECT doc_id, 256 * (1 + doc_id % 2) AS n FROM documents),
+        s AS (
+          SELECT doc_id, i // 64 AS frame_idx, i % 64 AS k,
+                 ((doc_id * 131 + i * 7919) % 65536) - 32768 AS sv
+          FROM a, unnest(range(0, n)) AS u(i)),
+        l AS (
+          SELECT doc_id, frame_idx, sv,
+                 lag(sv) OVER (PARTITION BY doc_id, frame_idx
+                   ORDER BY k) AS pv
+          FROM s),
+        fr AS (
+          SELECT doc_id, frame_idx,
+                 CAST(sum(sv * sv) AS BIGINT) AS energy,
+                 CAST(coalesce(sum(CASE WHEN pv IS NOT NULL AND
+                      ((sv >= 0) <> (pv >= 0)) THEN 1 ELSE 0 END), 0)
+                   AS BIGINT) AS crossings
+          FROM l GROUP BY doc_id, frame_idx),
+        fl AS (
+          SELECT *, sum(energy) OVER (PARTITION BY doc_id) AS tot_e,
+                 count(*) OVER (PARTITION BY doc_id) AS n_f
+          FROM fr),
+        v AS (
+          SELECT doc_id, frame_idx, energy, crossings,
+                 frame_idx - row_number() OVER (PARTITION BY doc_id
+                   ORDER BY frame_idx) AS grp
+          FROM fl WHERE energy * n_f > tot_e),
+        seg AS (
+          SELECT doc_id, min(frame_idx) AS start_frame,
+                 count(*) AS n_frames,
+                 CAST(sum(energy) AS BIGINT) AS energy_sum,
+                 CAST(sum(crossings) AS BIGINT) AS crossings_sum
+          FROM v GROUP BY doc_id, grp)
+        SELECT doc_id,
+               row_number() OVER (PARTITION BY doc_id
+                 ORDER BY start_frame) AS seg_idx,
+               start_frame, n_frames, energy_sum, crossings_sum
+        FROM seg ORDER BY doc_id, seg_idx""")),
+
+    // ---- q187: shot boundaries + keyframes over the REAL Y4M demux ----
+    // q125's luma-diff track thresholded into shots (cut where diff ·
+    // n_diffs > Σdiff; frame 0 always opens shot 0), each shot
+    // reduced to start/length/total luma plus its keyframe (brightest
+    // frame, ties → earliest) — the shot-split-then-sample pass a VLM
+    // data pipeline runs. Oracle replays the analytic luma plane.
+    QueryDef(
+      "q187_video_scenes",
+      (s, dir) => {
+        Segmentation.videoScenes(
+            Multimodal.videoFrameStats(
+              Multimodal.videoFixture(Tables.load(s, dir, "documents")))
+              .toDF())
+          .orderBy(col("doc_id"), col("scene_idx"))
+      },
+      Some("""
+        WITH v AS (
+          SELECT doc_id, 16 * (1 + doc_id % 2) AS w,
+                 1 << (doc_id % 4) AS nf
+          FROM documents),
+        px AS (
+          SELECT doc_id, w, j // (w * 16) AS f,
+                 (doc_id * 131 + j * 7919) % 256 AS y,
+                 (doc_id * 131 + (j - w * 16) * 7919) % 256 AS yp
+          FROM v, unnest(range(0, w * 16 * nf)) AS u(j)),
+        fr AS (
+          SELECT doc_id, f AS frame_idx,
+                 CAST(sum(y) AS BIGINT) AS luma_sum,
+                 CASE WHEN f = 0 THEN NULL
+                      ELSE CAST(sum(abs(y - yp)) AS BIGINT) END AS diff_sum
+          FROM px GROUP BY doc_id, f),
+        st AS (
+          SELECT *, CAST(sum(diff_sum) OVER (PARTITION BY doc_id)
+                   AS BIGINT) AS sum_d,
+                 count(diff_sum) OVER (PARTITION BY doc_id) AS n_d
+          FROM fr),
+        fl AS (
+          SELECT doc_id, frame_idx, luma_sum,
+                 CASE WHEN frame_idx = 0 OR diff_sum * n_d > sum_d
+                      THEN 1 ELSE 0 END AS cut
+          FROM st),
+        sc AS (
+          SELECT doc_id, frame_idx, luma_sum,
+                 CAST(sum(cut) OVER (PARTITION BY doc_id
+                   ORDER BY frame_idx) AS BIGINT) - 1 AS scene_idx
+          FROM fl),
+        scenes AS (
+          SELECT doc_id, scene_idx, min(frame_idx) AS start_frame,
+                 count(*) AS n_frames,
+                 CAST(sum(luma_sum) AS BIGINT) AS scene_luma
+          FROM sc GROUP BY doc_id, scene_idx),
+        keyf AS (
+          SELECT doc_id, scene_idx, frame_idx AS key_frame,
+                 luma_sum AS key_luma,
+                 row_number() OVER (PARTITION BY doc_id, scene_idx
+                   ORDER BY luma_sum DESC, frame_idx) AS rn
+          FROM sc)
+        SELECT s.doc_id, s.scene_idx, s.start_frame, s.n_frames,
+               s.scene_luma, k.key_frame, k.key_luma
+        FROM scenes s JOIN keyf k
+          ON k.doc_id = s.doc_id AND k.scene_idx = s.scene_idx
+          AND k.rn = 1
+        ORDER BY s.doc_id, s.scene_idx"""))
   )
 
   /** Shared oracle CTE: the q167 fixture's decoded dHash, replayed

@@ -353,4 +353,54 @@ class MultimodalSpec extends SparkSpec {
       col("n_px") =!= when(col("doc_id") % 2 === 0, 256).otherwise(512))
       .isEmpty)
   }
+
+  test("audio segments: hand-planted energy track splits into the " +
+      "expected voiced runs") {
+    import spark.implicits._
+    import graft.multimodal.Segmentation
+    // energies (10, 0, 10, 10, 0): mean 6 → voiced at 0, 2, 3 →
+    // segments [0,1) and [2,4); crossings ride along summed
+    val frames = Seq(
+      (7L, 0L, 64L, 10L, 3L), (7L, 1L, 64L, 0L, 1L),
+      (7L, 2L, 64L, 10L, 4L), (7L, 3L, 64L, 10L, 5L),
+      (7L, 4L, 64L, 0L, 0L))
+      .toDF("doc_id", "frame_idx", "n_samples", "energy", "crossings")
+    val got = Segmentation.audioSegments(frames)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))).toSet
+    assert(got == Set(
+      (7L, 1L, 0L, 1L, 10L, 3L),
+      (7L, 2L, 2L, 2L, 20L, 9L)), got)
+    // all-equal energies: nothing exceeds the mean → no segments
+    val flat = Seq((8L, 0L, 64L, 5L, 0L), (8L, 1L, 64L, 5L, 0L))
+      .toDF("doc_id", "frame_idx", "n_samples", "energy", "crossings")
+    assert(Segmentation.audioSegments(flat).isEmpty)
+  }
+
+  test("video scenes: a planted diff spike opens a new shot and the " +
+      "brightest frame is its keyframe") {
+    import spark.implicits._
+    import graft.multimodal.Segmentation
+    // diffs (null, 1, 9, 1): Σ=11, n=3 → cut at frame 0 (always) and
+    // frame 2 (9·3 > 11) → shots [0,2) and [2,4); keyframes = max
+    // luma (ties → earliest)
+    val stats = Seq(
+      (3L, 0L, 256L, 100L, None: Option[Long]),
+      (3L, 1L, 256L, 300L, Some(1L)),
+      (3L, 2L, 256L, 200L, Some(9L)),
+      (3L, 3L, 256L, 200L, Some(1L)))
+      .toDF("doc_id", "frame_idx", "n_px", "luma_sum", "diff_sum")
+    val got = Segmentation.videoScenes(stats)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6))).toSet
+    assert(got == Set(
+      (3L, 0L, 0L, 2L, 400L, 1L, 300L),
+      (3L, 1L, 2L, 2L, 400L, 2L, 200L)), got)
+    // single-frame payload → exactly one shot, itself the keyframe
+    val single = Seq((4L, 0L, 256L, 50L, None: Option[Long]))
+      .toDF("doc_id", "frame_idx", "n_px", "luma_sum", "diff_sum")
+    val one = Segmentation.videoScenes(single).collect()
+    assert(one.length == 1 && one(0).getLong(1) == 0L &&
+      one(0).getLong(5) == 0L)
+  }
 }
