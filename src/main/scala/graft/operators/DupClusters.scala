@@ -227,4 +227,30 @@ object DupClusters {
           lit(2147483647L)), lit(100)) < trainPct, "train")
           .otherwise("test").as("split"))
   }
+
+  /** Quality-aware survivor selection: within each near-dup cluster,
+    * keep the member with the highest `scoreCol` (ties → lowest id)
+    * instead of [[resolve]]'s keep-first policy — the canonical-
+    * document choice a curation pipeline actually wants (the best
+    * copy survives, not the one that happened to be crawled first).
+    * `docs` must carry `idCol` and `scoreCol`. Output:
+    * (idCol, cluster_id, scoreCol, is_kept).
+    *
+    * Scale shape: [[resolve]]'s alternating-star rounds plus one
+    * id-keyed score join and a per-cluster `row_number` window —
+    * cluster sizes bound the window partitions, so no frame is ever
+    * corpus-wide.
+    */
+  def bestRepresentative(docs: DataFrame, idCol: String,
+      pairs: DataFrame, scoreCol: String,
+      aCol: String = "doc_a", bCol: String = "doc_b"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    resolve(docs, idCol, pairs, aCol, bCol)
+      .join(docs.select(col(idCol), col(scoreCol)), Seq(idCol))
+      .withColumn("_rn", row_number().over(
+        Window.partitionBy(col("cluster_id"))
+          .orderBy(col(scoreCol).desc, col(idCol))))
+      .select(col(idCol), col("cluster_id"), col(scoreCol),
+        (col("_rn") === 1).as("is_kept"))
+  }
 }

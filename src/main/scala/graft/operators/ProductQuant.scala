@@ -98,11 +98,20 @@ object ProductQuant {
   def rescoredTopK(corpus: DataFrame, queries: DataFrame,
       codebook: DataFrame, codes: DataFrame, subDim: Int, kTop: Int,
       overfetch: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    import graft.functions.VectorFunctions
     val short = adcTopK(normalize(queries), codebook, codes, subDim,
         kTop = overfetch)
       .select(col("query_id"), col("neighbor_id"))
+    rescoreShortlist(short, corpus, queries, kTop)
+  }
+
+  /** Exact-cosine rescore of a (query_id, neighbor_id) shortlist —
+    * the brute-force arithmetic verbatim (round 9, id tie-break),
+    * shared by the whole-corpus ADC probe and the IVF-PQ probe.
+    */
+  private def rescoreShortlist(short: DataFrame, corpus: DataFrame,
+      queries: DataFrame, kTop: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import graft.functions.VectorFunctions
     val q = queries
       .select(col("id").as("query_id"), col("vec").as("qvec"))
       .withColumn("qn", VectorFunctions.l2Norm(col("qvec")))
@@ -120,16 +129,47 @@ object ProductQuant {
         col("rnk"))
   }
 
-  /** ADC top-k: exact query subvectors against assigned centroids.
-    * `queries`: (id, vec). Output: (query_id, neighbor_id, adist, rnk),
-    * self-matches excluded, adist the 6-rounded double of the exact
-    * DECIMAL sum.
+  /** IVF-PQ probe — the FAISS-at-scale layout (Jégou 2011 §V): the
+    * coarse quantizer's probed cells bound the candidate set, ADC
+    * ranks ONLY those candidates from codes, and the exact rescore
+    * touches only the top-`overfetch` shortlist. At 100 TB the three
+    * tiers move three very different byte volumes: the probe reads
+    * nProbe/nLists of the id-only postings (partition-pruned), ADC
+    * reads 8-byte codes for just those ids (one id-keyed join — the
+    * only corpus-bounded exchange, nProbe/nLists of the codes), and
+    * float vectors move only for the shortlist (queries × overfetch
+    * rows). Probing all lists with overfetch ≥ |corpus| degenerates
+    * to exactly the brute-force result (AnnSpec).
     */
-  def adcTopK(queries: DataFrame, codebook: DataFrame, codes: DataFrame,
-      subDim: Int, kTop: Int): DataFrame = {
+  def ivfPqRescoredTopK(corpus: DataFrame, queries: DataFrame,
+      index: Similarity.IvfIndex, codebook: DataFrame, codes: DataFrame,
+      subDim: Int, kTop: Int, nProbe: Int, overfetch: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    // per-(query, subspace, centroid) exact distance table:
-    // queries × M × k rows — broadcast-sized
+    val cands = index.candidateIds(queries, nProbe)
+      .select(col("query_id").as("_cq"), col("neighbor_id").as("id"))
+    val dtab = distanceTable(normalize(queries), codebook, subDim)
+      .select(col("query_id"), col("m").as("_dm"),
+        col("cluster").as("_dc"), col("sub_d2"))
+    val adist = codes.join(cands, Seq("id"))
+      .join(broadcast(dtab),
+        col("_cq") === col("query_id") && col("m") === col("_dm") &&
+          col("code") === col("_dc"))
+      .groupBy(col("query_id"), col("id").as("neighbor_id"))
+      .agg(sum(col("sub_d2")).as("adist_x"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("adist_x"), col("neighbor_id"))
+    val short = adist.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= overfetch)
+      .select(col("query_id"), col("neighbor_id"))
+    rescoreShortlist(short, corpus, queries, kTop)
+  }
+
+  /** Per-(query, subspace, centroid) exact DECIMAL distance table —
+    * queries × M × k rows, broadcast-sized; shared by [[adcTopK]]
+    * and [[ivfPqRescoredTopK]]. `queries` must be normalized.
+    */
+  private def distanceTable(queries: DataFrame, codebook: DataFrame,
+      subDim: Int): DataFrame = {
     val qd = queries
       .select(col("id").as("query_id"),
         posexplode(col("vec")).as(Seq("jg", "x")))
@@ -138,9 +178,20 @@ object ProductQuant {
         pmod(col("jg"), lit(subDim)).as("j"),
         round(col("x").cast("double"), 6).cast("decimal(18,6)").as("qx"))
     val diff = (col("qx") - col("c")).cast("decimal(18,6)")
-    val dtab = qd.join(broadcast(codebook), Seq("m", "j"))
+    qd.join(broadcast(codebook), Seq("m", "j"))
       .groupBy(col("query_id"), col("m"), col("cluster"))
       .agg(sum(diff * diff).as("sub_d2"))
+  }
+
+  /** ADC top-k: exact query subvectors against assigned centroids.
+    * `queries`: (id, vec). Output: (query_id, neighbor_id, adist, rnk),
+    * self-matches excluded, adist the 6-rounded double of the exact
+    * DECIMAL sum.
+    */
+  def adcTopK(queries: DataFrame, codebook: DataFrame, codes: DataFrame,
+      subDim: Int, kTop: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dtab = distanceTable(queries, codebook, subDim)
     // one scan of the codes table against the broadcast distance
     // table; the (query, id) sum is M-term, partial-aggregated
     val cand = codes.join(broadcast(dtab),

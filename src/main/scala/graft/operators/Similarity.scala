@@ -346,18 +346,36 @@ object Similarity {
       * Catalyst folds the `true` literal away, so q46/q73/q92 plans
       * are untouched.
       */
-    def topK(queries: DataFrame, k: Int, nProbe: Int,
-        neighborFilter: Column = lit(true)): DataFrame = {
-      // nProbe nearest centroids per query (centroids are tiny — plan
-      // literals, no join)
+    /** nProbe nearest centroid cells per query — centroids are tiny
+      * plan literals, no join. Output: (query_id, qvec, qn, list_id).
+      */
+    private def qprobeFrame(queries: DataFrame, nProbe: Int): DataFrame = {
       val distStructs = array(centroids.zipWithIndex.map { case (c, i) =>
         struct(l2Sq(col("vec"), typedlit(c)).as("d"), lit(i).as("idx"))
       }: _*)
-      val qprobes = queries.select(col("id").as("query_id"),
+      queries.select(col("id").as("query_id"),
           col("vec").as("qvec"), l2Norm(col("vec")).as("qn"),
           explode(slice(array_sort(distStructs), 1, nProbe)).as("p"))
         .select(col("query_id"), col("qvec"), col("qn"),
           col("p.idx").as("list_id"))
+    }
+
+    /** Candidate (query_id, neighbor_id) pairs from the probed cells
+      * only — the coarse-selection face an IVF-PQ probe (q190) feeds
+      * into ADC ranking. Reads only (list_id, neighbor_id) from the
+      * postings (partition-pruned to the probed cells), so the pairs
+      * never carry vectors.
+      */
+    def candidateIds(queries: DataFrame, nProbe: Int): DataFrame =
+      assigned.select(col("list_id"), col("neighbor_id"))
+        .join(broadcast(qprobeFrame(queries, nProbe)
+          .select(col("query_id"), col("list_id"))), Seq("list_id"))
+        .filter(col("neighbor_id") =!= col("query_id"))
+        .select(col("query_id"), col("neighbor_id"))
+
+    def topK(queries: DataFrame, k: Int, nProbe: Int,
+        neighborFilter: Column = lit(true)): DataFrame = {
+      val qprobes = qprobeFrame(queries, nProbe)
       val w = Window.partitionBy("query_id")
         .orderBy(col("cosine").desc, col("neighbor_id"))
       // each corpus vector lives in exactly one list → pairs are

@@ -66,4 +66,48 @@ object SnapshotDiff {
       .where(col("status").isNotNull)
       .select(col(idCol), col("status"))
   }
+
+  /** [[diff]] carrying the v2 payload: `added`/`changed` rows bring
+    * the new content columns (NULL for `removed`) — the change table
+    * [[applyChanges]] consumes. Same single full-outer exchange as
+    * `diff`; payload columns ride only on the v2 side's surviving
+    * rows, so the exchanged bulk is still (id, fp) pairs.
+    */
+  def changeSet(v1: DataFrame, v2: DataFrame, idCol: String,
+      fpCols: Seq[String]): DataFrame = {
+    require(fpCols.nonEmpty, "need at least one fingerprint column")
+    val sep = "\u001f"
+    val f1 = v1.select(col(idCol),
+      md5(concat_ws(sep, fpCols.map(col): _*)).as("fp1"))
+    val f2 = v2.select((col(idCol) +:
+      md5(concat_ws(sep, fpCols.map(col): _*)).as("fp2") +:
+      fpCols.map(col)): _*)
+    f1.join(f2, Seq(idCol), "full_outer")
+      .withColumn("status",
+        when(col("fp1").isNull, lit("added"))
+          .when(col("fp2").isNull, lit("removed"))
+          .when(col("fp1") =!= col("fp2"), lit("changed")))
+      .where(col("status").isNotNull)
+      .select((col(idCol) +: col("status") +: fpCols.map(col)): _*)
+  }
+
+  /** CDC apply — the other half of the versioning round-trip:
+    * reconstruct v2 from v1 plus a [[changeSet]], touching only the
+    * changed ids (the point at 100 TB: the unchanged bulk flows
+    * through one keyed anti-join untouched, never rewritten).
+    * `applyChanges(v1, changeSet(v1, v2)) == v2` row-for-row, which
+    * q189 hash-gates on the real corpus.
+    */
+  def applyChanges(v1: DataFrame, changes: DataFrame, idCol: String,
+      payloadCols: Seq[String]): DataFrame = {
+    val out = (idCol +: payloadCols).map(col)
+    val gone = changes
+      .filter(col("status").isin("removed", "changed"))
+      .select(col(idCol))
+    v1.select(out: _*)
+      .join(gone, Seq(idCol), "left_anti")
+      .unionByName(changes
+        .filter(col("status").isin("added", "changed"))
+        .select(out: _*))
+  }
 }

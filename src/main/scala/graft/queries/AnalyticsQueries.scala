@@ -144,6 +144,50 @@ object AnalyticsQueries {
         SELECT doc_id, status FROM d WHERE status IS NOT NULL
         ORDER BY doc_id, status""")),
 
+    // ---- q189: CDC apply (snapshot merge round-trip) ----
+    // The other half of q114: reconstruct the v2 snapshot from v1
+    // plus the payload-carrying change set — the incremental-merge
+    // path a re-crawl pipeline takes so the unchanged bulk is never
+    // rewritten. The query applies changeSet(v1, v2) back onto v1 and
+    // emits each reconstructed row's content fingerprint; the oracle
+    // fingerprints v2 built directly — equality IS the round-trip
+    // proof (apply ∘ diff = identity) on the real corpus.
+    QueryDef(
+      "q189_snapshot_apply",
+      (s, dir) => {
+        val d0 = Tables.load(s, dir, "documents")
+          .select(col("doc_id"), col("text"), col("lang"), col("source"))
+        val v2 = d0.filter(col("doc_id") % 7 =!= 0)
+          .withColumn("text",
+            when(col("doc_id") % 5 === 0, upper(col("text")))
+              .otherwise(col("text")))
+          .unionAll(d0.filter(col("doc_id") % 11 === 0)
+            .select((col("doc_id") + lit(10000000L)).as("doc_id"),
+              concat(col("text"), lit(" v2")).as("text"),
+              col("lang"), col("source")))
+        val cols = Seq("text", "lang", "source")
+        val changes = graft.operators.SnapshotDiff
+          .changeSet(d0, v2, "doc_id", cols)
+        graft.operators.SnapshotDiff
+          .applyChanges(d0, changes, "doc_id", cols)
+          .select(col("doc_id"),
+            md5(concat_ws("\u001f", cols.map(col): _*)).as("fp"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""
+        WITH v2 AS (
+          SELECT doc_id,
+                 CASE WHEN doc_id % 5 = 0 THEN upper(text) ELSE text END
+                   AS text,
+                 lang, source
+          FROM documents WHERE doc_id % 7 <> 0
+          UNION ALL
+          SELECT doc_id + 10000000, text || ' v2', lang, source
+          FROM documents WHERE doc_id % 11 = 0)
+        SELECT doc_id,
+               md5(concat_ws(chr(31), text, lang, source)) AS fp
+        FROM v2 ORDER BY doc_id""")),
+
     // ---- q115: Z-order clustering key ----
     // The Morton interleave `Layout.zValue` as a registered,
     // hash-gated assignment (the write path it feeds —

@@ -1059,6 +1059,64 @@ object DedupQueries {
         SELECT coalesce(deg.degree, 0) AS degree,
                CAST(count(*) AS BIGINT) AS n_docs
         FROM documents d LEFT JOIN deg USING (doc_id)
-        GROUP BY 1 ORDER BY 1"""))
+        GROUP BY 1 ORDER BY 1""")),
+
+    // ---- q188: quality-aware dedup survivor selection ----
+    // q59's clusters with the keep-BEST policy instead of keep-first:
+    // the surviving copy of each near-dup cluster is the member with
+    // the highest quality score (ties → lowest id) — what a curation
+    // pipeline actually wants when one crawl of a page is cleaner
+    // than another. One id-keyed score join + a per-cluster window on
+    // top of the alternating-star components; oracle replays closure,
+    // quality, and the rank.
+    QueryDef(
+      "q188_cluster_survivors",
+      (s, dir) => {
+        import graft.functions.TextFunctions.qualityScore
+        val docs = Tables.load(s, dir, "documents")
+        val pairs = MinHashDedup.nearDuplicatePairs(
+          docs, "doc_id", "text", threshold = 0.8)
+        val scored = docs.select(col("doc_id"),
+          round(qualityScore(col("text")), 6).as("quality"))
+        DupClusters.bestRepresentative(scored, "doc_id", pairs, "quality")
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""
+        WITH RECURSIVE tok AS (
+          SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        sh AS (
+          SELECT doc_id,
+                 CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
+                      ELSE list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                                          for i in generate_series(1, len(w) - 2)])
+                 END AS shingles
+          FROM tok),
+        p AS (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+          FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+          WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+                  / len(list_distinct(a.shingles || b.shingles)) >= 0.8),
+        edges AS (
+          SELECT doc_a AS a, doc_b AS b FROM p
+          UNION SELECT doc_b, doc_a FROM p),
+        reach AS (
+          SELECT a, b FROM edges
+          UNION
+          SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+        comp AS (
+          SELECT d.doc_id,
+                 LEAST(d.doc_id, coalesce(MIN(r.b), d.doc_id)) AS cluster_id
+          FROM documents d LEFT JOIN reach r ON r.a = d.doc_id
+          GROUP BY d.doc_id),
+        q AS (
+          SELECT doc_id, round(${TextQueries.qualitySql}, 6) AS quality
+          FROM documents),
+        ranked AS (
+          SELECT c.doc_id, c.cluster_id, q.quality,
+                 row_number() OVER (PARTITION BY c.cluster_id
+                   ORDER BY q.quality DESC, c.doc_id) AS rn
+          FROM comp c JOIN q ON q.doc_id = c.doc_id)
+        SELECT doc_id, cluster_id, quality, (rn = 1) AS is_kept
+        FROM ranked ORDER BY doc_id"""))
   )
 }

@@ -201,6 +201,115 @@ object VectorQueries {
           FROM resc)
         SELECT query_id, neighbor_id, cosine, CAST(rnk AS BIGINT) AS rnk
         FROM ranked WHERE rnk <= 5
+        ORDER BY query_id, rnk""")),
+
+    // ---- q190: IVF-PQ probe (coarse cells → ADC → exact rescore) ----
+    // The FAISS-at-scale index layout, composed from the registry's
+    // two existing artifacts: q46's coarse quantizer bounds the
+    // candidate set to the probed cells (id-only postings,
+    // partition-pruned), q180's PQ codes ADC-rank just those
+    // candidates (8-byte codes, one id-keyed join — the only
+    // corpus-bounded exchange), and float vectors move only for the
+    // top-overfetch exact rescore. Oracle replays all three tiers
+    // from the SAME parquet artifacts; probe-all + overfetch-all
+    // degenerates to brute force (AnnSpec).
+    QueryDef(
+      "q190_ivfpq",
+      (s, dir) => {
+        val raw = Tables.load(s, dir, "embeddings")
+          .select(col("vec_id").as("id"), col("embedding").as("vec"))
+        val idx = DedupQueries.sharedIvfIndex(s, dir, raw)
+        val (codebook, codes) = sharedPq(s, dir,
+          ProductQuant.normalize(raw))
+        ProductQuant.ivfPqRescoredTopK(raw, raw.filter(col("id") < 20),
+            idx, codebook, codes, subDim = PqSubDim, kTop = 5,
+            nProbe = 8, overfetch = PqOverfetch)
+          .orderBy(col("query_id"), col("rnk"))
+      },
+      None, oracleFn = Some(dir => s"""
+        WITH qraw AS (
+          SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv,
+                 sqrt(list_dot_product(embedding::DOUBLE[],
+                                       embedding::DOUBLE[])) AS qn
+          FROM embeddings WHERE vec_id < 20),
+        cent AS (
+          SELECT CAST(list_id AS INT) AS list_id, centroid
+          FROM read_parquet(
+            '${DedupQueries.ivfArtifactDir(dir)}/centroids/*.parquet')),
+        probes AS (
+          SELECT query_id, list_id,
+                 ROW_NUMBER() OVER (PARTITION BY query_id
+                   ORDER BY d2, list_id) AS pr
+          FROM (
+            SELECT query_id, list_id, list_dot_product(d, d) AS d2 FROM (
+              SELECT q.query_id, c.list_id,
+                     list_transform(list_zip(q.qv, c.centroid),
+                                    p -> p[1] - p[2]) AS d
+              FROM qraw q CROSS JOIN cent c))),
+        po AS (
+          SELECT CAST(list_id AS INT) AS list_id, neighbor_id
+          FROM read_parquet(
+            '${DedupQueries.ivfArtifactDir(dir)}/assigned/*/*.parquet',
+            hive_partitioning = true)),
+        cand AS (
+          SELECT p.query_id, po.neighbor_id
+          FROM probes p JOIN po ON po.list_id = p.list_id
+          WHERE p.pr <= 8 AND po.neighbor_id <> p.query_id),
+        q AS (
+          SELECT query_id, list_transform(qv, x -> x / qn) AS v
+          FROM qraw),
+        qd AS (
+          SELECT query_id, (i - 1) // $PqSubDim AS m,
+                 (i - 1) % $PqSubDim AS j,
+                 CAST(round(v[i], 6) AS DECIMAL(18,6)) AS qx
+          FROM q, LATERAL unnest(range(1, len(v) + 1)) AS t(i)),
+        cb AS (
+          SELECT m, cluster, j, CAST(c AS DECIMAL(18,6)) AS c
+          FROM read_parquet('${pqArtifactDir(dir)}/codebook/*.parquet')),
+        dtab AS (
+          SELECT query_id, qd.m, cluster,
+                 sum(CAST(qx - c AS DECIMAL(18,6)) *
+                     CAST(qx - c AS DECIMAL(18,6))) AS sub_d2
+          FROM qd JOIN cb ON cb.m = qd.m AND cb.j = qd.j
+          GROUP BY 1, 2, 3),
+        codes AS (
+          SELECT id, m, code
+          FROM read_parquet('${pqArtifactDir(dir)}/codes/*.parquet')),
+        adist AS (
+          SELECT c.query_id, c.neighbor_id,
+                 sum(d.sub_d2) AS adist_x
+          FROM cand c
+          JOIN codes ON codes.id = c.neighbor_id
+          JOIN dtab d
+            ON d.query_id = c.query_id AND d.m = codes.m
+            AND d.cluster = codes.code
+          GROUP BY 1, 2),
+        short AS (
+          SELECT query_id, neighbor_id FROM (
+            SELECT query_id, neighbor_id,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                     ORDER BY adist_x, neighbor_id) AS rnk
+            FROM adist)
+          WHERE rnk <= $PqOverfetch),
+        e AS (
+          SELECT vec_id AS id, embedding::DOUBLE[] AS v,
+                 sqrt(list_dot_product(embedding::DOUBLE[],
+                                       embedding::DOUBLE[])) AS n
+          FROM embeddings),
+        resc AS (
+          SELECT s.query_id, s.neighbor_id,
+                 round(list_dot_product(eq.v, ec.v) / (eq.n * ec.n), 9)
+                   AS cosine
+          FROM short s
+          JOIN e eq ON eq.id = s.query_id
+          JOIN e ec ON ec.id = s.neighbor_id),
+        ranked AS (
+          SELECT query_id, neighbor_id, cosine,
+                 ROW_NUMBER() OVER (PARTITION BY query_id
+                   ORDER BY cosine DESC, neighbor_id) AS rnk
+          FROM resc)
+        SELECT query_id, neighbor_id, cosine, CAST(rnk AS BIGINT) AS rnk
+        FROM ranked WHERE rnk <= 5
         ORDER BY query_id, rnk"""))
   )
 }

@@ -105,6 +105,41 @@ class AnnSpec extends SparkSpec {
     assert(hit >= 0.9, s"PQ recall@5 = $hit")
   }
 
+  test("IVF-PQ: probe-all cells + corpus overfetch equals brute " +
+      "force; recall@5 >= 0.8 at nProbe 8 / overfetch 100 (q190 gate)") {
+    import graft.operators.ProductQuant
+    val base = java.nio.file.Files
+      .createTempDirectory("ivfpq_spec").toString
+    val (cb, codes) = ProductQuant.buildIfAbsent(spark,
+      ProductQuant.normalize(emb), s"$base/pq", m = 8, subDim = 8,
+      k = 32, iters = 4)
+    val idx = Similarity.IvfIndex.buildIfAbsent(spark, emb,
+      s"$base/ivf", nLists = 16)
+    val queries = emb.filter(col("id") < 20)
+    val n = emb.count().toInt
+    // every cell probed + the whole corpus overfetched ⇒ neither the
+    // coarse quantizer nor the PQ codes can change the output
+    val full = ProductQuant.ivfPqRescoredTopK(emb, queries, idx, cb,
+        codes, subDim = 8, kTop = 5, nProbe = 16, overfetch = n)
+      .collect().map(_.toString).sorted.toSeq
+    val exact = Similarity.bruteForceTopK(emb, queries, k = 5)
+      .collect().map(_.toString).sorted.toSeq
+    assert(full == exact)
+    // deployed params: the coarse filter's loss COMPOUNDS on PQ noise
+    // (measured 0.84 here vs 0.93 for PQ-rescore alone — unstructured
+    // embeddings are IVF's worst case); the floor is a regression
+    // gate, not the structured-corpus expectation
+    val got = ProductQuant.ivfPqRescoredTopK(emb, queries, idx, cb,
+        codes, subDim = 8, kTop = 5, nProbe = 8, overfetch = 100)
+      .select(col("query_id"), col("neighbor_id"))
+      .collect().map(_.toString).toSet
+    val exactPairs = Similarity.bruteForceTopK(emb, queries, k = 5)
+      .select(col("query_id"), col("neighbor_id"))
+      .collect().map(_.toString).toSet
+    val hit = exactPairs.count(got.contains).toDouble / exactPairs.size
+    assert(hit >= 0.8, s"IVF-PQ recall@5 = $hit")
+  }
+
   test("VecQuantize: unit behaviors and scale-invariance of the " +
       "quantized cosine") {
     import graft.functions.VectorFunctions._

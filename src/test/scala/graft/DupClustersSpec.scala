@@ -198,4 +198,32 @@ class DupClustersSpec extends SparkSpec {
     pairs.select($"doc_a", $"doc_b").as[(Long, Long)].collect()
       .foreach { case (a, b) => assert(cl(a) == cl(b)) }
   }
+
+  test("bestRepresentative: the highest-score member survives, not " +
+      "the first; ties break to the lowest id") {
+    // cluster {1,2,3} via chain 1-2, 2-3; cluster {5,6} tied scores;
+    // 9 is a singleton
+    val docs = Seq((1L, 0.2), (2L, 0.9), (3L, 0.5), (5L, 0.7),
+      (6L, 0.7), (9L, 0.1)).toDF("doc_id", "score")
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L))
+      .toDF("doc_a", "doc_b")
+    val got = DupClusters.bestRepresentative(docs, "doc_id", pairs,
+        "score")
+      .as[(Long, Long, Double, Boolean)].collect()
+      .map(r => r._1 -> ((r._2, r._4))).toMap
+    assert(got == Map(
+      1L -> ((1L, false)), 2L -> ((1L, true)), 3L -> ((1L, false)),
+      5L -> ((5L, true)), 6L -> ((5L, false)),
+      9L -> ((9L, true))), got)
+    // exactly one survivor per cluster, and it is the argmax
+    val q188 = SparkEntry.queries("q188_cluster_survivors")(spark, sf0001)
+      .as[(Long, Long, Double, Boolean)].collect()
+    q188.groupBy(_._2).foreach { case (c, members) =>
+      assert(members.count(_._4) == 1, s"cluster $c survivors != 1")
+      val kept = members.filter(_._4).head
+      val best = members.map(m => (-m._3, m._1)).min
+      assert((kept._3, kept._1) == (-best._1, best._2),
+        s"cluster $c kept ${kept._1} but argmax is ${best._2}")
+    }
+  }
 }

@@ -31,7 +31,10 @@ class EmptyCorpusSpec extends SparkSpec {
       "q179_infobatch_prune",
       // q180's PQ codebook training is per-subspace KMeans — requires
       // vectors (require("empty corpus") in ProductQuant.buildIfAbsent)
-      "q180_pq_adc")
+      "q180_pq_adc",
+      // q190 composes BOTH trained quantizers (q46's coarse cells +
+      // q180's PQ codebooks) — the same vectors-required boundary
+      "q190_ivfpq")
 
   private lazy val emptyDir: String = {
     val dir = new java.io.File("target/empty_sf").getAbsolutePath
