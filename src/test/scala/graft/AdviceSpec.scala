@@ -145,4 +145,91 @@ class AdviceSpec extends SparkSpec {
       assert(q.isActive, "query must survive a late-only batch")
     } finally q.stop()
   }
+
+  test("SnapshotDiff fingerprint: NULL shifting between columns and " +
+      "separator-in-value payloads are distinct (r10 advice)") {
+    import graft.operators.SnapshotDiff
+    // (text='x', lang=NULL) vs (text=NULL, lang='x'): the plain
+    // concat_ws fingerprint collided (both render "x"), silently
+    // dropping a real change from the CDC round-trip.
+    val v1 = Seq((1L, Option("x"), Option.empty[String]))
+      .toDF("doc_id", "text", "lang")
+    val v2 = Seq((1L, Option.empty[String], Option("x")))
+      .toDF("doc_id", "text", "lang")
+    val d = SnapshotDiff.diff(v1, v2, "doc_id", Seq("text", "lang"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(d == Seq((1L, "changed")), d.mkString(","))
+    // a 0x1F inside a value must not re-align the column boundary
+    val w1 = Seq((1L, "a\u001fb", "c")).toDF("doc_id", "text", "lang")
+    val w2 = Seq((1L, "a", "b\u001fc")).toDF("doc_id", "text", "lang")
+    val d2 = SnapshotDiff.diff(w1, w2, "doc_id", Seq("text", "lang"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(d2 == Seq((1L, "changed")), d2.mkString(","))
+    // and genuinely identical payloads (incl. NULLs) stay unchanged
+    val same = SnapshotDiff.diff(v1, v1, "doc_id", Seq("text", "lang"))
+    assert(same.isEmpty, "identical snapshots must diff to nothing")
+  }
+
+  test("KsDrift: single-group corpus yields NULL ks, not Infinity " +
+      "(r10 advice)") {
+    val df = Seq(("only", 1L), ("only", 2L), ("only", 3L))
+      .toDF("source", "v")
+    val out = graft.operators.KsDrift.perGroupKs(df, "source", "v")
+      .collect()
+    assert(out.length == 1 && out(0).getString(0) == "only" &&
+      out(0).isNullAt(2), out.mkString(","))
+  }
+
+  test("KsDrift: two-level prefix decomposition matches a direct " +
+      "pandas-free reference on a multi-group fixture") {
+    // tiny fixture with ties, gaps and a dominant group — the exact
+    // KS is computable by hand per distinct value
+    val df = Seq(
+      ("a", 1L), ("a", 1L), ("a", 5L), ("a", 9L),
+      ("b", 2L), ("b", 5L), ("b", 5L),
+      ("c", 9L)).toDF("src", "len")
+    val out = graft.operators.KsDrift.perGroupKs(df, "src", "len")
+      .orderBy("src").collect()
+    // group a: n=4, rest=4; CDFs over v in {1,2,5,9}:
+    //   cum_a = 1:2, 2:2, 5:3, 9:4 ; cum_rest = 1:0, 2:1, 5:3, 9:4
+    //   D = max|2*4-0*4|=8, |2*4-1*4|=4, |3*4-3*4|=0, 0 -> 8/16=0.5 at v=1
+    assert(out(0).getString(0) == "a" && out(0).getLong(1) == 4 &&
+      out(0).getDouble(2) == 0.5 && out(0).getLong(3) == 1L,
+      out.mkString(","))
+    // group b: n=3, rest=5; cum_b = 1:0,2:1,5:3,9:3; rest=1:2,2:2,5:3,9:5
+    //   |0*5-2*3|=6, |1*5-2*3|=1, |3*5-3*3|=6, |3*5-5*3|=0 -> 6/15=0.4 at v=1
+    assert(out(1).getString(0) == "b" && out(1).getLong(1) == 3 &&
+      out(1).getDouble(2) == 0.4 && out(1).getLong(3) == 1L,
+      out.mkString(","))
+    // group c: n=1, rest=7; cum_c=1:0,2:0,5:0,9:1; rest=1:2,2:3,5:6,9:7
+    //   |0-2|=2,|0-3|=3,|0-6|=6,|7-7|=0 -> 6/7=0.857143 at v=5
+    assert(out(2).getString(0) == "c" && out(2).getLong(1) == 1 &&
+      out(2).getDouble(2) == 0.857143 && out(2).getLong(3) == 5L,
+      out.mkString(","))
+  }
+
+  test("Diversity: an all-zero vector is excluded, not " +
+      "group-poisoning (r10 advice)") {
+    val emb = Seq(
+      ("g", Array(1.0f, 0.0f)), ("g", Array(0.0f, 1.0f)),
+      ("g", Array(0.0f, 0.0f)), // zero vector: no direction
+      ("z", Array(0.0f, 0.0f))) // group of only zeros: vanishes
+      .toDF("label", "embedding")
+    val out = graft.operators.Diversity
+      .meanPairwiseCosine(emb, "label", "embedding")
+      .orderBy("label").collect()
+    assert(out.length == 1 && out(0).getString(0) == "g" &&
+      out(0).getLong(1) == 2 && out(0).getDouble(2) == 0.0,
+      out.mkString(","))
+  }
+
+  test("ProductQuant.normalize drops zero vectors (r10 advice)") {
+    val emb = Seq((1L, Array(3.0f, 4.0f)), (2L, Array(0.0f, 0.0f)))
+      .toDF("id", "vec")
+    val out = graft.operators.ProductQuant.normalize(emb)
+      .orderBy("id").collect()
+    assert(out.length == 1 && out(0).getLong(0) == 1L)
+    val v = out(0).getSeq[Double](1)
+    assert(math.abs(v(0) - 0.6) < 1e-9 && math.abs(v(1) - 0.8) < 1e-9)
+  }
 }

@@ -163,4 +163,69 @@ class StreamingSketchSpec extends SparkSpec {
       assert(stream == batch)
     } finally q.stop()
   }
+
+  test("streaming PQ: arriving vectors encode to the batch artifact's " +
+      "codes and ADC-score standing queries bit-identically") {
+    import graft.operators.ProductQuant
+    val raw = spark.read.parquet(s"$sf0001/embeddings.parquet")
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val (codebook, codes) = ProductQuant.build(
+      ProductQuant.normalize(raw), m = 8, subDim = 8, k = 8, iters = 2)
+    val cb = codebook.cache(); val cd = codes.cache()
+    try {
+      val model = ProductQuant.codebookModel(cb)
+
+      // --- encode face: streamed codes == the batch artifact's codes
+      val batchCodes = cd.as[(Long, Int, Int)].collect()
+        .groupBy(_._1)
+        .map { case (id, rows) =>
+          id -> rows.sortBy(_._2).map(_._3).toSeq }
+      val vecs = raw.as[(Long, Array[Float])].collect().toSeq
+      implicit val sqlCtx = spark.sqlContext
+      val ms = MemoryStream[(Long, Array[Float])]
+      val q = graft.streaming.Streams.pqEncodeStream(
+          ms.toDF().toDF("id", "vec"), model, m = 8, subDim = 8)
+        .writeStream.format("memory").queryName("pq_codes_stream")
+        .outputMode("append").start()
+      try {
+        val (a, b) = vecs.splitAt(vecs.length / 2)
+        ms.addData(a: _*); q.processAllAvailable()
+        ms.addData(b: _*); q.processAllAvailable()
+        val streamed = spark.table("pq_codes_stream")
+          .as[(Long, Seq[Int])].collect().map(r => r._1 -> r._2).toMap
+        assert(streamed.size == batchCodes.size)
+        batchCodes.foreach { case (id, cs) =>
+          assert(streamed(id) == cs, s"codes diverge for id=$id: " +
+            s"stream=${streamed(id)} batch=$cs")
+        }
+      } finally q.stop()
+
+      // --- score face: streamed ADC distances to standing queries ==
+      // the batch ADC join over the same codes (full ranking)
+      val queries = raw.filter(col("id") < 5)
+      val dtab = ProductQuant.queryDistanceModel(queries, cb, subDim = 8)
+      val batchScores = ProductQuant.adcTopK(
+          ProductQuant.normalize(queries), cb, cd, subDim = 8,
+          kTop = Int.MaxValue)
+        .select(col("neighbor_id"), col("query_id"), col("adist"))
+        .as[(Long, Long, Double)].collect().toSet
+      val ms2 = MemoryStream[(Long, Array[Float])]
+      val q2 = graft.streaming.Streams.pqAdcScoreStream(
+          ms2.toDF().toDF("id", "vec"), model, dtab, m = 8, subDim = 8)
+        .writeStream.format("memory").queryName("pq_adc_stream")
+        .outputMode("append").start()
+      try {
+        val (a, b) = vecs.splitAt(vecs.length / 2)
+        ms2.addData(a: _*); q2.processAllAvailable()
+        ms2.addData(b: _*); q2.processAllAvailable()
+        val streamed = spark.table("pq_adc_stream")
+          .filter(col("id") =!= col("query_id"))
+          .as[(Long, Long, Double)].collect().toSet
+        assert(streamed == batchScores,
+          s"ADC scores diverge: ${streamed.size} streamed vs " +
+            s"${batchScores.size} batch; sample diff=" +
+            (streamed diff batchScores).take(3))
+      } finally q2.stop()
+    } finally { cb.unpersist(); cd.unpersist() }
+  }
 }
