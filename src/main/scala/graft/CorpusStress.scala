@@ -431,6 +431,107 @@ object CorpusStress {
       else require(math.abs(fill181 - baseFill) < 0.02,
         s"decreasing-pack fill ratio drifted at $f: $fill181 vs $baseFill")
 
+
+      // r11 family (r10 verdict #4): the late-round battery at scale.
+      // q182 Heaps: uniform ×f scaling of every checkpoint's
+      // (n_docs, vocab) translates BOTH log axes by ln f, so the OLS
+      // beta is exactly invariant (within the 4-decimal ln rounding)
+      // — the q177 slope-invariance pattern on the Heaps axes. The
+      // cum frame itself is timed on the replicated corpus (the real
+      // ×f token explode + first-occurrence exchange).
+      val (hb, t182) = time {
+        val cum = graft.queries.StatQueries.heapsCum(spark, docs)
+          .localCheckpoint(eager = false)
+        val b1 = graft.queries.StatQueries.heapsFit(cum)
+          .select(col("beta")).head.getDouble(0)
+        val bf = graft.queries.StatQueries.heapsFit(cum.select(col("chk"),
+            (col("n_docs") * f).as("n_docs"),
+            (col("vocab") * f).as("vocab")))
+          .select(col("beta")).head.getDouble(0)
+        (b1, bf)
+      }
+      require(math.abs(hb._2 - hb._1) < 0.01,
+        s"Heaps beta not scale-invariant at $f: ${hb._2} vs ${hb._1}")
+
+      // q183 funnel on a PURE-duplication corpus (identical payload
+      // per copy, remapped ids): stages 0-2 are per-doc gates, so
+      // their counts scale exactly ×f; exact dedup MUST collapse the
+      // corpus back to the base survivor set (fp identical across
+      // copies, min doc_id = the copy-0 id) and near-dedup then sees
+      // the collapsed set — stages 3-4 equal the base values at every
+      // factor. This is the semantic point of a funnel at 100 TB: f×
+      // duplicated input, base-sized curated output.
+      val pureDup: DataFrame =
+        if (f == 1) base
+        else base.crossJoin(spark.range(f).select(col("id").as("cp")))
+          .select((col("doc_id") + col("cp") * stride).as("doc_id") +:
+            base.columns.filterNot(_ == "doc_id").map(col).toSeq: _*)
+      val (fun, t183) = time(
+        graft.queries.StatQueries.curationFunnel(pureDup)
+          .select(col("stage"), col("docs")).collect()
+          .map(r => (r.getInt(0), r.getLong(1))).toMap)
+      (0 to 2).foreach { st =>
+        linear(s"q183_stage$st", fun(st)) }
+      Seq(3, 4).foreach { st =>
+        if (f == 1) baseCounts(s"q183_stage$st") = fun(st)
+        else baseCounts.get(s"q183_stage$st").foreach(b =>
+          require(fun(st) == b,
+            s"funnel stage $st must collapse to base at $f: ${fun(st)} vs $b"))
+      }
+
+      // q186/q187 segmentation under PAYLOAD replication: the base
+      // corpus's WAV/Y4M payloads replicate per copy (ids remapped),
+      // the full decode pays the ×f byte volume, and identical
+      // payloads must yield identical per-doc segments — counts
+      // exactly linear.
+      def replicateMedia(m: DataFrame): DataFrame =
+        if (f == 1) m
+        else m.crossJoin(spark.range(f).select(col("id").as("cp")))
+          .select((col("doc_id") + col("cp") * stride).as("doc_id"),
+            col("modality"), col("payload"))
+      val (r186, t186) = time(
+        graft.multimodal.Segmentation.audioSegments(
+          graft.multimodal.Multimodal.audioFrameFeatures(
+            replicateMedia(graft.multimodal.Multimodal.audioFixture(base)),
+            frameLen = 64).toDF()).count())
+      linear("q186_segments", r186)
+      val (r187, t187) = time(
+        graft.multimodal.Segmentation.videoScenes(
+          graft.multimodal.Multimodal.videoFrameStats(
+            replicateMedia(graft.multimodal.Multimodal.videoFixture(base)))
+            .toDF()).count())
+      linear("q187_scenes", r187)
+
+      // q189 CDC at scale: apply ∘ diff = identity on the replicated
+      // corpus — the reconstruction must match v2 row-for-row by
+      // content fingerprint (doc_id unique on both sides, so the
+      // keyed join counting equal-(id, fp) rows IS the identity).
+      import graft.operators.SnapshotDiff
+      val (cdc, t189) = time {
+        val d0 = docs.select(col("doc_id"), col("text"), col("lang"),
+          col("source"))
+        val v2 = d0.filter(col("doc_id") % 7 =!= 0)
+          .withColumn("text",
+            when(col("doc_id") % 5 === 0, upper(col("text")))
+              .otherwise(col("text")))
+          .unionAll(d0.filter(col("doc_id") % 11 === 0)
+            .select((col("doc_id") + lit(100000000L)).as("doc_id"),
+              concat(col("text"), lit(" v2")).as("text"),
+              col("lang"), col("source")))
+        val cols = Seq("text", "lang", "source")
+        val rec = SnapshotDiff.applyChanges(d0,
+          SnapshotDiff.changeSet(d0, v2, "doc_id", cols), "doc_id", cols)
+        val recFp = rec.select(col("doc_id"),
+          SnapshotDiff.contentFp(cols).as("fp"))
+        val v2Fp = v2.select(col("doc_id"),
+          SnapshotDiff.contentFp(cols).as("fp"))
+        (v2Fp.count(), recFp.count(),
+          recFp.join(v2Fp, Seq("doc_id", "fp")).count())
+      }
+      require(cdc._1 == cdc._2 && cdc._2 == cdc._3,
+        s"CDC round-trip broken at factor $f: v2=${cdc._1} " +
+          s"rebuilt=${cdc._2} matched=${cdc._3}")
+
       println(s"""{"factor":$f,"docs":$n,""" +
         s""""q164_sec":$t164,"q164_pairs":$r164,""" +
         s""""q164_aqe_skew_splits":$sk164,""" +
@@ -444,6 +545,11 @@ object CorpusStress {
         s""""q175_sec":$t175,"q175_triangles":${tri175._2},""" +
         s""""q177_sec":$t177,""" +
         s""""q181_sec":$t181,"q181_fill":$fill181,""" +
+        s""""q182_sec":$t182,"q182_beta":${hb._1},""" +
+        s""""q183_sec":$t183,"q183_survivors":${fun(4)},""" +
+        s""""q186_sec":$t186,"q186_segments":$r186,""" +
+        s""""q187_sec":$t187,"q187_scenes":$r187,""" +
+        s""""q189_sec":$t189,"q189_rows":${cdc._1},""" +
         s""""q67_sec":$t67,"q67_rows":$r67,""" +
         s""""q71_sec":$t71,"q71_rows":$r71,""" +
         s""""q74_sec":$t74,"q74_rows":$r74,""" +

@@ -139,13 +139,41 @@ object EmbedStress {
       require(km._1 == n && km._2 == 8,
         s"kmeans at factor $f: rows ${km._1} vs $n, clusters ${km._2}")
 
+
+      // q190 path at scale (r10 verdict #4): the full IVF-PQ probe —
+      // coarse cells bound the candidates, ADC ranks them from codes,
+      // exact rescore touches only the overfetch shortlist — for the
+      // same twin-source queries. The planted twin (cosine ≈ 0.97
+      // over a ≈ 0.6 noise floor) must survive BOTH approximation
+      // tiers at every factor; recall@1 floor-gated at 0.8, q190's
+      // deployed floor. Training shrinks to k=16/iters=2 per subspace
+      // (the margin is what's under test, not codebook polish);
+      // nProbe of 8/32 lists keeps the probe fraction constant as the
+      // corpus grows.
+      val (ivfpqHits, ivfpqSec) = time {
+        val pqCorpus = corpus.select(col("id"), col("vec"))
+        val idx = Similarity.IvfIndex.build(pqCorpus, nLists = 32)
+        val (codebook, codes) = graft.operators.ProductQuant.build(
+          graft.operators.ProductQuant.normalize(pqCorpus),
+          m = 8, subDim = 8, k = 16, iters = 2)
+        graft.operators.ProductQuant.ivfPqRescoredTopK(
+            pqCorpus, twinSources, idx, codebook, codes,
+            subDim = 8, kTop = 1, nProbe = 8, overfetch = 100)
+          .filter(col("neighbor_id") === col("query_id") + 1)
+          .count()
+      }
+      require(ivfpqHits.toDouble / nQ >= 0.8,
+        s"IVF-PQ recall@1 below floor at factor $f: " +
+          s"$ivfpqHits / $nQ = ${ivfpqHits.toDouble / nQ}")
+
       println(s"""{"factor":$f,"vectors":$n,"planted":$nTwins,""" +
         s""""sec":${sec + secCount},"found":$found,"planted_found":$planted,""" +
         s""""recall":$recall,""" +
         s""""q82_queries":$nQ,"q82_sec":$qSec,""" +
         s""""q82_recall1":${qHits.toDouble / nQ},""" +
         s""""proj_sec":$pSec,"proj_recall1":${pHits.toDouble / nQ},""" +
-        s""""kmeans_sec":$kmSec,"kmeans_rows":${km._1}}""")
+        s""""kmeans_sec":$kmSec,"kmeans_rows":${km._1},""" +
+        s""""ivfpq_sec":$ivfpqSec,"ivfpq_recall1":${ivfpqHits.toDouble / nQ}}""")
     }
     spark.stop()
   }

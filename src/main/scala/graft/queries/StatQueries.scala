@@ -43,6 +43,110 @@ object StatQueries {
         col("r").cast("double"), 6).as("intercept"))
   }
 
+
+  /** (chk, n_docs, vocab) cumulative checkpoint frame for the Heaps
+    * fit — the q182 linear plan (first-occurrence collapse: one
+    * (token → min doc_id) exchange, checkpoint counts as bucket sums
+    * over a 7-row spine). Shared with CorpusStress.
+    */
+  private[graft] def heapsCum(s: org.apache.spark.sql.SparkSession,
+      d: DataFrame): DataFrame = {
+    val dens = Seq(64, 32, 16, 8, 4, 2, 1)
+    val cw = d.agg(max(col("doc_id")).as("mx"))
+      .select(dens.zipWithIndex.map { case (den, j) =>
+        expr(s"mx div $den").as(s"c$j") }: _*)
+    def buck(v: org.apache.spark.sql.Column) =
+      (0 to 5).reverse.foldLeft(lit(6).cast("int")) { (acc, j) =>
+        when(v <= col(s"c$j"), lit(j).cast("int")).otherwise(acc)
+      }
+    val minDoc = d
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .groupBy(col("tok")).agg(min(col("doc_id")).as("md"))
+    val vb = minDoc.crossJoin(broadcast(cw))
+      .select(buck(col("md")).as("chk"))
+      .groupBy(col("chk")).agg(count(lit(1)).as("dv"))
+    val db = d.select(col("doc_id")).crossJoin(broadcast(cw))
+      .select(buck(col("doc_id")).as("chk"))
+      .groupBy(col("chk")).agg(count(lit(1)).as("dd"))
+    val w7 = org.apache.spark.sql.expressions.Window
+      .orderBy(col("chk")) // 7-row spine, config-bounded
+    val spine = s.range(0, 7).select(col("id").cast("int").as("chk"))
+    spine.join(vb, Seq("chk"), "left")
+      .join(db, Seq("chk"), "left")
+      .select(col("chk"),
+        sum(coalesce(col("dv"), lit(0L))).over(w7).as("vocab"),
+        sum(coalesce(col("dd"), lit(0L))).over(w7).as("n_docs"))
+  }
+
+  /** OLS fit of ln(vocab) on ln(n_docs) over a checkpoint frame:
+    * (chk, n_docs, vocab, beta). Empty checkpoints (zero docs or
+    * vocab) are dropped before the log frame — the ln(0) guard — and
+    * r counts after the filter, on both engines.
+    */
+  private[graft] def heapsFit(cum: DataFrame): DataFrame = {
+    val xy = cum
+      .filter(col("n_docs") > 0 && col("vocab") > 0)
+      .select(col("chk"), col("n_docs"), col("vocab"),
+        round(log(col("n_docs").cast("double")), 4)
+          .cast("decimal(12,4)").as("x"),
+        round(log(col("vocab").cast("double")), 4)
+          .cast("decimal(12,4)").as("y"))
+    val beta = xy.agg(count(lit(1)).as("r"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("x") * col("y")).as("sxy"))
+      .select(round(
+        (col("r") * col("sxy") - col("sx") * col("sy"))
+          .cast("double") /
+        (col("r") * col("sxx") - col("sx") * col("sx"))
+          .cast("double"), 6).as("beta"))
+    xy.select(col("chk"), col("n_docs"), col("vocab"))
+      .crossJoin(broadcast(beta))
+  }
+
+  /** The q183 curation funnel — raw → quality gate → lang agreement →
+    * exact dedup → near dedup, five (stage, rule, docs, tokens) rows
+    * off ONE checkpointed scored scan. Shared with CorpusStress,
+    * whose pure-duplication corpus proves the collapse invariants
+    * (stages 0–2 scale ×f, stages 3–4 return to the base survivor
+    * set).
+    */
+  private[graft] def curationFunnel(d: DataFrame): DataFrame = {
+    import graft.functions.TextFunctions.{fingerprintMd5, langId, qualityScore, tokenCount}
+    import org.apache.spark.sql.expressions.Window
+    val scored = d
+      .select(col("doc_id"), col("text"), col("lang"),
+        tokenCount(col("text")).cast("long").as("n_tok"),
+        qualityScore(col("text")).as("quality"),
+        langId(col("text")).as("lang_pred"),
+        fingerprintMd5(col("text")).as("fp"))
+      .localCheckpoint(eager = false)
+    val s1 = scored.filter(col("quality") >= 0.5)
+    val s2 = s1.filter(col("lang_pred") === col("lang"))
+    val s3 = s2.withColumn("min_id",
+        min(col("doc_id")).over(Window.partitionBy("fp")))
+      .filter(col("doc_id") === col("min_id"))
+      .select(col("doc_id"), col("text"), col("n_tok"))
+      .localCheckpoint(eager = false)
+    val drops = MinHashDedup.nearDuplicatePairs(
+        s3.select(col("doc_id"), col("text")), "doc_id", "text",
+        threshold = 0.8)
+      .select(col("doc_b").as("doc_id")).distinct()
+    val s4 = s3.join(drops, Seq("doc_id"), "left_anti")
+    def stageRow(stage: Int, rule: String,
+        df: org.apache.spark.sql.DataFrame) =
+      df.agg(count(lit(1)).as("docs"),
+          coalesce(sum(col("n_tok")), lit(0L)).as("tokens"))
+        .select(lit(stage).as("stage"), lit(rule).as("rule"),
+          col("docs"), col("tokens"))
+    Seq(stageRow(0, "raw", scored),
+      stageRow(1, "quality_gate", s1),
+      stageRow(2, "lang_agreement", s2),
+      stageRow(3, "exact_dedup", s3),
+      stageRow(4, "near_dedup", s4))
+      .reduce(_ union _).orderBy(col("stage"))
+  }
+
   def defs: Seq[QueryDef] = Seq(
 
     // ---- q174: per-source exact two-sample KS drift ----
@@ -254,59 +358,9 @@ object StatQueries {
     // pays the one pinned double division.
     QueryDef(
       "q182_heaps_fit",
-      (s, dir) => {
-        val dens = Seq(64, 32, 16, 8, 4, 2, 1)
-        val d = Tables.load(s, dir, "documents")
-        val cw = d.agg(max(col("doc_id")).as("mx"))
-          .select(dens.zipWithIndex.map { case (den, j) =>
-            expr(s"mx div $den").as(s"c$j") }: _*)
-        def buck(v: org.apache.spark.sql.Column) =
-          (0 to 5).reverse.foldLeft(lit(6).cast("int")) { (acc, j) =>
-            when(v <= col(s"c$j"), lit(j).cast("int")).otherwise(acc)
-          }
-        val minDoc = d
-          .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
-          .groupBy(col("tok")).agg(min(col("doc_id")).as("md"))
-        val vb = minDoc.crossJoin(broadcast(cw))
-          .select(buck(col("md")).as("chk"))
-          .groupBy(col("chk")).agg(count(lit(1)).as("dv"))
-        val db = d.select(col("doc_id")).crossJoin(broadcast(cw))
-          .select(buck(col("doc_id")).as("chk"))
-          .groupBy(col("chk")).agg(count(lit(1)).as("dd"))
-        val w7 = org.apache.spark.sql.expressions.Window
-          .orderBy(col("chk")) // 7-row spine, config-bounded
-        val spine = s.range(0, 7).select(col("id").cast("int").as("chk"))
-        val cum = spine.join(vb, Seq("chk"), "left")
-          .join(db, Seq("chk"), "left")
-          .select(col("chk"),
-            sum(coalesce(col("dv"), lit(0L))).over(w7).as("vocab"),
-            sum(coalesce(col("dd"), lit(0L))).over(w7).as("n_docs"))
-        // empty-prefix guard (r10 ADVICE): a checkpoint with zero docs
-        // or zero vocab would feed ln(0) — Spark yields NULL which
-        // sum() silently skips while count still sees the row (a
-        // silently wrong OLS), DuckDB errors outright. Drop such
-        // checkpoints BEFORE the log frame on both engines, so r is
-        // counted after the filter and failure modes agree.
-        val xy = cum
-          .filter(col("n_docs") > 0 && col("vocab") > 0)
-          .select(col("chk"), col("n_docs"), col("vocab"),
-          round(log(col("n_docs").cast("double")), 4)
-            .cast("decimal(12,4)").as("x"),
-          round(log(col("vocab").cast("double")), 4)
-            .cast("decimal(12,4)").as("y"))
-        val beta = xy.agg(count(lit(1)).as("r"),
-            sum(col("x")).as("sx"), sum(col("y")).as("sy"),
-            sum(col("x") * col("x")).as("sxx"),
-            sum(col("x") * col("y")).as("sxy"))
-          .select(round(
-            (col("r") * col("sxy") - col("sx") * col("sy"))
-              .cast("double") /
-            (col("r") * col("sxx") - col("sx") * col("sx"))
-              .cast("double"), 6).as("beta"))
-        xy.select(col("chk"), col("n_docs"), col("vocab"))
-          .crossJoin(broadcast(beta))
-          .orderBy(col("chk"))
-      },
+      (s, dir) =>
+        heapsFit(heapsCum(s, Tables.load(s, dir, "documents")))
+          .orderBy(col("chk")),
       Some("""
         WITH mx AS (SELECT max(doc_id) AS mx FROM documents),
         cw AS (SELECT mx // 64 AS c0, mx // 32 AS c1, mx // 16 AS c2,
@@ -363,41 +417,9 @@ object StatQueries {
     // discipline).
     QueryDef(
       "q183_curation_funnel",
-      (s, dir) => {
-        import graft.functions.TextFunctions.{fingerprintMd5, langId, qualityScore, tokenCount}
-        import org.apache.spark.sql.expressions.Window
-        val scored = Tables.load(s, dir, "documents")
-          .select(col("doc_id"), col("text"), col("lang"),
-            tokenCount(col("text")).cast("long").as("n_tok"),
-            qualityScore(col("text")).as("quality"),
-            langId(col("text")).as("lang_pred"),
-            fingerprintMd5(col("text")).as("fp"))
-          .localCheckpoint(eager = false)
-        val s1 = scored.filter(col("quality") >= 0.5)
-        val s2 = s1.filter(col("lang_pred") === col("lang"))
-        val s3 = s2.withColumn("min_id",
-            min(col("doc_id")).over(Window.partitionBy("fp")))
-          .filter(col("doc_id") === col("min_id"))
-          .select(col("doc_id"), col("text"), col("n_tok"))
-          .localCheckpoint(eager = false)
-        val drops = MinHashDedup.nearDuplicatePairs(
-            s3.select(col("doc_id"), col("text")), "doc_id", "text",
-            threshold = 0.8)
-          .select(col("doc_b").as("doc_id")).distinct()
-        val s4 = s3.join(drops, Seq("doc_id"), "left_anti")
-        def stageRow(stage: Int, rule: String,
-            df: org.apache.spark.sql.DataFrame) =
-          df.agg(count(lit(1)).as("docs"),
-              coalesce(sum(col("n_tok")), lit(0L)).as("tokens"))
-            .select(lit(stage).as("stage"), lit(rule).as("rule"),
-              col("docs"), col("tokens"))
-        Seq(stageRow(0, "raw", scored),
-          stageRow(1, "quality_gate", s1),
-          stageRow(2, "lang_agreement", s2),
-          stageRow(3, "exact_dedup", s3),
-          stageRow(4, "near_dedup", s4))
-          .reduce(_ union _).orderBy(col("stage"))
-      },
+      (s, dir) =>
+        curationFunnel(Tables.load(s, dir, "documents"))
+          .orderBy(col("stage")),
       Some(s"""
         WITH scored AS (
           SELECT doc_id, text, lang,
