@@ -232,4 +232,21 @@ class AdviceSpec extends SparkSpec {
     val v = out(0).getSeq[Double](1)
     assert(math.abs(v(0) - 0.6) < 1e-9 && math.abs(v(1) - 0.8) < 1e-9)
   }
+
+  test("heapsFit: empty checkpoint prefixes are excluded from the " +
+      "OLS, not silently summed as NULL (r10 advice)") {
+    // with the zero row included, Spark's ln(0) -> NULL would be
+    // skipped by sum() while count() still saw 4 rows — a silently
+    // wrong beta; DuckDB would instead error on ln(0)
+    val cum = Seq((0, 10L, 0L), (1, 10L, 2L), (2, 18L, 4L),
+      (3, 30L, 8L)).toDF("chk", "vocab", "n_docs")
+    val out = graft.queries.StatQueries.heapsFit(cum)
+      .orderBy("chk").collect()
+    assert(out.length == 3 && out.map(_.getInt(0)).toSeq == Seq(1, 2, 3),
+      out.mkString(","))
+    val beta = out(0).getDouble(3)
+    // exact OLS of ln(vocab) on ln(n_docs) over the 3 surviving
+    // checkpoints (4-decimal ln rounding, half-up to 6): 0.792471
+    assert(beta == 0.792471, s"beta=$beta")
+  }
 }
