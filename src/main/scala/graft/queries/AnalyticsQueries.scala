@@ -117,7 +117,7 @@ object AnalyticsQueries {
           .diff(d0, v2, "doc_id", Seq("text", "lang", "source"))
           .orderBy("doc_id", "status")
       },
-      Some("""
+      Some(s"""
         WITH v1 AS (
           SELECT doc_id, text, lang, source FROM documents),
         v2 AS (
@@ -130,10 +130,10 @@ object AnalyticsQueries {
           SELECT doc_id + 10000000, text || ' v2', lang, source
           FROM documents WHERE doc_id % 11 = 0),
         f1 AS (SELECT doc_id,
-                      md5(concat_ws(chr(31), coalesce(md5(CAST(text AS VARCHAR)), chr(0)), coalesce(md5(CAST(lang AS VARCHAR)), chr(0)), coalesce(md5(CAST(source AS VARCHAR)), chr(0)))) AS fp
+                      ${graft.operators.SnapshotDiff.contentFpSql(Seq("text", "lang", "source"))} AS fp
                FROM v1),
         f2 AS (SELECT doc_id,
-                      md5(concat_ws(chr(31), coalesce(md5(CAST(text AS VARCHAR)), chr(0)), coalesce(md5(CAST(lang AS VARCHAR)), chr(0)), coalesce(md5(CAST(source AS VARCHAR)), chr(0)))) AS fp
+                      ${graft.operators.SnapshotDiff.contentFpSql(Seq("text", "lang", "source"))} AS fp
                FROM v2),
         d AS (
           SELECT coalesce(f1.doc_id, f2.doc_id) AS doc_id,
@@ -174,7 +174,7 @@ object AnalyticsQueries {
             graft.operators.SnapshotDiff.contentFp(cols).as("fp"))
           .orderBy(col("doc_id"))
       },
-      Some("""
+      Some(s"""
         WITH v2 AS (
           SELECT doc_id,
                  CASE WHEN doc_id % 5 = 0 THEN upper(text) ELSE text END
@@ -185,7 +185,7 @@ object AnalyticsQueries {
           SELECT doc_id + 10000000, text || ' v2', lang, source
           FROM documents WHERE doc_id % 11 = 0)
         SELECT doc_id,
-               md5(concat_ws(chr(31), coalesce(md5(CAST(text AS VARCHAR)), chr(0)), coalesce(md5(CAST(lang AS VARCHAR)), chr(0)), coalesce(md5(CAST(source AS VARCHAR)), chr(0)))) AS fp
+               ${graft.operators.SnapshotDiff.contentFpSql(Seq("text", "lang", "source"))} AS fp
         FROM v2 ORDER BY doc_id""")),
 
     // ---- q115: Z-order clustering key ----
