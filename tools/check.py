@@ -11,14 +11,11 @@ tolerance for DOUBLE/FLOAT columns ONLY — intended for the builder's
 own sf0.1 sweep, where DuckDB's DECIMAL→DOUBLE double-rounding can
 land one ulp off Spark's single correctly-rounded conversion. The
 driver-mirroring sf0.01 run must NOT pass --ulp.
+
+check_progress.py imports connect()/gate() from here so the
+progressive variant can never drift to a weaker compare again.
 """
 import duckdb, json, sys, os, math
-
-argv = [a for a in sys.argv[1:] if a != "--ulp"]
-ulp_tol = "--ulp" in sys.argv[1:]
-sf = argv[0] if len(argv) > 0 else "/root/testdata/sf0.01"
-out = argv[1] if len(argv) > 1 else "/tmp/verify_out"
-only = argv[2:]
 
 
 def rendered(con, query, cols):
@@ -37,33 +34,31 @@ def within_one_ulp(a, b):
         return True
     return abs(x - y) <= max(math.ulp(x), math.ulp(y))
 
-con = duckdb.connect()
-for t in ["region", "nation", "customer", "supplier", "part", "orders",
-          "lineitem", "events", "documents", "embeddings"]:
-    con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf}/{t}.parquet'")
-oracle = json.load(open(f"{out}/oracle_sql.json"))
 
-fails = 0
-for name in sorted(os.listdir(out)):
-    if not os.path.isdir(f"{out}/{name}"):
-        continue
-    if only and not any(name.startswith(p) for p in only):
-        continue
+def connect(sf):
+    con = duckdb.connect()
+    for t in ["region", "nation", "customer", "supplier", "part", "orders",
+              "lineitem", "events", "documents", "embeddings"]:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf}/{t}.parquet'")
+    return con
+
+
+def gate(con, out, oracle, name, ulp_tol):
+    """Run the full driver-mirror gate for one query. Returns
+    (status, n_rows) where status is "OK" / "FAIL" / "no_oracle";
+    prints per-column diagnostics on mismatch."""
     try:
         s = con.execute(f"SELECT * FROM '{out}/{name}/*.parquet'").fetchdf()
     except Exception as e:
-        print(f"{name}: SPARK-READ-FAIL {e}")
-        fails += 1
-        continue
+        print(f"{name}: SPARK-READ-FAIL {e}", flush=True)
+        return "FAIL", 0
     if name not in oracle:
-        print(f"{name}: no_oracle rows={len(s)}")
-        continue
+        return "no_oracle", len(s)
     try:
         o = con.execute(oracle[name]).fetchdf()
     except Exception as e:
-        print(f"{name}: ORACLE-FAIL {e}")
-        fails += 1
-        continue
+        print(f"{name}: ORACLE-FAIL {e}", flush=True)
+        return "FAIL", len(s)
     # Strict dtype gate (r8 verdict item 2): the driver hashes DuckDB's
     # *rendered* values, so a HUGEINT/DECIMAL/DOUBLE oracle column vs a
     # BIGINT Spark column fails its hash even when values are equal.
@@ -78,10 +73,12 @@ for name in sorted(os.listdir(out)):
             a, b = st.get(c), ot.get(c)
             if a != b:
                 ok_types = False
-                print(f"  {name}.{c} DTYPE mismatch: spark={a} oracle={b}")
+                print(f"  {name}.{c} DTYPE mismatch: spark={a} oracle={b}",
+                      flush=True)
     except Exception as e:
         ok_types = False
-        print(f"  {name} dtype-describe error: {e}")
+        st = {}
+        print(f"  {name} dtype-describe error: {e}", flush=True)
     ok_rows = len(s) == len(o)
     ok_cols = sorted(s.columns) == sorted(o.columns)
     ok_vals = False
@@ -107,17 +104,46 @@ for name in sorted(os.listdir(out)):
                     ok_vals = False
                     idx = bad[bad].index[:3].tolist()
                     print(f"  {name}.{c} first rendered diffs at rows {idx}: "
-                          f"spark={a.iloc[idx].tolist()} oracle={b.iloc[idx].tolist()}")
+                          f"spark={a.iloc[idx].tolist()} "
+                          f"oracle={b.iloc[idx].tolist()}", flush=True)
         except Exception as e:
             ok_vals = False
-            print(f"  {name} compare error: {e}")
-    status = "OK" if (ok_rows and ok_cols and ok_vals and ok_types) else "FAIL"
-    if status == "FAIL":
-        fails += 1
-        print(f"{name}: {status} rows {len(s)}/{len(o)} cols_match={ok_cols} "
-              f"types_match={ok_types} "
-              f"spark_cols={list(s.columns)} oracle_cols={list(o.columns)}")
-    else:
-        print(f"{name}: OK ({len(s)} rows)")
-print("FAILS:", fails)
-sys.exit(1 if fails else 0)
+            print(f"  {name} compare error: {e}", flush=True)
+    if ok_rows and ok_cols and ok_vals and ok_types:
+        return "OK", len(s)
+    print(f"{name}: FAIL rows {len(s)}/{len(o)} cols_match={ok_cols} "
+          f"types_match={ok_types} "
+          f"spark_cols={list(s.columns)} oracle_cols={list(o.columns)}",
+          flush=True)
+    return "FAIL", len(s)
+
+
+def main():
+    argv = [a for a in sys.argv[1:] if a != "--ulp"]
+    ulp_tol = "--ulp" in sys.argv[1:]
+    sf = argv[0] if len(argv) > 0 else "/root/testdata/sf0.01"
+    out = argv[1] if len(argv) > 1 else "/tmp/verify_out"
+    only = argv[2:]
+
+    con = connect(sf)
+    oracle = json.load(open(f"{out}/oracle_sql.json"))
+
+    fails = 0
+    for name in sorted(os.listdir(out)):
+        if not os.path.isdir(f"{out}/{name}"):
+            continue
+        if only and not any(name.startswith(p) for p in only):
+            continue
+        status, n = gate(con, out, oracle, name, ulp_tol)
+        if status == "OK":
+            print(f"{name}: OK ({n} rows)", flush=True)
+        elif status == "no_oracle":
+            print(f"{name}: no_oracle rows={n}", flush=True)
+        else:
+            fails += 1
+    print("FAILS:", fails, flush=True)
+    sys.exit(1 if fails else 0)
+
+
+if __name__ == "__main__":
+    main()
