@@ -46,21 +46,8 @@ object SuffixArray {
     * dense rank. Returns df + rank column.
     */
   private def bucketedDenseRank(df: DataFrame, bucket: Column,
-      orderKeys: Seq[Column], out: String): DataFrame = {
-    val b = df.withColumn("_bk", bucket)
-    val local = b.withColumn("_lr",
-      row_number().over(
-        Window.partitionBy(col("_bk")).orderBy(orderKeys: _*)))
-    val counts = b.groupBy(col("_bk")).agg(count(lit(1)).as("_bn"))
-    val offs = counts.withColumn("_boff",
-        coalesce(sum(col("_bn")).over(
-          Window.orderBy(col("_bk"))
-            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-      .select(col("_bk"), col("_boff"))
-    local.join(broadcast(offs), Seq("_bk"))
-      .withColumn(out, col("_boff") + col("_lr"))
-      .drop("_bk", "_lr", "_boff")
-  }
+      orderKeys: Seq[Column], out: String): DataFrame =
+    Ranks.bucketedRowNumber(df, bucket, orderKeys, out)
 
   /** Bucket-count sizing rule (r9 verdict #8, documented in SCALE.md
     * §"suffix-array"): one range bucket per ~4M suffix positions so

@@ -344,21 +344,29 @@ object ModelQueries {
 
     // ---- q154: classifier calibration (reliability bins) ----
     // Before a probability threshold gates a 100 TB corpus, check the
-    // probabilities MEAN something: EQUAL-FREQUENCY decile bins
-    // (ntile over the strict (p, doc_id) order — deterministic and
-    // identical on both engines; equal-frequency is the reliability-
-    // diagram form that stays informative when scores cluster).
+    // probabilities MEAN something: EQUAL-FREQUENCY decile bins over
+    // the strict (p, doc_id) order — deterministic and identical on
+    // both engines; equal-frequency is the reliability-diagram form
+    // that stays informative when scores cluster. The oracle spells
+    // it as one global NTILE; the Spark side computes the SAME bins
+    // without a corpus-wide single-task window (the q174 lesson):
+    // global row_number decomposes two-level over floor(p·64) range
+    // buckets — order-compatible and ≤65 by the sigmoid's [0,1]
+    // codomain, enforced by construction — and `Ranks.ntileOf`
+    // replays the SQL-standard tile sizing from (rn, n) exactly.
     // Per-bin confidence is an exact DECIMAL sum under one pinned
-    // division; |conf − acc| folded over these rows IS the ECE. At
-    // 100 TB the bin edges come from percentiles over DISTINCT
-    // 6-decimal scores (the q139 argument) instead of a corpus ntile.
+    // division; |conf − acc| folded over these rows IS the ECE.
     QueryDef(
       "q154_calibration",
       (s, dir) => {
-        import org.apache.spark.sql.expressions.Window
-        lrScored(s, dir)
-          .withColumn("bin", ntile(10).over(
-            Window.orderBy(col("p"), col("doc_id"))))
+        val scored = lrScored(s, dir)
+        val rn = graft.operators.Ranks.bucketedRowNumber(scored,
+          floor(col("p") * 64).cast("int"),
+          Seq(col("p"), col("doc_id")), "rn")
+        val nTot = scored.groupBy().agg(count(lit(1)).as("n_tot"))
+        rn.crossJoin(broadcast(nTot))
+          .withColumn("bin",
+            graft.operators.Ranks.ntileOf(col("rn"), col("n_tot"), 10))
           .groupBy(col("bin"))
           .agg(count(lit(1)).as("n"),
             sum(col("p").cast("decimal(18,6)")).as("psum"),

@@ -92,12 +92,76 @@ class PlanAuditSpec extends SparkSpec {
     // q185: q155's one-row decile-edge frame crossed into the scan,
     // plus the 10-row bin spine crossed into the windows frame —
     // O(1) NLJ sides.
-    "q185_rolling_psi")
+    "q185_rolling_psi",
+    // q154: the one-row total-count frame crossed into the ranked
+    // scan (the q110 one-row-reduce shape) — NTILE sizing needs n.
+    "q154_calibration")
+
+  private lazy val executions
+      : Map[String, org.apache.spark.sql.execution.QueryExecution] =
+    SparkEntry.queries.map { case (name, fn) =>
+      name -> fn(spark, sf0001).queryExecution
+    }
 
   private lazy val plans: Map[String, String] =
-    SparkEntry.queries.map { case (name, fn) =>
-      name -> fn(spark, sf0001).queryExecution.executedPlan.toString
+    executions.map { case (name, qe) =>
+      name -> qe.executedPlan.toString
     }
+
+  /** Queries whose optimized plan carries an UNPARTITIONED window,
+    * each justified: the window rides a frame whose cardinality is
+    * bounded by construction (a value domain, a config clamp, or a
+    * one-row-per-group reduce) — never by corpus rows. Any query NOT
+    * listed here that grows a global window fails the audit below:
+    * the r10 q174 finding (a corpus-growable single-task window),
+    * made structural so it cannot recur unreviewed.
+    */
+  private val boundedGlobalWindows: Map[String, String] = Map(
+    "q139_auc" -> ("cum ranks over the distinct-6-decimal-score " +
+      "histogram — ≤10^6 rows by the score rounding contract"),
+    "q150_classifier_kappa" -> "inherits q139's score-histogram rank",
+    "q152_moving_revenue" -> ("7-day range frame over the per-DAY " +
+      "reduce — day-domain-bounded (≤ years×366 rows)"),
+    "q154_calibration" -> ("Ranks.bucketedRowNumber offsets window " +
+      "over the ≤65-row floor(p*64) bucket-count table (sigmoid " +
+      "codomain bounds the buckets)"),
+    "q157_temperature_scaling" -> ("best-of rank over the " +
+      "|temps|-row (6) per-temperature NLL frame"),
+    "q158_lm_source_report" -> ("report rank over the per-source " +
+      "reduce — |sources| rows"),
+    "q174_ks_drift" -> ("bucket-offset prefix sum over the " +
+      "≤1025-row bucket-count table (the r10 fix — two-level CDF)"),
+    "q95_token_budget_sample" -> ("prefix sum over the per-(lang, " +
+      "quality-band) reduce — band-domain-bounded"),
+    "q75_vocab_topk" -> ("rank over the post-TakeOrdered ≤k-row " +
+      "frame (topNgrams limits BEFORE ranking)"),
+    "q76_trigram_topk" -> "same ≤k topNgrams frame as q75",
+    "q177_zipf_fit" -> "inherits q75's ≤k topNgrams rank",
+    "q182_heaps_fit" -> ("two cumulative sums over the 7-row " +
+      "checkpoint spine — config-bounded"),
+    "q88_temperature_resample" -> ("keyless min over the per-CLASS " +
+      "count frame — |langs| rows (documented at CorpusOps." +
+      "temperatureResample)"),
+    "q90_pretraining_program" -> ("inherits q88's class-count " +
+      "frame window"))
+
+  test("every unpartitioned window rides a justified bounded frame") {
+    val flagged = executions.toSeq.sortBy(_._1).flatMap {
+      case (name, qe) =>
+        val n = qe.optimizedPlan.collect {
+          case w: org.apache.spark.sql.catalyst.plans.logical.Window
+              if w.partitionSpec.isEmpty => w
+        }.size
+        if (n > 0 && !boundedGlobalWindows.contains(name))
+          Some(s"$name($n)")
+        else None
+    }
+    assert(flagged.isEmpty,
+      s"unpartitioned windows with no bounded-frame justification: " +
+        s"${flagged.mkString(", ")} — either decompose (Ranks." +
+        s"bucketedRowNumber / the q174 two-level CDF) or add a " +
+        s"justified boundedGlobalWindows entry")
+  }
 
   test("no cartesian/nested-loop join outside the documented exact " +
       "baselines") {
