@@ -210,4 +210,22 @@ class PlanAuditSpec extends SparkSpec {
       }
     }
   }
+
+  test("vector scans prune the unused label column") {
+    // embeddings is (vec_id, embedding, label); the ANN family
+    // consumes only (vec_id, embedding) — label must never reach a
+    // scan it doesn't feed (at 100 TB every unpruned column is real
+    // IO, even a 4-byte one next to a 3 KB vector).
+    for (name <- Seq("q28_ann_bruteforce", "q45_embedding_neardup_lsh",
+        "q46_ann_ivf", "q41_embedding_neardup", "q180_pq_adc",
+        "q190_ivfpq")) {
+      val schemas = "ReadSchema: struct<[^>]*>".r.findAllIn(plans(name))
+        .filter(_.contains("embedding")).toList
+      assert(schemas.nonEmpty, s"$name: no embeddings ReadSchema found")
+      schemas.foreach { rs =>
+        assert(!rs.contains("label"),
+          s"$name reads the unused label column: $rs")
+      }
+    }
+  }
 }
