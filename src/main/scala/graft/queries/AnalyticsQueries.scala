@@ -237,7 +237,7 @@ object AnalyticsQueries {
           threshold = 0.8, nShards = 64)
           .orderBy("anchor", "positive")
       },
-      Some("""
+      Some(s"""
         WITH tok AS (
           SELECT doc_id, string_split(text, ' ') AS w FROM documents),
         sh AS (
@@ -247,11 +247,9 @@ object AnalyticsQueries {
                                           for i in generate_series(1, len(w) - 2)])
                  END AS shingles
           FROM tok),
-        pairs AS (
-          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
-          FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-          WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
-                  / len(list_distinct(a.shingles || b.shingles)) >= 0.8),
+        ${DedupOracleSql.sparsePairs},
+        dup AS (
+          SELECT a AS doc_a, b AS doc_b FROM pairs WHERE jaccard >= 0.8),
         cands AS (
           SELECT doc_id AS negative,
                  CAST(CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)),
@@ -261,7 +259,7 @@ object AnalyticsQueries {
           SELECT doc_a, doc_b,
                  CAST(CAST(concat('0x', substr(md5(CAST(doc_a AS VARCHAR)),
                       1, 15)) AS UBIGINT) % 64 AS BIGINT) AS cs
-          FROM pairs),
+          FROM dup),
         cand2 AS (
           SELECT a.doc_a, a.doc_b, c.negative,
                  CAST(concat('0x', substr(md5(concat(

@@ -154,7 +154,7 @@ object DedupQueries {
           Tables.load(s, dir, "documents"), "doc_id", "text", threshold = 0.8)
           .orderBy(col("doc_a"), col("doc_b"))
       },
-      Some("""
+      Some(s"""
         WITH tok AS (
           SELECT doc_id, string_split(text, ' ') AS w FROM documents),
         sh AS (
@@ -166,12 +166,8 @@ object DedupQueries {
                                           for i in generate_series(1, len(w) - 2)])
                  END AS shingles
           FROM tok),
-        pairs AS (
-          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-                 CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
-                   / len(list_distinct(a.shingles || b.shingles)) AS jaccard
-          FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
-        SELECT doc_a, doc_b, jaccard FROM pairs
+        ${DedupOracleSql.sparsePairs}
+        SELECT a AS doc_a, b AS doc_b, jaccard FROM pairs
         WHERE jaccard >= 0.8
         ORDER BY doc_a, doc_b""")),
 
@@ -186,7 +182,7 @@ object DedupQueries {
         MinHashDedup.topKSimilarPairs(
           Tables.load(s, dir, "documents"), "doc_id", "text", k = 10)
       },
-      Some("""
+      Some(s"""
         WITH tok AS (
           SELECT doc_id, string_split(text, ' ') AS w FROM documents),
         sh AS (
@@ -195,11 +191,12 @@ object DedupQueries {
                       ELSE list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
                                           for i in generate_series(1, len(w) - 2)])
                  END AS shingles
-          FROM tok)
-        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-               CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
-                 / len(list_distinct(a.shingles || b.shingles)) AS jaccard
-        FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+          FROM tok),
+        ${DedupOracleSql.sparsePairs}
+        -- sparse pairs omit jaccard = 0; safe for the top-10 because
+        -- this corpus has >>10 positive-Jaccard pairs (same argument
+        -- as the LSH recall note above: the top-10 are all >= 0.8)
+        SELECT a AS doc_a, b AS doc_b, jaccard FROM pairs
         ORDER BY jaccard DESC, doc_a, doc_b
         LIMIT 10""")),
 
@@ -253,7 +250,7 @@ object DedupQueries {
         DupClusters.resolve(docs, "doc_id", pairs)
           .orderBy(col("doc_id"))
       },
-      Some("""
+      Some(s"""
         WITH RECURSIVE tok AS (
           SELECT doc_id, string_split(text, ' ') AS w FROM documents),
         sh AS (
@@ -263,11 +260,9 @@ object DedupQueries {
                                           for i in generate_series(1, len(w) - 2)])
                  END AS shingles
           FROM tok),
-        p AS (
-          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
-          FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-          WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
-                  / len(list_distinct(a.shingles || b.shingles)) >= 0.8),
+        ${DedupOracleSql.sparsePairs},
+        p AS (SELECT a AS doc_a, b AS doc_b FROM pairs
+              WHERE jaccard >= 0.8),
         edges AS (
           SELECT doc_a AS a, doc_b AS b FROM p
           UNION SELECT doc_b, doc_a FROM p),
@@ -297,7 +292,7 @@ object DedupQueries {
         DupClusters.leakageSafeSplit(docs, "doc_id", pairs, trainPct = 80)
           .orderBy(col("doc_id"))
       },
-      Some("""
+      Some(s"""
         WITH RECURSIVE tok AS (
           SELECT doc_id, string_split(text, ' ') AS w FROM documents),
         sh AS (
@@ -307,11 +302,9 @@ object DedupQueries {
                                           for i in generate_series(1, len(w) - 2)])
                  END AS shingles
           FROM tok),
-        p AS (
-          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
-          FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-          WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
-                  / len(list_distinct(a.shingles || b.shingles)) >= 0.8),
+        ${DedupOracleSql.sparsePairs},
+        p AS (SELECT a AS doc_a, b AS doc_b FROM pairs
+              WHERE jaccard >= 0.8),
         edges AS (
           SELECT doc_a AS a, doc_b AS b FROM p
           UNION SELECT doc_b, doc_a FROM p),
@@ -858,11 +851,22 @@ object DedupQueries {
                 WHERE source IN ('src0','src1','src2','src3')),
         corp AS (SELECT doc_id, s FROM sh
                  WHERE source NOT IN ('src0','src1','src2','src3')),
+        -- sparse cross-corpus candidates (shared-shingle equi-join):
+        -- jac >= 0.8 > 0 requires a shared shingle, so the zero-jac
+        -- pairs the cross join enumerated can never reach the WHERE
+        exr AS (SELECT doc_id, unnest(s) AS g FROM ref),
+        exc AS (SELECT doc_id, unnest(s) AS g FROM corp),
+        cntr AS (SELECT doc_id, len(s) AS ns FROM ref),
+        cntc AS (SELECT doc_id, len(s) AS ns FROM corp),
+        inter AS (
+          SELECT c.doc_id AS cid, r.doc_id AS rid, count(*) AS i
+          FROM exc c JOIN exr r ON r.g = c.g GROUP BY 1, 2),
         hits AS (
-          SELECT c.doc_id,
-                 CAST(len(list_intersect(c.s, r.s)) AS DOUBLE)
-                   / len(list_distinct(c.s || r.s)) AS jac
-          FROM corp c JOIN ref r ON TRUE)
+          SELECT cid AS doc_id,
+                 CAST(i AS DOUBLE) / (cc.ns + cr.ns - i) AS jac
+          FROM inter
+          JOIN cntc cc ON cc.doc_id = cid
+          JOIN cntr cr ON cr.doc_id = rid)
         SELECT doc_id, count(*) AS n_refs, max(jac) AS max_jaccard
         FROM hits WHERE jac >= 0.8
         GROUP BY doc_id ORDER BY doc_id""")),
@@ -1036,7 +1040,7 @@ object DedupQueries {
           .groupBy(col("degree")).agg(count(lit(1)).as("n_docs"))
           .orderBy(col("degree"))
       },
-      Some("""
+      Some(s"""
         WITH tok AS (
           SELECT doc_id, string_split(text, ' ') AS w FROM documents),
         sh AS (
@@ -1046,15 +1050,12 @@ object DedupQueries {
                                           for i in generate_series(1, len(w) - 2)])
                  END AS shingles
           FROM tok),
-        pairs AS (
-          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
-          FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-          WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
-                  / len(list_distinct(a.shingles || b.shingles)) >= 0.8),
+        ${DedupOracleSql.sparsePairs},
+        dup AS (SELECT a, b FROM pairs WHERE jaccard >= 0.8),
         deg AS (
           SELECT doc_id, count(*) AS degree FROM (
-            SELECT doc_a AS doc_id FROM pairs
-            UNION ALL SELECT doc_b FROM pairs)
+            SELECT a AS doc_id FROM dup
+            UNION ALL SELECT b FROM dup)
           GROUP BY 1)
         SELECT coalesce(deg.degree, 0) AS degree,
                CAST(count(*) AS BIGINT) AS n_docs
@@ -1091,11 +1092,9 @@ object DedupQueries {
                                           for i in generate_series(1, len(w) - 2)])
                  END AS shingles
           FROM tok),
-        p AS (
-          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
-          FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-          WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
-                  / len(list_distinct(a.shingles || b.shingles)) >= 0.8),
+        ${DedupOracleSql.sparsePairs},
+        p AS (SELECT a AS doc_a, b AS doc_b FROM pairs
+              WHERE jaccard >= 0.8),
         edges AS (
           SELECT doc_a AS a, doc_b AS b FROM p
           UNION SELECT doc_b, doc_a FROM p),

@@ -221,7 +221,7 @@ object StatQueries {
             .select(col("doc_a").as("a"), col("doc_b").as("b")))
           .orderBy(col("doc_id"))
       },
-      Some("""
+      Some(s"""
         WITH tok AS (
           SELECT doc_id, string_split(text, ' ') AS w FROM documents),
         sh AS (
@@ -231,11 +231,8 @@ object StatQueries {
                                           for i in generate_series(1, len(w) - 2)])
                  END AS shingles
           FROM tok),
-        e AS (
-          SELECT a.doc_id AS a, b.doc_id AS b
-          FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-          WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
-                  / len(list_distinct(a.shingles || b.shingles)) >= 0.8),
+        ${DedupOracleSql.sparsePairs},
+        e AS (SELECT a, b FROM pairs WHERE jaccard >= 0.8),
         tri AS (
           SELECT e1.a, e1.b, e2.b AS c
           FROM e e1 JOIN e e2 ON e2.a = e1.b
@@ -441,11 +438,9 @@ object StatQueries {
                                           for i in generate_series(1, len(w) - 2)])
                  END AS shingles
           FROM tok),
+        ${DedupOracleSql.sparsePairs},
         drops AS (
-          SELECT DISTINCT b.doc_id
-          FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-          WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
-                  / len(list_distinct(a.shingles || b.shingles)) >= 0.8),
+          SELECT DISTINCT b AS doc_id FROM pairs WHERE jaccard >= 0.8),
         s4 AS (SELECT * FROM s3
                WHERE doc_id NOT IN (SELECT doc_id FROM drops))
         SELECT 0 AS stage, 'raw' AS rule, count(*) AS docs,

@@ -326,11 +326,9 @@ object TextQueries {
                                           for i in generate_series(1, len(w) - 2)])
                  END AS shingles
           FROM tok),
+        ${DedupOracleSql.sparsePairs},
         drops AS (
-          SELECT DISTINCT b.doc_id
-          FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-          WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
-                  / len(list_distinct(a.shingles || b.shingles)) >= 0.8)
+          SELECT DISTINCT b AS doc_id FROM pairs WHERE jaccard >= 0.8)
         SELECT doc_id, quality FROM exact
         WHERE doc_id NOT IN (SELECT doc_id FROM drops)
         ORDER BY doc_id""")),
@@ -393,11 +391,9 @@ object TextQueries {
                                           for i in generate_series(1, len(w) - 2)])
                  END AS shingles
           FROM tok),
-        p AS (
-          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
-          FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-          WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
-                  / len(list_distinct(a.shingles || b.shingles)) >= 0.8),
+        ${DedupOracleSql.sparsePairs},
+        p AS (SELECT a AS doc_a, b AS doc_b FROM pairs
+              WHERE jaccard >= 0.8),
         edges AS (
           SELECT doc_a AS a, doc_b AS b FROM p
           UNION SELECT doc_b, doc_a FROM p),
