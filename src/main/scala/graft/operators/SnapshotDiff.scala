@@ -87,41 +87,52 @@ object SnapshotDiff {
 
   /** [[diff]] carrying the v2 payload: `added`/`changed` rows bring
     * the new content columns (NULL for `removed`) — the change table
-    * [[applyChanges]] consumes. Same single full-outer exchange as
-    * `diff`; payload columns ride only on the v2 side's surviving
-    * rows, so the exchanged bulk is still (id, fp) pairs.
+    * [[applyChanges]] consumes. Two stages so payloads NEVER ride a
+    * hash exchange (r11 text-exchange audit — the old single
+    * full-outer shuffled every v2 payload): first the (id, 16-byte
+    * fp) diff classifies ids, then the surviving added/changed id
+    * set — small by the CDC contract (delta ≪ corpus) — broadcasts
+    * onto a second v2 scan to pick up payloads shuffle-free. Costs
+    * one extra v2 scan; buys the corpus off the wire. For a
+    * pathological delta approaching corpus size, pass
+    * `broadcastDelta = false` to fall back to a keyed payload join.
     */
   def changeSet(v1: DataFrame, v2: DataFrame, idCol: String,
-      fpCols: Seq[String]): DataFrame = {
+      fpCols: Seq[String], broadcastDelta: Boolean = true): DataFrame = {
     require(fpCols.nonEmpty, "need at least one fingerprint column")
-    val f1 = v1.select(col(idCol), contentFp(fpCols).as("fp1"))
-    val f2 = v2.select((col(idCol) +:
-      contentFp(fpCols).as("fp2") +:
-      fpCols.map(col)): _*)
-    f1.join(f2, Seq(idCol), "full_outer")
-      .withColumn("status",
-        when(col("fp1").isNull, lit("added"))
-          .when(col("fp2").isNull, lit("removed"))
-          .when(col("fp1") =!= col("fp2"), lit("changed")))
-      .where(col("status").isNotNull)
+    val d = diff(v1, v2, idCol, fpCols)
+    val keep = d.filter(col("status").isin("added", "changed"))
+    val withPayload = v2
+      .join(if (broadcastDelta) broadcast(keep) else keep, Seq(idCol))
       .select((col(idCol) +: col("status") +: fpCols.map(col)): _*)
+    val removed = d.filter(col("status") === "removed")
+      .select((col(idCol) +: col("status") +: fpCols.map(c =>
+        lit(null).cast(v2.schema(c).dataType).as(c))): _*)
+    withPayload.unionByName(removed)
   }
 
   /** CDC apply — the other half of the versioning round-trip:
     * reconstruct v2 from v1 plus a [[changeSet]], touching only the
-    * changed ids (the point at 100 TB: the unchanged bulk flows
-    * through one keyed anti-join untouched, never rewritten).
+    * changed ids (the point at 100 TB: the unchanged bulk streams
+    * through a broadcast anti-join untouched — never rewritten,
+    * never shuffled).
     * `applyChanges(v1, changeSet(v1, v2)) == v2` row-for-row, which
     * q189 hash-gates on the real corpus.
     */
   def applyChanges(v1: DataFrame, changes: DataFrame, idCol: String,
-      payloadCols: Seq[String]): DataFrame = {
+      payloadCols: Seq[String], broadcastDelta: Boolean = true)
+      : DataFrame = {
     val out = (idCol +: payloadCols).map(col)
+    // the retired-id set is delta-sized (CDC contract) — broadcast it
+    // so the anti-join streams v1 without ever hash-shuffling its
+    // payloads (r11 text-exchange audit; `broadcastDelta = false`
+    // falls back to the keyed anti-join for pathological deltas)
     val gone = changes
       .filter(col("status").isin("removed", "changed"))
       .select(col(idCol))
     v1.select(out: _*)
-      .join(gone, Seq(idCol), "left_anti")
+      .join(if (broadcastDelta) broadcast(gone) else gone,
+        Seq(idCol), "left_anti")
       .unionByName(changes
         .filter(col("status").isin("added", "changed"))
         .select(out: _*))

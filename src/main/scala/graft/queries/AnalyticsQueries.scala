@@ -279,11 +279,18 @@ object AnalyticsQueries {
 
     // ---- q156: column profile (Deequ-style data-quality report) ----
     // The pre-flight every ingest runs before ANY operator trusts a
-    // column: per-column row/null/exact-distinct counts and lexical
+    // column: per-column row/null/distinct counts and lexical
     // min/max (stringified so one long-form schema carries every
     // type; string ordering is binary on both engines). One query,
-    // one row per column — at 100 TB the exact distincts swap for
-    // the q110 HLL registers with the same report shape.
+    // one row per column. Distincts count md5 DIGESTS of the rendered
+    // value, not the value itself (r11 text-exchange audit): the
+    // distinct-expand exchange then carries 32-byte digests where it
+    // used to carry whole documents — 100× less network on a 4 KB-avg
+    // corpus — and both engines compute the identical md5, so the
+    // hash gate stays bit-exact; vs true value-distinct the report
+    // differs only on an md5 collision (~n²/2¹²⁸ — no corpus). At
+    // 100 TB the exact digests swap for the q110 HLL registers with
+    // the same report shape.
     QueryDef(
       "q156_profile",
       (s, dir) => {
@@ -292,7 +299,7 @@ object AnalyticsQueries {
         cols.map { c =>
           d.agg(count(lit(1)).as("n"),
             sum(when(col(c).isNull, 1L).otherwise(0L)).as("n_null"),
-            countDistinct(col(c)).as("n_distinct"),
+            countDistinct(md5(col(c).cast("string"))).as("n_distinct"),
             min(col(c)).cast("string").as("min_val"),
             max(col(c)).cast("string").as("max_val"))
             .select(lit(c).as("column"), col("n"), col("n_null"),
@@ -303,7 +310,8 @@ object AnalyticsQueries {
         s"""SELECT '$c' AS "column", CAST(count(*) AS BIGINT) AS n,
                CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT)
                  AS n_null,
-               CAST(count(DISTINCT $c) AS BIGINT) AS n_distinct,
+               CAST(count(DISTINCT md5(CAST($c AS VARCHAR))) AS BIGINT)
+                 AS n_distinct,
                CAST(min($c) AS VARCHAR) AS min_val,
                CAST(max($c) AS VARCHAR) AS max_val
         FROM documents"""

@@ -163,6 +163,55 @@ class PlanAuditSpec extends SparkSpec {
         s"justified boundedGlobalWindows entry")
   }
 
+  /** Queries whose HASH exchange legitimately carries the raw document
+    * text, each justified — the payload either IS the result being
+    * re-organized for output, or the operator's semantics require the
+    * string on the exchange (never as a join/group KEY wider than it
+    * must be). Everything else in the registry must hash-shuffle ids /
+    * fixed-width keys only: at 100 TB the text column is the corpus,
+    * and an exchange that carries it pays the whole corpus in network
+    * + spill (the q164 "no text on any exchange" claim, made a
+    * registry-wide structural gate).
+    */
+  private val textExchangeAllowed: Map[String, String] = Map.empty
+
+  /** Physical-plan traversal that descends into AQE wrappers and
+    * subqueries (the Metrics.countSkewSplits recursion).
+    */
+  private def physicalNodes(p: org.apache.spark.sql.execution.SparkPlan)
+      : Seq[org.apache.spark.sql.execution.SparkPlan] = {
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    val nested = p match {
+      case a: AdaptiveSparkPlanExec => physicalNodes(a.executedPlan)
+      case q: QueryStageExec => physicalNodes(q.plan)
+      case other =>
+        (other.children ++ other.subqueries).flatMap(physicalNodes)
+    }
+    p +: nested
+  }
+
+  test("no hash exchange carries raw document text") {
+    import org.apache.spark.sql.catalyst.plans.physical.HashPartitioning
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.types.StringType
+    val flagged = executions.toSeq.sortBy(_._1).flatMap { case (name, qe) =>
+      val carriers = physicalNodes(qe.executedPlan).collect {
+        case ex: ShuffleExchangeExec
+            if ex.outputPartitioning.isInstanceOf[HashPartitioning] &&
+              ex.child.output.exists(a =>
+                a.name == "text" && a.dataType == StringType) =>
+          ex.child.output.map(_.name).mkString("[", ",", "]")
+      }
+      if (carriers.nonEmpty && !textExchangeAllowed.contains(name))
+        Some(s"$name: ${carriers.mkString(" ; ")}")
+      else None
+    }
+    assert(flagged.isEmpty,
+      s"hash exchanges carrying the raw text column (restructure to " +
+        s"shuffle ids/hashes and join text back, or add a justified " +
+        s"textExchangeAllowed entry):\n${flagged.mkString("\n")}")
+  }
+
   test("no cartesian/nested-loop join outside the documented exact " +
       "baselines") {
     for ((name, plan) <- plans if !exactBaselines.contains(name)) {
