@@ -419,4 +419,52 @@ object Streams {
       }
       .toDF("id", "query_id", "adist")
   }
+
+  final case class CapDoc(source: String, doc_id: Long, prio: Double)
+  final case class CapRank(source: String, rank_in_source: Long,
+      doc_id: Long, n_seen: Long)
+
+  /** Standing per-source top-k quota — the streaming face of q83's
+    * source cap: each source keeps its k highest-priority documents
+    * seen SO FAR, and every micro-batch re-emits the source's current
+    * top-k (Update mode — a better late arrival evicts an earlier
+    * admission, which append-mode admission could not retract).
+    * `n_seen` versions the report (total arrivals for the source at
+    * emission time), so a consumer — and the parity gate — takes each
+    * source's max-`n_seen` rows as the current standing answer. State
+    * per source is bounded at k (prio, doc_id) pairs plus the
+    * counter; the trim is the batch aggregator's exact comparator
+    * (prio DESC, doc_id ASC — `Aggregators.topKByPriority`), and
+    * top-k of a set is order-free, so after any arrival order the
+    * final emission per source equals the batch q83 rows bit-for-bit
+    * (StreamingSpec) — no order-at-the-source contract needed, unlike
+    * the running-total faces.
+    */
+  def sourceTopKStream(docs: Dataset[CapDoc], k: Int)
+      : Dataset[CapRank] = {
+    require(k > 0, s"k=$k")
+    implicit val rankEnc = Encoders.product[CapRank]
+    implicit val keyEnc = Encoders.STRING
+    implicit val stateEnc = Encoders.kryo[(Long, Seq[(Double, Long)])]
+    // injective NULL-safe key, the tokenBudgetStream convention
+    docs.groupByKey(d => Option(d.source).map("v:" + _).getOrElse("n"))
+      .flatMapGroupsWithState[(Long, Seq[(Double, Long)]), CapRank](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (_: String, rows: Iterator[CapDoc],
+            state: GroupState[(Long, Seq[(Double, Long)])]) =>
+          val arrivals = rows.toSeq
+          if (arrivals.isEmpty) Iterator.empty
+          else {
+            val src = arrivals.head.source
+            val (seen0, top0) = state.getOption.getOrElse((0L, Nil))
+            val seen = seen0 + arrivals.length
+            val top = (top0 ++ arrivals.map(d => (d.prio, d.doc_id)))
+              .sortBy(p => (-p._1, p._2)).take(k)
+            state.update((seen, top))
+            top.iterator.zipWithIndex.map { case ((_, id), i) =>
+              CapRank(src, (i + 1).toLong, id, seen)
+            }
+          }
+      }
+  }
 }

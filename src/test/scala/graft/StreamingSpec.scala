@@ -1026,4 +1026,46 @@ class StreamingSpec extends SparkSpec {
         s"streamed transitions diverge: ${got.size} vs ${batch.size}")
     } finally q.stop()
   }
+
+  test("standing per-source top-k quota: each source's max-n_seen " +
+      "emission equals the batch q83 rows after any batch split") {
+    implicit val sqlCtx = spark.sqlContext
+    import Streams.CapDoc
+    val batch = SparkEntry.queries("q83_source_cap")(spark, sf0001)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .toSet
+    val docs = Tables.load(spark, sf0001, "documents")
+      .select(col("source"), col("doc_id"), col("n_chars").cast("double"))
+      .as[(String, Long, Double)].collect()
+      .map(d => CapDoc(d._1, d._2, d._3))
+    // adversarial split: second half arrives in REVERSE priority
+    // order — top-k of a set is order-free, so parity must still hold
+    val (first, rest0) = docs.splitAt(docs.length / 2)
+    val rest = rest0.sortBy(d => (d.prio, -d.doc_id))
+    val ms = MemoryStream[CapDoc]
+    val q = Streams.sourceTopKStream(ms.toDS(), k = 20)
+      .writeStream.format("memory").queryName("src_topk")
+      .outputMode("update").start()
+    try {
+      ms.addData(first.toSeq)
+      q.processAllAvailable()
+      ms.addData(rest.toSeq)
+      q.processAllAvailable()
+      val emissions = spark.table("src_topk")
+      // the standing answer: each source's max-n_seen report
+      val latest = emissions
+        .withColumn("mx", max(col("n_seen"))
+          .over(org.apache.spark.sql.expressions.Window
+            .partitionBy(col("source"))))
+        .filter(col("n_seen") === col("mx"))
+        .select(col("source"), col("rank_in_source"), col("doc_id"))
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+        .toSet
+      assert(latest == batch && latest.nonEmpty,
+        s"standing top-k diverges from batch q83: ${latest.size} vs " +
+          s"${batch.size}")
+      // the versioned report really did update across batches
+      assert(emissions.count() > latest.size)
+    } finally q.stop()
+  }
 }
