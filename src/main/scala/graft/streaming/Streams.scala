@@ -420,6 +420,53 @@ object Streams {
       .toDF("id", "query_id", "adist")
   }
 
+  final case class PackDoc(id: Long, n_tok: Long)
+  final case class PackAssign(id: Long, shard: Long, n_tokens: Long,
+      pack_id: Long)
+
+  /** Streaming sequence packing — the incremental dual of q70's
+    * next-fit `CorpusOps.packGreedy`: assign each arriving document
+    * its (shard, pack_id) the moment tokenization finishes, instead
+    * of holding the corpus for a batch pass. Shard is the same
+    * `pmod(id, nShards)` route; per-shard state is THREE scalars
+    * (open-pack fill, pack counter, started flag), and the walk is
+    * the batch operator's exact next-fit step — first doc opens the
+    * pack unconditionally, then fit-or-advance — so under the
+    * ingestion contract that per-shard id order is respected across
+    * micro-batches (the [[tokenBudgetStream]] order-at-the-source
+    * contract; any globally id-ordered feed satisfies it) the
+    * assignments are bit-identical to the batch q70 rows
+    * (StreamingSpec). Next-fit-DECREASING (q181) is inherently batch
+    * — it needs the whole shard sorted longest-first — so the
+    * streaming face deliberately covers only the arrival-order
+    * variant. A NULL-token doc packs as zero-length upstream of the
+    * typed input, matching the batch coalesce.
+    */
+  def packStream(docs: Dataset[PackDoc], budget: Long, nShards: Int)
+      : Dataset[PackAssign] = {
+    require(budget > 0 && nShards > 0, s"budget=$budget nShards=$nShards")
+    implicit val outEnc = Encoders.product[PackAssign]
+    implicit val keyEnc = Encoders.scalaLong
+    implicit val stateEnc = Encoders.kryo[(Long, Long, Boolean)]
+    docs.groupByKey(d => math.floorMod(d.id, nShards.toLong))
+      .flatMapGroupsWithState[(Long, Long, Boolean), PackAssign](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (shard: Long, rows: Iterator[PackDoc],
+            state: GroupState[(Long, Long, Boolean)]) =>
+          var (pack, acc, started) =
+            state.getOption.getOrElse((0L, 0L, false))
+          val out = rows.map { d =>
+            val n = d.n_tok
+            if (!started) { started = true; acc = n }
+            else if (acc + n <= budget) acc += n
+            else { pack += 1L; acc = n }
+            PackAssign(d.id, shard, n, pack)
+          }.toSeq
+          state.update((pack, acc, started))
+          out.iterator
+      }
+  }
+
   final case class CapDoc(source: String, doc_id: Long, prio: Double)
   final case class CapRank(source: String, rank_in_source: Long,
       doc_id: Long, n_seen: Long)

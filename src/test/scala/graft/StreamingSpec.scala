@@ -1068,4 +1068,43 @@ class StreamingSpec extends SparkSpec {
       assert(emissions.count() > latest.size)
     } finally q.stop()
   }
+
+  test("streaming sequence packing: per-arrival (shard, pack_id) " +
+      "assignments are bit-identical to batch q70 across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    import Streams.PackDoc
+    val d = Tables.load(spark, sf0001, "documents")
+      .withColumn("n_tok",
+        graft.functions.TextFunctions.tokenCount(col("text")).cast("long"))
+    val batch = graft.operators.CorpusOps
+      .packGreedy(d, "doc_id", "n_tok", budget = 256, nShards = 8)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    // globally id-ordered feed ⇒ per-shard id order holds across any
+    // batch split (the ingestion contract)
+    val docs = d.select(col("doc_id"), col("n_tok"))
+      .as[(Long, Long)].collect().sortBy(_._1)
+      .map(x => PackDoc(x._1, x._2))
+    val ms = MemoryStream[PackDoc]
+    val q = Streams.packStream(ms.toDS(), budget = 256, nShards = 8)
+      .writeStream.format("memory").queryName("pack_s")
+      .outputMode("append").start()
+    try {
+      val (a, b) = docs.splitAt(docs.length / 3)
+      ms.addData(a.toSeq)
+      q.processAllAvailable()
+      ms.addData(b.toSeq)
+      q.processAllAvailable()
+      val got = spark.table("pack_s")
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .toSet
+      assert(got == batch && got.nonEmpty,
+        s"streamed packing diverges: ${got.size} vs ${batch.size}")
+      // cross-batch state mattered: some shard's open pack spans the
+      // split (pack_id > 0 exists, so packs really advanced)
+      assert(got.exists(_._4 > 0))
+    } finally q.stop()
+  }
 }
