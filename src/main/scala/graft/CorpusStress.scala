@@ -519,8 +519,16 @@ object CorpusStress {
               concat(col("text"), lit(" v2")).as("text"),
               col("lang"), col("source")))
         val cols = Seq("text", "lang", "source")
+        // this stress's delta is CORPUS-SCALE by construction (~28% of
+        // rows) — exactly the pathological case the broadcastDelta
+        // knob documents, and at ×50 a forced ~3.2M-id broadcast OOMs
+        // the 8 GB stress JVM — so this block measures the keyed
+        // fallback; the small-delta block below measures the
+        // broadcast path (the CDC contract's normal case)
         val rec = SnapshotDiff.applyChanges(d0,
-          SnapshotDiff.changeSet(d0, v2, "doc_id", cols), "doc_id", cols)
+          SnapshotDiff.changeSet(d0, v2, "doc_id", cols,
+            broadcastDelta = false), "doc_id", cols,
+          broadcastDelta = false)
         val recFp = rec.select(col("doc_id"),
           SnapshotDiff.contentFp(cols).as("fp"))
         val v2Fp = v2.select(col("doc_id"),
@@ -531,6 +539,30 @@ object CorpusStress {
       require(cdc._1 == cdc._2 && cdc._2 == cdc._3,
         s"CDC round-trip broken at factor $f: v2=${cdc._1} " +
           s"rebuilt=${cdc._2} matched=${cdc._3}")
+
+      // q189 small-delta CDC: the contract's normal case (delta ≪
+      // corpus — ~0.05% here) on the BROADCAST path: corpus text must
+      // never hit a hash exchange while the round-trip identity holds.
+      val (cdcS, t189s) = time {
+        val d0 = docs.select(col("doc_id"), col("text"), col("lang"),
+          col("source"))
+        val v2 = d0.filter(col("doc_id") % 9973 =!= 0)
+          .withColumn("text",
+            when(col("doc_id") % 7919 === 0, upper(col("text")))
+              .otherwise(col("text")))
+        val cols = Seq("text", "lang", "source")
+        val rec = SnapshotDiff.applyChanges(d0,
+          SnapshotDiff.changeSet(d0, v2, "doc_id", cols), "doc_id", cols)
+        val recFp = rec.select(col("doc_id"),
+          SnapshotDiff.contentFp(cols).as("fp"))
+        val v2Fp = v2.select(col("doc_id"),
+          SnapshotDiff.contentFp(cols).as("fp"))
+        (v2Fp.count(), recFp.count(),
+          recFp.join(v2Fp, Seq("doc_id", "fp")).count())
+      }
+      require(cdcS._1 == cdcS._2 && cdcS._2 == cdcS._3,
+        s"small-delta CDC round-trip broken at factor $f: " +
+          s"v2=${cdcS._1} rebuilt=${cdcS._2} matched=${cdcS._3}")
 
       println(s"""{"factor":$f,"docs":$n,""" +
         s""""q164_sec":$t164,"q164_pairs":$r164,""" +
@@ -550,6 +582,7 @@ object CorpusStress {
         s""""q186_sec":$t186,"q186_segments":$r186,""" +
         s""""q187_sec":$t187,"q187_scenes":$r187,""" +
         s""""q189_sec":$t189,"q189_rows":${cdc._1},""" +
+        s""""q189_small_sec":$t189s,"q189_small_rows":${cdcS._1},""" +
         s""""q67_sec":$t67,"q67_rows":$r67,""" +
         s""""q71_sec":$t71,"q71_rows":$r71,""" +
         s""""q74_sec":$t74,"q74_rows":$r74,""" +

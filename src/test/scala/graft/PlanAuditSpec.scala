@@ -212,6 +212,48 @@ class PlanAuditSpec extends SparkSpec {
         s"textExchangeAllowed entry):\n${flagged.mkString("\n")}")
   }
 
+  /** Queries whose hash exchange legitimately carries a raw embedding
+    * ARRAY as payload, each justified: vectors may cross the wire
+    * exactly once when an index/model BUILD re-organizes them (IVF
+    * cell assignment, k-means training, PCA Gram accumulation), or
+    * when the operator's verify step is defined ON the vectors. A
+    * QUERY-time plan that ships vectors is wrong — scale paths score
+    * on codes/cells and fetch floats only for a shortlist (q190's
+    * shape) — so anything not listed here fails.
+    */
+  private val vectorExchangeAllowed: Map[String, String] = Map(
+    "q73_semdedup" -> ("cluster-blocked exact-cosine verify: vectors " +
+      "co-locate per prebuilt-IVF cell ONCE (keyed on list_id, " +
+      "cell-bounded fanout) so the in-cell pair cosines are exact — " +
+      "the operator's zero-false-positive contract is defined ON the " +
+      "vectors; every other ANN-family query-time plan ships " +
+      "codes/cells only"))
+
+  test("no hash exchange carries a raw embedding array without a " +
+      "justified build/verify entry") {
+    import org.apache.spark.sql.catalyst.plans.physical.HashPartitioning
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.types.{ArrayType, FloatType, DoubleType}
+    val flagged = executions.toSeq.sortBy(_._1).flatMap { case (name, qe) =>
+      val carriers = physicalNodes(qe.executedPlan).collect {
+        case ex: ShuffleExchangeExec
+            if ex.outputPartitioning.isInstanceOf[HashPartitioning] &&
+              ex.child.output.exists(a => a.dataType match {
+                case ArrayType(FloatType | DoubleType, _) => true
+                case _ => false
+              }) =>
+          ex.child.output.map(_.name).mkString("[", ",", "]")
+      }
+      if (carriers.nonEmpty && !vectorExchangeAllowed.contains(name))
+        Some(s"$name: ${carriers.mkString(" ; ")}")
+      else None
+    }
+    assert(flagged.isEmpty,
+      s"hash exchanges carrying raw float/double arrays (score on " +
+        s"codes/cells and shortlist-fetch the floats, or add a " +
+        s"justified vectorExchangeAllowed entry):\n${flagged.mkString("\n")}")
+  }
+
   test("no cartesian/nested-loop join outside the documented exact " +
       "baselines") {
     for ((name, plan) <- plans if !exactBaselines.contains(name)) {
