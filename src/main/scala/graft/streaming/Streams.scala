@@ -420,6 +420,67 @@ object Streams {
       .toDF("id", "query_id", "adist")
   }
 
+  final case class AsofEvent(event_id: Long, key: Long, ms: Long)
+  final case class AsofDimRow(key: Long, ms: Long, dim_value: Double)
+  final case class AsofEnriched(event_id: Long, key: Long, ms: Long,
+      dim_value: Option[Double])
+
+  /** Streaming backward as-of enrichment — the incremental dual of
+    * q68's `TemporalJoins.asofBackward` for the production case where
+    * the right side is a bounded DIMENSION (reference prices, model
+    * versions, config epochs): each ARRIVING event picks up the
+    * latest dim row with the same key and `dim.ms <= event.ms`
+    * (inclusive; optionally within `toleranceMs`), or none. The
+    * dimension collects once behind an explicit budget gate (the
+    * fitted-model boundary — `maxDimRows` refuses, never silently
+    * truncates, the maxGrams convention) into per-key ts-sorted
+    * arrays; each arrival is then ONE scan-local binary search —
+    * stateless, append-legal, no watermark, and bit-identical to the
+    * batch union-tag window by construction (the search returns
+    * exactly "the latest right row ≤ ts", StreamingSpec parity on the
+    * real events fixture). The batch operator remains the path for a
+    * corpus-sized right side; this face trades its one key exchange
+    * for a broadcast lookup the way every standing-model face here
+    * does. Requires the batch contract: dim unique per (key, ms).
+    */
+  def asofEnrichStream(events: Dataset[AsofEvent],
+      dim: Dataset[AsofDimRow], toleranceMs: Option[Long] = None,
+      maxDimRows: Int = 5000000): Dataset[AsofEnriched] = {
+    val rows = dim.collect()
+    require(rows.length <= maxDimRows,
+      s"dimension has ${rows.length} rows > maxDimRows=$maxDimRows — " +
+        "use the batch asofBackward (one key exchange) instead")
+    val byKey: Map[Long, (Array[Long], Array[Double])] =
+      rows.groupBy(_.key).map { case (k, rs) =>
+        val sorted = rs.sortBy(_.ms)
+        require(sorted.map(_.ms).distinct.length == sorted.length,
+          s"dim not unique per (key, ms) at key=$k — pre-aggregate " +
+            "as the batch operator requires")
+        k -> (sorted.map(_.ms), sorted.map(_.dim_value))
+      }
+    val spark = events.sparkSession
+    val bc = spark.sparkContext.broadcast(byKey)
+    implicit val outEnc = Encoders.product[AsofEnriched]
+    events.mapPartitions { it =>
+      val m = bc.value
+      it.map { e =>
+        val hit = m.get(e.key).flatMap { case (tss, vals) =>
+          // rightmost index with tss(i) <= e.ms
+          var lo = 0; var hi = tss.length - 1; var ans = -1
+          while (lo <= hi) {
+            val mid = (lo + hi) >>> 1
+            if (tss(mid) <= e.ms) { ans = mid; lo = mid + 1 }
+            else hi = mid - 1
+          }
+          if (ans < 0) None
+          else if (toleranceMs.exists(t => e.ms - tss(ans) > t)) None
+          else Some(vals(ans))
+        }
+        AsofEnriched(e.event_id, e.key, e.ms, hit)
+      }
+    }
+  }
+
   final case class PackDoc(id: Long, n_tok: Long)
   final case class PackAssign(id: Long, shard: Long, n_tokens: Long,
       pack_id: Long)
