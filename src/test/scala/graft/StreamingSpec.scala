@@ -1159,4 +1159,76 @@ class StreamingSpec extends SparkSpec {
       assert(got.exists(_._4.isDefined) && got.exists(_._4.isEmpty))
     } finally q.stop()
   }
+
+  test("new faces hold parity under RANDOM micro-batch slicings " +
+      "(seeded): packing (id-ordered), standing top-k (any order)") {
+    implicit val sqlCtx = spark.sqlContext
+    import Streams.{CapDoc, PackDoc}
+    val rnd = new scala.util.Random(20260815L)
+    val d = Tables.load(spark, sf0001, "documents")
+      .withColumn("n_tok",
+        graft.functions.TextFunctions.tokenCount(col("text")).cast("long"))
+
+    // packing truth + id-ordered feed (the ingestion contract)
+    val packBatch = graft.operators.CorpusOps
+      .packGreedy(d, "doc_id", "n_tok", budget = 256, nShards = 8)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    val packDocs = d.select(col("doc_id"), col("n_tok"))
+      .as[(Long, Long)].collect().sortBy(_._1)
+      .map(x => PackDoc(x._1, x._2))
+
+    // top-k truth + an order-free shuffled feed
+    val capBatch = SparkEntry.queries("q83_source_cap")(spark, sf0001)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .toSet
+    val capDocs = rnd.shuffle(
+      d.select(col("source"), col("doc_id"), col("n_chars").cast("double"))
+        .as[(String, Long, Double)].collect().toSeq)
+      .map(x => CapDoc(x._1, x._2, x._3))
+
+    def randomSlices[T](xs: Seq[T], n: Int): Seq[Seq[T]] = {
+      val cuts = (Seq(0, xs.length) ++
+        Seq.fill(n - 1)(rnd.nextInt(xs.length + 1))).sorted
+      cuts.sliding(2).map { case Seq(a, b) => xs.slice(a, b) }.toSeq
+    }
+
+    for (round <- 1 to 3) {
+      val msP = MemoryStream[PackDoc]
+      val qn = s"pack_rs_$round"
+      val qp = Streams.packStream(msP.toDS(), budget = 256, nShards = 8)
+        .writeStream.format("memory").queryName(qn)
+        .outputMode("append").start()
+      try {
+        randomSlices(packDocs.toSeq, 4).foreach { s =>
+          msP.addData(s); qp.processAllAvailable()
+        }
+        val got = spark.table(qn).collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+            r.getLong(3))).toSet
+        assert(got == packBatch, s"packing diverged on slicing $round")
+      } finally qp.stop()
+
+      val msC = MemoryStream[CapDoc]
+      val cn = s"cap_rs_$round"
+      val qc = Streams.sourceTopKStream(msC.toDS(), k = 20)
+        .writeStream.format("memory").queryName(cn)
+        .outputMode("update").start()
+      try {
+        randomSlices(capDocs, 4).foreach { s =>
+          msC.addData(s); qc.processAllAvailable()
+        }
+        val latest = spark.table(cn)
+          .withColumn("mx", max(col("n_seen"))
+            .over(org.apache.spark.sql.expressions.Window
+              .partitionBy(col("source"))))
+          .filter(col("n_seen") === col("mx"))
+          .select(col("source"), col("rank_in_source"), col("doc_id"))
+          .collect()
+          .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+        assert(latest == capBatch, s"top-k diverged on slicing $round")
+      } finally qc.stop()
+    }
+  }
 }
