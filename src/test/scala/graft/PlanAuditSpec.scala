@@ -254,6 +254,39 @@ class PlanAuditSpec extends SparkSpec {
         s"justified vectorExchangeAllowed entry):\n${flagged.mkString("\n")}")
   }
 
+  /** Queries whose hash exchange legitimately carries the media
+    * `payload` BINARY column, each justified. The multimodal contract
+    * is that decode/feature-extraction is scan-local and only
+    * fixed-width frame/segment rows reach an exchange — media bytes
+    * on a shuffle would be the media equivalent of shuffling text.
+    * (Matched by the engine's payload column NAME + BinaryType:
+    * a bare BinaryType match would false-positive on every partial
+    * aggregation buffer, which also serializes as binary.)
+    */
+  private val binaryExchangeAllowed: Map[String, String] = Map.empty
+
+  test("no hash exchange carries a binary media payload") {
+    import org.apache.spark.sql.catalyst.plans.physical.HashPartitioning
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.types.BinaryType
+    val flagged = executions.toSeq.sortBy(_._1).flatMap { case (name, qe) =>
+      val carriers = physicalNodes(qe.executedPlan).collect {
+        case ex: ShuffleExchangeExec
+            if ex.outputPartitioning.isInstanceOf[HashPartitioning] &&
+              ex.child.output.exists(a =>
+                a.name == "payload" && a.dataType == BinaryType) =>
+          ex.child.output.map(_.name).mkString("[", ",", "]")
+      }
+      if (carriers.nonEmpty && !binaryExchangeAllowed.contains(name))
+        Some(s"$name: ${carriers.mkString(" ; ")}")
+      else None
+    }
+    assert(flagged.isEmpty,
+      s"hash exchanges carrying media payload bytes (keep decode " +
+        s"scan-local; shuffle fixed-width features only, or add a " +
+        s"justified binaryExchangeAllowed entry):\n${flagged.mkString("\n")}")
+  }
+
   test("no cartesian/nested-loop join outside the documented exact " +
       "baselines") {
     for ((name, plan) <- plans if !exactBaselines.contains(name)) {
