@@ -166,6 +166,41 @@ object EmbedStress {
         s"IVF-PQ recall@1 below floor at factor $f: " +
           s"$ivfpqHits / $nQ = ${ivfpqHits.toDouble / nQ}")
 
+      // q191 path at scale (r11): incremental index maintenance via
+      // CDC must equal a full re-assignment of v2, row-for-row, as the
+      // corpus grows — evictions, carried-over unchanged rows and
+      // fresh assignments all join-checked. The fitted model trains
+      // once per factor (k=8/iters=2 — the q191 registration's
+      // quantizer); v2 is the q191 re-crawl shape. Both paths are
+      // timed so the delta-proportional claim is measured against the
+      // rebuild it replaces.
+      val (cdcOk, cdcSec) = time {
+        val v1 = corpus.select(col("id"), col("vec"))
+        val model = graft.operators.KMeansExact
+          .fitModel(v1, "id", "vec", k = 8, iters = 2)
+        val postings = graft.operators.KMeansExact
+          .assignFitted(v1, "id", "vec", model)
+          .select(col("id"), col("cluster"))
+          .localCheckpoint(eager = false)
+        val v2 = v1.filter(col("id") % 17 =!= 0)
+          .withColumn("vec", when(col("id") % 13 === 0,
+            transform(col("vec"), x => negative(x))).otherwise(col("vec")))
+          .unionByName(v1.filter(col("id") % 19 === 0)
+            .select((col("id") + lit(500000000L)).as("id"),
+              reverse(col("vec")).as("vec")))
+        val updated = graft.operators.IndexMaintenance
+          .updatePostings(postings, v1, v2, "id", "vec", model)
+        val rebuilt = graft.operators.KMeansExact
+          .assignFitted(v2, "id", "vec", model)
+          .select(col("id"), col("cluster"))
+        val nUpd = updated.count()
+        val nReb = rebuilt.count()
+        val nMatch = updated.join(rebuilt, Seq("id", "cluster")).count()
+        (nUpd == nReb && nReb == nMatch, nUpd)
+      }
+      require(cdcOk._1,
+        s"CDC index maintenance diverged from rebuild at factor $f")
+
       println(s"""{"factor":$f,"vectors":$n,"planted":$nTwins,""" +
         s""""sec":${sec + secCount},"found":$found,"planted_found":$planted,""" +
         s""""recall":$recall,""" +
@@ -173,7 +208,8 @@ object EmbedStress {
         s""""q82_recall1":${qHits.toDouble / nQ},""" +
         s""""proj_sec":$pSec,"proj_recall1":${pHits.toDouble / nQ},""" +
         s""""kmeans_sec":$kmSec,"kmeans_rows":${km._1},""" +
-        s""""ivfpq_sec":$ivfpqSec,"ivfpq_recall1":${ivfpqHits.toDouble / nQ}}""")
+        s""""ivfpq_sec":$ivfpqSec,"ivfpq_recall1":${ivfpqHits.toDouble / nQ},""" +
+        s""""ivfcdc_sec":$cdcSec,"ivfcdc_rows":${cdcOk._2}}""")
     }
     spark.stop()
   }

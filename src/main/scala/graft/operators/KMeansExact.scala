@@ -158,13 +158,9 @@ object KMeansExact {
       col("d2").cast("double").as("d2")), centUsed)
   }
 
-  /** DuckDB replay of [[assign]], rounds unrolled (the Pca/LogReg
-    * oracle pattern).
-    */
-  def oracleSql(k: Int, iters: Int): String = {
-    val rounds = (1 to iters).map { r =>
-      val prev = if (r == 1) "c0" else s"c${r - 1}"
-      s"""d$r AS (
+  private def roundSql(r: Int): String = {
+    val prev = if (r == 1) "c0" else s"c${r - 1}"
+    s"""d$r AS (
         SELECT x.id, $prev.cluster,
                sum(CAST(x.x - $prev.c AS DECIMAL(18,6))
                    * CAST(x.x - $prev.c AS DECIMAL(18,6))) AS d2
@@ -187,9 +183,18 @@ object KMeansExact {
                coalesce(u$r.cnew, $prev.c) AS c
         FROM $prev LEFT JOIN u$r
           ON $prev.cluster = u$r.cluster AND $prev.j = u$r.j)"""
-    }.mkString(",\n      ")
-    s"""
-      WITH x AS (
+  }
+
+  /** WITH-clause body that trains on the `embeddings` table (CTE `x`
+    * holds its 6-decimal exploded positions) and ends at the FITTED
+    * centroid table — the table [[fitModel]] collects, i.e.
+    * c{iters−1}, the one the final assignment round reads. For
+    * oracles that assign OTHER frames under the fitted model (the
+    * q191 CDC index replay). Returns (cteBody, fittedTableName).
+    */
+  def fittedCentroidCte(k: Int, iters: Int): (String, String) = {
+    val rounds = (1 to (iters - 1)).map(roundSql)
+    val body = s"""x AS (
         SELECT vec_id AS id, CAST(j - 1 AS INT) AS j,
                CAST(round(CAST(embedding[j] AS DOUBLE), 6)
                  AS DECIMAL(18,6)) AS x
@@ -202,8 +207,19 @@ object KMeansExact {
         FROM embeddings ORDER BY vec_id LIMIT $k),
       c0 AS (
         SELECT seeds.cluster, x.j, x.x AS c
-        FROM x JOIN seeds USING (id)),
-      $rounds
+        FROM x JOIN seeds USING (id))""" +
+      (if (rounds.isEmpty) "" else rounds.mkString(",\n      ", ",\n      ", ""))
+    (body, s"c${iters - 1}")
+  }
+
+  /** DuckDB replay of [[assign]], rounds unrolled (the Pca/LogReg
+    * oracle pattern).
+    */
+  def oracleSql(k: Int, iters: Int): String = {
+    val (prefix, _) = fittedCentroidCte(k, iters)
+    s"""
+      WITH $prefix,
+      ${roundSql(iters)}
       SELECT id AS vec_id, cluster, CAST(d2 AS DOUBLE) AS d2
       FROM a$iters WHERE rn = 1 ORDER BY vec_id"""
   }

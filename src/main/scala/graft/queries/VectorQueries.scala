@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.operators.{ProductQuant, Similarity}
+import graft.operators.{IndexMaintenance, KMeansExact, ProductQuant, Similarity}
 
 /** Round-10 embedding-geometry battery: Matryoshka truncation recall
   * (q178) and product-quantization ADC search (q180) — the two
@@ -44,6 +44,52 @@ object VectorQueries {
     pqCache.getOrElseUpdate(path + "#" + fp,
       ProductQuant.buildIfAbsent(s, emb, path, PqM, PqSubDim, PqK,
         PqIters, fingerprint = Some(fp)))
+  }
+
+  // coarse quantizer for the CDC-maintained index (q191): exact-Lloyd
+  // so the fitted assignment arithmetic is SQL-replayable
+  private val CdcK = 8
+  private val CdcIters = 2
+
+  private[queries] def ivfCdcDir(dir: String): String =
+    graft.sources.Artifacts.dir("ivfcdc", dir, s"k${CdcK}_i$CdcIters")
+
+  private val ivfCdcCache = scala.collection.concurrent.TrieMap[String,
+    (org.apache.spark.sql.DataFrame,
+      Map[(Int, Int), java.math.BigDecimal])]()
+
+  /** Load (postings, fitted centroid model) for the CDC index,
+    * training + saving both halves IFF absent (the offline indexing
+    * job; fingerprint-guarded like the PQ/IVF artifacts). Postings
+    * are (id, cluster); centroids persist as the (cluster, j, c)
+    * DECIMAL(18,6) table the oracle replays assignment from.
+    */
+  private def sharedIvfCdc(s: org.apache.spark.sql.SparkSession,
+      dir: String, base: => org.apache.spark.sql.DataFrame)
+      : (org.apache.spark.sql.DataFrame,
+        Map[(Int, Int), java.math.BigDecimal]) = {
+    val path = ivfCdcDir(dir)
+    val fp = graft.operators.BpeLearn
+      .dataFingerprint(s, s"$dir/embeddings.parquet")
+    ivfCdcCache.getOrElseUpdate(path + "#" + fp, {
+      import graft.sources.ArtifactGuard
+      if (!ArtifactGuard.fresh(s, path, s"$path/postings/_SUCCESS",
+          Some(fp))) {
+        val (assigned, cent) = KMeansExact
+          .assignAndModel(base, "id", "embedding", CdcK, CdcIters)
+        cent.coalesce(1).write.mode("overwrite")
+          .parquet(s"$path/centroids")
+        assigned.select(col("id"), col("cluster"))
+          .write.mode("overwrite").parquet(s"$path/postings")
+        ArtifactGuard.stamp(s, path, Some(fp))
+      }
+      val postings = s.read.parquet(s"$path/postings")
+      val model = s.read.parquet(s"$path/centroids").collect()
+        .map(r => (r.getAs[Int]("cluster"), r.getAs[Int]("j")) ->
+          r.getAs[java.math.BigDecimal]("c").setScale(6))
+        .toMap
+      (postings, model)
+    })
   }
 
   /** One truncated-space exact-top-k CTE chain (the q28 arithmetic
@@ -310,6 +356,77 @@ object VectorQueries {
           FROM resc)
         SELECT query_id, neighbor_id, cosine, CAST(rnk AS BIGINT) AS rnk
         FROM ranked WHERE rnk <= 5
-        ORDER BY query_id, rnk"""))
+        ORDER BY query_id, rnk""")),
+
+    // ---- q191: incremental index maintenance via CDC ----
+    // The composition the CDC primitive exists for (SCALE.md §12):
+    // a re-crawl lands as v2; the coarse-quantizer postings update
+    // from the CHANGE SET (removed/changed ids leave, changed/added
+    // vectors re-assign under the saved fitted centroids) instead of
+    // re-assigning the corpus. The gate proves the whole point:
+    // update(postings_v1, changeSet(v1, v2)) must equal a FULL
+    // REBUILD of v2's assignment — the oracle independently
+    // re-assigns every v2 vector from the saved centroid artifact
+    // (exact-decimal distances, (d2, cluster) argmin — the q143
+    // arithmetic), so unchanged postings, evictions and fresh
+    // assignments are all hash-checked. The change fingerprint is
+    // the 6-decimal canonical vector rendering — the SAME granularity
+    // the assignment arithmetic sees, so "unchanged" is exactly
+    // "cannot move a cell". v2 is a deterministic re-crawl: ids %17
+    // vanish, ids %13 re-embed (negated vectors — every coordinate
+    // moves), ids %19 arrive anew (reversed vectors, shifted ids).
+    QueryDef(
+      "q191_ivf_cdc",
+      (s, dir) => {
+        val base = Tables.load(s, dir, "embeddings")
+          .select(col("vec_id").as("id"), col("embedding"))
+        val (postings, model) = sharedIvfCdc(s, dir, base)
+        val v2 = base.filter(col("id") % 17 =!= 0)
+          .withColumn("embedding", when(col("id") % 13 === 0,
+            transform(col("embedding"), x => negative(x)))
+            .otherwise(col("embedding")))
+          .unionByName(base.filter(col("id") % 19 === 0)
+            .select((col("id") + lit(5000000L)).as("id"),
+              reverse(col("embedding")).as("embedding")))
+        IndexMaintenance
+          .updatePostings(postings, base, v2, "id", "embedding", model)
+          .select(col("id").as("vec_id"), col("cluster"))
+          .orderBy(col("vec_id"))
+      },
+      None,
+      oracleFn = Some { dir =>
+        val path = ivfCdcDir(dir)
+        s"""
+        WITH cent AS (
+          SELECT cluster, j, CAST(c AS DECIMAL(18,6)) AS c
+          FROM read_parquet('$path/centroids/*.parquet')),
+        v2 AS (
+          SELECT vec_id,
+                 CASE WHEN vec_id % 13 = 0
+                      THEN list_transform(embedding, e -> -e)
+                      ELSE embedding END AS embedding
+          FROM embeddings WHERE vec_id % 17 <> 0
+          UNION ALL
+          SELECT vec_id + 5000000, list_reverse(embedding)
+          FROM embeddings WHERE vec_id % 19 = 0),
+        x2 AS (
+          SELECT vec_id AS id, CAST(j - 1 AS INT) AS j,
+                 CAST(round(CAST(embedding[j] AS DOUBLE), 6)
+                   AS DECIMAL(18,6)) AS x
+          FROM v2, LATERAL unnest(range(1, len(embedding) + 1)) AS t(j)),
+        d AS (
+          SELECT x2.id, cent.cluster,
+                 sum(CAST(x2.x - cent.c AS DECIMAL(18,6))
+                     * CAST(x2.x - cent.c AS DECIMAL(18,6))) AS d2
+          FROM x2 JOIN cent ON x2.j = cent.j
+          GROUP BY 1, 2),
+        a AS (
+          SELECT id, cluster,
+                 row_number() OVER (PARTITION BY id
+                   ORDER BY d2, cluster) AS rn
+          FROM d)
+        SELECT id AS vec_id, cluster FROM a WHERE rn = 1
+        ORDER BY vec_id"""
+      })
   )
 }

@@ -34,7 +34,11 @@ class EmptyCorpusSpec extends SparkSpec {
       "q180_pq_adc",
       // q190 composes BOTH trained quantizers (q46's coarse cells +
       // q180's PQ codebooks) — the same vectors-required boundary
-      "q190_ivfpq")
+      "q190_ivfpq",
+      // q191 maintains postings under the exact-Lloyd fitted model —
+      // training requires vectors (assignFitted's
+      // require("empty centroid model") fails fast)
+      "q191_ivf_cdc")
 
   private lazy val emptyDir: String = {
     val dir = new java.io.File("target/empty_sf").getAbsolutePath
