@@ -63,4 +63,34 @@ object IndexMaintenance {
     postings.join(bc(gone), Seq(idCol), "left_anti")
       .unionByName(newAssign)
   }
+
+  /** The text-index instance of the same pattern: update a BM25
+    * inverted-index POSTINGS table (doc_id, dl, term, tf —
+    * [[Retrieval.postings]]) from a v1 → v2 re-crawl. Postings are
+    * per-document, so maintenance is delta-local: removed/changed
+    * docs' rows evict, changed/added docs re-tokenize scan-locally.
+    * The corpus-level BM25 model terms (df, N, avgdl) are DERIVED
+    * from the postings by the rankers at query time, so they follow
+    * the update with no extra machinery — which is exactly what the
+    * q192 gate checks: ranking over the updated postings must equal
+    * ranking over a full re-index of v2, idf/avgdl shifts included.
+    * Change detection fingerprints the raw text (the
+    * [[SnapshotDiff.contentFp]] scan-local md5), matching exact-dedup
+    * granularity: any byte change re-fingerprints.
+    */
+  def updateTextPostings(postings: DataFrame, v1: DataFrame,
+      v2: DataFrame, idCol: String, textCol: String,
+      broadcastDelta: Boolean = true): DataFrame = {
+    val d = SnapshotDiff.diff(v1, v2, idCol, Seq(textCol))
+    def bc(df: DataFrame): DataFrame =
+      if (broadcastDelta) broadcast(df) else df
+    val gone = d.filter(col("status").isin("removed", "changed"))
+      .select(col(idCol).as("doc_id"))
+    val freshIds = d.filter(col("status").isin("added", "changed"))
+      .select(col(idCol))
+    val fresh = v2.select(col(idCol), col(textCol))
+      .join(bc(freshIds), Seq(idCol))
+    postings.join(bc(gone), Seq("doc_id"), "left_anti")
+      .unionByName(Retrieval.postings(fresh, idCol, textCol))
+  }
 }

@@ -27,8 +27,9 @@ object RetrievalQueries {
     * query set, and the BM25-scored candidate ranking. `capWhere`
     * optionally replays a df cap on the idf table (q130).
     */
-  private def bm25CtesCapped(capWhere: String): String = s"""
-    d AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+  private def bm25CtesCapped(capWhere: String,
+      src: String = "documents"): String = s"""
+    d AS (SELECT doc_id, string_split(text, ' ') AS tk FROM $src),
     post AS (
       SELECT doc_id, len(tk) AS dl, u.t AS term, count(*) AS tf
       FROM d, unnest(tk) AS u(t) GROUP BY 1, 2, 3),
@@ -198,6 +199,54 @@ object RetrievalQueries {
       Some(s"""
         WITH ${bm25CtesCapped(
           "WHERE CAST(f.dfc AS DOUBLE) <= 0.77 * s.n_docs")}
+        SELECT qid, doc_id, rank, score FROM branked
+        WHERE rank <= 10 ORDER BY qid, rank""")),
+
+    // ---- q192: BM25 search over CDC-maintained postings ----
+    // The text-index twin of q191 (`IndexMaintenance
+    // .updateTextPostings`): a re-crawl lands as v2 (%23 vanish, %9
+    // get updated content appended, %31 arrive anew), the inverted
+    // index updates from the CHANGE SET — evictions + scan-local
+    // re-tokenization of the delta — and the gate asks the production
+    // question directly: BM25 top-10 over the UPDATED postings must
+    // hash-equal the oracle's full re-index of v2, including the
+    // df/idf/avgdl shifts the re-crawl causes (the model terms derive
+    // from the postings at query time, so they follow the update for
+    // free). The v1 postings build stands in for the loaded index
+    // artifact (q191 demonstrates the artifact lifecycle; the
+    // convention here matches q119/q120's inline+checkpoint).
+    QueryDef(
+      "q192_bm25_cdc",
+      (s, dir) => {
+        val d = Tables.load(s, dir, "documents")
+          .select(col("doc_id"), col("text"))
+        val v2 = d.filter(col("doc_id") % 23 =!= 0)
+          .withColumn("text", when(col("doc_id") % 9 === 0,
+            concat(col("text"), lit(" freshly crawled update")))
+            .otherwise(col("text")))
+          .unionByName(d.filter(col("doc_id") % 31 === 0)
+            .select((col("doc_id") + lit(10000000L)).as("doc_id"),
+              concat(lit("new arrival "), col("text")).as("text")))
+          .localCheckpoint(eager = false)
+        val v1post = Retrieval.postings(d, "doc_id", "text")
+          .localCheckpoint(eager = false)
+        val updated = graft.operators.IndexMaintenance
+          .updateTextPostings(v1post, d, v2, "doc_id", "text")
+          .localCheckpoint(eager = false)
+        Retrieval.bm25FromPostings(updated, querySet(v2), k = 10)
+          .orderBy(col("qid"), col("rank"))
+      },
+      Some(s"""
+        WITH v2 AS (
+          SELECT doc_id,
+                 CASE WHEN doc_id % 9 = 0
+                      THEN text || ' freshly crawled update'
+                      ELSE text END AS text
+          FROM documents WHERE doc_id % 23 <> 0
+          UNION ALL
+          SELECT doc_id + 10000000, 'new arrival ' || text
+          FROM documents WHERE doc_id % 31 = 0),
+        ${bm25CtesCapped("", "v2")}
         SELECT qid, doc_id, rank, score FROM branked
         WHERE rank <= 10 ORDER BY qid, rank"""))
   )
