@@ -564,6 +564,36 @@ object CorpusStress {
         s"small-delta CDC round-trip broken at factor $f: " +
           s"v2=${cdcS._1} rebuilt=${cdcS._2} matched=${cdcS._3}")
 
+      // q192 postings maintenance at scale: the updated inverted
+      // index must equal a full re-tokenization of v2 row-for-row
+      // ((doc_id, dl, term, tf) join-checked) — evictions, carried
+      // rows and fresh postings all covered as the corpus grows.
+      val (p192, t192) = time {
+        val d0 = docs.select(col("doc_id"), col("text"))
+        val v2 = d0.filter(col("doc_id") % 23 =!= 0)
+          .withColumn("text", when(col("doc_id") % 9 === 0,
+            concat(col("text"), lit(" freshly crawled update")))
+            .otherwise(col("text")))
+          .unionAll(d0.filter(col("doc_id") % 31 === 0)
+            .select((col("doc_id") + lit(100000000L)).as("doc_id"),
+              concat(lit("new arrival "), col("text")).as("text")))
+        val v1post = graft.operators.Retrieval
+          .postings(d0, "doc_id", "text")
+          .localCheckpoint(eager = false)
+        val updated = graft.operators.IndexMaintenance
+          .updateTextPostings(v1post, d0, v2, "doc_id", "text")
+        val rebuilt = graft.operators.Retrieval
+          .postings(v2, "doc_id", "text")
+        val nUpd = updated.count()
+        val nReb = rebuilt.count()
+        val nMatch = updated
+          .join(rebuilt, Seq("doc_id", "dl", "term", "tf")).count()
+        (nUpd, nReb, nMatch)
+      }
+      require(p192._1 == p192._2 && p192._2 == p192._3,
+        s"postings maintenance diverged from re-index at factor $f: " +
+          s"upd=${p192._1} reb=${p192._2} match=${p192._3}")
+
       println(s"""{"factor":$f,"docs":$n,""" +
         s""""q164_sec":$t164,"q164_pairs":$r164,""" +
         s""""q164_aqe_skew_splits":$sk164,""" +
@@ -583,6 +613,7 @@ object CorpusStress {
         s""""q187_sec":$t187,"q187_scenes":$r187,""" +
         s""""q189_sec":$t189,"q189_rows":${cdc._1},""" +
         s""""q189_small_sec":$t189s,"q189_small_rows":${cdcS._1},""" +
+        s""""q192_sec":$t192,"q192_rows":${p192._1},""" +
         s""""q67_sec":$t67,"q67_rows":$r67,""" +
         s""""q71_sec":$t71,"q71_rows":$r71,""" +
         s""""q74_sec":$t74,"q74_rows":$r74,""" +

@@ -228,4 +228,65 @@ class StreamingSketchSpec extends SparkSpec {
       } finally q2.stop()
     } finally { cb.unpersist(); cd.unpersist() }
   }
+
+  test("streaming index ingest (q191's streaming half): arriving " +
+      "vectors classify against static v1 fingerprints and assign " +
+      "to cells exactly as the batch maintenance path") {
+    import graft.operators.{IndexMaintenance, KMeansExact, SnapshotDiff}
+    implicit val sqlCtx = spark.sqlContext
+    val v1 = spark.read.parquet(s"$sf0001/embeddings.parquet")
+      .select(col("vec_id").as("id"), col("embedding"))
+    val v2 = v1.filter(col("id") % 17 =!= 0)
+      .withColumn("embedding", when(col("id") % 13 === 0,
+        transform(col("embedding"), x => negative(x)))
+        .otherwise(col("embedding")))
+      .unionByName(v1.filter(col("id") % 19 === 0)
+        .select((col("id") + lit(5000000L)).as("id"),
+          reverse(col("embedding")).as("embedding")))
+    val model = KMeansExact.fitModel(v1, "id", "embedding", k = 8,
+      iters = 2)
+    // batch truth: the fresh (added/changed) assignments the
+    // maintenance path unions into the postings
+    val d = SnapshotDiff.diff(
+      v1.select(col("id"), IndexMaintenance.vecFp6(col("embedding"))
+        .as("_efp")),
+      v2.select(col("id"), IndexMaintenance.vecFp6(col("embedding"))
+        .as("_efp")), "id", Seq("_efp"))
+    val freshIds = d.filter(col("status").isin("added", "changed"))
+      .select(col("id"))
+    val batchFresh = KMeansExact.assignFitted(
+        v2.join(broadcast(freshIds), Seq("id")), "id", "embedding", model)
+      .select(col("id"), col("cluster"))
+      .as[(Long, Int)].collect().toSet
+    assert(batchFresh.nonEmpty)
+    // stream: v2 vectors arrive; the added/changed classification is
+    // diffStream's exact predicate (fp stream-static left join, keep
+    // arrivals whose fp is unseen or differs) with the vector payload
+    // carried through, and assignFitted is a stateless scan-local map
+    // — the whole ingest is one append-legal query
+    val v1fp = v1.select(col("id"),
+      IndexMaintenance.vecFp6(col("embedding")).as("_fp1"))
+    val rows = v2.select(col("id"), col("embedding"))
+      .as[(Long, Array[Float])].collect().toSeq
+    val ms = MemoryStream[(Long, Array[Float])]
+    val carried = ms.toDF().toDF("id", "embedding")
+      .withColumn("_efp", IndexMaintenance.vecFp6(col("embedding")))
+      .join(v1fp, Seq("id"), "left")
+      .filter(col("_fp1").isNull || col("_fp1") =!= col("_efp"))
+      .select(col("id"), col("embedding"))
+    val q = KMeansExact.assignFitted(carried, "id", "embedding", model)
+      .select(col("id"), col("cluster"))
+      .writeStream.format("memory").queryName("ingest_assign")
+      .outputMode("append").start()
+    try {
+      val (a, b) = rows.splitAt(rows.length / 2)
+      ms.addData(a: _*); q.processAllAvailable()
+      ms.addData(b: _*); q.processAllAvailable()
+      val streamed = spark.table("ingest_assign")
+        .as[(Long, Int)].collect().toSet
+      assert(streamed == batchFresh,
+        s"streamed ingest diverges: ${streamed.size} vs " +
+          s"${batchFresh.size}")
+    } finally q.stop()
+  }
 }
