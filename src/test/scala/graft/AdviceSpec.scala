@@ -249,4 +249,33 @@ class AdviceSpec extends SparkSpec {
     // checkpoints (4-decimal ln rounding, half-up to 6): 0.792471
     assert(beta == 0.792471, s"beta=$beta")
   }
+
+  test("index maintenance no-op invariants: an unchanged re-crawl " +
+      "leaves both postings tables bit-identical (empty delta path)") {
+    import graft.operators.{IndexMaintenance, KMeansExact, Retrieval}
+    val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+      .select(col("vec_id").as("id"), col("embedding"))
+      .limit(60)
+    val model = KMeansExact.fitModel(emb, "id", "embedding",
+      k = 4, iters = 2)
+    val postings = KMeansExact
+      .assignFitted(emb, "id", "embedding", model)
+      .select(col("id"), col("cluster"))
+    val updated = IndexMaintenance
+      .updatePostings(postings, emb, emb, "id", "embedding", model)
+    // v2 == v1 ⇒ the delta is EMPTY: no evictions, no fresh
+    // assignments — the table must come back row-identical
+    assert(updated.count() == 60 &&
+      updated.join(postings, Seq("id", "cluster")).count() == 60)
+
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select(col("doc_id"), col("text")).limit(60)
+    val v1post = Retrieval.postings(docs, "doc_id", "text")
+      .localCheckpoint(eager = false)
+    val upd2 = IndexMaintenance
+      .updateTextPostings(v1post, docs, docs, "doc_id", "text")
+    val n = v1post.count()
+    assert(upd2.count() == n &&
+      upd2.join(v1post, Seq("doc_id", "dl", "term", "tf")).count() == n)
+  }
 }
