@@ -49,7 +49,12 @@ object IndexMaintenance {
       broadcastDelta: Boolean = true): DataFrame = {
     def fp(df: DataFrame): DataFrame =
       df.select(col(idCol), vecFp6(col(vecCol)).as("_efp"))
+    // the diff feeds TWO consumers (evictions and fresh ids) — the
+    // stage boundary computes the fingerprint scans once (q67's
+    // multi-consumer argument; at 100 TB the fp scans are the
+    // dominant cost of the incremental path)
     val d = SnapshotDiff.diff(fp(v1), fp(v2), idCol, Seq("_efp"))
+      .localCheckpoint(eager = false)
     def bc(df: DataFrame): DataFrame =
       if (broadcastDelta) broadcast(df) else df
     val gone = d.filter(col("status").isin("removed", "changed"))
@@ -81,7 +86,10 @@ object IndexMaintenance {
   def updateTextPostings(postings: DataFrame, v1: DataFrame,
       v2: DataFrame, idCol: String, textCol: String,
       broadcastDelta: Boolean = true): DataFrame = {
+    // two consumers of the diff — checkpoint so the text-fingerprint
+    // scans run once (same argument as updatePostings)
     val d = SnapshotDiff.diff(v1, v2, idCol, Seq(textCol))
+      .localCheckpoint(eager = false)
     def bc(df: DataFrame): DataFrame =
       if (broadcastDelta) broadcast(df) else df
     val gone = d.filter(col("status").isin("removed", "changed"))
