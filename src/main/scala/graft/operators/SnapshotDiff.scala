@@ -100,7 +100,9 @@ object SnapshotDiff {
   def changeSet(v1: DataFrame, v2: DataFrame, idCol: String,
       fpCols: Seq[String], broadcastDelta: Boolean = true): DataFrame = {
     require(fpCols.nonEmpty, "need at least one fingerprint column")
-    val d = diff(v1, v2, idCol, fpCols)
+    // the diff feeds two consumers (payload fetch + removed rows) —
+    // the stage boundary keeps the fingerprint scans single-pass
+    val d = diff(v1, v2, idCol, fpCols).localCheckpoint(eager = false)
     val keep = d.filter(col("status").isin("added", "changed"))
     val withPayload = v2
       .join(if (broadcastDelta) broadcast(keep) else keep, Seq(idCol))

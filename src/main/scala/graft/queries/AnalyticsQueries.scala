@@ -166,8 +166,11 @@ object AnalyticsQueries {
               concat(col("text"), lit(" v2")).as("text"),
               col("lang"), col("source")))
         val cols = Seq("text", "lang", "source")
+        // applyChanges consumes the change table twice (evictions +
+        // the union of fresh payloads) — checkpoint it once
         val changes = graft.operators.SnapshotDiff
           .changeSet(d0, v2, "doc_id", cols)
+          .localCheckpoint(eager = false)
         graft.operators.SnapshotDiff
           .applyChanges(d0, changes, "doc_id", cols)
           .select(col("doc_id"),
