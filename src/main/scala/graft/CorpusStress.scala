@@ -479,6 +479,22 @@ object CorpusStress {
             s"funnel stage $st must collapse to base at $f: ${fun(st)} vs $b"))
       }
 
+      // q194 lineage on the same pure-dup corpus: the per-doc reasons
+      // must reproduce the funnel's stage deltas EXACTLY at every
+      // factor — the partition identity is the operator's contract,
+      // so it is the thing to stress, not just the base-scale gate.
+      val (rr, t194) = time(
+        graft.queries.StatQueries.rejectionReasons(pureDup)
+          .groupBy("reason").count().collect()
+          .map(r => r.getString(0) -> r.getLong(1)).toMap)
+      def rn(k: String) = rr.getOrElse(k, 0L)
+      require(rn("quality_gate") == fun(0) - fun(1) &&
+        rn("lang_mismatch") == fun(1) - fun(2) &&
+        rn("exact_dup") == fun(2) - fun(3) &&
+        rn("near_dup") == fun(3) - fun(4) &&
+        rn("kept") == fun(4),
+        s"q194 reasons must reproduce funnel deltas at $f: $rr vs $fun")
+
       // q186/q187 segmentation under PAYLOAD replication: the base
       // corpus's WAV/Y4M payloads replicate per copy (ids remapped),
       // the full decode pays the ×f byte volume, and identical
@@ -609,6 +625,7 @@ object CorpusStress {
         s""""q181_sec":$t181,"q181_fill":$fill181,""" +
         s""""q182_sec":$t182,"q182_beta":${hb._1},""" +
         s""""q183_sec":$t183,"q183_survivors":${fun(4)},""" +
+        s""""q194_sec":$t194,"q194_kept":${rn("kept")},""" +
         s""""q186_sec":$t186,"q186_segments":$r186,""" +
         s""""q187_sec":$t187,"q187_scenes":$r187,""" +
         s""""q189_sec":$t189,"q189_rows":${cdc._1},""" +

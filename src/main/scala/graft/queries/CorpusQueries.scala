@@ -1220,6 +1220,119 @@ object CorpusQueries {
                    AS run
           FROM t)
         SELECT doc_id, lang, n_tok FROM r WHERE run < 3000
-        ORDER BY doc_id"""))
+        ORDER BY doc_id""")),
+
+    // ---- q195: tokenizer fertility report per language ----
+    // The tokenizer-efficiency table a multilingual mixture decision
+    // reads (Rust et al. 2021, "How Good is Your Tokenizer?"):
+    // per-language FERTILITY (tokens per word — how many subwords the
+    // tokenizer shatters a word into) and BYTES PER TOKEN (the
+    // compression a byte-level tokenizer is actually quoted in),
+    // computed under the SAME saved byte-BPE artifact q101 learned
+    // and q102 encodes with. A language whose fertility is 2× the
+    // corpus mean is under-served by the merge table — the signal
+    // that drives per-language vocab budgets. Scale: encode is
+    // scan-local under the broadcast merge list (the q102 shape);
+    // the report is one per-language aggregate. The oracle re-derives
+    // every token count from the artifact via the q101 recursive-CTE
+    // replay — byte-exact, not a spot check.
+    QueryDef(
+      "q195_fertility_report",
+      (s, dir) => {
+        val d0 = Tables.load(s, dir, "documents")
+        // identical training input to q101/q102 so whichever query
+        // runs first builds the SAME fingerprinted artifact
+        val dTrain = d0.select(col("doc_id"),
+          concat(col("text"), lit(" <|doc|> café")).as("text"))
+        val path = graft.operators.BpeLearn.bytesArtifactPath(dir, 16)
+        val fp = graft.operators.BpeLearn
+          .dataFingerprint(s, s"$dir/documents.parquet")
+        val merges = graft.operators.BpeLearn
+          .learnMergesIfAbsent(s, dTrain, "text", path, numMerges = 16,
+            fingerprint = Some(fp), byteLevel = true,
+            specialTokens = Seq("<|doc|>"))
+        val enc = graft.operators.BpeLearn
+          .encodeTokenCounts(d0, "doc_id", "text", merges,
+            byteLevel = true, specialTokens = Seq("<|doc|>"))
+          .select(col("doc_id"), col("n_words"), col("n_tokens"))
+        val bytes = d0.select(col("doc_id"), expr(
+          """aggregate(filter(split(text, ' '), w -> w != ''),
+             cast(0 as bigint), (a, w) -> a + octet_length(w))""")
+          .as("n_bytes"))
+        d0.select(col("doc_id"), col("lang"))
+          .join(enc, Seq("doc_id"))
+          .join(bytes, Seq("doc_id"))
+          .groupBy(col("lang"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_words")).as("n_words"),
+            sum(col("n_tokens")).as("n_tokens"),
+            coalesce(sum(col("n_bytes")), lit(0L)).as("n_bytes"))
+          .select(col("lang"), col("n_docs"), col("n_words"),
+            col("n_tokens"), col("n_bytes"),
+            when(col("n_words") > 0,
+              round(col("n_tokens").cast("double") /
+                col("n_words").cast("double"), 6)).otherwise(0.0)
+              .as("fertility"),
+            when(col("n_tokens") > 0,
+              round(col("n_bytes").cast("double") /
+                col("n_tokens").cast("double"), 6)).otherwise(0.0)
+              .as("bytes_per_token"))
+          .orderBy(col("lang"))
+      },
+      None, oracleFn = Some(dir => s"""
+        WITH RECURSIVE
+        m AS (SELECT rank, "left" AS l, "right" AS r
+              FROM '${graft.operators.BpeLearn.bytesArtifactPath(dir, 16)}/*.parquet'),
+        tok AS (
+          SELECT doc_id, w FROM (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS w
+            FROM documents)
+          WHERE w <> ''),
+        words AS (SELECT DISTINCT w FROM tok),
+        rec AS (
+          SELECT w,
+                 array_to_string(list_transform(string_split(w, ''),
+                                 c -> chr(1) || c || chr(2)), '') AS s,
+                 CAST(0 AS BIGINT) AS r
+          FROM words
+          UNION ALL
+          SELECT rec.w,
+                 replace(rec.s,
+                         chr(1) || m.l || chr(2) || chr(1) || m.r || chr(2),
+                         chr(1) || m.l || m.r || chr(2)),
+                 rec.r + 1
+          FROM rec JOIN m ON m.rank = rec.r + 1),
+        enc AS (
+          SELECT w, CAST(length(s) - length(replace(s, chr(1), ''))
+                         AS BIGINT) AS ntok
+          FROM rec
+          WHERE r = coalesce((SELECT max(rank) FROM m), 0)),
+        perdoc AS (
+          SELECT t.doc_id,
+                 CAST(count(*) AS BIGINT) AS n_words,
+                 CAST(sum(CASE WHEN t.w = '<|doc|>' THEN 1
+                               ELSE e.ntok END) AS BIGINT) AS n_tokens,
+                 CAST(sum(octet_length(encode(t.w))) AS BIGINT)
+                   AS n_bytes
+          FROM tok t LEFT JOIN enc e ON e.w = t.w
+          GROUP BY 1),
+        perlang AS (
+          SELECT d.lang,
+                 CAST(count(*) AS BIGINT) AS n_docs,
+                 CAST(coalesce(sum(p.n_words), 0) AS BIGINT) AS n_words,
+                 CAST(coalesce(sum(p.n_tokens), 0) AS BIGINT)
+                   AS n_tokens,
+                 CAST(coalesce(sum(p.n_bytes), 0) AS BIGINT) AS n_bytes
+          FROM documents d LEFT JOIN perdoc p USING (doc_id)
+          GROUP BY 1)
+        SELECT lang, n_docs, n_words, n_tokens, n_bytes,
+               CASE WHEN n_words = 0 THEN 0.0
+                    ELSE round(CAST(n_tokens AS DOUBLE) / n_words, 6)
+               END AS fertility,
+               CASE WHEN n_tokens = 0 THEN 0.0
+                    ELSE round(CAST(n_bytes AS DOUBLE) / n_tokens, 6)
+               END AS bytes_per_token
+        FROM perlang
+        ORDER BY lang"""))
   )
 }

@@ -435,6 +435,81 @@ object CurationQueries {
         JOIN ns nb ON nb.doc_id = i.ib
         WHERE round(CAST(i.inter AS DOUBLE) /
                 CAST(least(na.n, nb.n) AS DOUBLE), 6) >= 0.5
-        ORDER BY id_a, id_b"""))
+        ORDER BY id_a, id_b""")),
+
+    // ---- q193: UniMax per-source token budgeting ----
+    // Chung et al. 2023 (UniMax, arXiv:2304.09151): allocate a total
+    // token budget B across sources so every source is sampled as
+    // uniformly as possible subject to an epoch cap E — no source
+    // repeats more than E times, and the budget freed by capped
+    // (small) sources spreads evenly over the rest. The closed form
+    // is water-filling: with caps c_s = E·n_s sorted ascending and
+    // prefix sums P, source i is capped iff P_{i−1} + c_i·(k−i+1) ≤ B
+    // (the capped set is a prefix — proof in the scaladoc of the
+    // window below), and every uncapped source gets the water level
+    // τ = (B − P_m)/(k − m). Exactness: caps/prefixes/budget stay
+    // integer end-to-end; τ is emitted micro-scaled by one 128-bit
+    // integral division (the q163 draws shape); only the epochs
+    // column pays a pinned double division rounded to 6. Here E = 2
+    // and B = ⌊1.8·Σn⌋ so both branches are live on the test corpus.
+    // Scale: ONE per-source count exchange over the corpus; the
+    // water-fill itself runs on the |sources|-row frame (window
+    // allowlisted in PlanAuditSpec.boundedGlobalWindows).
+    QueryDef(
+      "q193_unimax_budget",
+      (s, dir) => {
+        val tok = Tables.load(s, dir, "documents")
+          .groupBy(col("source"))
+          .agg(sum(size(split(col("text"), " "))).cast("long")
+            .as("n_tokens"))
+        graft.operators.Budgeting
+          .waterFill(tok, "source", "n_tokens",
+            epochCap = 2L, budNum = 9L, budDen = 5L)
+          .orderBy(col("source"))
+      },
+      Some("""
+        WITH tok AS (
+          SELECT source,
+                 CAST(sum(len(string_split(text, ' '))) AS BIGINT)
+                   AS n_tokens
+          FROM documents GROUP BY 1),
+        tot AS (
+          SELECT sum(CAST(n_tokens AS HUGEINT)) * 9 // 5 AS budget,
+                 CAST(count(*) AS BIGINT) AS k
+          FROM tok),
+        c AS (
+          SELECT source, n_tokens, n_tokens * 2 AS cap, budget, k,
+                 ROW_NUMBER() OVER
+                   (ORDER BY n_tokens * 2, source) AS rn,
+                 coalesce(sum(n_tokens * 2) OVER
+                   (ORDER BY n_tokens * 2, source
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                   0) AS pprev
+          FROM tok CROSS JOIN tot),
+        cc AS (
+          SELECT *,
+                 (CAST(pprev AS HUGEINT) +
+                  CAST(cap AS HUGEINT) * (k - rn + 1)) <= budget
+                   AS capped
+          FROM c),
+        mf AS (
+          SELECT coalesce(sum(CASE WHEN capped THEN cap END), 0)
+                   AS p_m,
+                 coalesce(sum(CASE WHEN capped THEN 1 END), 0) AS m
+          FROM cc),
+        alloc AS (
+          SELECT cc.source, cc.n_tokens, cc.cap AS cap_tokens,
+                 cc.capped,
+                 CAST(CASE WHEN cc.capped
+                      THEN CAST(cc.cap AS HUGEINT) * 1000000
+                      ELSE (cc.budget - CAST(mf.p_m AS HUGEINT))
+                             * 1000000 // CAST(cc.k - mf.m AS HUGEINT)
+                      END AS BIGINT) AS alloc_micro
+          FROM cc CROSS JOIN mf)
+        SELECT source, n_tokens, cap_tokens, capped, alloc_micro,
+               round(CAST(alloc_micro AS DOUBLE) /
+                 (CAST(n_tokens AS DOUBLE) * 1000000), 6) AS epochs
+        FROM alloc
+        ORDER BY source"""))
   )
 }

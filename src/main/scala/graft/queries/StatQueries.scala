@@ -147,6 +147,54 @@ object StatQueries {
       .reduce(_ union _).orderBy(col("stage"))
   }
 
+  /** Per-document FIRST-failing-stage attribution through the same
+    * funnel — q183 answers "how many docs did each gate cost"; this
+    * answers the audit question a data-ops team asks next: "why was
+    * THIS doc dropped". Reason priority follows stage order
+    * (quality_gate → lang_mismatch → exact_dup → near_dup → kept),
+    * and the gate predicates are the funnel's filters verbatim, with
+    * filter NULL-semantics made explicit (a NULL quality or lang
+    * fails the gate it would have been filtered at). Scale: the same
+    * one-checkpoint scored scan as q183 plus two id-keyed left joins
+    * — the survivor set and the near-dup drop set are both id-only
+    * frames, so no text rides any exchange the funnel didn't already
+    * pay.
+    */
+  private[graft] def rejectionReasons(d: DataFrame): DataFrame = {
+    import graft.functions.TextFunctions.{fingerprintMd5, langId, qualityScore, tokenCount}
+    import org.apache.spark.sql.expressions.Window
+    val scored = d
+      .select(col("doc_id"), col("text"), col("lang"),
+        tokenCount(col("text")).cast("long").as("n_tok"),
+        qualityScore(col("text")).as("quality"),
+        langId(col("text")).as("lang_pred"),
+        fingerprintMd5(col("text")).as("fp"))
+      .localCheckpoint(eager = false)
+    val s2 = scored.filter(col("quality") >= 0.5 &&
+      col("lang_pred") === col("lang"))
+    val s3 = s2.withColumn("min_id",
+        min(col("doc_id")).over(Window.partitionBy("fp")))
+      .filter(col("doc_id") === col("min_id"))
+      .select(col("doc_id"), col("text"))
+      .localCheckpoint(eager = false)
+    val drops = MinHashDedup.nearDuplicatePairs(
+        s3, "doc_id", "text", threshold = 0.8)
+      .select(col("doc_b").as("doc_id")).distinct()
+      .withColumn("is_drop", lit(true))
+    scored
+      .join(s3.select(col("doc_id")).withColumn("in_s3", lit(true)),
+        Seq("doc_id"), "left")
+      .join(drops, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tok"),
+        when(not(coalesce(col("quality") >= 0.5, lit(false))),
+          "quality_gate")
+          .when(not(coalesce(col("lang_pred") === col("lang"),
+            lit(false))), "lang_mismatch")
+          .when(col("in_s3").isNull, "exact_dup")
+          .when(col("is_drop").isNotNull, "near_dup")
+          .otherwise("kept").as("reason"))
+  }
+
   def defs: Seq[QueryDef] = Seq(
 
     // ---- q174: per-source exact two-sample KS drift ----
@@ -454,6 +502,57 @@ object StatQueries {
                CAST(coalesce(sum(n_tok), 0) AS BIGINT) FROM s3
         UNION ALL SELECT 4, 'near_dedup', count(*),
                CAST(coalesce(sum(n_tok), 0) AS BIGINT) FROM s4
-        ORDER BY stage"""))
+        ORDER BY stage""")),
+
+    // ---- q194: per-doc rejection-reason lineage ----
+    // The q183 funnel, per document: every doc_id annotated with the
+    // FIRST gate that rejected it (or 'kept') — the lineage table an
+    // audit of a curation run reads ("why is doc X missing from the
+    // training set"), and the input a targeted gate-tuning loop joins
+    // against. Gate predicates and order are q183's verbatim; reasons
+    // partition the corpus, so summing this table by reason
+    // reproduces the funnel's stage deltas exactly.
+    QueryDef(
+      "q194_rejection_reasons",
+      (s, dir) =>
+        rejectionReasons(Tables.load(s, dir, "documents"))
+          .orderBy(col("doc_id")),
+      Some(s"""
+        WITH scored AS (
+          SELECT doc_id, text, lang,
+                 CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+                 ${TextQueries.qualitySql} AS quality,
+                 ${TextQueries.langIdSql} AS lang_pred,
+                 ${TextQueries.fpSql} AS fp
+          FROM documents),
+        s2 AS (SELECT * FROM scored
+               WHERE coalesce(quality >= 0.5, false)
+                 AND coalesce(lang_pred = lang, false)),
+        keepers AS (SELECT min(doc_id) AS doc_id FROM s2 GROUP BY fp),
+        s3 AS (SELECT * FROM s2
+               WHERE doc_id IN (SELECT doc_id FROM keepers)),
+        tok AS (SELECT doc_id, string_split(text, ' ') AS w FROM s3),
+        sh AS (
+          SELECT doc_id,
+                 CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
+                      ELSE list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                                          for i in generate_series(1, len(w) - 2)])
+                 END AS shingles
+          FROM tok),
+        ${DedupOracleSql.sparsePairs},
+        drops AS (
+          SELECT DISTINCT b AS doc_id FROM pairs WHERE jaccard >= 0.8)
+        SELECT s.doc_id, s.n_tok,
+               CASE WHEN NOT coalesce(s.quality >= 0.5, false)
+                      THEN 'quality_gate'
+                    WHEN NOT coalesce(s.lang_pred = s.lang, false)
+                      THEN 'lang_mismatch'
+                    WHEN k.doc_id IS NULL THEN 'exact_dup'
+                    WHEN d.doc_id IS NOT NULL THEN 'near_dup'
+                    ELSE 'kept' END AS reason
+        FROM scored s
+        LEFT JOIN s3 k ON k.doc_id = s.doc_id
+        LEFT JOIN drops d ON d.doc_id = s.doc_id
+        ORDER BY s.doc_id"""))
   )
 }

@@ -445,4 +445,30 @@ class BpeSpec extends SparkSpec {
     assert(abLearned, "pair (a,b) occurs 3 times and must be learned")
     assert(d1.getAs[Long]("n_tokens") == 3L + 2L * 1L)
   }
+
+  test("q195 fertility report: covers every doc, fertility and " +
+      "bytes-per-token sit in their analytic ranges, and the ratios " +
+      "recompute from the integer columns") {
+    val rows = SparkEntry.queries("q195_fertility_report")(spark,
+        sf0001).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getDouble(5), r.getDouble(6)))
+    assert(rows.nonEmpty)
+    val corpus = Tables.load(spark, sf0001, "documents").count()
+    assert(rows.map(_._2).sum == corpus,
+      "per-language doc counts must cover the corpus")
+    rows.foreach { case (lang, _, words, toks, bytes, fert, bpt) =>
+      // byte-level BPE never merges across words: ≥1 token per word,
+      // ≤ word bytes tokens per word; each token covers ≥1 byte
+      assert(toks >= words && toks <= bytes,
+        s"$lang token count outside [words, bytes]")
+      if (words > 0) {
+        assert(fert >= 1.0 && bpt >= 1.0,
+          s"$lang fertility/bpt below analytic floor: $fert $bpt")
+        assert(math.abs(fert - toks.toDouble / words) < 1e-6 &&
+          math.abs(bpt - bytes.toDouble / toks) < 1e-6,
+          s"$lang report ratios must recompute from integer columns")
+      }
+    }
+  }
 }

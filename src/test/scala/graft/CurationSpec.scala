@@ -130,4 +130,60 @@ class CurationSpec extends SparkSpec {
         .collect().map(r => r.getLong(0) -> r.getDecimal(1)).toMap
     assert(w(asNull) == w(asRaw))
   }
+
+  test("q193 UniMax water-fill: hand case — small source caps at E " +
+      "epochs, the freed budget flows to the big one") {
+    import spark.implicits._
+    // n = {a:10, b:100}, E = 2, B = ⌊1.8·110⌋ = 198:
+    // caps {20, 200}; a is capped (20·2 + 0 = 40 ≤ 198), b is not
+    // (20 + 200·1 = 220 > 198) → τ = (198 − 20)/1 = 178.
+    val out = graft.operators.Budgeting
+      .waterFill(Seq(("a", 10L), ("b", 100L)).toDF("source", "n"),
+        "source", "n", epochCap = 2L, budNum = 9L, budDen = 5L)
+      .orderBy("source").collect()
+      .map(r => (r.getString(0), r.getLong(2), r.getBoolean(3),
+        r.getLong(4), r.getDouble(5)))
+    assert(out.toSeq == Seq(
+      ("a", 20L, true, 20000000L, 2.0),
+      ("b", 200L, false, 178000000L, 1.78)))
+  }
+
+  test("q193 UniMax water-fill: budget beyond all caps caps " +
+      "everyone with no division by zero") {
+    import spark.implicits._
+    // B = 9·2/5 = 3 ≥ ... with E = 1 caps sum to 2 < 3 → all capped
+    val out = graft.operators.Budgeting
+      .waterFill(Seq(("a", 1L), ("b", 1L)).toDF("source", "n"),
+        "source", "n", epochCap = 1L, budNum = 3L, budDen = 2L)
+      .collect().map(r => (r.getBoolean(3), r.getLong(4)))
+    assert(out.forall(_._1) && out.forall(_._2 == 1000000L))
+  }
+
+  test("q193 UniMax invariants on the corpus: allocations never " +
+      "exceed caps, uncapped levels are equal, capped set is the " +
+      "ascending-cap prefix, and the budget is exhausted to within " +
+      "integer-division floors") {
+    val rows = SparkEntry.queries("q193_unimax_budget")(spark, sf0001)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getBoolean(3), r.getLong(4)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (s, _, cap, _, alloc) =>
+      assert(alloc <= cap * 1000000L, s"$s allocated beyond its cap") }
+    val capped = rows.filter(_._4)
+    val uncapped = rows.filterNot(_._4)
+    assert(capped.nonEmpty && uncapped.nonEmpty,
+      "test corpus must exercise both branches (budget 1.8·Σn, E=2)")
+    assert(uncapped.map(_._5).distinct.length == 1,
+      "every uncapped source gets the same water level")
+    val maxCapped = capped.map(_._3).max
+    assert(uncapped.forall(_._3 >= maxCapped),
+      "capped set must be a prefix of the ascending-cap order")
+    val total = rows.map(x => BigInt(x._5)).sum
+    val budgetMicro = BigInt(rows.map(_._2).sum) * 9 / 5 * 1000000
+    assert(total <= budgetMicro &&
+      budgetMicro - total < BigInt(1000000L) * uncapped.length,
+      s"water level must exhaust the budget modulo floors: " +
+        s"$total vs $budgetMicro")
+  }
 }

@@ -95,7 +95,11 @@ class PlanAuditSpec extends SparkSpec {
     "q185_rolling_psi",
     // q154: the one-row total-count frame crossed into the ranked
     // scan (the q110 one-row-reduce shape) — NTILE sizing needs n.
-    "q154_calibration")
+    "q154_calibration",
+    // q193: two one-row broadcast frames (budget+k totals; the
+    // capped-prefix P_m/m reduce) crossed into the |sources|-row
+    // water-fill frame — the q151/q163 shape, O(1) NLJ sides.
+    "q193_unimax_budget")
 
   private lazy val executions
       : Map[String, org.apache.spark.sql.execution.QueryExecution] =
@@ -143,7 +147,9 @@ class PlanAuditSpec extends SparkSpec {
       "count frame — |langs| rows (documented at CorpusOps." +
       "temperatureResample)"),
     "q90_pretraining_program" -> ("inherits q88's class-count " +
-      "frame window"))
+      "frame window"),
+    "q193_unimax_budget" -> ("water-fill prefix sum + row_number " +
+      "over the per-SOURCE reduce — |sources| rows"))
 
   test("every unpartitioned window rides a justified bounded frame") {
     val flagged = executions.toSeq.sortBy(_._1).flatMap {

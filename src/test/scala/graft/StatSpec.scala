@@ -92,6 +92,27 @@ class StatSpec extends SparkSpec {
       s"final funnel stage ${rows.last._2} != q48 survivors $q48")
   }
 
+  test("q194 rejection reasons partition the corpus and reproduce " +
+      "the q183 funnel's stage deltas exactly") {
+    val reasons = SparkEntry
+      .queries("q194_rejection_reasons")(spark, sf0001)
+      .groupBy("reason").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    def n(r: String) = reasons.getOrElse(r, 0L)
+    val funnel = SparkEntry.queries("q183_curation_funnel")(spark,
+        sf0001)
+      .orderBy("stage").collect().map(_.getLong(2))
+    assert(reasons.keySet.subsetOf(Set("quality_gate",
+      "lang_mismatch", "exact_dup", "near_dup", "kept")))
+    assert(reasons.values.sum == funnel(0),
+      "reasons must partition the raw corpus")
+    assert(n("quality_gate") == funnel(0) - funnel(1))
+    assert(n("lang_mismatch") == funnel(1) - funnel(2))
+    assert(n("exact_dup") == funnel(2) - funnel(3))
+    assert(n("near_dup") == funnel(3) - funnel(4))
+    assert(n("kept") == funnel(4))
+  }
+
   test("Heaps fit: all-novel corpus gives beta ≈ 1, shared-vocab " +
       "corpus gives beta ≈ 0") {
     // q182's operator logic over planted corpora, replayed inline on
