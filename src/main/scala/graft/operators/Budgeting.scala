@@ -82,4 +82,51 @@ object Budgeting {
         round(col("alloc_micro").cast("double") /
           (col(nCol).cast("double") * 1000000d), 6).as("epochs"))
   }
+
+  /** Materialize a [[waterFill]] allocation into an epoch-stamped
+    * sample MANIFEST — the executable form of the budget: per group,
+    * every document appears once per whole epoch (epoch 0 .. w−1,
+    * w = ⌊alloc / n⌋) and the FRACTIONAL last epoch (index w) takes
+    * documents in consistent Knuth-hash order until the remainder
+    * tokens are spent — q95's prefix semantics (≤ 1 doc overshoot),
+    * through the same two-level prefix-sum decomposition, with the
+    * remainder budgets coming from the allocation frame instead of a
+    * constant. The output (id, group, tokens, epoch) is what a
+    * shard writer (q77) ingests: deterministic, repartition-invariant,
+    * and exactly reproducible from the corpus + the allocation.
+    *
+    * Scale: whole-epoch replication is scan-local
+    * (`explode` of a per-group constant-length sequence — no
+    * exchange); the fractional epoch pays q95's bucket-table window +
+    * boundary-bucket sort; the allocation/epoch frames are
+    * group-cardinality-sized broadcasts.
+    */
+  def materializeSample(d: DataFrame, idCol: String, tokCol: String,
+      groupCol: String, alloc: DataFrame, nCol: String): DataFrame = {
+    val plan = alloc.select(col(groupCol),
+        expr("cast(alloc_micro as decimal(38,0)) div 1000000")
+          .as("_atok"),
+        col(nCol).cast("long").as("_n"))
+      .select(col(groupCol), col("_atok"),
+        when(col("_n") > 0,
+          expr("cast(_atok as decimal(38,0)) div cast(_n as decimal(38,0))"))
+          .otherwise(lit(0L)).as("_w"), col("_n"))
+      .select(col(groupCol), col("_w"),
+        (col("_atok") - col("_w") * col("_n")).as("_rem"))
+    val rows = d.select(col(idCol), col(groupCol),
+      coalesce(col(tokCol).cast("long"), lit(0L)).as("tokens"))
+    val whole = rows.join(broadcast(plan), Seq(groupCol))
+      .select(col(idCol), col(groupCol), col("tokens"),
+        explode(when(col("_w") > 0,
+          sequence(lit(0L), col("_w") - 1)).otherwise(
+          array().cast("array<bigint>"))).as("epoch"))
+    val frac = CorpusOps.tokenBudgetSamplePerClass(rows, idCol,
+        "tokens", groupCol,
+        plan.select(col(groupCol), col("_rem")))
+      .join(broadcast(plan.select(col(groupCol), col("_w"))),
+        Seq(groupCol))
+      .select(col(idCol), col(groupCol), col("tokens"),
+        col("_w").as("epoch"))
+    whole.unionByName(frac)
+  }
 }

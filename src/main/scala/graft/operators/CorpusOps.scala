@@ -290,6 +290,44 @@ object CorpusOps {
       budget: Long,
       nBuckets: Int = 1024): DataFrame = {
     require(budget > 0 && nBuckets >= 2, s"budget=$budget nBuckets=$nBuckets")
+    budgetSampleCore(df, idCol, tokCol, classCol, nBuckets,
+      _.withColumn("_budget", lit(budget)))
+  }
+
+  /** [[tokenBudgetSample]] with PER-CLASS budgets from a two-column
+    * (class, budget-tokens) frame — the shape a computed allocation
+    * (q193's water-fill, a DoReMi weight table scaled to tokens)
+    * hands to the sampler. Classes absent from `budgets` or with a
+    * NULL/≤0 budget are dropped entirely (an allocation that grants a
+    * source nothing grants it nothing). Identical prefix semantics
+    * and two-level decomposition as the constant-budget form; the
+    * budget frame is class-cardinality-sized and broadcasts onto the
+    * bucket-offset table, never the corpus.
+    */
+  def tokenBudgetSamplePerClass(
+      df: DataFrame,
+      idCol: String,
+      tokCol: String,
+      classCol: String,
+      budgets: DataFrame,
+      nBuckets: Int = 1024): DataFrame = {
+    require(nBuckets >= 2, s"nBuckets=$nBuckets")
+    require(budgets.columns.length == 2,
+      s"budgets must be (class, budget): ${budgets.columns.toSeq}")
+    val b = budgets.select(col(budgets.columns(0)).as("_bcls"),
+      col(budgets.columns(1)).cast("long").as("_budget"))
+    budgetSampleCore(df, idCol, tokCol, classCol, nBuckets,
+      off => off.join(broadcast(b), off("_cls") <=> b("_bcls"))
+        .drop("_bcls"))
+  }
+
+  private def budgetSampleCore(
+      df: DataFrame,
+      idCol: String,
+      tokCol: String,
+      classCol: String,
+      nBuckets: Int,
+      withBudget: DataFrame => DataFrame): DataFrame = {
     val h = pmod(col(idCol) * lit(2654435761L), lit(2147483647L))
     // RANGE bucketing (not modulo): bucket is monotone in the hash, so
     // the bucket-prefix + intra-bucket-prefix decomposition IS the
@@ -308,8 +346,8 @@ object CorpusOps {
     val wB = org.apache.spark.sql.expressions.Window
       .partitionBy("_cls").orderBy("_bk")
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
-    val offsets = bkSums.withColumn("_boff",
-      coalesce(sum(col("_bsum")).over(wB), lit(0L)))
+    val offsets = withBudget(bkSums.withColumn("_boff",
+      coalesce(sum(col("_bsum")).over(wB), lit(0L))))
     val joined = rows.join(broadcast(offsets),
       col(classCol) <=> col("_cls") && rows("_bk") === offsets("_bk"))
       .drop(offsets("_bk"))
@@ -319,18 +357,18 @@ object CorpusOps {
     // naive per-row rule (_run < budget) drops (run-before == budget);
     // routing the exact-budget bucket through the boundary path keeps
     // whole-bucket and per-row semantics identical (advisor r5).
-    val keepAll = col("_boff") + col("_bsum") < budget
-    val dropAll = col("_boff") >= budget
+    val keepAll = col("_boff") + col("_bsum") < col("_budget")
+    val dropAll = col("_boff") >= col("_budget")
     val boundary = joined.filter(!keepAll && !dropAll)
     val wR = org.apache.spark.sql.expressions.Window
       .partitionBy(col(classCol)).orderBy(col("_h"), col(idCol))
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
     val boundaryKept = boundary.withColumn("_run",
         col("_boff") + coalesce(sum(col("_nt")).over(wR), lit(0L)))
-      .filter(col("_run") < budget)
+      .filter(col("_run") < col("_budget"))
       .drop("_run")
     joined.filter(keepAll).unionByName(boundaryKept)
-      .drop("_h", "_bk", "_nt", "_cls", "_bsum", "_boff")
+      .drop("_h", "_bk", "_nt", "_cls", "_bsum", "_boff", "_budget")
   }
 
   /** Temperature-flattened source rebalancing — the multilingual /

@@ -510,6 +510,108 @@ object CurationQueries {
                round(CAST(alloc_micro AS DOUBLE) /
                  (CAST(n_tokens AS DOUBLE) * 1000000), 6) AS epochs
         FROM alloc
-        ORDER BY source"""))
+        ORDER BY source""")),
+
+    // ---- q196: UniMax allocation materialized as a manifest ----
+    // The executable form of q193: per source, every doc appears once
+    // per WHOLE epoch (⌊alloc/n⌋ full passes) and the fractional last
+    // epoch takes docs in consistent Knuth-hash order until the
+    // remainder tokens are spent — q95's ≤1-doc-overshoot prefix
+    // semantics with the budgets COMPUTED by the water-fill instead
+    // of handed in. (doc_id, source, tokens, epoch) is the manifest a
+    // shard writer (q77) ingests; the whole-epoch replication is a
+    // scan-local explode, the fractional epoch pays q95's two-level
+    // prefix sum, and the allocation/epoch frames are sources-sized
+    // broadcasts. The oracle replays the allocation AND the naive
+    // single-window prefix — the equivalence the decomposition
+    // claims.
+    QueryDef(
+      "q196_unimax_manifest",
+      (s, dir) => {
+        val d = Tables.load(s, dir, "documents")
+          .select(col("doc_id"), col("source"),
+            size(split(col("text"), " ")).cast("long").as("n_tok"))
+        val tok = d.groupBy(col("source"))
+          .agg(sum(col("n_tok")).as("n_tokens"))
+        val alloc = graft.operators.Budgeting
+          .waterFill(tok, "source", "n_tokens",
+            epochCap = 2L, budNum = 9L, budDen = 5L)
+        graft.operators.Budgeting
+          .materializeSample(d, "doc_id", "n_tok", "source",
+            alloc, "n_tokens")
+          .orderBy(col("doc_id"), col("epoch"))
+      },
+      Some("""
+        WITH tok AS (
+          SELECT source,
+                 CAST(sum(len(string_split(text, ' '))) AS BIGINT)
+                   AS n_tokens
+          FROM documents GROUP BY 1),
+        tot AS (
+          SELECT sum(CAST(n_tokens AS HUGEINT)) * 9 // 5 AS budget,
+                 CAST(count(*) AS BIGINT) AS k
+          FROM tok),
+        c AS (
+          SELECT source, n_tokens, n_tokens * 2 AS cap, budget, k,
+                 ROW_NUMBER() OVER
+                   (ORDER BY n_tokens * 2, source) AS rn,
+                 coalesce(sum(n_tokens * 2) OVER
+                   (ORDER BY n_tokens * 2, source
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                   0) AS pprev
+          FROM tok CROSS JOIN tot),
+        cc AS (
+          SELECT *,
+                 (CAST(pprev AS HUGEINT) +
+                  CAST(cap AS HUGEINT) * (k - rn + 1)) <= budget
+                   AS capped
+          FROM c),
+        mf AS (
+          SELECT coalesce(sum(CASE WHEN capped THEN cap END), 0)
+                   AS p_m,
+                 coalesce(sum(CASE WHEN capped THEN 1 END), 0) AS m
+          FROM cc),
+        alloc AS (
+          SELECT cc.source, cc.n_tokens,
+                 CAST(CASE WHEN cc.capped
+                      THEN CAST(cc.cap AS HUGEINT) * 1000000
+                      ELSE (cc.budget - CAST(mf.p_m AS HUGEINT))
+                             * 1000000 // CAST(cc.k - mf.m AS HUGEINT)
+                      END AS BIGINT) AS alloc_micro
+          FROM cc CROSS JOIN mf),
+        ep AS (
+          SELECT source,
+                 CASE WHEN n_tokens > 0
+                      THEN (alloc_micro // 1000000) // n_tokens
+                      ELSE 0 END AS w,
+                 (alloc_micro // 1000000) -
+                 (CASE WHEN n_tokens > 0
+                       THEN (alloc_micro // 1000000) // n_tokens
+                       ELSE 0 END) * n_tokens AS rem
+          FROM alloc),
+        t AS (
+          SELECT doc_id, source,
+                 CAST(len(string_split(text, ' ')) AS BIGINT) AS tokens,
+                 (doc_id * 2654435761) % 2147483647 AS h
+          FROM documents),
+        whole AS (
+          SELECT t.doc_id, t.source, t.tokens, CAST(u.i AS BIGINT)
+                   AS epoch
+          FROM t JOIN ep USING (source),
+               LATERAL unnest(range(0, ep.w)) AS u(i)),
+        r AS (
+          SELECT t.doc_id, t.source, t.tokens, ep.w, ep.rem,
+                 coalesce(SUM(t.tokens) OVER (PARTITION BY t.source
+                   ORDER BY t.h, t.doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                   0) AS run
+          FROM t JOIN ep USING (source)),
+        frac AS (
+          SELECT doc_id, source, tokens, CAST(w AS BIGINT) AS epoch
+          FROM r WHERE run < rem)
+        SELECT doc_id, source, tokens, epoch FROM whole
+        UNION ALL
+        SELECT doc_id, source, tokens, epoch FROM frac
+        ORDER BY doc_id, epoch"""))
   )
 }

@@ -186,4 +186,35 @@ class CurationSpec extends SparkSpec {
       s"water level must exhaust the budget modulo floors: " +
         s"$total vs $budgetMicro")
   }
+
+  test("q196 manifest: (doc, epoch) unique, epochs contiguous per " +
+      "source, and consumed tokens hit the q193 allocation to " +
+      "within one document") {
+    val man = SparkEntry.queries("q196_unimax_manifest")(spark, sf0001)
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getLong(3)))
+    assert(man.nonEmpty)
+    assert(man.map(x => (x._1, x._4)).distinct.length == man.length,
+      "(doc_id, epoch) must be unique")
+    val alloc = SparkEntry.queries("q193_unimax_budget")(spark, sf0001)
+      .collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(4))))
+      .toMap
+    man.groupBy(_._2).foreach { case (src, rows) =>
+      val (n, allocMicro) = alloc(src)
+      val allocTok = allocMicro / 1000000L
+      val w = if (n > 0) allocTok / n else 0L
+      val rem = allocTok - w * n
+      val epochs = rows.map(_._4).distinct.sorted
+      val expected = (0L until (w + (if (rem > 0) 1L else 0L)))
+      assert(epochs.toSeq == expected.toSeq,
+        s"$src epochs $epochs != $expected (w=$w rem=$rem)")
+      val consumed = rows.map(x => BigInt(x._3)).sum
+      val maxDoc = rows.map(_._3).max.max(1L)
+      assert(consumed >= allocTok && consumed < allocTok + maxDoc,
+        s"$src consumed $consumed outside [$allocTok, " +
+          s"${allocTok + maxDoc}) — prefix overshoot broke")
+    }
+  }
 }

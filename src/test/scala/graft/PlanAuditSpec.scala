@@ -99,7 +99,10 @@ class PlanAuditSpec extends SparkSpec {
     // q193: two one-row broadcast frames (budget+k totals; the
     // capped-prefix P_m/m reduce) crossed into the |sources|-row
     // water-fill frame — the q151/q163 shape, O(1) NLJ sides.
-    "q193_unimax_budget")
+    "q193_unimax_budget",
+    // q196 inherits q193's water-fill frames (same one-row NLJ
+    // sides); the manifest itself is hash-joined.
+    "q196_unimax_manifest")
 
   private lazy val executions
       : Map[String, org.apache.spark.sql.execution.QueryExecution] =
@@ -149,7 +152,10 @@ class PlanAuditSpec extends SparkSpec {
     "q90_pretraining_program" -> ("inherits q88's class-count " +
       "frame window"),
     "q193_unimax_budget" -> ("water-fill prefix sum + row_number " +
-      "over the per-SOURCE reduce — |sources| rows"))
+      "over the per-SOURCE reduce — |sources| rows"),
+    "q196_unimax_manifest" -> ("inherits q193's |sources|-row " +
+      "water-fill window; the corpus-side prefix is q95's " +
+      "partitioned two-level decomposition"))
 
   test("every unpartitioned window rides a justified bounded frame") {
     val flagged = executions.toSeq.sortBy(_._1).flatMap {
