@@ -46,7 +46,13 @@ object Budgeting {
     require(epochCap > 0 && budNum > 0 && budDen > 0,
       s"epochCap/budget fraction must be positive: " +
         s"$epochCap, $budNum/$budDen")
-    val tot = counts.agg(sum(col(nCol)).as("t"), count(lit(1)).as("k"))
+    // `counts` is typically a corpus reduce and feeds TWO consumers
+    // (the budget total and the cap frame), and the cap frame feeds
+    // two more — checkpoint both so the corpus pays its scan ONCE
+    // (the q67 multi-consumer discipline; without this the water-fill
+    // plan re-derives the per-source reduce four times)
+    val cnts = counts.localCheckpoint(eager = false)
+    val tot = cnts.agg(sum(col(nCol)).as("t"), count(lit(1)).as("k"))
       .select(expr(s"cast(t as decimal(38,0)) * $budNum div $budDen")
         .as("budget"), col("k"))
     // caps ascend along the window, so "capped" rows form a prefix:
@@ -54,7 +60,7 @@ object Budgeting {
     // P_{j−1} + c_j·(k−j+1) = P_{i−1} + c_j·(k−i+1)
     //                       ≤ P_{i−1} + c_i·(k−i+1) ≤ B.
     val w = Window.orderBy(col("cap"), col(groupCol))
-    val c = counts.select(col(groupCol), col(nCol),
+    val c = cnts.select(col(groupCol), col(nCol),
         (col(nCol) * epochCap).as("cap"))
       .crossJoin(broadcast(tot))
       .withColumn("rn", row_number().over(w))
@@ -65,6 +71,7 @@ object Budgeting {
           col("cap").cast("decimal(38,0)") *
           (col("k") - col("rn") + 1).cast("decimal(38,0)") <=
           col("budget"))
+      .localCheckpoint(eager = false)
     val mf = c.agg(
       coalesce(sum(when(col("capped"), col("cap"))), lit(0L))
         .as("p_m"),
@@ -113,6 +120,10 @@ object Budgeting {
           .otherwise(lit(0L)).as("_w"), col("_n"))
       .select(col(groupCol), col("_w"),
         (col("_atok") - col("_w") * col("_n")).as("_rem"))
+      // three consumers (whole epochs, fractional budgets, the epoch
+      // index join) — checkpoint so the allocation pipeline above it
+      // (and ITS corpus reduce) runs once
+      .localCheckpoint(eager = false)
     val rows = d.select(col(idCol), col(groupCol),
       coalesce(col(tokCol).cast("long"), lit(0L)).as("tokens"))
     val whole = rows.join(broadcast(plan), Seq(groupCol))

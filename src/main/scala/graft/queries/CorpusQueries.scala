@@ -1255,13 +1255,14 @@ object CorpusQueries {
           .encodeTokenCounts(d0, "doc_id", "text", merges,
             byteLevel = true, specialTokens = Seq("<|doc|>"))
           .select(col("doc_id"), col("n_words"), col("n_tokens"))
-        val bytes = d0.select(col("doc_id"), expr(
+        // lang + byte count in ONE frame so the report pays a single
+        // id-keyed join against the encode output (both sides narrow
+        // fixed-width rows — the only corpus-sized exchange here)
+        val meta = d0.select(col("doc_id"), col("lang"), expr(
           """aggregate(filter(split(text, ' '), w -> w != ''),
              cast(0 as bigint), (a, w) -> a + octet_length(w))""")
           .as("n_bytes"))
-        d0.select(col("doc_id"), col("lang"))
-          .join(enc, Seq("doc_id"))
-          .join(bytes, Seq("doc_id"))
+        meta.join(enc, Seq("doc_id"))
           .groupBy(col("lang"))
           .agg(count(lit(1)).as("n_docs"),
             sum(col("n_words")).as("n_words"),
