@@ -187,6 +187,46 @@ class CurationSpec extends SparkSpec {
         s"$total vs $budgetMicro")
   }
 
+  test("property: water-fill on random source counts — budget " +
+      "exhausted modulo floors, caps respected, uncapped levels " +
+      "equal, and the result is input-order invariant") {
+    import org.scalacheck.{Gen, rng}
+    import spark.implicits._
+    val g = Gen.chooseNum(2, 12).flatMap(k =>
+      Gen.listOfN(k, Gen.chooseNum(1L, 100000L)))
+    val cases = (0 until 12).flatMap(i =>
+      g.apply(Gen.Parameters.default, rng.Seed(i.toLong)))
+    cases.foreach { ns =>
+      val named = ns.zipWithIndex.map { case (n, i) => (f"s$i%02d", n) }
+      def run(rows: Seq[(String, Long)]) = graft.operators.Budgeting
+        .waterFill(rows.toDF("source", "n"), "source", "n",
+          epochCap = 3L, budNum = 7L, budDen = 4L)
+        .orderBy("source").collect()
+        .map(r => (r.getString(0), r.getLong(2), r.getBoolean(3),
+          r.getLong(4)))
+      val out = run(named)
+      out.foreach { case (s, cap, _, alloc) =>
+        assert(alloc <= cap * 1000000L, s"$s over cap in $ns") }
+      val (capped, uncapped) = out.partition(_._3)
+      assert(uncapped.map(_._4).distinct.length <= 1,
+        s"unequal water levels in $ns")
+      if (uncapped.nonEmpty && capped.nonEmpty)
+        assert(uncapped.map(_._2).min >= capped.map(_._2).max,
+          s"capped set is not the ascending-cap prefix in $ns")
+      val budgetMicro = BigInt(ns.sum) * 7 / 4 * 1000000
+      val total = out.map(x => BigInt(x._4)).sum
+      if (uncapped.nonEmpty)
+        assert(total <= budgetMicro &&
+          budgetMicro - total < BigInt(uncapped.length) * 1000000,
+          s"budget not exhausted modulo floors in $ns")
+      else assert(total == BigInt(ns.sum) * 3 * 1000000,
+        s"all-capped total must be the cap sum in $ns")
+      // shuffling the input rows must not move a single number
+      assert(run(scala.util.Random.shuffle(named)).toSeq == out.toSeq,
+        s"input-order dependence in $ns")
+    }
+  }
+
   test("q196 manifest: (doc, epoch) unique, epochs contiguous per " +
       "source, and consumed tokens hit the q193 allocation to " +
       "within one document") {
