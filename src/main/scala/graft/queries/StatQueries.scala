@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -553,6 +553,126 @@ object StatQueries {
         FROM scored s
         LEFT JOIN s3 k ON k.doc_id = s.doc_id
         LEFT JOIN drops d ON d.doc_id = s.doc_id
-        ORDER BY s.doc_id"""))
+        ORDER BY s.doc_id""")),
+
+    // ---- q197: corpus card ----
+    // The one-table dataset datasheet a corpus release ships with
+    // (Gebru et al. 2021's datasheet statistics, the quantitative
+    // rows): sizes, source/language breadth, exact-duplicate rate,
+    // language-agreement rate, mean quality, and the Zipf slope
+    // ("is this natural-language-shaped") — every metric reusing a
+    // registered operator's exact semantics, assembled as one
+    // (metric, value) frame. Numeric discipline: counts are exact;
+    // the quality mean sums round-6 DECIMALs; every ratio pays one
+    // pinned double division guarded for the empty corpus. Scale: ONE
+    // checkpointed scored scan + a one-row aggregate, plus q177's
+    // vocab-bounded top-k for the slope.
+    QueryDef(
+      "q197_corpus_card",
+      (s, dir) => {
+        import graft.functions.TextFunctions.{fingerprintMd5, langId, qualityScore, tokenCount}
+        val d = Tables.load(s, dir, "documents")
+        val scored = d.select(col("doc_id"), col("source"), col("lang"),
+            tokenCount(col("text")).cast("long").as("n_tok"),
+            qualityScore(col("text")).as("quality"),
+            langId(col("text")).as("lang_pred"),
+            fingerprintMd5(col("text")).as("fp"))
+          .localCheckpoint(eager = false)
+        val agg = scored.agg(
+            count(lit(1)).as("n_docs"),
+            coalesce(sum(col("n_tok")), lit(0L)).as("n_tokens"),
+            countDistinct(col("source")).as("n_sources"),
+            countDistinct(col("lang")).as("n_langs"),
+            countDistinct(col("fp")).as("n_fp"),
+            sum(when(col("lang_pred") === col("lang"), lit(1L))
+              .otherwise(lit(0L))).as("n_agree"),
+            sum(round(col("quality"), 6).cast("decimal(12,6)"))
+              .as("q_sum"))
+          .localCheckpoint(eager = false)
+        def ratio(num: Column) = when(col("n_docs") > 0,
+          round(num.cast("double") / col("n_docs").cast("double"), 6))
+          .otherwise(0.0)
+        def m(name: String, v: Column) = agg.select(
+          lit(name).as("metric"), v.cast("double").as("value"))
+        val card = Seq(
+          m("avg_tokens_per_doc", ratio(col("n_tokens"))),
+          m("exact_dup_rate", when(col("n_docs") > 0,
+            round(lit(1.0) - col("n_fp").cast("double") /
+              col("n_docs").cast("double"), 6)).otherwise(0.0)),
+          m("lang_agreement_rate", ratio(col("n_agree"))),
+          m("mean_quality", ratio(coalesce(col("q_sum"),
+            lit(java.math.BigDecimal.ZERO)))),
+          m("n_docs", col("n_docs")),
+          m("n_langs", col("n_langs")),
+          m("n_sources", col("n_sources")),
+          m("n_tokens", col("n_tokens")))
+          .reduce(_ unionByName _)
+        val zipf = zipfFit(CorpusOps.topNgrams(d, "text", n = 1,
+            k = 100))
+          .select(lit("zipf_slope").as("metric"),
+            col("slope").cast("double").as("value"))
+        card.unionByName(zipf).orderBy(col("metric"))
+      },
+      Some(s"""
+        WITH scored AS (
+          SELECT doc_id, source, lang,
+                 CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+                 ${TextQueries.qualitySql} AS quality,
+                 ${TextQueries.langIdSql} AS lang_pred,
+                 ${TextQueries.fpSql} AS fp
+          FROM documents),
+        agg AS (
+          SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                 CAST(coalesce(sum(n_tok), 0) AS BIGINT) AS n_tokens,
+                 CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+                 CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+                 CAST(count(DISTINCT fp) AS BIGINT) AS n_fp,
+                 CAST(sum(CASE WHEN lang_pred = lang THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n_agree,
+                 coalesce(sum(CAST(round(quality, 6) AS DECIMAL(12,6))),
+                   0) AS q_sum
+          FROM scored),
+        g AS (
+          SELECT unnest(string_split(text, ' ')) AS gram FROM documents),
+        c AS (SELECT gram, count(*) AS cnt FROM g GROUP BY 1),
+        topk AS (
+          SELECT cnt,
+                 row_number() OVER (ORDER BY cnt DESC, gram) AS rank
+          FROM c ORDER BY cnt DESC, gram LIMIT 100),
+        xy AS (
+          SELECT CAST(round(ln(rank::DOUBLE), 4) AS DECIMAL(8,4)) AS x,
+                 CAST(round(ln(cnt::DOUBLE), 4) AS DECIMAL(12,4)) AS y
+          FROM topk),
+        sums AS (
+          SELECT count(*) AS r, sum(x) AS sx, sum(y) AS sy,
+                 sum(x * x) AS sxx, sum(x * y) AS sxy
+          FROM xy),
+        zipf AS (
+          SELECT round((r * sxy - sx * sy)::DOUBLE /
+                       (r * sxx - sx * sx)::DOUBLE, 6) AS slope
+          FROM sums)
+        SELECT metric, value FROM (
+          SELECT 'avg_tokens_per_doc' AS metric,
+                 CASE WHEN n_docs > 0 THEN
+                   round(n_tokens::DOUBLE / n_docs::DOUBLE, 6)
+                 ELSE 0.0 END AS value FROM agg
+          UNION ALL SELECT 'exact_dup_rate',
+                 CASE WHEN n_docs > 0 THEN
+                   round(1.0 - n_fp::DOUBLE / n_docs::DOUBLE, 6)
+                 ELSE 0.0 END FROM agg
+          UNION ALL SELECT 'lang_agreement_rate',
+                 CASE WHEN n_docs > 0 THEN
+                   round(n_agree::DOUBLE / n_docs::DOUBLE, 6)
+                 ELSE 0.0 END FROM agg
+          UNION ALL SELECT 'mean_quality',
+                 CASE WHEN n_docs > 0 THEN
+                   round(q_sum::DOUBLE / n_docs::DOUBLE, 6)
+                 ELSE 0.0 END FROM agg
+          UNION ALL SELECT 'n_docs', n_docs::DOUBLE FROM agg
+          UNION ALL SELECT 'n_langs', n_langs::DOUBLE FROM agg
+          UNION ALL SELECT 'n_sources', n_sources::DOUBLE FROM agg
+          UNION ALL SELECT 'n_tokens', n_tokens::DOUBLE FROM agg
+          UNION ALL SELECT 'zipf_slope', slope::DOUBLE FROM zipf)
+        ORDER BY metric"""))
   )
 }

@@ -155,7 +155,9 @@ class PlanAuditSpec extends SparkSpec {
       "over the per-SOURCE reduce — |sources| rows"),
     "q196_unimax_manifest" -> ("inherits q193's |sources|-row " +
       "water-fill window; the corpus-side prefix is q95's " +
-      "partitioned two-level decomposition"))
+      "partitioned two-level decomposition"),
+    "q197_corpus_card" -> ("inherits q177's rank over the " +
+      "post-TakeOrdered ≤100-row vocab frame"))
 
   test("every unpartitioned window rides a justified bounded frame") {
     val flagged = executions.toSeq.sortBy(_._1).flatMap {

@@ -113,6 +113,28 @@ class StatSpec extends SparkSpec {
     assert(n("kept") == funnel(4))
   }
 
+  test("q197 corpus card: metrics recompute from the corpus and " +
+      "agree with the operators they reuse") {
+    val card = SparkEntry.queries("q197_corpus_card")(spark, sf0001)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val d = Tables.load(spark, sf0001, "documents")
+    assert(card("n_docs") == d.count().toDouble)
+    assert(card("n_sources") ==
+      d.select("source").distinct().count().toDouble)
+    assert(card("n_langs") ==
+      d.select("lang").distinct().count().toDouble)
+    assert(math.abs(card("avg_tokens_per_doc") -
+      card("n_tokens") / card("n_docs")) < 1e-6)
+    assert(card("exact_dup_rate") >= 0.0 && card("exact_dup_rate") < 1.0)
+    assert(card("lang_agreement_rate") > 0.0 &&
+      card("lang_agreement_rate") <= 1.0)
+    assert(card("mean_quality") > 0.0 && card("mean_quality") <= 1.0)
+    val zipf = SparkEntry.queries("q177_zipf_fit")(spark, sf0001)
+      .select(col("slope")).head.getDouble(0)
+    assert(card("zipf_slope") == zipf,
+      "card must reuse q177's exact slope")
+  }
+
   test("Heaps fit: all-novel corpus gives beta ≈ 1, shared-vocab " +
       "corpus gives beta ≈ 0") {
     // q182's operator logic over planted corpora, replayed inline on
