@@ -495,6 +495,56 @@ object CorpusStress {
         rn("kept") == fun(4),
         s"q194 reasons must reproduce funnel deltas at $f: $rr vs $fun")
 
+      // q196 manifest on the replicated corpus: the per-source
+      // consumed-tokens bound (alloc ≤ consumed < alloc + max doc)
+      // must hold at every factor — the water level and the
+      // fractional prefix both move with ×f, the contract doesn't.
+      val (m196, t196) = time {
+        val dd = pureDup.select(col("doc_id"), col("source"),
+          size(split(col("text"), " ")).cast("long").as("n_tok"))
+        val tok = dd.groupBy(col("source"))
+          .agg(sum(col("n_tok")).as("n_tokens"))
+        val alloc = graft.operators.Budgeting
+          .waterFill(tok, "source", "n_tokens", 2L, 9L, 5L)
+          .localCheckpoint(eager = false)
+        val man = graft.operators.Budgeting
+          .materializeSample(dd, "doc_id", "n_tok", "source",
+            alloc, "n_tokens")
+        val consumed = man.groupBy(col("source"))
+          .agg(sum(col("tokens")).as("consumed"),
+            max(col("tokens")).as("maxdoc"))
+        val viol = consumed
+          .join(alloc.select(col("source"),
+            (col("alloc_micro") / 1000000L).cast("long").as("atok")),
+            Seq("source"))
+          .filter(col("consumed") < col("atok") ||
+            col("consumed") >= col("atok") +
+              greatest(col("maxdoc"), lit(1L)))
+          .count()
+        (man.count(), viol)
+      }
+      require(m196._2 == 0,
+        s"q196 consumed-token bound violated at $f")
+
+      // q197 card on the replicated corpus: distinct fingerprints are
+      // invariant under pure duplication, so the dup rate must equal
+      // 1 − n_fp_base/(f·N) EXACTLY at every factor.
+      val (card, t197) = time {
+        val c = pureDup.select(
+            graft.functions.TextFunctions
+              .fingerprintMd5(col("text")).as("fp"))
+          .agg(count(lit(1)).as("nd"),
+            countDistinct(col("fp")).as("nfp"))
+          .head
+        (c.getLong(0), c.getLong(1))
+      }
+      linear("q197_docs", card._1)
+      if (f == 1) baseCounts("q197_nfp") = card._2
+      else baseCounts.get("q197_nfp").foreach(b =>
+        require(card._2 == b,
+          s"q197 distinct fingerprints must be duplication-invariant" +
+            s" at $f: ${card._2} vs $b"))
+
       // q186/q187 segmentation under PAYLOAD replication: the base
       // corpus's WAV/Y4M payloads replicate per copy (ids remapped),
       // the full decode pays the ×f byte volume, and identical
@@ -626,6 +676,8 @@ object CorpusStress {
         s""""q182_sec":$t182,"q182_beta":${hb._1},""" +
         s""""q183_sec":$t183,"q183_survivors":${fun(4)},""" +
         s""""q194_sec":$t194,"q194_kept":${rn("kept")},""" +
+        s""""q196_sec":$t196,"q196_rows":${m196._1},""" +
+        s""""q197_sec":$t197,"q197_nfp":${card._2},""" +
         s""""q186_sec":$t186,"q186_segments":$r186,""" +
         s""""q187_sec":$t187,"q187_scenes":$r187,""" +
         s""""q189_sec":$t189,"q189_rows":${cdc._1},""" +
