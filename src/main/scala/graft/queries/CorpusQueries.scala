@@ -1235,7 +1235,12 @@ object CorpusQueries {
     // scan-local under the broadcast merge list (the q102 shape);
     // the report is one per-language aggregate. The oracle re-derives
     // every token count from the artifact via the q101 recursive-CTE
-    // replay — byte-exact, not a spot check.
+    // replay — byte-exact, not a spot check. (The replay's per-CHAR
+    // split equals a per-BYTE split because the driver corpus is
+    // ASCII at every scale — verified; non-ASCII text is exercised
+    // through q102's suffixed café byte-pair, whose oracle spells the
+    // UTF-8 expansion explicitly. The Spark side is byte-level
+    // regardless.)
     QueryDef(
       "q195_fertility_report",
       (s, dir) => {
