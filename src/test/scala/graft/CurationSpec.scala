@@ -227,6 +227,53 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("differential: closed-form water-fill equals the paper's " +
+      "sequential greedy on random inputs") {
+    import org.scalacheck.{Gen, rng}
+    import spark.implicits._
+    // UniMax Algorithm 1 (Chung et al. 2023), independently
+    // reimplemented as the literal loop: ascending by cap, each
+    // source takes min(cap, remaining/remainingSources) — allocations
+    // in exact micro-tokens with the same single floor division.
+    def greedy(ns: Seq[(String, Long)], cap: Long, num: Long,
+        den: Long): Map[String, Long] = {
+      val budget = BigInt(ns.map(_._2).sum) * num / den
+      var remaining = budget * 1000000
+      var left = ns.length
+      val out = scala.collection.mutable.Map.empty[String, Long]
+      ns.sortBy { case (s, n) => (n * cap, s) }.foreach { case (s, n) =>
+        val c = BigInt(n) * cap * 1000000
+        val fair = remaining / left
+        val take = c.min(fair)
+        out(s) = take.toLong
+        remaining -= take
+        left -= 1
+      }
+      out.toMap
+    }
+    val g = Gen.chooseNum(2, 10).flatMap(k =>
+      Gen.listOfN(k, Gen.chooseNum(1L, 50000L)))
+    val cases = (100 until 112).flatMap(i =>
+      g.apply(Gen.Parameters.default, rng.Seed(i.toLong)))
+    cases.foreach { ns =>
+      val named = ns.zipWithIndex.map { case (n, i) => (f"s$i%02d", n) }
+      val closed = graft.operators.Budgeting
+        .waterFill(named.toDF("source", "n"), "source", "n",
+          epochCap = 2L, budNum = 9L, budDen = 5L)
+        .collect().map(r => r.getString(0) -> r.getLong(4)).toMap
+      val loop = greedy(named, cap = 2L, num = 9L, den = 5L)
+      // the greedy re-floors at every uncapped step, so later
+      // uncapped sources may each gain < 1 micro-token over the
+      // closed form's single division; capped sources must agree
+      // exactly, uncapped within 1 micro
+      named.foreach { case (s, _) =>
+        assert((closed(s) - loop(s)).abs <= 1L,
+          s"greedy/closed divergence at $s in $ns: " +
+            s"${closed(s)} vs ${loop(s)}")
+      }
+    }
+  }
+
   test("q196 manifest: (doc, epoch) unique, epochs contiguous per " +
       "source, and consumed tokens hit the q193 allocation to " +
       "within one document") {
