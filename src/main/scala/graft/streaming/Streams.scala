@@ -241,6 +241,44 @@ object Streams {
       }
   }
 
+  /** Per-class token-budget admission under a COMPUTED budget model —
+    * the incremental dual of `CorpusOps.tokenBudgetSamplePerClass`
+    * and the admission stage of a standing mixture allocation
+    * (q193/q196): the allocation is collected once as the model
+    * (|sources| longs — the model-boundary convention) and arriving
+    * docs admit while their class's running total is under ITS
+    * budget. Same run-before-< semantics as [[tokenBudgetStream]]
+    * (≤ 1-doc overshoot per class); classes absent from the model
+    * admit nothing — an allocation that grants a source nothing
+    * grants it nothing, exactly the batch sampler's inner-join drop.
+    * A NULL class looks up the `null` key of `budgets` (Scala maps
+    * carry it), mirroring the batch null-safe join. State: ONE long
+    * per class. When per-class arrival order matches the batch
+    * sampler's Knuth-hash order, the admitted set is IDENTICAL to
+    * the batch prefix (StreamingSpec parity).
+    */
+  def perClassBudgetStream(docs: Dataset[BudgetDoc],
+      budgets: Map[String, Long]): Dataset[BudgetDoc] = {
+    implicit val docEnc = Encoders.product[BudgetDoc]
+    implicit val keyEnc = Encoders.STRING
+    implicit val stateEnc = Encoders.scalaLong
+    docs.groupByKey(d => Option(d.cls).map("v:" + _).getOrElse("n"))
+      .flatMapGroupsWithState[Long, BudgetDoc](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (key: String, rows: Iterator[BudgetDoc], state: GroupState[Long]) =>
+          val cls: String = if (key == "n") null else key.substring(2)
+          val budget = budgets.getOrElse(cls, 0L)
+          var run = state.getOption.getOrElse(0L)
+          val kept = rows.flatMap { d =>
+            val admit = run < budget
+            run += math.max(d.n_tok, 0L)
+            if (admit) Some(d) else None
+          }.toSeq
+          state.update(run)
+          kept.iterator
+      }
+  }
+
   /** Tumbling-window bin counts under a batch-fitted edge frame — the
     * streaming face of q185's rolling PSI monitor. `edges` is the
     * fixed global decile MODEL (9 values, [[graft.operators.Drift

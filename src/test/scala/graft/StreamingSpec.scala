@@ -471,6 +471,57 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming per-class budgets: hash-order arrival reproduces " +
+      "the batch per-class sampler exactly; absent classes admit " +
+      "nothing") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.functions.TextFunctions.tokenCount
+    import graft.streaming.Streams.BudgetDoc
+    val rows = Tables.load(spark, sf0001, "documents")
+      .select(col("doc_id"), col("source"),
+        tokenCount(col("text")).cast("long").as("n_tok"))
+      .localCheckpoint(eager = false)
+    // the water-fill's fractional-epoch remainders as the budgets —
+    // the exact model q196's admission stage runs under
+    val tok = rows.groupBy(col("source"))
+      .agg(sum(col("n_tok")).as("n_tokens"))
+    val budgets = graft.operators.Budgeting
+      .waterFill(tok, "source", "n_tokens", 2L, 9L, 5L)
+      .select(col("source"), col("n_tokens"),
+        (col("alloc_micro") / 1000000L).cast("long").as("atok"))
+      .collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(2) % math.max(r.getLong(1), 1L)))
+      .toMap
+      .filter(_._2 > 0) // a dropped class tests the absent-key path
+    val batch = graft.operators.CorpusOps
+      .tokenBudgetSamplePerClass(rows, "doc_id", "n_tok", "source",
+        budgets.toSeq.toDF("source", "b"))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    // feed the stream in the batch sampler's per-class hash order
+    val ordered = rows
+      .withColumn("_h", pmod(col("doc_id") * lit(2654435761L),
+        lit(2147483647L)))
+      .orderBy(col("_h"), col("doc_id"))
+      .select("doc_id", "source", "n_tok").collect()
+      .map(r => BudgetDoc(r.getLong(0), r.getString(1), r.getLong(2)))
+    val ms = MemoryStream[BudgetDoc]
+    val q = graft.streaming.Streams
+      .perClassBudgetStream(ms.toDS(), budgets)
+      .writeStream.format("memory").queryName("pcb_s")
+      .outputMode("append").start()
+    try {
+      ms.addData(ordered.toSeq)
+      q.processAllAvailable()
+      val got = spark.table("pcb_s").select("doc_id")
+        .collect().map(_.getLong(0)).toSet
+      assert(got == batch,
+        s"stream/batch divergence: only-stream=${got -- batch} " +
+          s"only-batch=${batch -- got}")
+      assert(got.nonEmpty)
+    } finally q.stop()
+  }
+
   test("streaming ingestion program: quality gate -> n-gram " +
       "decontamination -> token-budget admission in ONE incremental query") {
     implicit val sqlCtx = spark.sqlContext
