@@ -612,6 +612,119 @@ object CurationQueries {
         SELECT doc_id, source, tokens, epoch FROM whole
         UNION ALL
         SELECT doc_id, source, tokens, epoch FROM frac
-        ORDER BY doc_id, epoch"""))
+        ORDER BY doc_id, epoch""")),
+
+    // ---- q198: mixture-policy comparison table ----
+    // The decision table a mixture review reads before committing a
+    // pretraining run: per source, the NATURAL share, the
+    // α-temperature share (q163's rule, α = 0.3), and the UniMax
+    // water-fill share (q193, E = 2, B = 1.8·Σn) side by side, with
+    // the UniMax−temperature delta — which sources each policy up- or
+    // down-weights, in one frame. Arithmetic is the two registered
+    // operators' own (micro-scaled integer weights, one pinned
+    // division per share); shares are round-6 doubles and the delta
+    // subtracts the two rendered shares. Scale: ONE per-source count
+    // exchange feeds both policies (checkpointed); everything after
+    // is |sources|-row frames.
+    QueryDef(
+      "q198_mixture_compare",
+      (s, dir) => {
+        val tok = Tables.load(s, dir, "documents")
+          .groupBy(col("source"))
+          .agg(sum(size(split(col("text"), " "))).cast("long")
+            .as("n_tokens"))
+          .localCheckpoint(eager = false)
+        val tot = tok.agg(sum(col("n_tokens")).as("t"))
+          .select(col("t"),
+            expr("cast(t as decimal(38,0)) * 9 div 5").as("b"))
+        val u = tok.select(col("source"), col("n_tokens"),
+          (round(exp(lit(0.3) *
+              round(log(col("n_tokens").cast("double")), 6)), 6)
+            .cast("decimal(18,6)") * 1000000).cast("long").as("ui"))
+        val z = u.agg(sum(col("ui")).as("z"))
+        val alpha = u.crossJoin(broadcast(z))
+          .select(col("source"),
+            round(col("ui").cast("double") / col("z").cast("double"),
+              6).as("alpha_share"))
+        val uni = graft.operators.Budgeting
+          .waterFill(tok, "source", "n_tokens", 2L, 9L, 5L)
+          .select(col("source"), col("alloc_micro"))
+        tok.join(alpha, Seq("source")).join(uni, Seq("source"))
+          .crossJoin(broadcast(tot))
+          .select(col("source"), col("n_tokens"),
+            round(col("n_tokens").cast("double") /
+              col("t").cast("double"), 6).as("natural_share"),
+            col("alpha_share"),
+            round(col("alloc_micro").cast("double") /
+              (col("b").cast("double") * 1000000d), 6)
+              .as("unimax_share"))
+          .withColumn("delta_unimax_vs_alpha",
+            round(col("unimax_share") - col("alpha_share"), 6))
+          .orderBy(col("source"))
+      },
+      Some("""
+        WITH tok AS (
+          SELECT source,
+                 CAST(sum(len(string_split(text, ' '))) AS BIGINT)
+                   AS n_tokens
+          FROM documents GROUP BY 1),
+        tot AS (
+          SELECT sum(CAST(n_tokens AS HUGEINT)) AS t,
+                 sum(CAST(n_tokens AS HUGEINT)) * 9 // 5 AS b,
+                 CAST(count(*) AS BIGINT) AS k
+          FROM tok),
+        u AS (
+          SELECT source, n_tokens,
+                 CAST(CAST(round(exp(0.3 *
+                     round(ln(CAST(n_tokens AS DOUBLE)), 6)), 6)
+                   AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS ui
+          FROM tok),
+        z AS (SELECT CAST(sum(ui) AS BIGINT) AS z FROM u),
+        alpha AS (
+          SELECT source,
+                 round(CAST(ui AS DOUBLE) / CAST(z AS DOUBLE), 6)
+                   AS alpha_share
+          FROM u CROSS JOIN z),
+        c AS (
+          SELECT source, n_tokens, n_tokens * 2 AS cap, b, k,
+                 ROW_NUMBER() OVER
+                   (ORDER BY n_tokens * 2, source) AS rn,
+                 coalesce(sum(n_tokens * 2) OVER
+                   (ORDER BY n_tokens * 2, source
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                   0) AS pprev
+          FROM tok CROSS JOIN tot),
+        cc AS (
+          SELECT *,
+                 (CAST(pprev AS HUGEINT) +
+                  CAST(cap AS HUGEINT) * (k - rn + 1)) <= b AS capped
+          FROM c),
+        mf AS (
+          SELECT coalesce(sum(CASE WHEN capped THEN cap END), 0)
+                   AS p_m,
+                 coalesce(sum(CASE WHEN capped THEN 1 END), 0) AS m
+          FROM cc),
+        uni AS (
+          SELECT cc.source,
+                 CAST(CASE WHEN cc.capped
+                      THEN CAST(cc.cap AS HUGEINT) * 1000000
+                      ELSE (cc.b - CAST(mf.p_m AS HUGEINT))
+                             * 1000000 // CAST(cc.k - mf.m AS HUGEINT)
+                      END AS BIGINT) AS alloc_micro
+          FROM cc CROSS JOIN mf)
+        SELECT tok.source, tok.n_tokens,
+               round(CAST(tok.n_tokens AS DOUBLE) /
+                 CAST(tot.t AS DOUBLE), 6) AS natural_share,
+               alpha.alpha_share,
+               round(CAST(uni.alloc_micro AS DOUBLE) /
+                 (CAST(tot.b AS DOUBLE) * 1000000), 6) AS unimax_share,
+               round(round(CAST(uni.alloc_micro AS DOUBLE) /
+                 (CAST(tot.b AS DOUBLE) * 1000000), 6) -
+                 alpha.alpha_share, 6) AS delta_unimax_vs_alpha
+        FROM tok
+        JOIN alpha USING (source)
+        JOIN uni ON uni.source = tok.source
+        CROSS JOIN tot
+        ORDER BY tok.source"""))
   )
 }

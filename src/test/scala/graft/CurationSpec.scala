@@ -274,6 +274,35 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("q198 mixture table agrees column-for-column with the " +
+      "policies it composes") {
+    val cmp = SparkEntry.queries("q198_mixture_compare")(spark, sf0001)
+      .collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5)))).toMap
+    val a163 = SparkEntry.queries("q163_alpha_sampling")(spark, sf0001)
+      .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    val a193 = SparkEntry.queries("q193_unimax_budget")(spark, sf0001)
+      .collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(4))))
+      .toMap
+    val budgetMicro =
+      (BigInt(a193.values.map(_._1).sum) * 9 / 5 * 1000000).toDouble
+    assert(cmp.keySet == a163.keySet && cmp.keySet == a193.keySet)
+    cmp.foreach { case (s, (n, nat, alpha, uni, delta)) =>
+      assert(n == a193(s)._1)
+      assert(alpha == a163(s), s"$s alpha share != q163's p")
+      val expected = BigDecimal(a193(s)._2 / budgetMicro)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(uni == expected, s"$s unimax share != q193 alloc/B")
+      assert(math.abs(delta - BigDecimal(uni - alpha).setScale(6,
+        BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-12)
+      assert(nat > 0 && nat < 1)
+    }
+    val natSum = cmp.values.map(_._2).sum
+    assert(math.abs(natSum - 1.0) < cmp.size * 1e-6)
+  }
+
   test("q196 manifest: (doc, epoch) unique, epochs contiguous per " +
       "source, and consumed tokens hit the q193 allocation to " +
       "within one document") {

@@ -102,7 +102,10 @@ class PlanAuditSpec extends SparkSpec {
     "q193_unimax_budget",
     // q196 inherits q193's water-fill frames (same one-row NLJ
     // sides); the manifest itself is hash-joined.
-    "q196_unimax_manifest")
+    "q196_unimax_manifest",
+    // q198 composes q163's one-row Z cross and q193's water-fill
+    // frames — all NLJ sides one-row broadcasts.
+    "q198_mixture_compare")
 
   private lazy val executions
       : Map[String, org.apache.spark.sql.execution.QueryExecution] =
@@ -157,7 +160,9 @@ class PlanAuditSpec extends SparkSpec {
       "water-fill window; the corpus-side prefix is q95's " +
       "partitioned two-level decomposition"),
     "q197_corpus_card" -> ("inherits q177's rank over the " +
-      "post-TakeOrdered ≤100-row vocab frame"))
+      "post-TakeOrdered ≤100-row vocab frame"),
+    "q198_mixture_compare" -> ("inherits q193's |sources|-row " +
+      "water-fill window"))
 
   test("every unpartitioned window rides a justified bounded frame") {
     val flagged = executions.toSeq.sortBy(_._1).flatMap {
