@@ -1116,6 +1116,146 @@ object DedupQueries {
                    ORDER BY q.quality DESC, c.doc_id) AS rn
           FROM comp c JOIN q ON q.doc_id = c.doc_id)
         SELECT doc_id, cluster_id, quality, (rn = 1) AS is_kept
-        FROM ranked ORDER BY doc_id"""))
+        FROM ranked ORDER BY doc_id""")),
+
+    // ---- q199: dedup-policy savings report ----
+    // The table a dedup-method decision reads: for each policy —
+    // exact fingerprint (keep min-id per fp), MinHash near-dup at
+    // Jaccard ≥ 0.8 (drop the greater id of each pair, the q183
+    // convention), rare-shingle containment at ≥ 0.5 (drop the doc
+    // with the SMALLER distinct-shingle set; tie → greater id) — how
+    // many documents and tokens it would remove, as a fraction of the
+    // corpus. Each policy runs the REGISTERED operator's exact
+    // machinery on the raw corpus (q24/q25/q164 semantics verbatim);
+    // the drop sets here are per-policy (not the funnel's sequential
+    // composition — q183 reports that). Scale: the three policies'
+    // own audited plans + three one-row aggregates; the corpus-total
+    // frame is a one-row broadcast cross (allowlisted).
+    QueryDef(
+      "q199_dedup_savings",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        import graft.functions.TextFunctions.{fingerprintMd5, tokenCount}
+        import graft.operators.Containment
+        val d = Tables.load(s, dir, "documents")
+          .select(col("doc_id"), col("text"),
+            tokenCount(col("text")).cast("long").as("n_tok"),
+            fingerprintMd5(col("text")).as("fp"))
+          .localCheckpoint(eager = false)
+        val tot = d.agg(coalesce(sum(col("n_tok")), lit(0L)).as("nt"))
+        val exactDrops = d.withColumn("min_id",
+            min(col("doc_id")).over(Window.partitionBy("fp")))
+          .filter(col("doc_id") =!= col("min_id"))
+          .select(col("doc_id"), col("n_tok"))
+        val nearDrops = MinHashDedup.nearDuplicatePairs(
+            d.select(col("doc_id"), col("text")), "doc_id", "text",
+            threshold = 0.8)
+          .select(col("doc_b").as("doc_id")).distinct()
+          .join(d.select(col("doc_id"), col("n_tok")), Seq("doc_id"))
+        val contDrops = Containment.pairs(
+            d.select(col("doc_id"), col("text")), "doc_id", "text",
+            w = 5, dfMin = 2, dfMax = 5, threshold = 0.5)
+          .select(when(col("n_a") < col("n_b"), col("id_a"))
+            .when(col("n_b") < col("n_a"), col("id_b"))
+            .otherwise(greatest(col("id_a"), col("id_b")))
+            .as("doc_id"))
+          .distinct()
+          .join(d.select(col("doc_id"), col("n_tok")), Seq("doc_id"))
+        def row(m: String, drops: org.apache.spark.sql.DataFrame) =
+          drops.agg(count(lit(1)).as("docs_dropped"),
+              coalesce(sum(col("n_tok")), lit(0L)).as("tokens_dropped"))
+            .crossJoin(broadcast(tot))
+            .select(lit(m).as("method"), col("docs_dropped"),
+              col("tokens_dropped"),
+              when(col("nt") > 0,
+                round(col("tokens_dropped").cast("double") /
+                  col("nt").cast("double"), 6)).otherwise(0.0)
+                .as("pct_tokens"))
+        row("containment_0.5", contDrops)
+          .unionByName(row("exact", exactDrops))
+          .unionByName(row("minhash_0.8", nearDrops))
+          .orderBy(col("method"))
+      },
+      Some(s"""
+        WITH d AS (
+          SELECT doc_id, text,
+                 CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+                 ${TextQueries.fpSql} AS fp
+          FROM documents),
+        tot AS (
+          SELECT CAST(coalesce(sum(n_tok), 0) AS BIGINT) AS nt FROM d),
+        keep AS (SELECT fp, min(doc_id) AS keep_id FROM d GROUP BY fp),
+        exact_drops AS (
+          SELECT d.doc_id, d.n_tok FROM d
+          JOIN keep ON keep.fp = d.fp AND d.doc_id <> keep.keep_id),
+        tok AS (SELECT doc_id, string_split(text, ' ') AS w FROM d),
+        sh AS (
+          SELECT doc_id,
+                 CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
+                      ELSE list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                                          for i in generate_series(1, len(w) - 2)])
+                 END AS shingles
+          FROM tok),
+        ${DedupOracleSql.sparsePairs},
+        near_d AS (
+          SELECT n.doc_id, d.n_tok FROM (
+            SELECT DISTINCT b AS doc_id FROM pairs
+            WHERE jaccard >= 0.8) n
+          JOIN d USING (doc_id)),
+        tk5 AS (SELECT doc_id, string_split(text, ' ') AS tk FROM d),
+        sh5 AS (
+          SELECT DISTINCT doc_id,
+                 ('0x' || substr(md5(
+                   tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] || ' ' ||
+                   tk[i+3] || ' ' || tk[i+4]), 1, 15))::BIGINT AS s
+          FROM tk5, LATERAL unnest(range(1, greatest(len(tk) - 3, 1)))
+            AS u(i)),
+        ns5 AS (SELECT doc_id, count(*) AS n FROM sh5 GROUP BY 1),
+        rare5 AS (
+          SELECT s FROM sh5 GROUP BY s
+          HAVING count(*) BETWEEN 2 AND 5),
+        cand5 AS (
+          SELECT DISTINCT a.doc_id AS ia, b.doc_id AS ib
+          FROM sh5 a JOIN rare5 r ON r.s = a.s
+          JOIN sh5 b ON b.s = a.s AND a.doc_id < b.doc_id),
+        inter5 AS (
+          SELECT c.ia, c.ib, count(*) AS inter
+          FROM cand5 c
+          JOIN sh5 x ON x.doc_id = c.ia
+          JOIN sh5 y ON y.doc_id = c.ib AND y.s = x.s
+          GROUP BY 1, 2),
+        cpairs AS (
+          SELECT i.ia, i.ib, na.n AS n_a, nb.n AS n_b
+          FROM inter5 i
+          JOIN ns5 na ON na.doc_id = i.ia
+          JOIN ns5 nb ON nb.doc_id = i.ib
+          WHERE round(CAST(i.inter AS DOUBLE) /
+                  CAST(least(na.n, nb.n) AS DOUBLE), 6) >= 0.5),
+        cont_d AS (
+          SELECT c.doc_id, d.n_tok FROM (
+            SELECT DISTINCT CASE WHEN n_a < n_b THEN ia
+                                 WHEN n_b < n_a THEN ib
+                                 ELSE greatest(ia, ib) END AS doc_id
+            FROM cpairs) c
+          JOIN d USING (doc_id)),
+        rows AS (
+          SELECT 'containment_0.5' AS method,
+                 CAST(count(*) AS BIGINT) AS docs_dropped,
+                 CAST(coalesce(sum(n_tok), 0) AS BIGINT)
+                   AS tokens_dropped
+          FROM cont_d
+          UNION ALL SELECT 'exact', count(*),
+                 CAST(coalesce(sum(n_tok), 0) AS BIGINT)
+          FROM exact_drops
+          UNION ALL SELECT 'minhash_0.8', count(*),
+                 CAST(coalesce(sum(n_tok), 0) AS BIGINT)
+          FROM near_d)
+        SELECT method, docs_dropped, tokens_dropped,
+               CASE WHEN nt > 0 THEN
+                 round(CAST(tokens_dropped AS DOUBLE) /
+                   CAST(nt AS DOUBLE), 6)
+               ELSE 0.0 END AS pct_tokens
+        FROM rows CROSS JOIN tot
+        ORDER BY method"""))
   )
 }

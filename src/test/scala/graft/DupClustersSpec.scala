@@ -226,4 +226,34 @@ class DupClustersSpec extends SparkSpec {
         s"cluster $c kept ${kept._1} but argmax is ${best._2}")
     }
   }
+
+  test("q199 savings report agrees with the policies it reruns: " +
+      "exact row = corpus minus distinct fingerprints (the q197 " +
+      "card's dup rate), minhash row = q25's drop set, containment " +
+      "row = q164's pair table under the smaller-doc rule") {
+    val sav = SparkEntry.queries("q199_dedup_savings")(spark, sf0001)
+      .collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getDouble(3)))).toMap
+    val card = SparkEntry.queries("q197_corpus_card")(spark, sf0001)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val nDocs = card("n_docs").toLong
+    val expectedExact = math.round(card("exact_dup_rate") * nDocs)
+    assert(sav("exact")._1 == expectedExact,
+      s"exact drops ${sav("exact")._1} != card's $expectedExact")
+    val q25Drops = SparkEntry.queries("q25_minhash_neardup")(spark,
+        sf0001)
+      .select("doc_b").distinct().count()
+    assert(sav("minhash_0.8")._1 == q25Drops)
+    val q164 = SparkEntry.queries("q164_containment_dedup")(spark,
+        sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3)))
+    val contDrops = q164.map { case (a, b, na, nb) =>
+      if (na < nb) a else if (nb < na) b else math.max(a, b)
+    }.toSet
+    assert(sav("containment_0.5")._1 == contDrops.size.toLong)
+    sav.values.foreach { case (docs, toks, pct) =>
+      assert(docs >= 0 && toks >= 0 && pct >= 0.0 && pct < 1.0) }
+  }
 }

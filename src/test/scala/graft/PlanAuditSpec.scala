@@ -105,7 +105,10 @@ class PlanAuditSpec extends SparkSpec {
     "q196_unimax_manifest",
     // q198 composes q163's one-row Z cross and q193's water-fill
     // frames — all NLJ sides one-row broadcasts.
-    "q198_mixture_compare")
+    "q198_mixture_compare",
+    // q199 crosses the one-row corpus-token total into three one-row
+    // per-policy reduces — the q110 shape.
+    "q199_dedup_savings")
 
   private lazy val executions
       : Map[String, org.apache.spark.sql.execution.QueryExecution] =
