@@ -16,6 +16,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Pass the forked JVM's stdout straight through instead of routing it
+// via sbt's logger: the driver's BENCH tail-parser needs Bench's final
+// summary line UNPREFIXED (an `[info] `-prefixed JSON line fails its
+// parse — judge r11 #1).
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

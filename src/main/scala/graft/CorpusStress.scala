@@ -515,7 +515,8 @@ object CorpusStress {
             max(col("tokens")).as("maxdoc"))
         val viol = consumed
           .join(alloc.select(col("source"),
-            (col("alloc_micro") / 1000000L).cast("long").as("atok")),
+            expr("cast(alloc_micro as decimal(38,0)) div 1000000")
+              .as("atok")),
             Seq("source"))
           .filter(col("consumed") < col("atok") ||
             col("consumed") >= col("atok") +

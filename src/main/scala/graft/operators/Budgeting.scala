@@ -86,8 +86,12 @@ object Budgeting {
              div cast(k - m as decimal(38,0))""")))
       .select(col(groupCol), col(nCol), col("cap").as("cap_tokens"),
         col("capped"), col("alloc_micro"),
-        round(col("alloc_micro").cast("double") /
-          (col(nCol).cast("double") * 1000000d), 6).as("epochs"))
+        // n = 0 means cap 0, capped, alloc 0 — epochs is 0, not NaN
+        // (the same guard materializeSample's `_w` applies)
+        when(col(nCol) > 0,
+          round(col("alloc_micro").cast("double") /
+            (col(nCol).cast("double") * 1000000d), 6))
+          .otherwise(lit(0.0)).as("epochs"))
   }
 
   /** Materialize a [[waterFill]] allocation into an epoch-stamped

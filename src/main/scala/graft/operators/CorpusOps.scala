@@ -314,8 +314,21 @@ object CorpusOps {
     require(nBuckets >= 2, s"nBuckets=$nBuckets")
     require(budgets.columns.length == 2,
       s"budgets must be (class, budget): ${budgets.columns.toSeq}")
+    // Duplicate class rows would pass the inner join and silently
+    // re-emit every bucket row once per duplicate (advisor r11) —
+    // enforce key-uniqueness INSIDE the plan (raise_error keeps the
+    // check lazy; the aggregate rides the class-cardinality frame, so
+    // its cost is a broadcast-sized exchange, never the corpus).
     val b = budgets.select(col(budgets.columns(0)).as("_bcls"),
       col(budgets.columns(1)).cast("long").as("_budget"))
+      .groupBy(col("_bcls"))
+      .agg(max(col("_budget")).as("_bmax"), count(lit(1)).as("_bn"))
+      .select(col("_bcls"),
+        when(col("_bn") === 1, col("_bmax"))
+          .otherwise(raise_error(concat(
+            lit("tokenBudgetSamplePerClass: duplicate budget rows " +
+              "for class "), col("_bcls").cast("string"))))
+          .as("_budget"))
     budgetSampleCore(df, idCol, tokCol, classCol, nBuckets,
       off => off.join(broadcast(b), off("_cls") <=> b("_bcls"))
         .drop("_bcls"))

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, Dataset, Encoders}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
 
-import graft.operators.{MinHashDedup, SimHashDedup}
+import graft.operators.{Containment, MinHashDedup, SimHashDedup}
 
 /** Streaming near-duplicate detection — the incremental dual of
   * `SimHashDedup.nearDuplicatePairs`: fingerprints are computed
@@ -508,5 +508,118 @@ object StreamDedup {
         (expr("bit_count(hi_a ^ hi_b)") +
           expr("bit_count(lo_a ^ lo_b)")).cast("long").as("hamming"))
       .filter(col("hamming") <= maxHamming)
+  }
+
+  /** Streaming CONTAINMENT flagging against a static corpus — the
+    * incremental dual of [[Containment.pairs]] and the last
+    * dedup-family member to gain one (exact / SimHash / MinHash /
+    * cross-corpus / semantic / containment): an arriving document
+    * sharing a rare shingle with a corpus document is verified with
+    * the EXACT containment measure |A∩B| / min(|A|,|B|) and flagged at
+    * ≥ `threshold` — the quote-inclusion pair resemblance-based
+    * streams structurally miss (Broder's containment, the batch
+    * operator's scaladoc).
+    *
+    * STATELESS BY DESIGN, the `crossCorpusFlagStream` shape: the
+    * rare-shingle blocking frame is FITTED once from the static corpus
+    * (df over the corpus in [dfMin, dfMax] — the fitted-model split:
+    * arriving docs don't move the blocking df, exactly as
+    * `fitBm25Queries` pins idf to the fit-time postings) and rides the
+    * join as two budget-gated `broadcast()` frames in normal form —
+    * (s, corpus_id) postings and a per-doc (rare_b, sh_b, n_b) table,
+    * so no doc-sized array is duplicated inside the model. The
+    * arriving document's distinct 60-bit md5-prefix shingle keys (the
+    * batch operator's exact key function) are computed scan-local;
+    * explode + two BroadcastHashJoins + verify stay in one
+    * whole-stage-codegen pass with NO stream-side exchange, no state
+    * store, no watermark — `sh_a` is duplicated per exploded shingle
+    * only inside the scan, never across an exchange.
+    *
+    * Exactly-once WITHOUT streaming `distinct` (the `dhashNearDupStream`
+    * trick): a (doc, corpus_id) match emits once per shared rare
+    * shingle from the postings join; each row recomputes the pair's
+    * least shared rare shingle (`array_min(array_intersect(sh_a,
+    * rare_b))`) scan-locally and survives only if it IS that shingle.
+    *
+    * Bit-exact parity: `inter` is a distinct-array intersection over
+    * the same md5-prefix keys the batch operator `distinct()`s, and
+    * `containment` is the identical `round(inter / least(n_a, n_b), 6)`
+    * double division — so when the static side equals the corpus the
+    * batch operator ran on, the flagged set equals
+    * [[Containment.pairs]] restricted to arriving ids, value-for-value
+    * (StreamingSpec replay gate).
+    *
+    * Scale envelope (documented, gated): the model is corpus-shaped —
+    * the postings frame is ≤ dfMax rows per rare shingle and the doc
+    * table carries each blocking doc's full key set once, so this face
+    * fits the STANDING-REFERENCE shapes (contamination benchmark,
+    * curated boilerplate corpus, licensing blocklist) whose frames
+    * pass `maxModelRows`; a corpus-scale static side fails the gate
+    * loudly — run the batch operator over accumulated micro-batches
+    * instead. In production, persist the two fitted frames: Spark
+    * re-derives the static side of a stream-static join every
+    * micro-batch otherwise.
+    *
+    * Output: (doc_id, corpus_id, n_a, n_b, inter, containment).
+    */
+  def containmentFlagStream(docs: DataFrame, corpus: DataFrame,
+      w: Int = 5, dfMin: Int = 2, dfMax: Int = 5,
+      threshold: Double = 0.5, maxModelRows: Long = 2000000L): DataFrame = {
+    require(w >= 2 && w <= 16, s"w=$w")
+    require(dfMin >= 2 && dfMax >= dfMin, s"df window [$dfMin,$dfMax]")
+    // fit: rare-shingle blocking frames from the STATIC corpus (same
+    // 60-bit md5-prefix keys as the batch operator; checkpointed — the
+    // distinct-shingle table feeds three readers at fit)
+    val sh = Containment.shingles(corpus, "doc_id", "text", w)
+      .localCheckpoint(eager = false)
+    val rare = sh.groupBy(col("s")).agg(count(lit(1)).as("df"))
+      .filter(col("df") >= dfMin && col("df") <= dfMax)
+      .select(col("s"))
+    val postings = sh.join(rare, Seq("s"))
+      .select(col("s"), col("doc_id").as("corpus_id"))
+      .localCheckpoint(eager = false)
+    val docTab = postings
+      .groupBy(col("corpus_id"))
+      .agg(sort_array(collect_list(col("s"))).as("rare_b"))
+      .join(sh.groupBy(col("doc_id").as("corpus_id"))
+          .agg(sort_array(collect_list(col("s"))).as("sh_b"),
+            count(lit(1)).as("n_b")),
+        Seq("corpus_id"))
+      .localCheckpoint(eager = false)
+    // budget gate: the fitted frames must stay broadcast-sized (the
+    // fitBm25Queries maxTerms convention) — counted ONCE at fit time
+    val pRows = postings.count(); val dRows = docTab.count()
+    require(pRows <= maxModelRows && dRows <= maxModelRows,
+      s"fitted blocking frames exceed maxModelRows=$maxModelRows " +
+        s"(postings=$pRows, docs=$dRows) — a standing-reference model " +
+        "must stay broadcast-sized; batch-containment the accumulated " +
+        "corpus instead")
+    // apply: scan-local distinct shingle keys for each arriving doc
+    val tk = split(col("text"), " ")
+    val shA = array_distinct(transform(
+      when(size(tk) >= w,
+        transform(sequence(lit(1), size(tk) - (w - 1)), i =>
+          concat_ws(" ", (0 until w).map(o =>
+            element_at(tk, i + o)): _*)))
+        .otherwise(array().cast("array<string>")),
+      sx => conv(substring(md5(sx), 1, 15), 16, 10).cast("long")))
+    docs
+      .select(col("doc_id"), shA.as("sh_a"))
+      .select(col("doc_id"), col("sh_a"),
+        size(col("sh_a")).cast("long").as("n_a"),
+        explode(col("sh_a")).as("s"))
+      .join(broadcast(postings), Seq("s"))
+      .filter(col("doc_id") =!= col("corpus_id"))
+      .join(broadcast(docTab), Seq("corpus_id"))
+      .filter(col("s") ===
+        array_min(array_intersect(col("sh_a"), col("rare_b"))))
+      .withColumn("inter",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("long"))
+      .withColumn("containment",
+        round(col("inter").cast("double") /
+          least(col("n_a"), col("n_b")).cast("double"), 6))
+      .filter(col("containment") >= threshold)
+      .select(col("doc_id"), col("corpus_id"), col("n_a"), col("n_b"),
+        col("inter"), col("containment"))
   }
 }

@@ -255,7 +255,11 @@ object Streams {
     * carry it), mirroring the batch null-safe join. State: ONE long
     * per class. When per-class arrival order matches the batch
     * sampler's Knuth-hash order, the admitted set is IDENTICAL to
-    * the batch prefix (StreamingSpec parity).
+    * the batch prefix (StreamingSpec parity). Documented delta
+    * (advisor r11): negative token counts are clamped to 0 before the
+    * running total (the [[tokenBudgetStream]] convention), while the
+    * batch sampler sums raw values — parity is exact only for the
+    * non-negative counts every real tokenizer emits.
     */
   def perClassBudgetStream(docs: Dataset[BudgetDoc],
       budgets: Map[String, Long]): Dataset[BudgetDoc] = {

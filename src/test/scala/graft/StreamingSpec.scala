@@ -315,6 +315,49 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming containment flag: replaying the corpus against its " +
+      "own fitted blocking frames reproduces the batch pair set " +
+      "value-for-value, exactly once per direction") {
+    implicit val sqlCtx = spark.sqlContext
+    val d = Tables.load(spark, sf0001, "documents")
+      .select(col("doc_id"), col("text"))
+    // batch truth: the q164 operator at its registered defaults
+    val batch = graft.operators.Containment
+      .pairs(d, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getDouble(5))).toSet
+    val rows = d.as[(Long, String)].collect()
+    val ms = MemoryStream[(Long, String)]
+    val q = graft.streaming.StreamDedup.containmentFlagStream(
+      ms.toDF().toDF("doc_id", "text"), d)
+      .writeStream.format("memory").queryName("cont_s")
+      .outputMode("append").start()
+    try {
+      val (first, rest) = rows.splitAt(rows.length / 2)
+      ms.addData(first.toSeq)
+      q.processAllAvailable()
+      ms.addData(rest.toSeq) // stateless: batch split can't matter
+      q.processAllAvailable()
+      val out = spark.table("cont_s").collect()
+      // direction-normalized tuples must equal the batch rows
+      // BIT-EXACTLY (same keys, counts, and rounded double)
+      val got = out.map { r =>
+        val (docId, corpId) = (r.getLong(0), r.getLong(1))
+        val (na, nb) = (r.getLong(2), r.getLong(3))
+        if (docId < corpId)
+          (docId, corpId, na, nb, r.getLong(4), r.getDouble(5))
+        else (corpId, docId, nb, na, r.getLong(4), r.getDouble(5))
+      }.toSet
+      assert(got == batch, s"stream=$got batch=$batch")
+      assert(got.nonEmpty) // the corpus plants containment pairs
+      // full-corpus replay sees each pair from BOTH sides, and the
+      // min-rare-shingle filter must emit each side exactly once
+      assert(out.length == 2 * batch.size,
+        s"expected exactly-once per direction: ${out.length} rows " +
+          s"for ${batch.size} pairs")
+    } finally q.stop()
+  }
+
   test("centroid classification is streaming-safe AS-IS: the literal-" +
       "centroid classify pass runs on a stream with batch parity") {
     implicit val sqlCtx = spark.sqlContext
@@ -488,7 +531,8 @@ class StreamingSpec extends SparkSpec {
     val budgets = graft.operators.Budgeting
       .waterFill(tok, "source", "n_tokens", 2L, 9L, 5L)
       .select(col("source"), col("n_tokens"),
-        (col("alloc_micro") / 1000000L).cast("long").as("atok"))
+        expr("cast(alloc_micro as decimal(38,0)) div 1000000")
+          .as("atok"))
       .collect()
       .map(r => r.getString(0) ->
         (r.getLong(2) % math.max(r.getLong(1), 1L)))
