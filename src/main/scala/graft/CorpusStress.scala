@@ -95,6 +95,8 @@ object CorpusStress {
     // factor-1 anchors for the r10-family distribution invariants
     var baseKs: Seq[(String, Double, Long)] = Seq.empty
     var baseFill: Double = 0.0
+    // factor-1 per-source share table for the q198 invariants
+    var mixBase: Map[String, (Long, Double, Double, Double)] = Map.empty
 
     factors.foreach { f =>
       val dirX = s"$outBase/x$f"
@@ -546,6 +548,69 @@ object CorpusStress {
           s"q197 distinct fingerprints must be duplication-invariant" +
             s" at $f: ${card._2} vs $b"))
 
+      // q198/q199 policy tables on the pure-duplication corpus (r11
+      // verdict #2): the REGISTERED plans run verbatim against the
+      // written ×f corpus, and the invariants are analytic:
+      //   - q199 exact drops = nDup − distinct_fp at EVERY factor
+      //     (keep one min-id doc per fingerprint; card._2 is the
+      //     duplication-invariant fp count the q197 row just proved),
+      //     and dropped tokens = f·T − kept tokens with the kept-token
+      //     total duplication-invariant (the min-id representative of
+      //     each fp group is always the copy-0 doc);
+      //   - q199 containment drops vanish at f ≥ 6: every shingle's
+      //     corpus df multiplies by f, so none can land in the [2,5]
+      //     blocking window — the df-cap scale argument made directly
+      //     observable;
+      //   - q198 natural shares are duplication-invariant EXACTLY;
+      //     alpha/unimax shares to 5e-6 (the 6-decimal ln/exp rounds
+      //     and the integral τ division do not scale bit-exactly).
+      val pureDirX = s"$outBase/puredup_x$f"
+      pureDup.write.mode("overwrite")
+        .parquet(s"$pureDirX/documents.parquet")
+      val nDup = spark.read.parquet(s"$pureDirX/documents.parquet")
+        .count()
+      val (mix, t198) = time(
+        SparkEntry.queries("q198_mixture_compare")(spark, pureDirX)
+          .collect()
+          .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2),
+            r.getDouble(3), r.getDouble(4)))).toMap)
+      val totTok = mix.values.map(_._1).sum // = f·T per the next check
+      if (f == 1) mixBase = mix
+      else {
+        require(mix.keySet == mixBase.keySet,
+          s"q198 source set changed at $f")
+        mix.foreach { case (src, v) =>
+          val b = mixBase(src)
+          require(v._1 == b._1 * f && v._2 == b._2,
+            s"q198 tokens/natural share not duplication-invariant " +
+              s"for $src at $f: $v vs $b")
+          require(math.abs(v._3 - b._3) <= 5e-6 &&
+            math.abs(v._4 - b._4) <= 5e-6,
+            s"q198 alpha/unimax share drifted past 5e-6 for $src " +
+              s"at $f: $v vs $b")
+        }
+      }
+      val (sav, t199) = time(
+        SparkEntry.queries("q199_dedup_savings")(spark, pureDirX)
+          .collect()
+          .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2))))
+          .toMap)
+      val (exD, exT) = sav("exact")
+      require(exD == nDup - card._2,
+        s"q199 exact drops must be nDup − distinct_fp at $f: " +
+          s"$exD vs ${nDup - card._2}")
+      if (f == 1) baseCounts("q199_kept_tok") = totTok - exT
+      else baseCounts.get("q199_kept_tok").foreach(b =>
+        require(exT == totTok - b,
+          s"q199 exact dropped tokens must be f·T − kept at $f: " +
+            s"$exT vs ${totTok - b}"))
+      if (f >= 6) {
+        val (cd, ct) = sav("containment_0.5")
+        require(cd == 0L && ct == 0L,
+          s"q199 containment drops must vanish at f=$f " +
+            s"(df window [2,5]): docs=$cd tokens=$ct")
+      }
+
       // q186/q187 segmentation under PAYLOAD replication: the base
       // corpus's WAV/Y4M payloads replicate per copy (ids remapped),
       // the full decode pays the ×f byte volume, and identical
@@ -679,6 +744,10 @@ object CorpusStress {
         s""""q194_sec":$t194,"q194_kept":${rn("kept")},""" +
         s""""q196_sec":$t196,"q196_rows":${m196._1},""" +
         s""""q197_sec":$t197,"q197_nfp":${card._2},""" +
+        s""""q198_sec":$t198,"q199_sec":$t199,""" +
+        s""""q199_exact_drops":$exD,""" +
+        s""""q199_minhash_drops":${sav("minhash_0.8")._1},""" +
+        s""""q199_containment_drops":${sav("containment_0.5")._1},""" +
         s""""q186_sec":$t186,"q186_segments":$r186,""" +
         s""""q187_sec":$t187,"q187_scenes":$r187,""" +
         s""""q189_sec":$t189,"q189_rows":${cdc._1},""" +

@@ -1,0 +1,129 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale rehearsal of the slowest REGISTERED queries (r11 verdict #5):
+  * the per-family stress harnesses (ScaleStress / CorpusStress /
+  * EmbedStress) replicate inputs per operator family, but no single
+  * run had confirmed that the slowest registered tail COMPOSES — the
+  * same `SparkEntry.queries` entries the bench times, run verbatim
+  * against a ×N corpus in ONE session, so exchange-reuse, AQE
+  * re-planning and artifact builds interact exactly as they do in the
+  * driver's sweep.
+  *
+  * Inputs are replicated with the established disjointness schemes so
+  * corpus statistics replicate instead of interfering:
+  *   - documents: token-disjoint copies (every token suffixed `~cp`,
+  *     ids remapped by a stride that preserves the structural modulo
+  *     splits — the CorpusStress scheme);
+  *   - embeddings: per-copy ±1 diagonal sign flip (orthogonal, so
+  *     each copy keeps its geometry but copies are far apart in
+  *     embedding space — the EmbedStress scheme), ids remapped by an
+  *     EVEN stride so the q162/q169 query/neighbor parity split is
+  *     identical in every copy.
+  *
+  * Protocol per factor: write the two tables to a fresh dir, run each
+  * query once UNTIMED (codegen + parquet footers + the learn-once
+  * artifact builds, which are keyed by data dir and therefore fresh
+  * here — the bench's warmup convention), then time min-over-reps of
+  * a full-result noop write (every column computed and serialized).
+  * Output: one JSON line per factor and a final per-query ratio
+  * table — near-factor ratios are the claim under test; sub-factor
+  * ratios mean fixed overheads still dominate at sf0.1×N.
+  */
+object TailStress {
+  private val tailQueries = Seq(
+    "q140_pca_project", "q142_abtt_correct", "q143_kmeans",
+    "q146_nb_crossval", "q161_dsir_select", "q164_containment_dedup",
+    "q169_margin_align_ivf", "q183_curation_funnel", "q192_bm25_cdc",
+    "q199_dedup_savings")
+
+  private def force(df: DataFrame): Unit =
+    df.write.format("noop").mode("overwrite").save()
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
+    val factors = (if (args.length > 1) args(1) else "1,10")
+      .split(",").map(_.trim.toInt).toSeq
+    val outBase = if (args.length > 2) args(2)
+      else graft.sources.Artifacts.root + "/tail_stress"
+    val reps = sys.env.getOrElse("SPARK_GRAFT_TAIL_REPS", "2").toInt.max(1)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.extensions", "graft.GraftExtensions")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.cleaner.periodicGC.interval", "30s")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    Metrics.register(spark)
+
+    val docs = Tables.load(spark, sfDir, "documents")
+    val emb = Tables.load(spark, sfDir, "embeddings")
+    val stride = 1000000L
+    val maxDocId = docs.agg(max(col("doc_id"))).head.getLong(0)
+    val maxVecId = emb.agg(max(col("vec_id"))).head.getLong(0)
+    require(maxDocId < stride && maxVecId < stride,
+      s"ids ($maxDocId/$maxVecId) >= stride $stride: copies collide")
+
+    val timings =
+      scala.collection.mutable.LinkedHashMap[(Int, String), Double]()
+    factors.foreach { f =>
+      val dirX = s"$outBase/x$f"
+      val docsX: DataFrame =
+        if (f == 1) docs
+        else docs.crossJoin(spark.range(f).select(col("id").as("cp")))
+          .select(
+            (col("doc_id") + col("cp") * stride).as("doc_id") +:
+            when(col("cp") === 0, col("text"))
+              .otherwise(concat_ws(" ", transform(split(col("text"), " "),
+                t => concat(t, lit("~"), col("cp"))))).as("text") +:
+            docs.columns.filterNot(c => c == "doc_id" || c == "text")
+              .map(col).toSeq: _*)
+      val embX: DataFrame =
+        if (f == 1) emb
+        else emb.crossJoin(spark.range(f).select(col("id").as("cp")))
+          .select(
+            (col("vec_id") + col("cp") * stride).as("vec_id"),
+            transform(col("embedding"), (x, i) =>
+              (x * when(pmod(xxhash64(col("cp"), i), lit(2)) === 0,
+                lit(1.0f)).otherwise(lit(-1.0f))).cast("float"))
+              .as("embedding"),
+            col("label"))
+      docsX.write.mode("overwrite").parquet(s"$dirX/documents.parquet")
+      embX.write.mode("overwrite").parquet(s"$dirX/embeddings.parquet")
+      val nD = spark.read.parquet(s"$dirX/documents.parquet").count()
+      val nE = spark.read.parquet(s"$dirX/embeddings.parquet").count()
+
+      // untimed warmup sweep (includes the per-dir artifact builds)
+      tailQueries.foreach(q =>
+        force(SparkEntry.queries(q)(spark, dirX)))
+      val mins = tailQueries.map { q =>
+        val ts = (1 to reps).map { _ =>
+          val t0 = System.nanoTime()
+          force(SparkEntry.queries(q)(spark, dirX))
+          (System.nanoTime() - t0) / 1e9
+        }
+        timings((f, q)) = ts.min
+        s""""$q":${math.rint(ts.min * 1000) / 1000}"""
+      }
+      println(s"""{"harness":"tail_stress","factor":$f,"docs":$nD,""" +
+        s""""vecs":$nE,"reps":$reps,""" +
+        s""""queries":${mins.mkString("{", ",", "}")}}""")
+    }
+    // ratio table vs factor 1 (the archived PERF.md artifact)
+    factors.filter(_ != 1).foreach { f =>
+      tailQueries.foreach { q =>
+        val b = timings((1, q)); val v = timings((f, q))
+        println(f"""ratio x$f%-3d $q%-28s ${b}%8.2f s -> ${v}%8.2f s""" +
+          f"""  ${v / b}%6.2fx""")
+      }
+    }
+    spark.stop()
+  }
+}

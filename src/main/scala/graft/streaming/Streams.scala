@@ -283,6 +283,42 @@ object Streams {
       }
   }
 
+  final case class ManifestDoc(doc_id: Long, cls: String, n_tok: Long,
+      epoch: Long)
+
+  /** Epoch-stamped manifest INGESTION — the streaming face of q196
+    * ([[graft.operators.Budgeting.materializeSample]]), completing
+    * the UniMax family's incremental story (r11 verdict #6): the
+    * water-fill allocation reduces to a |sources|-row model carrying
+    * the exact integral forms materializeSample derives
+    * (w = alloc div n whole epochs, rem = alloc − w·n remainder
+    * tokens), and an arriving document emits
+    *   - its WHOLE epochs (0..w−1) statelessly — a scan-local flatMap
+    *     of a per-class constant range, zero state; and
+    *   - its FRACTIONAL epoch (index w) iff the remainder budget
+    *     admits it — [[perClassBudgetStream]]'s one-long-per-class
+    *     running total (run-before-<, ≤ 1-doc overshoot, classes
+    *     absent from the model admit nothing — the batch inner-join
+    *     drop).
+    * Parity contract (StreamingSpec): when per-class arrival order
+    * matches the batch sampler's Knuth-hash order, the emitted
+    * (id, epoch) set is IDENTICAL to materializeSample's output.
+    */
+  def manifestStream(docs: Dataset[BudgetDoc],
+      plan: Map[String, (Long, Long)]): Dataset[ManifestDoc] = {
+    implicit val outEnc = Encoders.product[ManifestDoc]
+    val whole = docs.flatMap { d =>
+      val w = plan.get(d.cls).map(_._1).getOrElse(0L)
+      (0L until w).iterator
+        .map(e => ManifestDoc(d.doc_id, d.cls, d.n_tok, e))
+    }
+    val frac = perClassBudgetStream(docs,
+        plan.view.mapValues(_._2).toMap)
+      .map(d => ManifestDoc(d.doc_id, d.cls, d.n_tok,
+        plan.get(d.cls).map(_._1).getOrElse(0L)))
+    whole.union(frac)
+  }
+
   /** Tumbling-window bin counts under a batch-fitted edge frame — the
     * streaming face of q185's rolling PSI monitor. `edges` is the
     * fixed global decile MODEL (9 values, [[graft.operators.Drift

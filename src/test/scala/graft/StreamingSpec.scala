@@ -315,6 +315,64 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming manifest: whole epochs + remainder admission " +
+      "reproduce batch materializeSample under per-class hash order") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.functions.TextFunctions.tokenCount
+    import graft.streaming.Streams.BudgetDoc
+    val rows = Tables.load(spark, sf0001, "documents")
+      .select(col("doc_id"), col("source"),
+        tokenCount(col("text")).cast("long").as("n_tok"))
+      .localCheckpoint(eager = false)
+    val tok = rows.groupBy(col("source"))
+      .agg(sum(col("n_tok")).as("n_tokens"))
+    val alloc = graft.operators.Budgeting
+      .waterFill(tok, "source", "n_tokens", 2L, 9L, 5L)
+      .localCheckpoint(eager = false)
+    val batch = graft.operators.Budgeting
+      .materializeSample(rows, "doc_id", "n_tok", "source", alloc,
+        "n_tokens")
+      .select("doc_id", "epoch").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // the model: the same exact integral (w, rem) decomposition
+    // materializeSample derives from alloc_micro
+    val plan = alloc.select(col("source"),
+        expr("cast(alloc_micro as decimal(38,0)) div 1000000")
+          .as("atok"),
+        col("n_tokens"))
+      .collect().map { r =>
+        val (atok, n) = (r.getLong(1), r.getLong(2))
+        val w = if (n > 0) atok / n else 0L
+        r.getString(0) -> ((w, atok - w * n))
+      }.toMap
+    // feed in the batch sampler's per-class Knuth-hash order; the
+    // two-batch split exercises the remainder state across batches
+    val ordered = rows
+      .withColumn("_h", pmod(col("doc_id") * lit(2654435761L),
+        lit(2147483647L)))
+      .orderBy(col("_h"), col("doc_id"))
+      .select("doc_id", "source", "n_tok").collect()
+      .map(r => BudgetDoc(r.getLong(0), r.getString(1), r.getLong(2)))
+    val ms = MemoryStream[BudgetDoc]
+    val q = graft.streaming.Streams.manifestStream(ms.toDS(), plan)
+      .writeStream.format("memory").queryName("mani_s")
+      .outputMode("append").start()
+    try {
+      val (a, b) = ordered.splitAt(ordered.length / 2)
+      ms.addData(a.toSeq)
+      q.processAllAvailable()
+      ms.addData(b.toSeq)
+      q.processAllAvailable()
+      val got = spark.table("mani_s").select("doc_id", "epoch")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == batch, s"diff=${(got diff batch) ++ (batch diff got)}")
+      assert(got.nonEmpty)
+      // both halves of the face are non-trivially exercised
+      assert(plan.values.exists(_._1 > 0) &&
+        plan.values.exists(_._2 > 0), plan.toString)
+    } finally q.stop()
+  }
+
   test("streaming containment flag: replaying the corpus against its " +
       "own fitted blocking frames reproduces the batch pair set " +
       "value-for-value, exactly once per direction") {
@@ -356,6 +414,19 @@ class StreamingSpec extends SparkSpec {
         s"expected exactly-once per direction: ${out.length} rows " +
           s"for ${batch.size} pairs")
     } finally q.stop()
+  }
+
+  test("streaming containment flag: the fitted-model budget gate " +
+      "fails loudly on an over-sized static corpus") {
+    implicit val sqlCtx = spark.sqlContext
+    val d = Tables.load(spark, sf0001, "documents")
+      .select(col("doc_id"), col("text"))
+    val ms = MemoryStream[(Long, String)]
+    val e = intercept[IllegalArgumentException] {
+      graft.streaming.StreamDedup.containmentFlagStream(
+        ms.toDF().toDF("doc_id", "text"), d, maxModelRows = 1L)
+    }
+    assert(e.getMessage.contains("maxModelRows"))
   }
 
   test("centroid classification is streaming-safe AS-IS: the literal-" +
