@@ -165,19 +165,30 @@ object EventsQueries {
     QueryDef(
       "q53_retention",
       (s, dir) => {
-        val days = Tables.load(s, dir, "events")
+        // One pass, TWO exchanges, no join (r11 verdict #4 — the old
+        // days-distinct + cohort self-join re-scanned events twice and
+        // the 4-way countDistinct Expand multiplied the joined rows
+        // ×5): collect each user's distinct day SET (bounded by the
+        // calendar — the per-group state a 100 TB events table can
+        // afford), derive cohort = min(set) and the offset flags
+        // scan-locally, then one plain per-cohort reduce. Same result:
+        // day sets are distinct per user, so "countDistinct(user) with
+        // an off=k row" ≡ "count of users whose set contains
+        // cohort+k".
+        Tables.load(s, dir, "events")
           .select(col("user_id"),
             to_date(timestamp_millis(expr("ts DIV 1000000"))).as("day"))
-          .distinct()
-        val cohorts = days.groupBy(col("user_id"))
-          .agg(min(col("day")).as("cohort"))
-        days.join(cohorts, "user_id")
-          .withColumn("off", datediff(col("day"), col("cohort")))
+          .groupBy(col("user_id"))
+          .agg(collect_set(col("day")).as("ds"))
+          .select(array_min(col("ds")).as("cohort"), col("ds"))
           .groupBy(col("cohort"))
-          .agg(countDistinct(col("user_id")).as("n_users"),
-            countDistinct(when(col("off") === 1, col("user_id"))).as("d1"),
-            countDistinct(when(col("off") === 7, col("user_id"))).as("d7"),
-            countDistinct(when(col("off") === 14, col("user_id"))).as("d14"))
+          .agg(count(lit(1)).as("n_users"),
+            sum(when(array_contains(col("ds"),
+              date_add(col("cohort"), 1)), 1L).otherwise(0L)).as("d1"),
+            sum(when(array_contains(col("ds"),
+              date_add(col("cohort"), 7)), 1L).otherwise(0L)).as("d7"),
+            sum(when(array_contains(col("ds"),
+              date_add(col("cohort"), 14)), 1L).otherwise(0L)).as("d14"))
           .orderBy(col("cohort"))
       },
       Some("""

@@ -278,4 +278,38 @@ class AdviceSpec extends SparkSpec {
     assert(upd2.count() == n &&
       upd2.join(v1post, Seq("doc_id", "dl", "term", "tf")).count() == n)
   }
+
+  test("waterFill: an n=0 group emits epochs 0.0, not NaN (r11 advice)") {
+    import spark.implicits._
+    val counts = Seq(("a", 100L), ("b", 0L)).toDF("src", "n")
+    val out = graft.operators.Budgeting
+      .waterFill(counts, "src", "n", 2L, 1L, 2L)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(4), r.getDouble(5)))).toMap
+    assert(out("b") == ((0L, 0.0)))
+    assert(!out.values.exists(_._2.isNaN))
+  }
+
+  test("tokenBudgetSamplePerClass: duplicate class rows in the " +
+      "budgets frame fail loudly instead of re-emitting every bucket " +
+      "row (r11 advice)") {
+    import spark.implicits._
+    val docs = Seq((1L, 5L, "en"), (2L, 5L, "en"))
+      .toDF("doc_id", "n_tok", "lang")
+    val budgets = Seq(("en", 100L), ("en", 50L)).toDF("lang", "b")
+    val e = intercept[Throwable] {
+      graft.operators.CorpusOps.tokenBudgetSamplePerClass(
+        docs, "doc_id", "n_tok", "lang", budgets).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil
+      else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("duplicate budget rows")),
+      msgs(e).mkString(" | "))
+    // distinct class keys still pass (and NULL class keeps its key)
+    val ok = graft.operators.CorpusOps.tokenBudgetSamplePerClass(
+      docs, "doc_id", "n_tok", "lang",
+      Seq(("en", 100L)).toDF("lang", "b")).collect()
+    assert(ok.length == 2)
+  }
 }
