@@ -416,6 +416,34 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming containment flag: an ARRIVING wrapper document not " +
+      "in the static corpus is caught at containment 1.0 (the " +
+      "quote-inclusion capability, production split)") {
+    implicit val sqlCtx = spark.sqlContext
+    // the blocking df is FITTED on the static corpus alone (arriving
+    // docs can't move it), so the quoted original appears twice there
+    // — its shingles sit at df=2, inside the [2,5] window — while the
+    // arriving wrapper (filler + the original whole) was never seen
+    // at fit time and the filler-only arrival shares no rare shingle
+    val small = (1 to 12).map(i => s"tok$i").mkString(" ")
+    val filler = (1 to 120).map(i => s"pad$i").mkString(" ")
+    val corpus = Seq((1L, small), (2L, small))
+      .toDF("doc_id", "text")
+    val ms = MemoryStream[(Long, String)]
+    val q = graft.streaming.StreamDedup.containmentFlagStream(
+      ms.toDF().toDF("doc_id", "text"), corpus)
+      .writeStream.format("memory").queryName("cont_fx")
+      .outputMode("append").start()
+    try {
+      ms.addData((10L, s"$filler $small"), (11L, filler))
+      q.processAllAvailable()
+      val got = spark.table("cont_fx")
+        .collect().map(r => (r.getLong(0), r.getLong(1),
+          r.getDouble(5))).toSet
+      assert(got == Set((10L, 1L, 1.0), (10L, 2L, 1.0)), got.toString)
+    } finally q.stop()
+  }
+
   test("streaming containment flag: the fitted-model budget gate " +
       "fails loudly on an over-sized static corpus") {
     implicit val sqlCtx = spark.sqlContext
