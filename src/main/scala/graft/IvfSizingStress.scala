@@ -1,0 +1,118 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.Similarity
+
+/** The nLists sizing lever, measured (round-12 follow-through on the
+  * TailStress ×50 finding): q169's margin alignment probes a shared
+  * IVF quantizer, and with nLists FIXED at the sf0.1 registry setting
+  * (16) its asymptotics are quadratic — every query scans
+  * nProbe/nLists of the corpus while the query count grows with the
+  * corpus (measured: ×50 data → 244× time). The documented production
+  * rule is cells ∝ √n so per-query probe cost grows as √n; this
+  * harness MEASURES that rule instead of arguing it: the identical
+  * margin-alignment body (q169's fwd/bwd mean-top-k arithmetic
+  * verbatim) over the same ×N embeddings under increasing nLists,
+  * reporting build time, probe time, and two quality proxies (mean
+  * top-1 cosine; top-1 agreement vs the nLists=16 run — the
+  * approximate-index recall trade the knob buys its speed with).
+  *
+  * Usage: `runMain graft.IvfSizingStress <embeddings.parquet dir>
+  * [nLists,nLists,...]` — defaults to the TailStress ×50 corpus and
+  * 16,64,256.
+  */
+object IvfSizingStress {
+  private def time[A](f: => A): (A, Double) = {
+    val t0 = System.nanoTime()
+    val a = f
+    (a, (System.nanoTime() - t0) / 1e9)
+  }
+
+  /** q169's margin body (CurationQueries.scala) over an arbitrary
+    * index: forward/backward IVF top-k at nProbe=8, mean-top-4
+    * normalizers, margin = cos / ((af+ab)/2).
+    */
+  private def marginAlign(emb: DataFrame, idx: Similarity.IvfIndex)
+      : DataFrame = {
+    val a = emb.filter(col("id") % 2 === 0)
+    val b = emb.filter(col("id") % 2 === 1)
+    val k = 4
+    def meanTopK(df: DataFrame, out: String) =
+      df.groupBy(col("query_id"))
+        .agg((sum(col("cosine").cast("decimal(12,9)")).cast("double")
+          / k.toDouble).as(out))
+    val fwd = idx.topK(a, k, nProbe = 8,
+        neighborFilter = col("neighbor_id") % 2 === 1)
+      .localCheckpoint(eager = false)
+    val bwd = idx.topK(b, k, nProbe = 8,
+      neighborFilter = col("neighbor_id") % 2 === 0)
+    val af = meanTopK(fwd, "af")
+    val ab = meanTopK(bwd, "ab").withColumnRenamed("query_id", "match_id")
+    fwd.filter(col("rnk") === 1)
+      .select(col("query_id"), col("neighbor_id").as("match_id"),
+        col("cosine"))
+      .join(af, Seq("query_id"))
+      .join(ab, Seq("match_id"))
+      .select(col("query_id"), col("match_id"), col("cosine"),
+        round(col("cosine") / ((col("af") + col("ab")) / 2.0), 6)
+          .as("margin"))
+  }
+
+  def main(args: Array[String]): Unit = {
+    val embPath = if (args.nonEmpty) args(0)
+      else graft.sources.Artifacts.root + "/tail_stress/x50/embeddings.parquet"
+    val sizes = (if (args.length > 1) args(1) else "16,64,256")
+      .split(",").map(_.trim.toInt).toSeq
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.extensions", "graft.GraftExtensions")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.cleaner.periodicGC.interval", "30s")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    Metrics.register(spark)
+
+    val emb = spark.read.parquet(embPath)
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+      .localCheckpoint(eager = false)
+    val n = emb.count()
+
+    // baseline top-1 assignment for the agreement proxy (filled by
+    // the first size in the list — registry order puts 16 first)
+    var base: Option[DataFrame] = None
+    sizes.foreach { nLists =>
+      val (idx, tBuild) = time(Similarity.IvfIndex.build(emb, nLists))
+      val (res, tProbe) = time {
+        val m = marginAlign(emb, idx).localCheckpoint(eager = false)
+        m.count()
+        m
+      }
+      val stats = res.agg(count(lit(1)).as("nq"),
+        avg(col("cosine")).as("mc")).head
+      val agree = base.map { b =>
+        val both = b.select(col("query_id"), col("match_id").as("m0"))
+          .join(res.select(col("query_id"), col("match_id")),
+            Seq("query_id"))
+        val a = both.agg(
+          avg(when(col("m0") === col("match_id"), 1.0).otherwise(0.0)))
+          .head.getDouble(0)
+        math.rint(a * 10000) / 10000
+      }.getOrElse(1.0)
+      if (base.isEmpty) base = Some(res)
+      println(s"""{"harness":"ivf_sizing","n":$n,"n_lists":$nLists,""" +
+        s""""build_sec":${math.rint(tBuild * 1000) / 1000},""" +
+        s""""probe_sec":${math.rint(tProbe * 1000) / 1000},""" +
+        s""""queries":${stats.getLong(0)},""" +
+        s""""mean_top1_cos":${math.rint(stats.getDouble(1) * 1e6) / 1e6},""" +
+        s""""top1_agreement_vs_first":$agree}""")
+    }
+    spark.stop()
+  }
+}
