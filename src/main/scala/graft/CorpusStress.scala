@@ -576,7 +576,12 @@ object CorpusStress {
             r.getDouble(3), r.getDouble(4)))).toMap)
       val totTok = mix.values.map(_._1).sum // = f·T per the next check
       if (f == 1) mixBase = mix
-      else {
+      // mirror the baseCounts.get(...) guards used elsewhere in this
+      // file: a run whose factors omit 1 leaves mixBase empty, and
+      // the keySet require would fire with the misleading "source
+      // set changed" message (advisor r12) — skip the comparison,
+      // don't misreport it
+      else if (mixBase.nonEmpty) {
         require(mix.keySet == mixBase.keySet,
           s"q198 source set changed at $f")
         mix.foreach { case (src, v) =>

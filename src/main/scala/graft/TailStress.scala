@@ -33,7 +33,7 @@ import org.apache.spark.sql.functions._
   * ratios mean fixed overheads still dominate at sf0.1×N.
   */
 object TailStress {
-  private val tailQueries = Seq(
+  private val defaultTail = Seq(
     "q140_pca_project", "q142_abtt_correct", "q143_kmeans",
     "q146_nb_crossval", "q161_dsir_select", "q164_containment_dedup",
     "q169_margin_align_ivf", "q183_curation_funnel", "q192_bm25_cdc",
@@ -48,6 +48,23 @@ object TailStress {
       .split(",").map(_.trim.toInt).toSeq
     val outBase = if (args.length > 2) args(2)
       else graft.sources.Artifacts.root + "/tail_stress"
+    // optional arg 4: run only these queries (e.g. a single re-row
+    // after a sizing fix); still verbatim registry entries
+    val tailQueries = if (args.length > 3)
+      args(3).split(",").map(_.trim).toSeq else defaultTail
+    val unknown = tailQueries.filterNot(SparkEntry.queries.contains)
+    require(unknown.isEmpty, s"unregistered queries: $unknown")
+    // the ratio table below divides by the factor-1 row — fail before
+    // any Spark work rather than after the expensive measurement
+    // (advisor r12)
+    require(factors.contains(1),
+      s"factors $factors must include 1: ratios are vs the factor-1 run")
+    // standing composition gate (r12 verdict #4): at ×10 no tail
+    // query may scale worse than maxRatio× — a fixed-size index or
+    // unbounded model would trip it here, a round before it trips
+    // at ×50. Overridable for exploratory runs; non-positive disables.
+    val maxRatio =
+      sys.env.getOrElse("SPARK_GRAFT_TAIL_MAX_RATIO", "15").toDouble
     val reps = sys.env.getOrElse("SPARK_GRAFT_TAIL_REPS", "2").toInt.max(1)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
@@ -116,14 +133,25 @@ object TailStress {
         s""""vecs":$nE,"reps":$reps,""" +
         s""""queries":${mins.mkString("{", ",", "}")}}""")
     }
-    // ratio table vs factor 1 (the archived PERF.md artifact)
+    // ratio table vs factor 1 (the archived PERF.md artifact), then
+    // the gate: any ×10 ratio above maxRatio exits non-zero so the
+    // round close-out run can't silently carry a scale regression
+    val violations = scala.collection.mutable.ArrayBuffer[String]()
     factors.filter(_ != 1).foreach { f =>
       tailQueries.foreach { q =>
         val b = timings((1, q)); val v = timings((f, q))
+        val r = v / b
         println(f"""ratio x$f%-3d $q%-28s ${b}%8.2f s -> ${v}%8.2f s""" +
-          f"""  ${v / b}%6.2fx""")
+          f"""  ${r}%6.2fx""")
+        if (f == 10 && maxRatio > 0 && r > maxRatio)
+          violations += f"$q at x10: ${r}%.1fx > ${maxRatio}%.0fx"
       }
     }
     spark.stop()
+    if (violations.nonEmpty) {
+      System.err.println(
+        "TAIL GATE FAILED:\n  " + violations.mkString("\n  "))
+      sys.exit(1)
+    }
   }
 }

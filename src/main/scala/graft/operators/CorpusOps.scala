@@ -325,9 +325,13 @@ object CorpusOps {
       .agg(max(col("_budget")).as("_bmax"), count(lit(1)).as("_bn"))
       .select(col("_bcls"),
         when(col("_bn") === 1, col("_bmax"))
+          // coalesce: a NULL class key would NULL the whole concat
+          // and raise_error would fire with a null message, losing
+          // the diagnostic (advisor r12)
           .otherwise(raise_error(concat(
             lit("tokenBudgetSamplePerClass: duplicate budget rows " +
-              "for class "), col("_bcls").cast("string"))))
+              "for class "),
+            coalesce(col("_bcls").cast("string"), lit("NULL")))))
           .as("_budget"))
     budgetSampleCore(df, idCol, tokCol, classCol, nBuckets,
       off => off.join(broadcast(b), off("_cls") <=> b("_bcls"))

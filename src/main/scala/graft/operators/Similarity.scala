@@ -428,7 +428,8 @@ object Similarity {
       */
     def buildIfAbsent(spark: org.apache.spark.sql.SparkSession,
         corpus: => DataFrame, path: String, nLists: Int,
-        seed: Long = 7L, fingerprint: Option[String] = None): IvfIndex =
+        seed: Long = 7L, fingerprint: Option[String] = None,
+        meta: Map[String, String] = Map.empty): IvfIndex =
       loadedCache.getOrElseUpdate(path + fingerprint.mkString("#", "", ""), {
         import graft.sources.ArtifactGuard
         if (!ArtifactGuard.fresh(spark, path, s"$path/assigned/_SUCCESS",
@@ -436,7 +437,17 @@ object Similarity {
           build(corpus, nLists, seed).save(path)
           ArtifactGuard.stamp(spark, path, fingerprint)
         }
-        load(spark, path)
+        val idx = load(spark, path)
+        // sizing contract (SCALE.md §7): state what the quantizer was
+        // sized for, beside the postings it sizes. Written on load,
+        // not build, so a pre-contract artifact backfills — with the
+        // LOADED index's actual list count, which is the truth either
+        // way (a caller-supplied nLists that disagreed with a fresh
+        // artifact would record the artifact, not the request).
+        if (meta.nonEmpty && ArtifactGuard.readMeta(spark, path).isEmpty)
+          ArtifactGuard.writeMeta(spark, path,
+            meta + ("n_lists" -> idx.nLists.toString))
+        idx
       })
 
     /** Train the quantizer and assign the corpus (the offline pass).

@@ -36,7 +36,30 @@ object DedupQueries {
     * replay the sf0.01 artifact when the gate runs at another scale.
     */
   private[queries] def ivfArtifactDir(dir: String): String =
-    graft.sources.Artifacts.dir("ivf", dir, "n16")
+    graft.sources.Artifacts.dir("ivf", dir, s"n${ivfNLists(dir)}")
+
+  /** Sizing law for the shared quantizer — cells ∝ √n, floor 16
+    * (r12 verdict: a FIXED nLists makes any all-queries-vs-corpus
+    * consumer quadratic — every query scans nProbe/nLists of the
+    * corpus while the query count grows with it; TailStress ×50
+    * measured q169 at 244× under the old hardcoded 16). With
+    * nLists = ⌈√n/2⌉ a probe costs nProbe·n/nLists = 2·nProbe·√n
+    * per query — the IvfSizingStress-measured rule (PERF.md §r13),
+    * the same E|cell| ∝ √n contract `semDedupPairs` documents. The
+    * ½ constant keeps the smallest gated corpus (500 vectors, where
+    * RetrievalSpec measures the q169-vs-q162 ≥0.9 recall contract at
+    * nProbe=8) at the floor; the √n term dominates from n ≈ 1100.
+    * Derived from parquet footers (no session: the DuckDB oracle
+    * derives the SAME path at SQL-materialization time), so the
+    * artifact name carries its own sizing — a corpus whose count
+    * changes re-keys the path, and same-count regeneration re-trains
+    * via the fingerprint guard.
+    */
+  private[queries] def ivfNLists(dir: String): Int = {
+    val n = graft.sources.Artifacts
+      .parquetRowCount(s"$dir/embeddings.parquet")
+    math.max(16, math.ceil(math.sqrt(n.toDouble) / 2.0).toInt)
+  }
 
   private[queries] def sharedIvfIndex(s: org.apache.spark.sql.SparkSession,
       dir: String, emb: org.apache.spark.sql.DataFrame)
@@ -44,8 +67,13 @@ object DedupQueries {
     val idxPath = ivfArtifactDir(dir)
     val fp = graft.operators.BpeLearn
       .dataFingerprint(s, s"$dir/embeddings.parquet")
-    Similarity.IvfIndex.buildIfAbsent(s, emb, idxPath, nLists = 16,
-      fingerprint = Some(fp))
+    val nl = ivfNLists(dir)
+    Similarity.IvfIndex.buildIfAbsent(s, emb, idxPath, nLists = nl,
+      fingerprint = Some(fp),
+      meta = Map(
+        "corpus_rows" -> graft.sources.Artifacts
+          .parquetRowCount(s"$dir/embeddings.parquet").toString,
+        "sizing_law" -> "n_lists=max(16,ceil(sqrt(corpus_rows)/2))"))
   }
 
   /** Hyperplane artifact behind the q29/q45 oracles: 24 tables × 4

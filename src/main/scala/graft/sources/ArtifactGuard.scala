@@ -71,4 +71,47 @@ object ArtifactGuard {
       val out = fs.create(fpFile, true)
       try out.write(fp.getBytes("UTF-8")) finally out.close()
     }
+
+  /** Record build-time sizing metadata beside the artifact (`_meta`,
+    * one sorted `k=v` line per entry): every saved index whose
+    * consumer's asymptotics depend on a sizing knob (IVF nLists, PQ
+    * M/k, LSH tables×bits) states the corpus count it was sized FOR,
+    * so a reviewer — or a spec — can check the artifact against its
+    * scale law without rebuilding it (r12 verdict #2; SCALE.md §7).
+    */
+  def writeMeta(spark: SparkSession, path: String,
+      meta: Map[String, String]): Unit =
+    if (meta.nonEmpty) {
+      val mFile = new Path(s"$path/_meta")
+      val fs = mFile.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val out = fs.create(mFile, true)
+      val body = meta.toSeq.sortBy(_._1)
+        .map { case (k, v) =>
+          require(!k.contains("=") && !k.contains("\n") &&
+            !v.contains("\n"), s"unencodable meta entry $k=$v")
+          s"$k=$v"
+        }.mkString("\n")
+      try out.write(body.getBytes("UTF-8")) finally out.close()
+    }
+
+  /** Read back `_meta` (empty map when absent — artifacts written
+    * before the sizing contract, or sized by pure configuration).
+    */
+  def readMeta(spark: SparkSession, path: String): Map[String, String] = {
+    val mFile = new Path(s"$path/_meta")
+    val fs = mFile.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(mFile)) Map.empty
+    else {
+      val in = fs.open(mFile)
+      val body =
+        try new String(
+          org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8")
+        finally in.close()
+      body.linesIterator.filter(_.contains("="))
+        .map { l =>
+          val i = l.indexOf('=')
+          l.substring(0, i) -> l.substring(i + 1)
+        }.toMap
+    }
+  }
 }

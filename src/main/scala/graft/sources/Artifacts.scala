@@ -35,4 +35,37 @@ object Artifacts {
   def dir(kind: String, dataDir: String, params: String): String =
     s"$root/$kind/${dataDir.replaceAll("[^A-Za-z0-9]", "_")}_" +
       sha8(dataDir) + s"_$params"
+
+  private val countCache =
+    scala.collection.concurrent.TrieMap[String, Long]()
+
+  /** Row count of a parquet file/directory from footers only — no
+    * SparkSession (artifact paths whose name bakes in a data-derived
+    * parameter, e.g. the IVF quantizer's corpus-sized nLists, must be
+    * derivable at oracle-SQL materialization time, before any session
+    * exists). Footer reads are O(files), not O(rows); cached per JVM
+    * (the same staleness story as the artifact itself: regenerated
+    * data re-keys via the fingerprint guard, and a changed row count
+    * changes the derived path outright). Goes through the Hadoop FS
+    * API, so an HDFS/S3 artifact root works unchanged.
+    */
+  def parquetRowCount(path: String): Long =
+    countCache.getOrElseUpdate(path, {
+      import org.apache.hadoop.conf.Configuration
+      import org.apache.hadoop.fs.Path
+      import org.apache.parquet.hadoop.ParquetFileReader
+      import org.apache.parquet.hadoop.util.HadoopInputFile
+      val conf = new Configuration()
+      val p = new Path(path)
+      val fs = p.getFileSystem(conf)
+      val files =
+        if (fs.getFileStatus(p).isDirectory)
+          fs.listStatus(p).map(_.getPath)
+            .filter(_.getName.endsWith(".parquet")).toSeq
+        else Seq(p)
+      files.map { f =>
+        val r = ParquetFileReader.open(HadoopInputFile.fromPath(f, conf))
+        try r.getRecordCount finally r.close()
+      }.sum
+    })
 }

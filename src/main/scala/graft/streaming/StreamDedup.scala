@@ -587,11 +587,22 @@ object StreamDedup {
         Seq("corpus_id"))
       .localCheckpoint(eager = false)
     // budget gate: the fitted frames must stay broadcast-sized (the
-    // fitBm25Queries maxTerms convention) — counted ONCE at fit time
-    val pRows = postings.count(); val dRows = docTab.count()
-    require(pRows <= maxModelRows && dRows <= maxModelRows,
+    // fitBm25Queries maxTerms convention) — counted ONCE at fit time.
+    // Row counts alone are not enough: each docTab row carries the
+    // corpus doc's ENTIRE distinct-shingle array (sh_b), so a corpus
+    // of few very large documents passes a row gate while the
+    // broadcast payload stays unbounded (advisor r12) — bound total
+    // shingle CELLS (Σ n_b) under the same budget.
+    val pRows = postings.count()
+    val dStats = docTab
+      .agg(count(lit(1)).as("r"), sum(col("n_b")).as("c")).head
+    val dRows = dStats.getLong(0)
+    val dCells = if (dStats.isNullAt(1)) 0L else dStats.getLong(1)
+    require(pRows <= maxModelRows && dRows <= maxModelRows &&
+        dCells <= maxModelRows,
       s"fitted blocking frames exceed maxModelRows=$maxModelRows " +
-        s"(postings=$pRows, docs=$dRows) — a standing-reference model " +
+        s"(postings=$pRows, docs=$dRows, shingleCells=$dCells) — a " +
+        "standing-reference model " +
         "must stay broadcast-sized; batch-containment the accumulated " +
         "corpus instead")
     // apply: scan-local distinct shingle keys for each arriving doc

@@ -312,4 +312,49 @@ class AdviceSpec extends SparkSpec {
       Seq(("en", 100L)).toDF("lang", "b")).collect()
     assert(ok.length == 2)
   }
+
+  test("tokenBudgetSamplePerClass: duplicate rows under a NULL class " +
+      "key keep the diagnostic text (concat with a NULL class would " +
+      "raise a null message) (r12 advice)") {
+    import spark.implicits._
+    val docs = Seq((1L, 5L, Option.empty[String]),
+      (2L, 5L, Option.empty[String])).toDF("doc_id", "n_tok", "lang")
+    val budgets = Seq((Option.empty[String], 100L),
+      (Option.empty[String], 50L)).toDF("lang", "b")
+    val e = intercept[Throwable] {
+      graft.operators.CorpusOps.tokenBudgetSamplePerClass(
+        docs, "doc_id", "n_tok", "lang", budgets).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil
+      else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(m => m.contains("duplicate budget rows") &&
+      m.contains("NULL")), msgs(e).mkString(" | "))
+  }
+
+  test("containmentFlagStream budget gate bounds total shingle CELLS, " +
+      "not just rows: a corpus of few huge documents fails loudly " +
+      "(r12 advice)") {
+    import spark.implicits._
+    // two docs sharing one rare phrase (df=2 shingles) plus ~100
+    // unique tokens each: postings = 4 rows, docTab = 2 rows — both
+    // under maxModelRows=100 — but each docTab row carries the doc's
+    // FULL distinct-shingle array, so shingle cells ≈ 200 blow the
+    // same budget
+    def body(tag: String) =
+      (0 until 100).map(i => s"$tag$i").mkString(" ")
+    val corpus = Seq(
+      (1L, s"shared rare phrase ${body("a")}"),
+      (2L, s"shared rare phrase ${body("b")}")).toDF("doc_id", "text")
+    val probe = Seq((10L, "shared rare phrase probe"))
+      .toDF("doc_id", "text")
+    val e = intercept[IllegalArgumentException] {
+      graft.streaming.StreamDedup.containmentFlagStream(
+        probe, corpus, w = 2, maxModelRows = 100L)
+    }
+    assert(e.getMessage.contains("shingleCells"), e.getMessage)
+    // the same corpus passes once the cell budget fits
+    graft.streaming.StreamDedup.containmentFlagStream(
+      probe, corpus, w = 2, maxModelRows = 1000L)
+  }
 }
