@@ -71,7 +71,9 @@ object EmbedStress {
                 .cast("double") / 500.0 - 1.0).cast("float") * lit(0.4f)))
               .cast("float")).as("vec"))
       val path = s"$outBase/emb_x$f"
-      srcs.union(twins).write.mode("overwrite").parquet(path)
+      // many splits, like a real ×N table (see TailStress note)
+      srcs.union(twins).repartition(cpus.toInt)
+        .write.mode("overwrite").parquet(path)
       val corpus = spark.read.parquet(path)
       val n = corpus.count()
       val nTwins = corpus.filter(col("id") % 2 === 1).count()

@@ -79,10 +79,33 @@ object IvfSizingStress {
     spark.sparkContext.setLogLevel("WARN")
     Metrics.register(spark)
 
+    // repartition the scan: the ×50 corpus is one ~26 MB parquet file
+    // (1 scan partition), and build() keeps in-memory lineage — every
+    // pre-shuffle probe stage would run single-threaded. The
+    // registered q169 gets its parallelism from the SAVED index
+    // (postings partitioned by list_id); spreading the postings over
+    // the worker count mirrors that.
     val emb = spark.read.parquet(embPath)
       .select(col("vec_id").as("id"), col("embedding").as("vec"))
+      .repartition(cpus.toInt, col("id"))
       .localCheckpoint(eager = false)
     val n = emb.count()
+
+    // exact-anchor sample: brute-force top-1 for ~1/101 of the even-id
+    // (query-side) vectors against the full odd-id corpus — the probe
+    // legs join against it for recall@1 and a cosine ratio vs EXACT,
+    // the quality proxy that actually bounds the trade (agreement vs
+    // the nLists=16 leg under-reads quality when near-ties dominate:
+    // two equally-good neighbors disagree on identity). Deterministic
+    // sample (id mod), self/parity semantics identical to marginAlign.
+    val sampleQ = emb.filter(col("id") % 2 === 0)
+      .filter(pmod(col("id"), lit(101)) === 0)
+    val exact1 = Similarity.bruteForceTopK(
+        emb.filter(col("id") % 2 === 1), sampleQ, k = 1)
+      .select(col("query_id"), col("neighbor_id").as("exact_id"),
+        col("cosine").as("exact_cos"))
+      .localCheckpoint(eager = false)
+    val nSample = exact1.count()
 
     // baseline top-1 assignment for the agreement proxy (filled by
     // the first size in the list — registry order puts 16 first)
@@ -106,12 +129,20 @@ object IvfSizingStress {
         math.rint(a * 10000) / 10000
       }.getOrElse(1.0)
       if (base.isEmpty) base = Some(res)
+      val ex = res.join(exact1, Seq("query_id"))
+        .agg(avg(when(col("match_id") === col("exact_id"), 1.0)
+            .otherwise(0.0)).as("r1"),
+          (avg(col("cosine")) / avg(col("exact_cos"))).as("cr")).head
+      val recall1 = math.rint(ex.getDouble(0) * 10000) / 10000
+      val cosRatio = math.rint(ex.getDouble(1) * 10000) / 10000
       println(s"""{"harness":"ivf_sizing","n":$n,"n_lists":$nLists,""" +
         s""""build_sec":${math.rint(tBuild * 1000) / 1000},""" +
         s""""probe_sec":${math.rint(tProbe * 1000) / 1000},""" +
         s""""queries":${stats.getLong(0)},""" +
         s""""mean_top1_cos":${math.rint(stats.getDouble(1) * 1e6) / 1e6},""" +
-        s""""top1_agreement_vs_first":$agree}""")
+        s""""top1_agreement_vs_first":$agree,""" +
+        s""""sample_n":$nSample,"sample_recall1_vs_exact":$recall1,""" +
+        s""""sample_cos_ratio_vs_exact":$cosRatio}""")
     }
     spark.stop()
   }

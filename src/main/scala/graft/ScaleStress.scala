@@ -59,7 +59,9 @@ object ScaleStress {
             when(col("cp") === 0, col("text"))
               .otherwise(concat_ws(" ", transform(split(col("text"), " "),
                 t => concat(t, lit("~"), col("cp"))))).as("text"))
-      corpus.write.mode("overwrite").parquet(path)
+      // many splits, like a real ×N table (see TailStress note)
+      corpus.repartition(cpus.toInt)
+        .write.mode("overwrite").parquet(path)
       val docs = spark.read.parquet(path)
       val n = docs.count()
 

@@ -112,8 +112,17 @@ object TailStress {
                 lit(1.0f)).otherwise(lit(-1.0f))).cast("float"))
               .as("embedding"),
             col("label"))
-      docsX.write.mode("overwrite").parquet(s"$dirX/documents.parquet")
-      embX.write.mode("overwrite").parquet(s"$dirX/embeddings.parquet")
+      // write the replicated corpus as MANY splits: the crossJoin
+      // plan funnels everything into the handful of source-scan
+      // partitions, and a ×50 corpus written as one ~7 MB file gives
+      // every downstream query a 1-partition scan — the measured
+      // "ratio" is then the file count, not the engine (a real ×50
+      // table arrives as hundreds of splits). Hash-repartition is
+      // deterministic, so corpus content is unchanged.
+      docsX.repartition(cpus.toInt)
+        .write.mode("overwrite").parquet(s"$dirX/documents.parquet")
+      embX.repartition(cpus.toInt)
+        .write.mode("overwrite").parquet(s"$dirX/embeddings.parquet")
       val nD = spark.read.parquet(s"$dirX/documents.parquet").count()
       val nE = spark.read.parquet(s"$dirX/embeddings.parquet").count()
 
