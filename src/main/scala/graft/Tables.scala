@@ -31,6 +31,46 @@ object Tables {
     if (name == "events") normalizeEventsTs(df) else df
   }
 
+  /** `load` plus a guard against a pathologically NARROW scan, for
+    * queries whose heavy per-row work is fused into the scan stage
+    * (n-gram/shingle explodes over text, per-vector model
+    * projections): the driver's test parquet is ONE file with ONE
+    * row group per table (unsplittable — no `maxPartitionBytes`
+    * setting can help), so everything before the first exchange runs
+    * single-threaded no matter how good the plan is. Measured
+    * (PERF.md r13): the same corpus written as 32 splits ran the
+    * text-heavy tail 2–5× faster with identical plans, while a
+    * BLANKET widen taxed every light query ~0.25 s for an extra AQE
+    * stage — hence opt-in per query, not a loader default. No-ops on
+    * any healthily-split table (file count ≥ half the worker count —
+    * every real deployment) and on small tables (<1000 rows), so at
+    * production layouts `loadWide ≡ load`. Results are unchanged —
+    * registered queries are repartition-invariant by contract.
+    * Catalyst pushes filters and pruning through the round-robin
+    * exchange into the scan (verified: `PlanDump _rawscan:documents`).
+    */
+  def loadWide(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val df = load(spark, dir, name)
+    val path = s"$dir/$name.parquet"
+    val cores = spark.sparkContext.defaultParallelism
+    if (parquetFileCount(spark, path) >= math.max(1, cores / 2)) df
+    else if (graft.sources.Artifacts.parquetRowCount(path) < 1000L) df
+    else df.repartition(cores)
+  }
+
+  private val fileCountCache =
+    scala.collection.concurrent.TrieMap[String, Int]()
+
+  private def parquetFileCount(spark: SparkSession, path: String): Int =
+    fileCountCache.getOrElseUpdate(path, {
+      val p = new org.apache.hadoop.fs.Path(path)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (!fs.exists(p)) 0
+      else if (fs.getFileStatus(p).isDirectory)
+        fs.listStatus(p).count(_.getPath.getName.endsWith(".parquet"))
+      else 1
+    })
+
   private def normalizeEventsTs(df: DataFrame): DataFrame = {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.types._

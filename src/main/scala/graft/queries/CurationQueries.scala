@@ -26,7 +26,7 @@ object CurationQueries {
     QueryDef(
       "q161_dsir_select",
       (s, dir) => {
-        val d = Tables.load(s, dir, "documents")
+        val d = Tables.loadWide(s, dir, "documents")
         val w = Dsir.importanceWeights(d, "doc_id", "text",
           col("lang") === "en", DsirBuckets)
           .select(col("doc_id"), col("logw").cast("double").as("logw"))
@@ -169,7 +169,7 @@ object CurationQueries {
     QueryDef(
       "q169_margin_align_ivf",
       (s, dir) => {
-        val emb = Tables.load(s, dir, "embeddings")
+        val emb = Tables.loadWide(s, dir, "embeddings")
           .select(col("vec_id").as("id"), col("embedding").as("vec"))
         val idx = DedupQueries.sharedIvfIndex(s, dir, emb)
         val a = emb.filter(col("id") % 2 === 0)
@@ -396,7 +396,7 @@ object CurationQueries {
     QueryDef(
       "q164_containment_dedup",
       (s, dir) => {
-        val d = Tables.load(s, dir, "documents")
+        val d = Tables.loadWide(s, dir, "documents")
         Containment.pairs(d, "doc_id", "text",
             w = 5, dfMin = 2, dfMax = 5, threshold = 0.5)
           .orderBy(col("id_a"), col("id_b"))

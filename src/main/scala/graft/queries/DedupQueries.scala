@@ -208,7 +208,7 @@ object DedupQueries {
       "q42_jaccard_topk",
       (s, dir) => {
         MinHashDedup.topKSimilarPairs(
-          Tables.load(s, dir, "documents"), "doc_id", "text", k = 10)
+          Tables.loadWide(s, dir, "documents"), "doc_id", "text", k = 10)
       },
       Some(s"""
         WITH tok AS (
@@ -235,7 +235,7 @@ object DedupQueries {
       "q26_simhash",
       (s, dir) => {
         SimHashDedup.fingerprints(
-          Tables.load(s, dir, "documents"), "doc_id", "text")
+          Tables.loadWide(s, dir, "documents"), "doc_id", "text")
           .select(col("id").as("doc_id"),
             concat_ws("", col("bits")).as("simhash_bits"))
           .orderBy(col("doc_id"))
@@ -254,7 +254,7 @@ object DedupQueries {
       "q27_simhash_neardup",
       (s, dir) => {
         SimHashDedup.nearDuplicatePairs(
-          Tables.load(s, dir, "documents"), "doc_id", "text", maxHamming = 8)
+          Tables.loadWide(s, dir, "documents"), "doc_id", "text", maxHamming = 8)
           .withColumn("hamming", col("hamming").cast("long"))
           .orderBy(col("doc_a"), col("doc_b"))
       },
@@ -414,7 +414,7 @@ object DedupQueries {
       "q56_simhash128",
       (s, dir) => {
         SimHashDedup.nearDuplicatePairs(
-          Tables.load(s, dir, "documents"), "doc_id", "text",
+          Tables.loadWide(s, dir, "documents"), "doc_id", "text",
           maxHamming = 8, fpBits = 128)
           .withColumn("hamming", col("hamming").cast("long"))
           .orderBy(col("doc_a"), col("doc_b"))
@@ -1165,7 +1165,7 @@ object DedupQueries {
         import org.apache.spark.sql.expressions.Window
         import graft.functions.TextFunctions.{fingerprintMd5, tokenCount}
         import graft.operators.Containment
-        val d = Tables.load(s, dir, "documents")
+        val d = Tables.loadWide(s, dir, "documents")
           .select(col("doc_id"), col("text"),
             tokenCount(col("text")).cast("long").as("n_tok"),
             fingerprintMd5(col("text")).as("fp"))

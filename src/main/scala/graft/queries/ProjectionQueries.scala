@@ -108,7 +108,7 @@ object ProjectionQueries {
     QueryDef(
       "q131_knn_label_consistency",
       (s, dir) => {
-        val e = Tables.load(s, dir, "embeddings")
+        val e = Tables.loadWide(s, dir, "embeddings")
           .select(col("vec_id").as("id"), col("embedding").as("vec"),
             col("label"))
           .localCheckpoint(eager = false) // corpus + queries + label faces

@@ -74,7 +74,7 @@ object SpanQueries {
       "q103_dup_spans",
       (s, dir) => {
         SpanDedup.duplicatedSpans(
-            Tables.load(s, dir, "documents"), "doc_id", "text", W)
+            Tables.loadWide(s, dir, "documents"), "doc_id", "text", W)
           .orderBy(col("doc_id"), col("span_start"))
       },
       Some(s"""
@@ -96,7 +96,7 @@ object SpanQueries {
       "q104_winnowing",
       (s, dir) => {
         Winnowing.fingerprints(
-            Tables.load(s, dir, "documents"), "doc_id", "text", K, WW)
+            Tables.loadWide(s, dir, "documents"), "doc_id", "text", K, WW)
           .orderBy(col("doc_id"), col("pos"))
       },
       Some(s"""
@@ -108,7 +108,7 @@ object SpanQueries {
       "q105_winnow_neardup",
       (s, dir) => {
         Winnowing.nearDupPairs(
-            Tables.load(s, dir, "documents"), "doc_id", "text",
+            Tables.loadWide(s, dir, "documents"), "doc_id", "text",
             K, WW, MinShared, MaxDocsPerFp)
           .orderBy(col("id_a"), col("id_b"))
       },

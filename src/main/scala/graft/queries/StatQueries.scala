@@ -463,7 +463,7 @@ object StatQueries {
     QueryDef(
       "q183_curation_funnel",
       (s, dir) =>
-        curationFunnel(Tables.load(s, dir, "documents"))
+        curationFunnel(Tables.loadWide(s, dir, "documents"))
           .orderBy(col("stage")),
       Some(s"""
         WITH scored AS (
@@ -515,7 +515,7 @@ object StatQueries {
     QueryDef(
       "q194_rejection_reasons",
       (s, dir) =>
-        rejectionReasons(Tables.load(s, dir, "documents"))
+        rejectionReasons(Tables.loadWide(s, dir, "documents"))
           .orderBy(col("doc_id")),
       Some(s"""
         WITH scored AS (
