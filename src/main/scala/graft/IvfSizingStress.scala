@@ -31,11 +31,13 @@ object IvfSizingStress {
   }
 
   /** q169's margin body (CurationQueries.scala) over an arbitrary
-    * index: forward/backward IVF top-k at nProbe=8, mean-top-4
-    * normalizers, margin = cos / ((af+ab)/2).
+    * index: forward/backward IVF top-k, mean-top-4 normalizers,
+    * margin = cos / ((af+ab)/2). nProbe is a parameter since r14 —
+    * the probe-sweep mode measures the recall/cost trade the nProbe
+    * law (SCALE.md §4b) is derived from.
     */
-  private def marginAlign(emb: DataFrame, idx: Similarity.IvfIndex)
-      : DataFrame = {
+  private def marginAlign(emb: DataFrame, idx: Similarity.IvfIndex,
+      nProbe: Int): DataFrame = {
     val a = emb.filter(col("id") % 2 === 0)
     val b = emb.filter(col("id") % 2 === 1)
     val k = 4
@@ -43,10 +45,10 @@ object IvfSizingStress {
       df.groupBy(col("query_id"))
         .agg((sum(col("cosine").cast("decimal(12,9)")).cast("double")
           / k.toDouble).as(out))
-    val fwd = idx.topK(a, k, nProbe = 8,
+    val fwd = idx.topK(a, k, nProbe,
         neighborFilter = col("neighbor_id") % 2 === 1)
       .localCheckpoint(eager = false)
-    val bwd = idx.topK(b, k, nProbe = 8,
+    val bwd = idx.topK(b, k, nProbe,
       neighborFilter = col("neighbor_id") % 2 === 0)
     val af = meanTopK(fwd, "af")
     val ab = meanTopK(bwd, "ab").withColumnRenamed("query_id", "match_id")
@@ -107,13 +109,59 @@ object IvfSizingStress {
       .localCheckpoint(eager = false)
     val nSample = exact1.count()
 
+    // null-safe read of the exact-anchor aggregation (advisor r13:
+    // on a corpus where the 1/101 sample is empty, avg() is NULL and
+    // an unguarded getDouble dies with an NPE after the expensive
+    // build/probe work). Emits NaN → printed as "null" in the JSON.
+    def nsDouble(r: org.apache.spark.sql.Row, i: Int): Double =
+      if (r.isNullAt(i)) Double.NaN else r.getDouble(i)
+    def jnum(d: Double): String =
+      if (d.isNaN) "null" else (math.rint(d * 10000) / 10000).toString
+
+    if (args.length > 2) {
+      // ---- probe-sweep mode: fixed nLists (each entry of sizes —
+      // typically just the sizing law's value), sweep nProbe over the
+      // SAMPLE queries only (top-1, parity-filtered exactly like
+      // marginAlign's fwd leg). Cheap by construction: per leg cost
+      // is |sample|·nProbe·E|cell|, so the whole sweep costs less
+      // than one full marginAlign — this is what lets the recall
+      // curve be measured per round instead of argued.
+      val probes = args(2).split(",").map(_.trim.toInt).toSeq
+      sizes.foreach { nLists =>
+        val (idx, tBuild) = time(Similarity.IvfIndex.build(emb, nLists))
+        probes.foreach { nProbe =>
+          val (leg, tProbe) = time {
+            val t = idx.topK(sampleQ, k = 1, nProbe,
+                neighborFilter = col("neighbor_id") % 2 === 1)
+              .localCheckpoint(eager = false)
+            t.count()
+            t
+          }
+          val ex = leg.join(exact1, Seq("query_id"))
+            .agg(avg(when(col("neighbor_id") === col("exact_id"), 1.0)
+                .otherwise(0.0)).as("r1"),
+              (avg(col("cosine")) / avg(col("exact_cos"))).as("cr")).head
+          println(s"""{"harness":"ivf_nprobe","n":$n,"n_lists":$nLists,""" +
+            s""""n_probe":$nProbe,""" +
+            s""""build_sec":${math.rint(tBuild * 1000) / 1000},""" +
+            s""""sample_probe_sec":${math.rint(tProbe * 1000) / 1000},""" +
+            s""""sample_n":$nSample,""" +
+            s""""sample_recall1_vs_exact":${jnum(nsDouble(ex, 0))},""" +
+            s""""sample_cos_ratio_vs_exact":${jnum(nsDouble(ex, 1))}}""")
+        }
+      }
+      spark.stop()
+      return
+    }
+
     // baseline top-1 assignment for the agreement proxy (filled by
     // the first size in the list — registry order puts 16 first)
     var base: Option[DataFrame] = None
     sizes.foreach { nLists =>
       val (idx, tBuild) = time(Similarity.IvfIndex.build(emb, nLists))
+      val nProbe = Similarity.IvfIndex.nProbeLaw(nLists)
       val (res, tProbe) = time {
-        val m = marginAlign(emb, idx).localCheckpoint(eager = false)
+        val m = marginAlign(emb, idx, nProbe).localCheckpoint(eager = false)
         m.count()
         m
       }
@@ -123,26 +171,25 @@ object IvfSizingStress {
         val both = b.select(col("query_id"), col("match_id").as("m0"))
           .join(res.select(col("query_id"), col("match_id")),
             Seq("query_id"))
-        val a = both.agg(
-          avg(when(col("m0") === col("match_id"), 1.0).otherwise(0.0)))
-          .head.getDouble(0)
-        math.rint(a * 10000) / 10000
+        val r = both.agg(
+          avg(when(col("m0") === col("match_id"), 1.0).otherwise(0.0))).head
+        nsDouble(r, 0)
       }.getOrElse(1.0)
       if (base.isEmpty) base = Some(res)
       val ex = res.join(exact1, Seq("query_id"))
         .agg(avg(when(col("match_id") === col("exact_id"), 1.0)
             .otherwise(0.0)).as("r1"),
           (avg(col("cosine")) / avg(col("exact_cos"))).as("cr")).head
-      val recall1 = math.rint(ex.getDouble(0) * 10000) / 10000
-      val cosRatio = math.rint(ex.getDouble(1) * 10000) / 10000
       println(s"""{"harness":"ivf_sizing","n":$n,"n_lists":$nLists,""" +
+        s""""n_probe":$nProbe,""" +
         s""""build_sec":${math.rint(tBuild * 1000) / 1000},""" +
         s""""probe_sec":${math.rint(tProbe * 1000) / 1000},""" +
         s""""queries":${stats.getLong(0)},""" +
         s""""mean_top1_cos":${math.rint(stats.getDouble(1) * 1e6) / 1e6},""" +
-        s""""top1_agreement_vs_first":$agree,""" +
-        s""""sample_n":$nSample,"sample_recall1_vs_exact":$recall1,""" +
-        s""""sample_cos_ratio_vs_exact":$cosRatio}""")
+        s""""top1_agreement_vs_first":${jnum(agree)},""" +
+        s""""sample_n":$nSample,""" +
+        s""""sample_recall1_vs_exact":${jnum(nsDouble(ex, 0))},""" +
+        s""""sample_cos_ratio_vs_exact":${jnum(nsDouble(ex, 1))}}""")
     }
     spark.stop()
   }

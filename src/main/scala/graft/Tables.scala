@@ -51,25 +51,56 @@ object Tables {
     */
   def loadWide(spark: SparkSession, dir: String, name: String): DataFrame = {
     val df = load(spark, dir, name)
-    val path = s"$dir/$name.parquet"
-    val cores = spark.sparkContext.defaultParallelism
-    if (parquetFileCount(spark, path) >= math.max(1, cores / 2)) df
-    else if (graft.sources.Artifacts.parquetRowCount(path) < 1000L) df
-    else df.repartition(cores)
+    if (!wideningEngages(spark, dir, name)) df
+    else {
+      // one stderr line per (path, engage) so a bench/driver log
+      // answers "did widening fire in THIS environment?" without a
+      // plan dump (r13 verdict #3 — the q199 driver-vs-builder drift
+      // was undiagnosable from bench output alone). stderr, not
+      // stdout: the bench contract is ONE JSON line on stdout.
+      val path = s"$dir/$name.parquet"
+      if (engageLogged.putIfAbsent(path, true).isEmpty)
+        System.err.println(s"[graft] loadWide engaged: $path " +
+          s"(files=${parquetFileCount(spark, path)} < " +
+          s"${math.max(1, spark.sparkContext.defaultParallelism / 2)})")
+      df.repartition(spark.sparkContext.defaultParallelism)
+    }
   }
 
+  /** True iff `loadWide` would insert the widening exchange for this
+    * table: fewer files than half the worker count AND ≥1000 rows.
+    * Public so PlanDump/diagnostics can report the decision instead
+    * of inferring it from plan shape.
+    */
+  def wideningEngages(spark: SparkSession, dir: String,
+      name: String): Boolean = {
+    val path = s"$dir/$name.parquet"
+    val cores = spark.sparkContext.defaultParallelism
+    parquetFileCount(spark, path) < math.max(1, cores / 2) &&
+      graft.sources.Artifacts.parquetRowCount(path) >= 1000L
+  }
+
+  private val engageLogged =
+    scala.collection.concurrent.TrieMap[String, Boolean]()
+
+  // keyed by path + root-status mtime (advisor r13: a harness that
+  // overwrites a table at the same path within one JVM must not get
+  // the stale count — mode("overwrite") bumps the directory mtime)
   private val fileCountCache =
     scala.collection.concurrent.TrieMap[String, Int]()
 
-  private def parquetFileCount(spark: SparkSession, path: String): Int =
-    fileCountCache.getOrElseUpdate(path, {
-      val p = new org.apache.hadoop.fs.Path(path)
-      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      if (!fs.exists(p)) 0
+  private def parquetFileCount(spark: SparkSession, path: String): Int = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val mtime =
+      if (fs.exists(p)) fs.getFileStatus(p).getModificationTime else -1L
+    fileCountCache.getOrElseUpdate(s"$path@$mtime", {
+      if (mtime < 0) 0
       else if (fs.getFileStatus(p).isDirectory)
         fs.listStatus(p).count(_.getPath.getName.endsWith(".parquet"))
       else 1
     })
+  }
 
   private def normalizeEventsTs(df: DataFrame): DataFrame = {
     import org.apache.spark.sql.functions._

@@ -82,7 +82,7 @@ object TailStress {
 
     val docs = Tables.load(spark, sfDir, "documents")
     val emb = Tables.load(spark, sfDir, "embeddings")
-    val stride = 1000000L
+    val stride = StressData.Stride
     val maxDocId = docs.agg(max(col("doc_id"))).head.getLong(0)
     val maxVecId = emb.agg(max(col("vec_id"))).head.getLong(0)
     require(maxDocId < stride && maxVecId < stride,
@@ -102,26 +102,23 @@ object TailStress {
                 t => concat(t, lit("~"), col("cp"))))).as("text") +:
             docs.columns.filterNot(c => c == "doc_id" || c == "text")
               .map(col).toSeq: _*)
-      val embX: DataFrame =
-        if (f == 1) emb
-        else emb.crossJoin(spark.range(f).select(col("id").as("cp")))
-          .select(
-            (col("vec_id") + col("cp") * stride).as("vec_id"),
-            transform(col("embedding"), (x, i) =>
-              (x * when(pmod(xxhash64(col("cp"), i), lit(2)) === 0,
-                lit(1.0f)).otherwise(lit(-1.0f))).cast("float"))
-              .as("embedding"),
-            col("label"))
+      // shared definition with the suite's sized-corpus quality gate
+      // (IvfSizedRecallSpec): what the stress measures is what the
+      // gate gates
+      val embX: DataFrame = StressData.replicateEmbeddings(emb, f)
       // write the replicated corpus as MANY splits: the crossJoin
       // plan funnels everything into the handful of source-scan
       // partitions, and a ×50 corpus written as one ~7 MB file gives
       // every downstream query a 1-partition scan — the measured
       // "ratio" is then the file count, not the engine (a real ×50
-      // table arrives as hundreds of splits). Hash-repartition is
-      // deterministic, so corpus content is unchanged.
-      docsX.repartition(cpus.toInt)
+      // table arrives as hundreds of splits). HASH-repartition on
+      // the key (advisor r13: keyless repartition(n) is round-robin,
+      // whose placement depends on input partition order) so the
+      // file layout is deterministic run-over-run, not just the
+      // table content.
+      docsX.repartition(cpus.toInt, col("doc_id"))
         .write.mode("overwrite").parquet(s"$dirX/documents.parquet")
-      embX.repartition(cpus.toInt)
+      embX.repartition(cpus.toInt, col("vec_id"))
         .write.mode("overwrite").parquet(s"$dirX/embeddings.parquet")
       val nD = spark.read.parquet(s"$dirX/documents.parquet").count()
       val nE = spark.read.parquet(s"$dirX/embeddings.parquet").count()
@@ -143,17 +140,25 @@ object TailStress {
         s""""queries":${mins.mkString("{", ",", "}")}}""")
     }
     // ratio table vs factor 1 (the archived PERF.md artifact), then
-    // the gate: any ×10 ratio above maxRatio exits non-zero so the
-    // round close-out run can't silently carry a scale regression
+    // the gate on the LARGEST factor present (advisor r13: a run
+    // invoked with factors like "1,50" must not print ratios while
+    // silently skipping the gate the close-out relies on). The
+    // ceiling scales linearly with the factor — maxRatio is
+    // calibrated as "at ×10, no worse than 15×" (≈ linear + 50%
+    // headroom), so ×f gates at maxRatio·f/10: the r12 q169 ×50 row
+    // (243.9×) would have failed at a 75× ceiling, the post-law
+    // 13.8× passes.
     val violations = scala.collection.mutable.ArrayBuffer[String]()
+    val gateF = factors.filter(_ != 1).maxOption.getOrElse(1)
     factors.filter(_ != 1).foreach { f =>
+      val ceiling = maxRatio * f / 10.0
       tailQueries.foreach { q =>
         val b = timings((1, q)); val v = timings((f, q))
         val r = v / b
         println(f"""ratio x$f%-3d $q%-28s ${b}%8.2f s -> ${v}%8.2f s""" +
           f"""  ${r}%6.2fx""")
-        if (f == 10 && maxRatio > 0 && r > maxRatio)
-          violations += f"$q at x10: ${r}%.1fx > ${maxRatio}%.0fx"
+        if (f == gateF && maxRatio > 0 && r > ceiling)
+          violations += f"$q at x$f: ${r}%.1fx > ${ceiling}%.0fx"
       }
     }
     spark.stop()

@@ -407,6 +407,28 @@ object Similarity {
   }
 
   object IvfIndex {
+    /** The nProbe half of the sizing contract (SCALE.md §4b, r13
+      * verdict #1): nLists alone fixes COST (cells ∝ √n keeps
+      * E|cell| ∝ √n) but a FIXED nProbe lets the probed fraction
+      * fall as 8/nLists, so recall@1 vs exact decays toward noise
+      * while every oracle stays hash-green (the oracle replays the
+      * same approximation). Law: nProbe = max(8, ⌈2·√nLists⌉) —
+      * probed FRACTION shrinks as 2/√nLists (per-query cost
+      * nProbe·E|cell| ∝ n^(3/4), still sub-linear; all-queries
+      * consumers n^(7/4), still sub-quadratic) while the probe count
+      * grows enough that finer cells keep localizing the true
+      * neighbor. The constant 2 is MEASURED, not argued: the
+      * IvfSizingStress probe-sweep mode's recall@1-vs-nProbe curve
+      * on the ×50 stress corpus (PERF.md r14) is where it comes
+      * from, and IvfSizedRecallSpec re-measures the law point
+      * against the sampled exact anchor every suite run. At the
+      * floor quantizer (nLists=16) the law gives exactly the
+      * RetrievalSpec-gated nProbe=8, so sf0.001/sf0.01 registry
+      * artifacts and plans are unchanged.
+      */
+    def nProbeLaw(nLists: Int): Int =
+      math.max(8, math.ceil(2.0 * math.sqrt(nLists.toDouble)).toInt)
+
     // loaded-index cache so a bench/verify sweep builds each index at
     // most once per JVM; the cached object's `assigned` is a PARQUET
     // SCAN (from load), never the in-memory KMeans lineage — reusing
@@ -432,19 +454,29 @@ object Similarity {
         meta: Map[String, String] = Map.empty): IvfIndex =
       loadedCache.getOrElseUpdate(path + fingerprint.mkString("#", "", ""), {
         import graft.sources.ArtifactGuard
-        if (!ArtifactGuard.fresh(spark, path, s"$path/assigned/_SUCCESS",
-            fingerprint)) {
+        val rebuilt = !ArtifactGuard.fresh(spark, path,
+          s"$path/assigned/_SUCCESS", fingerprint)
+        if (rebuilt) {
           build(corpus, nLists, seed).save(path)
           ArtifactGuard.stamp(spark, path, fingerprint)
         }
         val idx = load(spark, path)
-        // sizing contract (SCALE.md §7): state what the quantizer was
-        // sized for, beside the postings it sizes. Written on load,
-        // not build, so a pre-contract artifact backfills — with the
-        // LOADED index's actual list count, which is the truth either
-        // way (a caller-supplied nLists that disagreed with a fresh
-        // artifact would record the artifact, not the request).
-        if (meta.nonEmpty && ArtifactGuard.readMeta(spark, path).isEmpty)
+        // sizing contract (SCALE.md §4b): state what the quantizer
+        // was sized for, beside the postings it sizes. Written on
+        // load, not build, so a pre-contract artifact backfills —
+        // with the LOADED index's actual list count, which is the
+        // truth either way (a caller-supplied nLists that disagreed
+        // with a fresh artifact would record the artifact, not the
+        // request). A fingerprint-triggered REBUILD rewrites _meta
+        // unconditionally (advisor r13: a corpus whose row count
+        // stays in the same nLists band reuses the artifact path, and
+        // the empty-only backfill would leave the old corpus_rows
+        // standing — defeating the audit the file exists for), and a
+        // reused artifact whose _meta lacks keys the CURRENT contract
+        // stamps (e.g. n_probe, added r14) upgrades in place.
+        if (meta.nonEmpty && (rebuilt ||
+            (meta.keySet -- ArtifactGuard.readMeta(spark, path).keySet)
+              .nonEmpty))
           ArtifactGuard.writeMeta(spark, path,
             meta + ("n_lists" -> idx.nLists.toString))
         idx

@@ -179,10 +179,11 @@ object CurationQueries {
           df.groupBy(col("query_id"))
             .agg((sum(col("cosine").cast("decimal(12,9)")).cast("double")
               / k.toDouble).as(out))
-        val fwd = idx.topK(a, k, nProbe = 8,
+        val nProbe = DedupQueries.ivfNProbe(dir)
+        val fwd = idx.topK(a, k, nProbe,
             neighborFilter = col("neighbor_id") % 2 === 1)
           .localCheckpoint(eager = false)
-        val bwd = idx.topK(b, k, nProbe = 8,
+        val bwd = idx.topK(b, k, nProbe,
           neighborFilter = col("neighbor_id") % 2 === 0)
         val af = meanTopK(fwd, "af")
         val ab = meanTopK(bwd, "ab")
@@ -231,7 +232,8 @@ object CurationQueries {
           FROM probes p
           JOIN e q ON q.id = p.query_id
           JOIN asn a ON a.list_id = p.list_id
-          WHERE p.pr <= 8 AND a.neighbor_id <> p.query_id
+          WHERE p.pr <= ${DedupQueries.ivfNProbe(dir)}
+            AND a.neighbor_id <> p.query_id
             AND (a.neighbor_id % 2) <> (p.query_id % 2)),
         ranked AS (
           SELECT query_id, neighbor_id, cosine,

@@ -61,6 +61,24 @@ object DedupQueries {
     math.max(16, math.ceil(math.sqrt(n.toDouble) / 2.0).toInt)
   }
 
+  /** The QUALITY half of the sizing contract (r13 verdict #1): the
+    * probe count every registered kNN consumer of the shared index
+    * (q46/q169/q190) derives from the same corpus-sized quantizer —
+    * `IvfIndex.nProbeLaw` = max(8, ⌈2·√nLists⌉), so the probe count
+    * grows as n^(1/4) instead of staying pinned at 8 while nLists
+    * grows as √n (probed fraction 8/√n → recall decays toward noise
+    * silently: measured 0.856 → 0.376 at the ×50 corpus, PERF.md
+    * r13). Derived from footers like ivfNLists so the DuckDB oracles
+    * interpolate the SAME value with no session; at the floor
+    * quantizer (sf0.001/sf0.01, nLists=16) the law yields exactly
+    * the historical 8, so the correctness-gate artifacts, plans and
+    * hashes are unchanged. Measured law point and the recall curve
+    * it was chosen from: PERF.md r14; gated per-suite-run against
+    * the sampled exact anchor in IvfSizedRecallSpec.
+    */
+  private[queries] def ivfNProbe(dir: String): Int =
+    Similarity.IvfIndex.nProbeLaw(ivfNLists(dir))
+
   private[queries] def sharedIvfIndex(s: org.apache.spark.sql.SparkSession,
       dir: String, emb: org.apache.spark.sql.DataFrame)
       : graft.operators.Similarity.IvfIndex = {
@@ -73,7 +91,9 @@ object DedupQueries {
       meta = Map(
         "corpus_rows" -> graft.sources.Artifacts
           .parquetRowCount(s"$dir/embeddings.parquet").toString,
-        "sizing_law" -> "n_lists=max(16,ceil(sqrt(corpus_rows)/2))"))
+        "sizing_law" -> "n_lists=max(16,ceil(sqrt(corpus_rows)/2))",
+        "n_probe" -> ivfNProbe(dir).toString,
+        "n_probe_law" -> "n_probe=max(8,ceil(2*sqrt(n_lists)))"))
   }
 
   /** Hyperplane artifact behind the q29/q45 oracles: 24 tables × 4
@@ -701,7 +721,7 @@ object DedupQueries {
         val emb = Tables.load(s, dir, "embeddings")
           .select(col("vec_id").as("id"), col("embedding").as("vec"))
         val idx = sharedIvfIndex(s, dir, emb)
-        idx.topK(emb.filter(col("id") < 20), k = 5, nProbe = 8)
+        idx.topK(emb.filter(col("id") < 20), k = 5, nProbe = ivfNProbe(dir))
           .orderBy(col("query_id"), col("rnk"))
       },
       None, oracleFn = Some(dir => s"""
@@ -735,7 +755,7 @@ object DedupQueries {
           FROM probes p
           JOIN q ON q.query_id = p.query_id
           JOIN a ON a.list_id = p.list_id
-          WHERE p.pr <= 8 AND a.neighbor_id <> q.query_id),
+          WHERE p.pr <= ${ivfNProbe(dir)} AND a.neighbor_id <> q.query_id),
         ranked AS (
           SELECT query_id, neighbor_id, cosine,
                  ROW_NUMBER() OVER (PARTITION BY query_id

@@ -269,7 +269,7 @@ object VectorQueries {
           ProductQuant.normalize(raw))
         ProductQuant.ivfPqRescoredTopK(raw, raw.filter(col("id") < 20),
             idx, codebook, codes, subDim = PqSubDim, kTop = 5,
-            nProbe = 8, overfetch = PqOverfetch)
+            nProbe = DedupQueries.ivfNProbe(dir), overfetch = PqOverfetch)
           .orderBy(col("query_id"), col("rnk"))
       },
       None, oracleFn = Some(dir => s"""
@@ -300,7 +300,8 @@ object VectorQueries {
         cand AS (
           SELECT p.query_id, po.neighbor_id
           FROM probes p JOIN po ON po.list_id = p.list_id
-          WHERE p.pr <= 8 AND po.neighbor_id <> p.query_id),
+          WHERE p.pr <= ${DedupQueries.ivfNProbe(dir)}
+            AND po.neighbor_id <> p.query_id),
         q AS (
           SELECT query_id, list_transform(qv, x -> x / qn) AS v
           FROM qraw),

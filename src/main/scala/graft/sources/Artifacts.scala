@@ -44,20 +44,26 @@ object Artifacts {
     * parameter, e.g. the IVF quantizer's corpus-sized nLists, must be
     * derivable at oracle-SQL materialization time, before any session
     * exists). Footer reads are O(files), not O(rows); cached per JVM
-    * (the same staleness story as the artifact itself: regenerated
-    * data re-keys via the fingerprint guard, and a changed row count
-    * changes the derived path outright). Goes through the Hadoop FS
-    * API, so an HDFS/S3 artifact root works unchanged.
+    * keyed by path PLUS the root-status mtime (advisor r13: the
+    * stress harnesses `mode("overwrite")` tables at a stable path
+    * within one JVM — a path-only key would hand the sizing law the
+    * PREVIOUS corpus's count while the fingerprint guard rebuilds
+    * over the new data: an index sized and path-keyed for data that
+    * no longer exists. Overwrite bumps the directory mtime, so the
+    * mtime-qualified key misses and the footers are re-read). Goes
+    * through the Hadoop FS API, so an HDFS/S3 artifact root works
+    * unchanged.
     */
-  def parquetRowCount(path: String): Long =
-    countCache.getOrElseUpdate(path, {
-      import org.apache.hadoop.conf.Configuration
-      import org.apache.hadoop.fs.Path
-      import org.apache.parquet.hadoop.ParquetFileReader
-      import org.apache.parquet.hadoop.util.HadoopInputFile
-      val conf = new Configuration()
-      val p = new Path(path)
-      val fs = p.getFileSystem(conf)
+  def parquetRowCount(path: String): Long = {
+    import org.apache.hadoop.conf.Configuration
+    import org.apache.hadoop.fs.Path
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    val conf = new Configuration()
+    val p = new Path(path)
+    val fs = p.getFileSystem(conf)
+    val mtime = fs.getFileStatus(p).getModificationTime
+    countCache.getOrElseUpdate(s"$path@$mtime", {
       val files =
         if (fs.getFileStatus(p).isDirectory)
           fs.listStatus(p).map(_.getPath)
@@ -68,4 +74,5 @@ object Artifacts {
         try r.getRecordCount finally r.close()
       }.sum
     })
+  }
 }

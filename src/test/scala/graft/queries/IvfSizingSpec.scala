@@ -40,6 +40,13 @@ class IvfSizingSpec extends SparkSpec {
     assert(meta.get("corpus_rows").contains(n.toString), meta)
     assert(meta.get("sizing_law")
       .exists(_.contains("sqrt(corpus_rows)")), meta)
+    // the quality half (r13 verdict #1): the probe count the law
+    // pairs with this quantizer, stamped beside it — a pre-r14
+    // artifact upgrades its _meta in place on reuse
+    assert(meta.get("n_probe")
+      .contains(DedupQueries.ivfNProbe(sf0001).toString), meta)
+    assert(meta.get("n_probe_law")
+      .exists(_.contains("sqrt(n_lists)")), meta)
   }
 
   test("parquetRowCount matches a Spark count and caches") {
