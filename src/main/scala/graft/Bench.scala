@@ -65,8 +65,16 @@ object Bench {
     // win the min over sweeps (advisor r5) — min is taken over
     // SUCCESSFUL timings only; a query with no successful sweep
     // reports null and is excluded from the total.
+    // Per-query artifact-build ledger (r13 verdict #4): a timed
+    // number that includes a fingerprint-guarded artifact (re)build
+    // is a different measurement than one that probes a warm
+    // artifact — the warmup sweep is supposed to absorb every build,
+    // so any nonzero count here marks its query's timing as
+    // rebuild-contaminated in the artifact itself.
+    val rebuilds = scala.collection.mutable.LinkedHashMap[String, Int]()
     def timedSweep(): Seq[(String, (Double, Boolean))] =
       queries.map { case (name, fn) =>
+        val b0 = graft.sources.ArtifactGuard.buildEventCount
         val t0 = System.nanoTime()
         val ok =
           try { force(fn(spark, sfDir)); true } catch {
@@ -75,6 +83,9 @@ object Bench {
                 .replaceAll("[\"\\\\\\n\\r\\t]", " ").take(200)
               false
           }
+        val built = graft.sources.ArtifactGuard.buildEventCount - b0
+        if (built > 0)
+          rebuilds(name) = rebuilds.getOrElse(name, 0) + built
         name -> ((System.nanoTime() - t0) / 1e9, ok)
       }
     val sweeps = (1 to reps).map(_ => timedSweep().toMap)
@@ -94,7 +105,9 @@ object Bench {
     // shift is the machine, not the plans (judge r6 #8).
     val sweepTotals = sweeps.map(_.values.collect { case (t, true) => t }.sum)
       .mkString("[", ",", "]")
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","sweep_totals":$sweepTotals,"queries":$qs,"errors":$errJson,"sf":"$sfDir"}"""
+    val rebuildJson = rebuilds.map { case (k, v) => s"\"$k\":$v" }
+      .mkString("{", ",", "}")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","sweep_totals":$sweepTotals,"artifact_builds_in_timed":$rebuildJson,"queries":$qs,"errors":$errJson,"sf":"$sfDir"}"""
     // The driver archives only the tail of stdout (r5 lost q01–q36's
     // numbers to a 2000-char truncation); keep the full artifact
     // on disk so every round is reconstructable per-query.
@@ -111,7 +124,7 @@ object Bench {
       .sortBy(-_._2).take(5)
       .map { case (k, t) => s"""\"$k\":${math.rint(t * 1000) / 1000}""" }
       .mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${math.rint(total * 1000) / 1000},"unit":"sec","n":${results.count(_._2.nonEmpty)},"n_errors":${errors.size},"slowest":$slowest,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${math.rint(total * 1000) / 1000},"unit":"sec","n":${results.count(_._2.nonEmpty)},"n_errors":${errors.size},"n_rebuild_contaminated":${rebuilds.size},"slowest":$slowest,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -62,15 +62,32 @@ object ArtifactGuard {
     fs.exists(success) && fingerprint.forall(fp => storedFp.contains(fp))
   }
 
-  /** Record `fingerprint` beside a just-written artifact. */
+  /** Ordered log of artifact paths stamped this JVM — every guarded
+    * build ends in `stamp`, so a before/after size snapshot tells a
+    * harness whether a timed section paid an artifact (re)build
+    * (r13 verdict #4: q73/q92/q60 bench shifts were rebuild-
+    * consistent but unprovable from the bench artifact alone; Bench
+    * now emits the per-query delta so drift triage is mechanical).
+    */
+  private val stamped =
+    new java.util.concurrent.ConcurrentLinkedQueue[String]()
+
+  def buildEventCount: Int = stamped.size
+
+  /** Record `fingerprint` beside a just-written artifact, and the
+    * build event itself (recorded even for fingerprint-less
+    * artifacts — the event log tracks WRITES, not guards).
+    */
   def stamp(spark: SparkSession, path: String,
-      fingerprint: Option[String]): Unit =
+      fingerprint: Option[String]): Unit = {
+    stamped.add(path)
     fingerprint.foreach { fp =>
       val fpFile = new Path(s"$path/_fingerprint")
       val fs = fpFile.getFileSystem(spark.sparkContext.hadoopConfiguration)
       val out = fs.create(fpFile, true)
       try out.write(fp.getBytes("UTF-8")) finally out.close()
     }
+  }
 
   /** Record build-time sizing metadata beside the artifact (`_meta`,
     * one sorted `k=v` line per entry): every saved index whose

@@ -357,4 +357,49 @@ class AdviceSpec extends SparkSpec {
     graft.streaming.StreamDedup.containmentFlagStream(
       probe, corpus, w = 2, maxModelRows = 1000L)
   }
+
+  test("parquetRowCount is NOT served stale after a same-path " +
+      "overwrite in one JVM (r13 advice: mtime-qualified cache key)") {
+    import spark.implicits._
+    val path = new java.io.File("target/advice_rowcount_probe").getPath
+    (1L to 5L).toDF("v").coalesce(1).write.mode("overwrite").parquet(path)
+    assert(graft.sources.Artifacts.parquetRowCount(path) == 5L)
+    // same path, different data: a path-only cache key would keep
+    // answering 5 and hand a sizing law the dead corpus's count.
+    // (sleep keeps the directory mtime strictly increasing even on a
+    // coarse-granularity filesystem)
+    Thread.sleep(1200)
+    (1L to 9L).toDF("v").coalesce(1).write.mode("overwrite").parquet(path)
+    assert(graft.sources.Artifacts.parquetRowCount(path) == 9L)
+  }
+
+  test("IVF _meta is rewritten on a fingerprint-triggered rebuild, " +
+      "not left stale from the previous corpus (r13 advice)") {
+    import spark.implicits._
+    import graft.operators.Similarity
+    def vec(seed: Int) = Array.tabulate(4)(i =>
+      ((seed * 31 + i * 7) % 13).toFloat)
+    def corpus(n: Int) = (0 until n)
+      .map(i => (i.toLong, vec(i))).toDF("id", "vec")
+    val data = new java.io.File("target/advice_meta_corpus").getPath
+    val idx = new java.io.File("target/advice_meta_ivf").getPath
+    corpus(40).coalesce(1).write.mode("overwrite").parquet(data)
+    def build(metaRows: String) = Similarity.IvfIndex.buildIfAbsent(
+      spark, spark.read.parquet(data), idx, nLists = 4,
+      fingerprint =
+        Some(graft.sources.ArtifactGuard.dataFingerprint(spark, data)),
+      meta = Map("corpus_rows" -> metaRows))
+    build("40")
+    assert(graft.sources.ArtifactGuard.readMeta(spark, idx)
+      .get("corpus_rows").contains("40"))
+    // regenerate the corpus at the same path with a different count
+    // that keeps the SAME artifact path (caller passes the same idx
+    // dir) — the fingerprint guard rebuilds, and _meta must follow
+    Thread.sleep(1200)
+    corpus(44).coalesce(1).write.mode("overwrite").parquet(data)
+    build("44")
+    assert(graft.sources.ArtifactGuard.readMeta(spark, idx)
+      .get("corpus_rows").contains("44"),
+      "rebuilt index kept the previous corpus's _meta")
+  }
 }

@@ -197,6 +197,29 @@ class PlanAuditSpec extends SparkSpec {
     */
   private val textExchangeAllowed: Map[String, String] = Map.empty
 
+  /** The 14 queries that opt into `Tables.loadWide` (PERF.md r13).
+    * On a degenerate input layout — fewer files than half the worker
+    * count, the driver's 1-file test parquet — the loader inserts ONE
+    * round-robin exchange directly over the scan so heavy per-row
+    * stages aren't serialized on an unsplittable file, and that
+    * exchange necessarily carries whatever the pruned scan produced
+    * (text/vectors included). It is allowed ONLY for these queries
+    * and ONLY as RoundRobinPartitioning, because the file-count guard
+    * makes it vanish on any healthily-split production table
+    * (`loadWide ≡ load` at files ≥ cores/2) — so at 100 TB the "no
+    * text/vectors on any exchange" invariant holds unconditionally.
+    * r13 verdict #3: previously the audits matched HashPartitioning
+    * only, which let this exchange slip by TYPE rather than by a
+    * named, justified entry.
+    */
+  private val wideningExchangeAllowed: Set[String] = Set(
+    "q26_simhash", "q27_simhash_neardup", "q42_jaccard_topk",
+    "q56_simhash128", "q103_dup_spans", "q104_winnowing",
+    "q105_winnow_neardup", "q131_knn_label_consistency",
+    "q161_dsir_select", "q164_containment_dedup",
+    "q169_margin_align_ivf", "q183_curation_funnel",
+    "q194_rejection_reasons", "q199_dedup_savings")
+
   /** Physical-plan traversal that descends into AQE wrappers and
     * subqueries (the Metrics.countSkewSplits recursion).
     */
@@ -212,24 +235,42 @@ class PlanAuditSpec extends SparkSpec {
     p +: nested
   }
 
-  test("no hash exchange carries raw document text") {
-    import org.apache.spark.sql.catalyst.plans.physical.HashPartitioning
+  /** EVERY shuffle exchange (hash, round-robin, range, single) whose
+    * input carries a column matching `payload`, minus the one
+    * justified widening shape: a RoundRobinPartitioning exchange in a
+    * `wideningExchangeAllowed` query is `loadWide`'s file-count-
+    * guarded scan widening, a no-op at production layouts. Everything
+    * else — including a future unguarded `repartition` of the corpus
+    * — is returned for the caller to flag.
+    */
+  private def payloadExchanges(
+      qe: org.apache.spark.sql.execution.QueryExecution, name: String,
+      payload: org.apache.spark.sql.catalyst.expressions.Attribute => Boolean)
+      : Seq[String] = {
+    import org.apache.spark.sql.catalyst.plans.physical.RoundRobinPartitioning
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
-    import org.apache.spark.sql.types.StringType
-    val flagged = executions.toSeq.sortBy(_._1).flatMap { case (name, qe) =>
-      val carriers = physicalNodes(qe.executedPlan).collect {
-        case ex: ShuffleExchangeExec
-            if ex.outputPartitioning.isInstanceOf[HashPartitioning] &&
-              ex.child.output.exists(a =>
-                a.name == "text" && a.dataType == StringType) =>
+    physicalNodes(qe.executedPlan).collect {
+      case ex: ShuffleExchangeExec if ex.child.output.exists(payload) &&
+          !(ex.outputPartitioning.isInstanceOf[RoundRobinPartitioning] &&
+            wideningExchangeAllowed.contains(name)) =>
+        s"${ex.outputPartitioning.getClass.getSimpleName}" +
           ex.child.output.map(_.name).mkString("[", ",", "]")
-      }
+    }
+  }
+
+  private def isText(a: org.apache.spark.sql.catalyst.expressions.Attribute)
+      : Boolean =
+    a.name == "text" && a.dataType == org.apache.spark.sql.types.StringType
+
+  test("no exchange of any partitioning carries raw document text") {
+    val flagged = executions.toSeq.sortBy(_._1).flatMap { case (name, qe) =>
+      val carriers = payloadExchanges(qe, name, isText)
       if (carriers.nonEmpty && !textExchangeAllowed.contains(name))
         Some(s"$name: ${carriers.mkString(" ; ")}")
       else None
     }
     assert(flagged.isEmpty,
-      s"hash exchanges carrying the raw text column (restructure to " +
+      s"exchanges carrying the raw text column (restructure to " +
         s"shuffle ids/hashes and join text back, or add a justified " +
         s"textExchangeAllowed entry):\n${flagged.mkString("\n")}")
   }
@@ -251,27 +292,25 @@ class PlanAuditSpec extends SparkSpec {
       "vectors; every other ANN-family query-time plan ships " +
       "codes/cells only"))
 
-  test("no hash exchange carries a raw embedding array without a " +
-      "justified build/verify entry") {
-    import org.apache.spark.sql.catalyst.plans.physical.HashPartitioning
-    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+  private def isVector(a: org.apache.spark.sql.catalyst.expressions.Attribute)
+      : Boolean = {
     import org.apache.spark.sql.types.{ArrayType, FloatType, DoubleType}
+    a.dataType match {
+      case ArrayType(FloatType | DoubleType, _) => true
+      case _ => false
+    }
+  }
+
+  test("no exchange of any partitioning carries a raw embedding " +
+      "array without a justified build/verify entry") {
     val flagged = executions.toSeq.sortBy(_._1).flatMap { case (name, qe) =>
-      val carriers = physicalNodes(qe.executedPlan).collect {
-        case ex: ShuffleExchangeExec
-            if ex.outputPartitioning.isInstanceOf[HashPartitioning] &&
-              ex.child.output.exists(a => a.dataType match {
-                case ArrayType(FloatType | DoubleType, _) => true
-                case _ => false
-              }) =>
-          ex.child.output.map(_.name).mkString("[", ",", "]")
-      }
+      val carriers = payloadExchanges(qe, name, isVector)
       if (carriers.nonEmpty && !vectorExchangeAllowed.contains(name))
         Some(s"$name: ${carriers.mkString(" ; ")}")
       else None
     }
     assert(flagged.isEmpty,
-      s"hash exchanges carrying raw float/double arrays (score on " +
+      s"exchanges carrying raw float/double arrays (score on " +
         s"codes/cells and shortlist-fetch the floats, or add a " +
         s"justified vectorExchangeAllowed entry):\n${flagged.mkString("\n")}")
   }
@@ -287,26 +326,65 @@ class PlanAuditSpec extends SparkSpec {
     */
   private val binaryExchangeAllowed: Map[String, String] = Map.empty
 
-  test("no hash exchange carries a binary media payload") {
-    import org.apache.spark.sql.catalyst.plans.physical.HashPartitioning
-    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
-    import org.apache.spark.sql.types.BinaryType
+  private def isMedia(a: org.apache.spark.sql.catalyst.expressions.Attribute)
+      : Boolean =
+    a.name == "payload" &&
+      a.dataType == org.apache.spark.sql.types.BinaryType
+
+  test("no exchange of any partitioning carries a binary media " +
+      "payload") {
     val flagged = executions.toSeq.sortBy(_._1).flatMap { case (name, qe) =>
-      val carriers = physicalNodes(qe.executedPlan).collect {
-        case ex: ShuffleExchangeExec
-            if ex.outputPartitioning.isInstanceOf[HashPartitioning] &&
-              ex.child.output.exists(a =>
-                a.name == "payload" && a.dataType == BinaryType) =>
-          ex.child.output.map(_.name).mkString("[", ",", "]")
-      }
+      val carriers = payloadExchanges(qe, name, isMedia)
       if (carriers.nonEmpty && !binaryExchangeAllowed.contains(name))
         Some(s"$name: ${carriers.mkString(" ; ")}")
       else None
     }
     assert(flagged.isEmpty,
-      s"hash exchanges carrying media payload bytes (keep decode " +
+      s"exchanges carrying media payload bytes (keep decode " +
         s"scan-local; shuffle fixed-width features only, or add a " +
         s"justified binaryExchangeAllowed entry):\n${flagged.mkString("\n")}")
+  }
+
+  test("at a scale where loadWide engages, the widening exchange is " +
+      "the ONLY non-hash exchange carrying text/vectors — and only " +
+      "in the 14 opted-in queries (the r13 by-type carve-out, closed)") {
+    import org.apache.spark.sql.catalyst.plans.physical.RoundRobinPartitioning
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val sf01 = "/root/testdata/sf0.1"
+    assume(new java.io.File(s"$sf01/documents.parquet").exists())
+    // widening must actually engage at this layout, else the audit
+    // below proves nothing
+    assert(Tables.wideningEngages(spark, sf01, "documents"),
+      "sf0.1 layout no longer engages loadWide; move this audit to a " +
+        "dir that does")
+    var sawWidening = false
+    val flagged = wideningExchangeAllowed.toSeq.sorted.flatMap { name =>
+      val qe = SparkEntry.queries(name)(spark, sf01).queryExecution
+      val bad = physicalNodes(qe.executedPlan).collect {
+        case ex: ShuffleExchangeExec
+            if ex.child.output.exists(a => isText(a) || isVector(a)) &&
+              !ex.outputPartitioning.isInstanceOf[
+                org.apache.spark.sql.catalyst.plans.physical.HashPartitioning] =>
+          if (ex.outputPartitioning.isInstanceOf[RoundRobinPartitioning])
+            { sawWidening = true; None }
+          else Some(s"$name: ${ex.outputPartitioning}" +
+            ex.child.output.map(_.name).mkString("[", ",", "]"))
+      }.flatten
+      // the hash-exchange audits hold at this scale too (same
+      // allowlists as the sf0.001 sweep)
+      val hashBad =
+        payloadExchanges(qe, name, a => isText(a) || isVector(a))
+          .filterNot(_ => textExchangeAllowed.contains(name) ||
+            vectorExchangeAllowed.contains(name))
+          .map(c => s"$name: $c")
+      bad ++ hashBad
+    }
+    assert(flagged.isEmpty,
+      s"non-widening exchanges carrying text/vectors at the engaged " +
+        s"scale:\n${flagged.mkString("\n")}")
+    assert(sawWidening,
+      "no widening exchange found in any opted-in query at sf0.1 — " +
+        "the wideningExchangeAllowed list is dead weight; prune it")
   }
 
   test("no cartesian/nested-loop join outside the documented exact " +
