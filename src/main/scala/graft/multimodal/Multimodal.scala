@@ -276,6 +276,141 @@ object Multimodal {
     }
   }
 
+  /** REAL COMPRESSED-container decoder — animated GIF via the JDK's
+    * `javax.imageio` GIF plugin (zero new dependencies; closes the
+    * r13 "compressed-container video" carry with an actually-
+    * compressed format rather than another stub): GIF frames are
+    * LZW-compressed indexed raster blocks inside a streamed
+    * container, so unlike Y4M there is NO fixed frame stride — the
+    * byte layout is only recoverable by actually decoding, which is
+    * exactly what distinguishes a compressed container at the seam.
+    * width/height come from the logical screen (header), n_frames
+    * from the reader's image count, and the feature vector is the
+    * same 8-bucket luma histogram as [[ImageIoDecoder]] over ALL
+    * decoded frames (lum = (r+g+b)/3, bucket = lum >> 5, normalized
+    * by total pixels). Composite/patch frames (animation deltas
+    * smaller than the screen) fail LOUDLY — a training pipeline
+    * should see disposal-method semantics surface, not silently
+    * histogram a partial patch as a full frame. `demuxFrames` for a
+    * compressed container yields DECODED frames: per-frame offset is
+    * the frame INDEX (byte offsets are meaningless across LZW
+    * blocks — documented contract difference vs [[Y4mDecoder]]) and
+    * `frame_bytes` is the decoded row-major luma plane, which is
+    * what a downstream per-frame pass consumes anyway.
+    */
+  object GifDecoder extends MediaDecoder {
+    private def withReader[A](m: MediaRow)
+        (f: javax.imageio.ImageReader => A): A = {
+      javax.imageio.ImageIO.setUseCache(false)
+      val readers = javax.imageio.ImageIO.getImageReadersByFormatName("gif")
+      require(readers.hasNext, "JDK GIF ImageIO plugin missing")
+      val reader = readers.next()
+      val stream = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(m.payload))
+      reader.setInput(stream, false, false)
+      try f(reader) finally { reader.dispose(); stream.close() }
+    }
+
+    private def lumaOf(img: java.awt.image.BufferedImage): Array[Byte] = {
+      val w = img.getWidth
+      val h = img.getHeight
+      val out = new Array[Byte]((w * h).toInt)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val rgb = img.getRGB(x, y)
+          out(y * w + x) =
+            ((((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)) / 3)
+              .toByte
+          x += 1
+        }
+        y += 1
+      }
+      out
+    }
+
+    override def decodeOne(m: MediaRow): Decoded = withReader(m) { reader =>
+      val nFrames = reader.getNumImages(true)
+      require(nFrames > 0, s"doc ${m.doc_id}: GIF with no frames")
+      val w = reader.getWidth(0)
+      val h = reader.getHeight(0)
+      val hist = new Array[Float](8)
+      var f = 0
+      while (f < nFrames) {
+        val img = reader.read(f)
+        require(img.getWidth == w && img.getHeight == h,
+          s"doc ${m.doc_id}: frame $f is a ${img.getWidth}x" +
+            s"${img.getHeight} patch of the ${w}x$h screen — " +
+            "composite animation frames are not supported")
+        val luma = lumaOf(img)
+        var i = 0
+        while (i < luma.length) { hist((luma(i) & 0xff) >> 5) += 1f; i += 1 }
+        f += 1
+      }
+      val n = (nFrames.toLong * w * h).toFloat
+      var j = 0
+      while (j < 8) { hist(j) /= n; j += 1 }
+      Decoded(m.doc_id, m.modality, m.payload.length.toLong, w, h,
+        nFrames, hist)
+    }
+
+    override def demuxFrames(m: MediaRow): Iterator[Frame] =
+      withReader(m) { reader =>
+        val nFrames = reader.getNumImages(true)
+        (0 until nFrames).map { f =>
+          Frame(m.doc_id, f.toLong, f.toLong, lumaOf(reader.read(f)))
+        }.iterator
+      }
+  }
+
+  /** Deterministic REAL-GIF payload for `doc_id`: an ANIMATED GIF
+    * with `1 + (id % 2)` frames of a 16×16 grayscale gradient,
+    * encoded through the JDK's GIF writer (`writeToSequence`) — the
+    * bytes are a genuine LZW-compressed container, not a synthetic
+    * layout. Pixel (x, y) of frame f has gray level
+    * `((id·31 + f·97 + y·16 + x) · 8) mod 256` — 32 distinct levels,
+    * all multiples of 8, so palette quantization is exact and the
+    * decode roundtrip reproduces the generated luma exactly
+    * (asserted in MultimodalSpec).
+    */
+  private[graft] def gifBytes(id: Long): Array[Byte] = {
+    val w = 16; val h = 16
+    val frames = (1 + (id % 2)).toInt
+    val out = new java.io.ByteArrayOutputStream()
+    val writers = javax.imageio.ImageIO.getImageWritersByFormatName("gif")
+    require(writers.hasNext, "JDK GIF ImageIO plugin missing")
+    val writer = writers.next()
+    val stream = javax.imageio.ImageIO.createImageOutputStream(out)
+    writer.setOutput(stream)
+    writer.prepareWriteSequence(null)
+    (0 until frames).foreach { f =>
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+      // write raster samples directly: setRGB on TYPE_BYTE_GRAY runs
+      // an ICC colorspace conversion and is NOT the identity on
+      // r=g=b values — the raster write is, and the GIF palette round
+      // trips gray levels exactly
+      val raster = img.getRaster
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val g = (((id * 31 + f * 97 + y * 16 + x) * 8) % 256).toInt
+          raster.setSample(x, y, 0, g)
+          x += 1
+        }
+        y += 1
+      }
+      writer.writeToSequence(
+        new javax.imageio.IIOImage(img, null, null), null)
+    }
+    writer.endWriteSequence()
+    writer.dispose()
+    stream.close()
+    out.toByteArray
+  }
+
   /** Deterministic REAL-WAV payload for `doc_id`: 16-bit mono PCM at
     * 8 kHz with `256 << (id % 2)` samples — a POWER OF TWO, so every
     * histogram fraction count/n is exact in float (the q97

@@ -139,4 +139,57 @@ object SnapshotDiff {
         .filter(col("status").isin("added", "changed"))
         .select(out: _*))
   }
+
+  /** Keyed-tombstone face — closes [[diffStream]]'s documented
+    * asymmetry (r13 verdict #7): `removed` IS streamable when the
+    * SOURCE emits deletion events, which is the standard CDC shape
+    * (a compacted changelog's keyed tombstones; cf. reference
+    * `sources/` CDC semantics — ours is the Structured Streaming
+    * re-expression). Input: a stream of (idCol, op, fpCols..., tsCol)
+    * with op ∈ {upsert, delete}; each op classifies against the
+    * STATIC v1 snapshot:
+    *
+    *   delete, id held by v1     → `removed`
+    *   delete, id unknown        → dropped (tombstones are idempotent)
+    *   upsert, id unknown        → `added`
+    *   upsert, fingerprint same  → dropped (unchanged)
+    *   upsert, fingerprint moved → `changed`
+    *   anything else             → raise_error (a malformed changelog
+    *                               should stop the pipeline, not leak
+    *                               silently-unclassified rows)
+    *
+    * Retried/duplicated events dedupe per (id, op, payload) within
+    * the watermark, so a twice-delivered tombstone emits `removed`
+    * ONCE — state is the watermark-bounded dedup set, never
+    * corpus-sized, and the classification itself is a stream-static
+    * left join: append-legal, broadcast-friendly (v1 ships as
+    * (id, 16-byte fp), never payloads). Like [[diffStream]],
+    * classification is vs the SNAPSHOT, not vs earlier stream events
+    * (an in-stream upsert-then-delete of a NEW id emits `added` then
+    * nothing — the snapshot never held the id); compact the changelog
+    * upstream, or close the snapshot and run the batch [[diff]] for
+    * full-history semantics.
+    */
+  def cdcOpsStream(v1: DataFrame, ops: DataFrame, idCol: String,
+      fpCols: Seq[String], tsCol: String = "ts",
+      watermark: String = "1 hour"): DataFrame = {
+    require(fpCols.nonEmpty, "need at least one fingerprint column")
+    val base = v1.select(col(idCol), contentFp(fpCols).as("fp1"))
+    ops
+      .withWatermark(tsCol, watermark)
+      .dropDuplicates(Seq(idCol, "op") ++ fpCols)
+      .withColumn("fp2", contentFp(fpCols))
+      .join(base, Seq(idCol), "left")
+      .withColumn("status",
+        when(col("op") === "delete",
+          when(col("fp1").isNotNull, lit("removed")))
+          .when(col("op") === "upsert",
+            when(col("fp1").isNull, lit("added"))
+              .when(col("fp1") =!= col("fp2"), lit("changed")))
+          .otherwise(raise_error(concat(
+            lit("cdcOpsStream: unknown op '"), col("op"),
+            lit("' — expected upsert|delete")))))
+      .where(col("status").isNotNull)
+      .select(col(idCol), col("status"))
+  }
 }

@@ -403,4 +403,74 @@ class MultimodalSpec extends SparkSpec {
     assert(one.length == 1 && one(0).getLong(1) == 0L &&
       one(0).getLong(5) == 0L)
   }
+
+  test("GifDecoder: a REAL LZW-compressed animated container decodes " +
+      "through the seam — exact dims, frame count, and the generated " +
+      "luma recovered bit-exactly after the compress/decompress " +
+      "roundtrip") {
+    // the compressed-container case the r13 verdict carries: unlike
+    // Y4M there is no fixed frame stride; only the codec can find
+    // the frames. Payloads are genuine JDK-written GIF bytes.
+    (0L to 5L).foreach { id =>
+      val payload = Multimodal.gifBytes(id)
+      assert(new String(payload.take(6), "US-ASCII").startsWith("GIF8"),
+        s"doc $id: not a GIF container")
+      val d = Multimodal.GifDecoder.decodeOne(
+        Multimodal.MediaRow(id, "video", payload))
+      val frames = 1 + (id % 2).toInt
+      assert(d.width == 16 && d.height == 16 && d.n_frames == frames,
+        s"doc $id header fields")
+      assert(d.n_bytes == payload.length.toLong)
+      // generation arithmetic: gray = ((id·31 + f·97 + y·16 + x)·8)
+      // mod 256 — quantization-exact (all levels multiples of 8), so
+      // the decoded histogram equals the pre-encode histogram
+      val want = Array.fill(8)(0)
+      for (f <- 0 until frames; p <- 0 until 256)
+        want(((((id * 31 + f * 97 + p) * 8) % 256) >> 5).toInt) += 1
+      val n = (frames * 256).toFloat
+      assert(d.feature.toSeq == want.map(_.toFloat / n).toSeq,
+        s"doc $id histogram survived LZW roundtrip")
+      // demux yields one DECODED luma plane per frame (offset =
+      // frame index: byte offsets are meaningless across LZW blocks)
+      val demuxed = Multimodal.GifDecoder.demuxFrames(
+        Multimodal.MediaRow(id, "video", payload)).toSeq
+      assert(demuxed.map(_.frame_idx) == (0L until frames.toLong))
+      demuxed.foreach { fr =>
+        val f = fr.frame_idx
+        val wantLuma = Array.tabulate(256)(p =>
+          (((id * 31 + f * 97 + p) * 8) % 256).toByte)
+        assert(java.util.Arrays.equals(fr.frame_bytes, wantLuma),
+          s"doc $id frame $f decoded luma")
+      }
+    }
+    // the seam's batch path (what decode()/mapPartitions drive)
+    val batch = (0L to 3L).map(id =>
+      Multimodal.MediaRow(id, "video", Multimodal.gifBytes(id)))
+    val ds = Multimodal.GifDecoder.decodeBatch(batch)
+    assert(ds.map(_.doc_id) == (0L to 3L))
+    // loud failure on a corrupt compressed container, same policy as
+    // the other real decoders
+    val corrupt = Multimodal.gifBytes(1L).take(20)
+    intercept[Exception] {
+      Multimodal.GifDecoder.decodeOne(
+        Multimodal.MediaRow(9L, "video", corrupt))
+    }
+  }
+
+  test("GifDecoder through the decode() plumbing stays scan-local " +
+      "and matches the per-row decode") {
+    import spark.implicits._
+    val media = (0L to 7L).map(id =>
+      Multimodal.MediaRow(id, "video", Multimodal.gifBytes(id)))
+      .toDS().toDF()
+    val out = Multimodal.decode(media, Multimodal.GifDecoder)
+    // no exchange: decode is a per-partition map over the scan
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"decode grew an exchange:\n$plan")
+    val rows = out.collect()
+    assert(rows.length == 8)
+    rows.foreach { d =>
+      assert(d.n_frames == 1 + (d.doc_id % 2).toInt && d.width == 16)
+    }
+  }
 }

@@ -108,6 +108,61 @@ class StreamingSketchSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("cdcOpsStream: keyed tombstones make 'removed' an EVENT — " +
+      "deletes of held ids emit removed exactly once across retries, " +
+      "unknown-id tombstones drop, upserts classify like diffStream") {
+    import java.sql.Timestamp
+    import graft.operators.SnapshotDiff
+    import spark.implicits._
+    val v1 = Seq(
+      (1L, "alpha"), (2L, "beta"), (3L, "gamma"), (4L, "delta"))
+      .toDF("doc_id", "text")
+    def t(m: Int) = new Timestamp(1700000000000L + m * 60000L)
+
+    implicit val sqlCtx = spark.sqlContext
+    val ms = MemoryStream[(Long, String, String, Timestamp)]
+    val q = SnapshotDiff.cdcOpsStream(
+        v1, ms.toDF().toDF("doc_id", "op", "text", "ts"),
+        "doc_id", Seq("text"))
+      .writeStream.format("memory").queryName("cdc_ops")
+      .outputMode("append").start()
+    try {
+      ms.addData(
+        (2L, "delete", null, t(0)),          // held → removed
+        (2L, "delete", null, t(1)),          // retried tombstone → dedup
+        (9L, "delete", null, t(0)),          // unknown id → dropped
+        (3L, "upsert", "gamma", t(0)),       // unchanged → dropped
+        (4L, "upsert", "DELTA", t(0)),       // fp moved → changed
+        (7L, "upsert", "new doc", t(0)))     // unknown → added
+      q.processAllAvailable()
+      // a second batch retries the same tombstone inside the
+      // watermark: still exactly one removed row
+      ms.addData((2L, "delete", null, t(2)))
+      q.processAllAvailable()
+      val out = spark.table("cdc_ops").as[(Long, String)]
+        .collect().sorted.toSeq
+      assert(out == Seq((2L, "removed"), (4L, "changed"), (7L, "added")),
+        out.mkString(","))
+    } finally q.stop()
+    // malformed changelog ops fail LOUDLY, not silently drop
+    val badMs = MemoryStream[(Long, String, String, Timestamp)]
+    val bad = SnapshotDiff.cdcOpsStream(
+        v1, badMs.toDF().toDF("doc_id", "op", "text", "ts"),
+        "doc_id", Seq("text"))
+      .writeStream.format("memory").queryName("cdc_ops_bad")
+      .outputMode("append").start()
+    try {
+      badMs.addData((1L, "truncate", null, t(0)))
+      val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        bad.processAllAvailable()
+      }
+      def chain(x: Throwable): Seq[Throwable] =
+        if (x == null) Nil else x +: chain(x.getCause)
+      assert(chain(e).exists(c =>
+        Option(c.getMessage).exists(_.contains("unknown op"))), e.getMessage)
+    } finally bad.stop()
+  }
+
   test("streaming snapshot diff: arriving v2 docs classified " +
       "added/changed equals the batch diff minus removals") {
     import graft.operators.SnapshotDiff
