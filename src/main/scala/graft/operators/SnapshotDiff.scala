@@ -143,9 +143,9 @@ object SnapshotDiff {
   /** Keyed-tombstone face — closes [[diffStream]]'s documented
     * asymmetry (r13 verdict #7): `removed` IS streamable when the
     * SOURCE emits deletion events, which is the standard CDC shape
-    * (a compacted changelog's keyed tombstones; cf. reference
-    * `sources/` CDC semantics — ours is the Structured Streaming
-    * re-expression). Input: a stream of (idCol, op, fpCols..., tsCol)
+    * (a compacted changelog's keyed tombstones — beyond-reference
+    * capability; the reference has no change-data surface).
+    * Input: a stream of (idCol, op, fpCols..., tsCol)
     * with op ∈ {upsert, delete}; each op classifies against the
     * STATIC v1 snapshot:
     *
