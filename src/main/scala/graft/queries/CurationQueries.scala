@@ -162,10 +162,14 @@ object CurationQueries {
     // #2). Candidates are cell-blocked (nProbe of nLists cells, the
     // opposite-parity filter applied INSIDE the cells so top-k is
     // exact over the filtered candidate set); cost is
-    // nProbe·|corpus|/nLists per query instead of |corpus|. The
-    // oracle replays the whole probe from the saved index parquet
-    // (the q46 pattern) plus the q162 margin arithmetic; recall vs
-    // the exact q162 anchor is gated in RetrievalSpec.
+    // nProbe·|corpus|/nLists per query instead of |corpus|; nProbe
+    // follows the r14 quality law (DedupQueries.ivfNProbe — n^(1/4)
+    // growth paired with nLists' √n, SCALE.md §4b). The oracle
+    // replays the whole probe from the saved index parquet (the q46
+    // pattern) plus the q162 margin arithmetic; recall vs the exact
+    // q162 anchor is gated in RetrievalSpec at the floor corpus AND
+    // in IvfSizedRecallSpec at the 100k sized corpus (where the law
+    // actually engages).
     QueryDef(
       "q169_margin_align_ivf",
       (s, dir) => {

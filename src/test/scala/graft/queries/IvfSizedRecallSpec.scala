@@ -136,6 +136,8 @@ class IvfSizedRecallSpec extends SparkSpec {
       idx.topK(sq, k = 1, nProbe = p,
         neighborFilter = col("neighbor_id") % 2 === 1)
     val (recallLaw, cosLaw) = recallAndRatio(leg(nProbe))
+    info(f"sized gate: n=$n nLists=$nLists nProbe=$nProbe " +
+      f"recall@1=$recallLaw%.4f cosRatio=$cosLaw%.4f")
     // thresholds: between the law's measured promise (0.694 / 0.9841
     // on this corpus, PERF.md r14 sweep) and the broken law's
     // measured decay (0.41 / 0.9558 at fixed 8) — band-tolerant but
