@@ -126,28 +126,86 @@ object IvfSizingStress {
       // is |sample|·nProbe·E|cell|, so the whole sweep costs less
       // than one full marginAlign — this is what lets the recall
       // curve be measured per round instead of argued.
+      //
+      // Optional 4th arg: assignment-redundancy values (default 1).
+      // r > 1 stores each corpus vector in its r NEAREST cells
+      // (multi-assignment / cell spilling — the standard fix for
+      // boundary misses: a query that misses its neighbor's primary
+      // cell very likely probes one of the neighbor's runner-up
+      // cells, since near vectors share centroid-distance order).
+      // Candidate cost scales as nProbe·r·E|cell|, so equal-cost
+      // comparisons pair (r=1, p) against (r=2, p/2): whether
+      // redundancy BEATS more probes at fixed cost is exactly what
+      // this leg measures. Top-1 identity needs no candidate dedup —
+      // a twice-probed neighbor ties with itself.
       val probes = args(2).split(",").map(_.trim.toInt).toSeq
+      val assignRs = (if (args.length > 3) args(3) else "1")
+        .split(",").map(_.trim.toInt).toSeq
+      import graft.functions.VectorFunctions.{cosineWithNorms, l2Norm, l2Sq}
       sizes.foreach { nLists =>
         val (idx, tBuild) = time(Similarity.IvfIndex.build(emb, nLists))
-        probes.foreach { nProbe =>
-          val (leg, tProbe) = time {
-            val t = idx.topK(sampleQ, k = 1, nProbe,
-                neighborFilter = col("neighbor_id") % 2 === 1)
+        def distStructs(v: org.apache.spark.sql.Column) =
+          array(idx.centroids.zipWithIndex.map { case (c, i) =>
+            struct(l2Sq(v, typedlit(c)).as("d"), lit(i).as("idx"))
+          }: _*)
+        assignRs.foreach { r =>
+          // r=1 probes the REAL index (the registered plan); r>1
+          // probes a harness-built multi-assigned postings frame
+          // through the same join/rank arithmetic
+          val postings = if (r == 1) None else Some {
+            val p = emb.select(col("id").as("neighbor_id"),
+                col("vec").as("cvec"), l2Norm(col("vec")).as("cn"),
+                explode(slice(array_sort(distStructs(col("vec"))), 1, r))
+                  .as("p"))
+              .select(col("p.idx").as("list_id"), col("neighbor_id"),
+                col("cvec"), col("cn"))
               .localCheckpoint(eager = false)
-            t.count()
-            t
+            p.count()
+            p
           }
-          val ex = leg.join(exact1, Seq("query_id"))
-            .agg(avg(when(col("neighbor_id") === col("exact_id"), 1.0)
-                .otherwise(0.0)).as("r1"),
-              (avg(col("cosine")) / avg(col("exact_cos"))).as("cr")).head
-          println(s"""{"harness":"ivf_nprobe","n":$n,"n_lists":$nLists,""" +
-            s""""n_probe":$nProbe,""" +
-            s""""build_sec":${math.rint(tBuild * 1000) / 1000},""" +
-            s""""sample_probe_sec":${math.rint(tProbe * 1000) / 1000},""" +
-            s""""sample_n":$nSample,""" +
-            s""""sample_recall1_vs_exact":${jnum(nsDouble(ex, 0))},""" +
-            s""""sample_cos_ratio_vs_exact":${jnum(nsDouble(ex, 1))}}""")
+          probes.foreach { nProbe =>
+            val (leg, tProbe) = time {
+              val t = postings match {
+                case None =>
+                  idx.topK(sampleQ, k = 1, nProbe,
+                    neighborFilter = col("neighbor_id") % 2 === 1)
+                case Some(post) =>
+                  val qp = sampleQ.select(col("id").as("query_id"),
+                      col("vec").as("qvec"), l2Norm(col("vec")).as("qn"),
+                      explode(slice(array_sort(distStructs(col("vec"))),
+                        1, nProbe)).as("p"))
+                    .select(col("query_id"), col("qvec"), col("qn"),
+                      col("p.idx").as("list_id"))
+                  val w = org.apache.spark.sql.expressions.Window
+                    .partitionBy("query_id")
+                    .orderBy(col("cosine").desc, col("neighbor_id"))
+                  post.join(broadcast(qp), Seq("list_id"))
+                    .filter(col("neighbor_id") =!= col("query_id"))
+                    .filter(col("neighbor_id") % 2 === 1)
+                    .withColumn("cosine", round(cosineWithNorms(
+                      col("qvec"), col("cvec"), col("qn"), col("cn")), 9))
+                    .withColumn("rnk", row_number().over(w))
+                    .filter(col("rnk") === 1)
+                    .select(col("query_id"), col("neighbor_id"),
+                      col("cosine"))
+              }
+              val c = t.localCheckpoint(eager = false)
+              c.count()
+              c
+            }
+            val ex = leg.join(exact1, Seq("query_id"))
+              .agg(avg(when(col("neighbor_id") === col("exact_id"), 1.0)
+                  .otherwise(0.0)).as("r1"),
+                (avg(col("cosine")) / avg(col("exact_cos"))).as("cr")).head
+            println(s"""{"harness":"ivf_nprobe","n":$n,""" +
+              s""""n_lists":$nLists,"n_probe":$nProbe,"assign_r":$r,""" +
+              s""""cost_units":${nProbe * r},""" +
+              s""""build_sec":${math.rint(tBuild * 1000) / 1000},""" +
+              s""""sample_probe_sec":${math.rint(tProbe * 1000) / 1000},""" +
+              s""""sample_n":$nSample,""" +
+              s""""sample_recall1_vs_exact":${jnum(nsDouble(ex, 0))},""" +
+              s""""sample_cos_ratio_vs_exact":${jnum(nsDouble(ex, 1))}}""")
+          }
         }
       }
       spark.stop()
