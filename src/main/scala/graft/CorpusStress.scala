@@ -114,7 +114,7 @@ object CorpusStress {
       // many splits, like a real ×N table (the crossJoin plan funnels
       // into the source scan's 1-2 partitions; a one-file corpus gives
       // every measured op a 1-partition scan — see TailStress note)
-      corpus.repartition(cpus.toInt)
+      corpus.repartition(cpus.toInt, org.apache.spark.sql.functions.col("doc_id"))
         .write.mode("overwrite").parquet(path)
       val docs = spark.read.parquet(path)
       val n = docs.count()
@@ -569,7 +569,8 @@ object CorpusStress {
       //     alpha/unimax shares to 5e-6 (the 6-decimal ln/exp rounds
       //     and the integral τ division do not scale bit-exactly).
       val pureDirX = s"$outBase/puredup_x$f"
-      pureDup.repartition(cpus.toInt).write.mode("overwrite")
+      pureDup.repartition(cpus.toInt, org.apache.spark.sql.functions.col("doc_id"))
+        .write.mode("overwrite")
         .parquet(s"$pureDirX/documents.parquet")
       val nDup = spark.read.parquet(s"$pureDirX/documents.parquet")
         .count()

@@ -72,7 +72,7 @@ object EmbedStress {
               .cast("float")).as("vec"))
       val path = s"$outBase/emb_x$f"
       // many splits, like a real ×N table (see TailStress note)
-      srcs.union(twins).repartition(cpus.toInt)
+      srcs.union(twins).repartition(cpus.toInt, org.apache.spark.sql.functions.col("id"))
         .write.mode("overwrite").parquet(path)
       val corpus = spark.read.parquet(path)
       val n = corpus.count()

@@ -60,7 +60,7 @@ object ScaleStress {
               .otherwise(concat_ws(" ", transform(split(col("text"), " "),
                 t => concat(t, lit("~"), col("cp"))))).as("text"))
       // many splits, like a real ×N table (see TailStress note)
-      corpus.repartition(cpus.toInt)
+      corpus.repartition(cpus.toInt, org.apache.spark.sql.functions.col("doc_id"))
         .write.mode("overwrite").parquet(path)
       val docs = spark.read.parquet(path)
       val n = docs.count()
