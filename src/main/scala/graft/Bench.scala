@@ -48,6 +48,50 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
     Metrics.register(spark)
 
+    // ---- environment self-diagnosis (r14 verdict #1) ----
+    // The r13/r14 driver benches carried multi-x outliers (q199 22.4 s
+    // vs 3.85 controlled) that the artifact could not arbitrate:
+    // "did widening fire, was the box loaded" lived in stderr lines
+    // the driver never captures. Two probes ride the JSON itself:
+    //  - `widening`: Tables.wideningEngages per table at this sfDir —
+    //    the actual loadWide decision, not an inference from timings;
+    //  - `spin_sec`: wall seconds for a FIXED deterministic integer
+    //    workload (an LCG loop) run on `cpus` threads at once,
+    //    measured before the warmup sweep and again after the timed
+    //    sweeps. On an otherwise-idle box the scalar is a machine
+    //    constant; competing load inflates it proportionally, so a
+    //    1.3x-drifted suite with a 1.3x-drifted spin scalar is a
+    //    loaded box, not a plan change. `spin_checksum` pins the work
+    //    (and defeats dead-code elimination).
+    //  - `load_avg`: OS 1-minute load average at the same two points
+    //    (-1.0 where the platform cannot report it).
+    val spinSink = new java.util.concurrent.atomic.AtomicLong()
+    def spinSec(threads: Int): Double = {
+      val iters = 200000000L
+      val t0 = System.nanoTime()
+      val ts = (1 to threads).map { t =>
+        new Thread(() => {
+          var x = 0x9E3779B97F4A7C15L + t
+          var i = 0L
+          while (i < iters) {
+            x = x * 6364136223846793005L + 1442695040888963407L
+            i += 1
+          }
+          spinSink.addAndGet(x)
+        })
+      }
+      ts.foreach(_.start()); ts.foreach(_.join())
+      (System.nanoTime() - t0) / 1e9
+    }
+    def loadAvg(): Double =
+      java.lang.management.ManagementFactory
+        .getOperatingSystemMXBean.getSystemLoadAverage
+    val spinPre = spinSec(cpus.toInt)
+    val loadPre = loadAvg()
+    val widening = Tables.names.map { n =>
+      s"\"$n\":${Tables.wideningEngages(spark, sfDir, n)}"
+    }.mkString("{", ",", "}")
+
     // bench-exempt queries (the deliberate O(n²) oracle anchors) stay
     // in the correctness registry but out of the timed suite
     val queries = SparkEntry.queries
@@ -107,7 +151,11 @@ object Bench {
       .mkString("[", ",", "]")
     val rebuildJson = rebuilds.map { case (k, v) => s"\"$k\":$v" }
       .mkString("{", ",", "}")
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","sweep_totals":$sweepTotals,"artifact_builds_in_timed":$rebuildJson,"queries":$qs,"errors":$errJson,"sf":"$sfDir"}"""
+    val spinPost = spinSec(cpus.toInt)
+    val loadPost = loadAvg()
+    val envJson = s""""widening":$widening,"spin_sec":[$spinPre,$spinPost],""" +
+      s""""spin_checksum":${spinSink.get},"load_avg":[$loadPre,$loadPost]"""
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","sweep_totals":$sweepTotals,"artifact_builds_in_timed":$rebuildJson,$envJson,"queries":$qs,"errors":$errJson,"sf":"$sfDir"}"""
     // The driver archives only the tail of stdout (r5 lost q01–q36's
     // numbers to a 2000-char truncation); keep the full artifact
     // on disk so every round is reconstructable per-query.
@@ -124,7 +172,7 @@ object Bench {
       .sortBy(-_._2).take(5)
       .map { case (k, t) => s"""\"$k\":${math.rint(t * 1000) / 1000}""" }
       .mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${math.rint(total * 1000) / 1000},"unit":"sec","n":${results.count(_._2.nonEmpty)},"n_errors":${errors.size},"n_rebuild_contaminated":${rebuilds.size},"slowest":$slowest,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${math.rint(total * 1000) / 1000},"unit":"sec","n":${results.count(_._2.nonEmpty)},"n_errors":${errors.size},"n_rebuild_contaminated":${rebuilds.size},"slowest":$slowest,$envJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

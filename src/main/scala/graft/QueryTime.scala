@@ -22,6 +22,81 @@ object QueryTime {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     Metrics.register(spark)
+    // SPARK_GRAFT_JOBLOG=1: print per-job wall durations (with the
+    // job's first stage callsite) so a multi-second rep can be
+    // attributed to a specific job instead of guessed at — the r15
+    // q199-variance diagnosis tool.
+    if (sys.env.get("SPARK_GRAFT_JOBLOG").contains("1")) {
+      val starts = new java.util.concurrent.ConcurrentHashMap[Int, (Long, String)]()
+      spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+          val site = j.stageInfos.headOption.map(_.details.linesIterator
+            .find(_.contains("graft")).getOrElse("").trim).getOrElse("")
+          starts.put(j.jobId, (System.nanoTime(), site))
+        }
+        override def onJobEnd(j: org.apache.spark.scheduler.SparkListenerJobEnd): Unit = {
+          Option(starts.remove(j.jobId)).foreach { case (t0, site) =>
+            val sec = (System.nanoTime() - t0) / 1e9
+            if (sec > 0.2)
+              System.err.println(f"[joblog] job=${j.jobId}%4d sec=$sec%7.3f $site")
+          }
+        }
+        override def onStageCompleted(
+            s: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+          val i = s.stageInfo
+          val wall = (for {a <- i.completionTime; b <- i.submissionTime}
+            yield (a - b) / 1e3).getOrElse(-1.0)
+          if (wall > 0.2) {
+            val m = i.taskMetrics
+            System.err.println(f"[stagelog] stage=${i.stageId}%4d wall=$wall%7.3f " +
+              f"tasks=${i.numTasks}%4d run=${m.executorRunTime / 1e3}%7.3f " +
+              f"cpu=${m.executorCpuTime / 1e9}%7.3f gc=${m.jvmGCTime / 1e3}%6.3f " +
+              f"deser=${m.executorDeserializeTime / 1e3}%6.3f " +
+              f"fetchWait=${m.shuffleReadMetrics.fetchWaitTime / 1e3}%6.3f " +
+              i.name.take(70))
+          }
+        }
+      })
+      // after every action, print the executed-plan nodes that burned
+      // the most time (codegen `duration`, agg/join build+sort times)
+      // so slow reps attribute to OPERATORS, not just stage ids
+      spark.listenerManager.register(
+        new org.apache.spark.sql.util.QueryExecutionListener {
+          override def onSuccess(fn: String,
+              qe: org.apache.spark.sql.execution.QueryExecution,
+              ns: Long): Unit = {
+            def walk(p: org.apache.spark.sql.execution.SparkPlan)
+                : Seq[(Long, String)] = {
+              val timeKeys = Seq("duration", "time in aggregation build",
+                "sort time", "build time", "collect time", "shuffle write time",
+                "time to build hash map", "scan time")
+              val self = p.metrics.toSeq.collect {
+                case (k, m) if timeKeys.exists(
+                    m.name.getOrElse("").toLowerCase.contains) &&
+                  m.value > 500 =>
+                  (m.value, s"${p.nodeName}#${p.id} ${m.name.getOrElse(k)}=${m.value}ms " +
+                    s"rows=${p.metrics.get("numOutputRows").map(_.value).getOrElse(-1L)}")
+              }
+              val kids = p match {
+                case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+                  walk(a.executedPlan)
+                case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+                  walk(q.plan)
+                case other => other.children.flatMap(walk) ++
+                  other.subqueries.flatMap(walk)
+              }
+              self ++ kids
+            }
+            val hot = walk(qe.executedPlan).sortBy(-_._1).take(8)
+            if (hot.nonEmpty)
+              System.err.println("[planmetrics]\n  " +
+                hot.map(_._2).mkString("\n  "))
+          }
+          override def onFailure(fn: String,
+              qe: org.apache.spark.sql.execution.QueryExecution,
+              e: Exception): Unit = ()
+        })
+    }
     def force(name: String): Double = {
       val t0 = System.nanoTime()
       SparkEntry.queries(name)(spark, sfDir)

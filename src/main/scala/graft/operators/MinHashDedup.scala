@@ -113,12 +113,21 @@ object MinHashDedup {
       threshold: Double = 0.8, numHashes: Int = 128, numBands: Int = 32,
       shingleSize: Int = 3, maxBucketSize: Int = 1000): DataFrame = {
     require(numHashes % numBands == 0, "numBands must divide numHashes")
-    val sigs = signatures(docs, idCol, textCol, numHashes, shingleSize)
-    val cands = candidatePairs(sigs, numBands, numHashes / numBands, maxBucketSize)
-    // verification needs only the shingle-hash sets — rebuilt (hashes,
-    // not strings) without the 128-permutation pass; this subtree is
-    // evaluated once per side of the verification join
+    // The shingle-hash table feeds THREE consumers — the signature
+    // pass and both verification-join sides. Without a stage boundary
+    // each consumer re-runs the tokenize+window-hash+distinct scan
+    // (Catalyst shares no common subtrees across join branches), and
+    // under AQE the three copies materialize CONCURRENTLY, tripling
+    // the hottest scan in the plan (measured r15: q199's 250k-row
+    // shingle aggregate swung 41→253 cumulative task-seconds
+    // rep-to-rep from exactly this). One lazy localCheckpoint = one
+    // computation, the Containment.pairs discipline (guide §2.4:
+    // remove repeated passes before tuning anything else).
     val sh = withShingleHashes(docs, idCol, textCol, shingleSize, "shingles")
+      .localCheckpoint(eager = false)
+    val sigs = sh.select(col("id"),
+      signatureCol(col("shingles"), numHashes).as("sig"))
+    val cands = candidatePairs(sigs, numBands, numHashes / numBands, maxBucketSize)
     cands
       .join(sh.select(col("id").as("id_a"), col("shingles").as("sh_a")), "id_a")
       .join(sh.select(col("id").as("id_b"), col("shingles").as("sh_b")), "id_b")
@@ -176,10 +185,17 @@ object MinHashDedup {
       shingleSize: Int = 3, maxBucketSize: Int = 1000): DataFrame = {
     require(numHashes % numBands == 0, "numBands must divide numHashes")
     val rowsPerBand = numHashes / numBands
-    def sideSigs(df: DataFrame, side: Int): DataFrame =
-      signatures(df, idCol, textCol, numHashes, shingleSize)
-        .select(col("id"), col("sig"), lit(side).as("side"))
-    val sigs = sideSigs(reference, 0).unionByName(sideSigs(corpus, 1))
+    // per side, the shingle table feeds the signature pass AND its
+    // verification-join side — same compute-once checkpoint as
+    // nearDuplicatePairs (one scan per corpus instead of two)
+    val shC = withShingleHashes(corpus, idCol, textCol, shingleSize, "sh")
+      .localCheckpoint(eager = false)
+    val shR = withShingleHashes(reference, idCol, textCol, shingleSize, "sh")
+      .localCheckpoint(eager = false)
+    def sideSigs(sh: DataFrame, side: Int): DataFrame =
+      sh.select(col("id"), signatureCol(col("sh"), numHashes).as("sig"),
+        lit(side).as("side"))
+    val sigs = sideSigs(shR, 0).unionByName(sideSigs(shC, 1))
     val bandHashes = array(bandHashCols(col("sig"), numBands, rowsPerBand): _*)
     val buckets = sigs.select(
       struct(col("id"), col("side")).as("m"),
@@ -192,8 +208,6 @@ object MinHashDedup {
       .filter(col("m1.side") < col("m2.side"))
       .select(col("m1.id").as("ref_id"), col("m2.id").as("corp_id"))
       .distinct()
-    val shC = withShingleHashes(corpus, idCol, textCol, shingleSize, "sh")
-    val shR = withShingleHashes(reference, idCol, textCol, shingleSize, "sh")
     cands
       .join(shR.select(col("id").as("ref_id"), col("sh").as("sh_r")), "ref_id")
       .join(shC.select(col("id").as("corp_id"), col("sh").as("sh_c")), "corp_id")

@@ -177,7 +177,14 @@ object SnapshotDiff {
     val base = v1.select(col(idCol), contentFp(fpCols).as("fp1"))
     ops
       .withWatermark(tsCol, watermark)
-      .dropDuplicates(Seq(idCol, "op") ++ fpCols)
+      // WithinWatermark, not plain dropDuplicates: the plain form
+      // keys state on (id, op, payload) with no event-time column, so
+      // Spark can never evict it and state grows with the changelog
+      // (advisor r14 #1) — the watermark-bounded form evicts each
+      // dedup entry once the watermark passes it, which is what the
+      // scaladoc's "state is the watermark-bounded dedup set" promises
+      // (the Streams.scala dedup pattern).
+      .dropDuplicatesWithinWatermark(Seq(idCol, "op") ++ fpCols)
       .withColumn("fp2", contentFp(fpCols))
       .join(base, Seq(idCol), "left")
       .withColumn("status",

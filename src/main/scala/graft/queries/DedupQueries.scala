@@ -1189,7 +1189,7 @@ object DedupQueries {
           .select(col("doc_id"), col("text"),
             tokenCount(col("text")).cast("long").as("n_tok"),
             fingerprintMd5(col("text")).as("fp"))
-          .localCheckpoint(eager = false)
+          .localCheckpoint(eager = true)
         val tot = d.agg(coalesce(sum(col("n_tok")), lit(0L)).as("nt"))
         val exactDrops = d.withColumn("min_id",
             min(col("doc_id")).over(Window.partitionBy("fp")))

@@ -422,7 +422,7 @@ class PlanAuditSpec extends SparkSpec {
     // terabytes of wasted IO. Representative spot checks across the
     // dedup/corpus families (every ReadSchema of a documents scan in
     // the plan must omit the unused columns).
-    for (name <- Seq("q20_dedup_exact", "q25_minhash_neardup",
+    for (name <- Seq("q20_dedup_exact",
         "q63_repetition_filter", "q74_hashed_embedding",
         "q119_bm25_topk", "q127_token_entropy")) {
       val schemas = "ReadSchema: struct<[^>]*>".r.findAllIn(plans(name))
@@ -431,6 +431,27 @@ class PlanAuditSpec extends SparkSpec {
       schemas.foreach { rs =>
         assert(!rs.contains("source") && !rs.contains("n_chars"),
           s"$name reads unused document columns: $rs")
+      }
+    }
+    // q25's registered plan now hides its documents scan inside the
+    // shared shingle-table localCheckpoint (r15: the compute-once
+    // boundary that collapsed the q199 variance), so the checkpoint's
+    // INNER plan is audited via the structurally identical
+    // pre-checkpoint frame: signatures() plans the same
+    // withShingleHashes subtree over the same loader, minus the
+    // boundary. Same scan, same pruning obligation.
+    {
+      val docs = graft.Tables.load(spark, sf0001, "documents")
+      val sig = graft.operators.MinHashDedup
+        .signatures(docs, "doc_id", "text")
+      val plan = sig.queryExecution.executedPlan.toString
+      val schemas = "ReadSchema: struct<[^>]*>".r.findAllIn(plan)
+        .filter(_.contains("text")).toList
+      assert(schemas.nonEmpty,
+        "minhash shingle frame: no documents ReadSchema found")
+      schemas.foreach { rs =>
+        assert(!rs.contains("source") && !rs.contains("n_chars"),
+          s"minhash shingle frame reads unused document columns: $rs")
       }
     }
   }
