@@ -109,53 +109,89 @@ object KMeansExact {
       k: Int, iters: Int): (DataFrame, DataFrame) = {
     require(k >= 2 && k <= 256 && iters >= 1 && iters <= 16,
       s"k=$k iters=$iters")
+    // r15 fixed-point rewrite (identical values, see
+    // graft.functions.expr.FixedPointExprs): the old loop paid, PER
+    // ROUND, a broadcast distance join, a (id, cluster) aggregation
+    // exchange, an argmin window sort and a centroid left-join —
+    // ~4 exchanges × iters, every DECIMAL multiply on the BigDecimal
+    // slow path. The k·d centroid table is a bounded model (k ≤ 256,
+    // d ≤ 128 by contract — the same boundary fitModel's collect
+    // crosses), so each round is ONE job: assignment fused scan-local
+    // (NearestCentroidFixed over unscaled micros, strict-less on
+    // ascending cluster id ≡ the old (d2, cluster) window tie-break)
+    // into a per-cluster 128-bit vector-sum aggregate; the mean
+    // update divides/rounds at the driver exactly like the old
+    // round(sum(x)/count, 6). The FINAL assignment is a pure
+    // scan-local map under the fitted centroids — zero exchanges.
+    import graft.functions.expr.{FixedPoint, FixedPointVec, LongVecSumAgg, NearestCentroidFixed}
+    import org.apache.spark.sql.GraftSqlBridge.{column => brCol, expression => brEx}
     val spark = emb.sparkSession
-    val x = Pca.explodeFixed(emb, idCol, vecCol)
-      .localCheckpoint(eager = false)
 
-    // seed centroids: the k smallest ids, renumbered 0..k-1 in id
-    // order (rank over a k-row frame after a min-k reduce, not a
-    // corpus sort)
-    val seedIds = emb.select(col(idCol))
-      .orderBy(col(idCol)).limit(k)
-    var cent: DataFrame = x.join(broadcast(seedIds), Seq(idCol))
-      .select(dense_rank().over(
-          org.apache.spark.sql.expressions.Window.orderBy(col(idCol)))
-          .cast("int").minus(1).as("cluster"),
-        col("j"), col("x").as("c"))
-      .localCheckpoint(eager = false)
-
-    var assigned: DataFrame = null
-    var centUsed: DataFrame = cent
-    for (_ <- 1 to iters) {
-      centUsed = cent
-      // the difference re-cast to (18,6) is exact (same scale) and
-      // keeps the squared term inside DECIMAL(38) on both engines
-      val diff = (col("x") - col("c")).cast("decimal(18,6)")
-      val d2 = x.join(broadcast(cent), Seq("j"))
-        .groupBy(col(idCol), col("cluster"))
-        .agg(sum(diff * diff).as("d2"))
-      assigned = d2
-        .withColumn("rn", row_number().over(
-          org.apache.spark.sql.expressions.Window
-            .partitionBy(col(idCol))
-            .orderBy(col("d2"), col("cluster"))))
-        .filter(col("rn") === 1)
-        .select(col(idCol), col("cluster"), col("d2"))
-      val upd = x.join(assigned.select(col(idCol), col("cluster")),
-          Seq(idCol))
-        .groupBy(col("cluster"), col("j"))
-        .agg(round(sum(col("x")).cast("double") /
-          count(lit(1)).cast("double"), 6)
-          .cast("decimal(18,6)").as("cnew"))
-      cent = cent
-        .join(upd, Seq("cluster", "j"), "left")
-        .select(col("cluster"), col("j"),
-          coalesce(col("cnew"), col("c")).as("c"))
-        .localCheckpoint(eager = false)
+    def r6(x: Double): java.math.BigDecimal = {
+      val y = java.math.BigDecimal.valueOf(x)
+        .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+      java.math.BigDecimal.valueOf(y)
+        .setScale(6, java.math.RoundingMode.HALF_UP)
     }
-    (assigned.select(col(idCol), col("cluster"),
-      col("d2").cast("double").as("d2")), centUsed)
+
+    val base = emb.where(col(vecCol).isNotNull && size(col(vecCol)) > 0)
+    val xu = brCol(FixedPointVec(brEx(col(vecCol))))
+
+    // seed centroids: the k smallest ids' vectors, cluster = rank of
+    // id among the seeds (the old dense_rank over the k-row frame)
+    val seeds = base.select(col(idCol), xu.as("_xu"))
+      .orderBy(col(idCol)).limit(k).collect()
+    var cent: Array[Array[Long]] =
+      seeds.map(_.getSeq[Long](1).toArray)
+
+    for (_ <- 1 to (iters - 1)) {
+      val nearest = brCol(NearestCentroidFixed(brEx(xu), cent))
+      val upd = base
+        .select(nearest.getField("cluster").as("cluster"), xu.as("_xu"))
+        .groupBy(col("cluster"))
+        .agg(brCol(LongVecSumAgg(brEx(col("_xu")))
+          .toAggregateExpression()).as("s"),
+          count(lit(1)).as("cnt"))
+        .collect()
+      val next = cent.map(_.clone())
+      upd.foreach { r =>
+        val c = r.getInt(0)
+        val sums = r.getSeq[java.math.BigDecimal](1)
+        val cnt = r.getLong(2)
+        next(c) = sums.map(s =>
+          r6(s.doubleValue() / cnt.toDouble)
+            .unscaledValue().longValueExact()).toArray
+      }
+      cent = next
+    }
+
+    val nearest = brCol(NearestCentroidFixed(brEx(xu), cent))
+    // two projects, NOT one: CollapseProject keeps the non-cheap
+    // struct expression single-evaluated only when it sits in its own
+    // project below the field extraction
+    val assigned = base.select(col(idCol), nearest.as("_n"))
+      .select(col(idCol),
+        col("_n").getField("cluster").as("cluster"),
+        col("_n").getField("d2").cast("double").as("d2"))
+
+    // the fitted-centroid TABLE the final assignment was computed
+    // against, as a local relation (no job): (cluster, j, c)
+    val centRows = cent.zipWithIndex.flatMap { case (vec, c) =>
+      vec.zipWithIndex.map { case (u, j) =>
+        org.apache.spark.sql.Row(c, j,
+          new java.math.BigDecimal(java.math.BigInteger.valueOf(u), 6))
+      }
+    }
+    val centSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("cluster",
+        org.apache.spark.sql.types.IntegerType, nullable = false),
+      org.apache.spark.sql.types.StructField("j",
+        org.apache.spark.sql.types.IntegerType, nullable = false),
+      org.apache.spark.sql.types.StructField("c",
+        org.apache.spark.sql.types.DecimalType(18, 6), nullable = false)))
+    val centDf = spark.createDataFrame(
+      java.util.Arrays.asList(centRows: _*), centSchema)
+    (assigned, centDf)
   }
 
   private def roundSql(r: Int): String = {

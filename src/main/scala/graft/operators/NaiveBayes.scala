@@ -132,62 +132,112 @@ object NaiveBayes {
       textCol: String,
       trainDf: DataFrame,
       labelCol: String): DataFrame = {
-    val spark = df.sparkSession
-    import spark.implicits._
-
-    // observed (label, token-hash) counts + per-label totals
+    // observed (label, token-hash) counts — the one corpus-sized
+    // model table; checkpointed once, read by the stats jobs and the
+    // delta pivot below
     val lt = tokenCounts(trainDf, textCol, col(labelCol).as("label"))
       .withColumnRenamed("k", "cnt")
       .localCheckpoint(eager = false)
-    val tot = lt.groupBy("label").agg(sum("cnt").as("tot"))
+
+    // Per-label constants, computed AT THE DRIVER (r15 optimization —
+    // guide §1.2 step 1): the old shape derived prior/smooth through a
+    // labelConsts frame that every downstream stage re-joined, costing
+    // a broadcast exchange per consumer and ~10 extra AQE jobs per
+    // classify() call. |labels| is O(1) by contract (a label model,
+    // not a corpus axis), so this is the same bounded model boundary
+    // as fitModel's collect. Arithmetic is replicated EXACTLY:
+    // `round(log(x), 6)` on DoubleType is
+    // BigDecimal.valueOf(x).setScale(6, HALF_UP).toDouble and the
+    // decimal(18,6) cast re-rounds the same way (Round/Cast
+    // semantics), and driver math.log IS the executor's
+    // java.lang.Math.log.
+    def r6(x: Double): java.math.BigDecimal = {
+      val y = java.math.BigDecimal.valueOf(x)
+        .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+      java.math.BigDecimal.valueOf(y)
+        .setScale(6, java.math.RoundingMode.HALF_UP)
+    }
+    val totRows = lt.groupBy("label").agg(sum("cnt").as("tot")).collect()
     val v = lt.select("h").distinct().count()
-    val nTrain = trainDf.count()
-
-    // per-label constants: prior ln(n_l/N), smoothing floor
-    // ln(1/(tot_l+V)) — tiny (|labels| rows), broadcast everywhere
-    val labelConsts = trainDf
+    val nlRows = trainDf
       .groupBy(col(labelCol).as("label")).agg(count(lit(1)).as("nl"))
-      .join(tot, "label")
-      .select(col("label"),
-        round(log(col("nl").cast("double") / lit(nTrain.toDouble)), 6)
-          .cast(LP).as("prior"),
-        round(log(lit(1.0) / (col("tot") + lit(v)).cast("double")), 6)
-          .cast(LP).as("smooth"))
+      .collect()
+    val nTrain = nlRows.map(_.getLong(1)).sum
+    // label order must reproduce the old window tie-break
+    // (label ASC): for strings that is UTF8String binary order
+    val labels: Array[Any] = {
+      val raw = nlRows.map(_.get(0))
+      if (raw.forall(_.isInstanceOf[String]))
+        raw.sortWith { (a, b) =>
+          org.apache.spark.unsafe.types.UTF8String
+            .fromString(a.asInstanceOf[String])
+            .compareTo(org.apache.spark.unsafe.types.UTF8String
+              .fromString(b.asInstanceOf[String])) < 0
+        }
+      else if (raw.forall(_.isInstanceOf[Number]))
+        raw.sortBy(_.asInstanceOf[Number].longValue())
+      else raw.sortBy(String.valueOf(_))
+    }
+    if (labels.isEmpty)
+      // empty training set: the old window-over-nothing produced an
+      // empty frame with this exact schema
+      return df.limit(0).select(col(idCol),
+        lit(null).cast(trainDf.schema(labelCol).dataType).as("pred_label"),
+        lit(null).cast("double").as("score"))
+    val nlBy = nlRows.map(r => r.get(0) -> r.getLong(1)).toMap
+    val totBy = totRows.map(r => r.get(0) -> r.getLong(1)).toMap
+    val prior = labels.map(l =>
+      r6(math.log(nlBy(l).toDouble / nTrain.toDouble)))
+    val smooth = labels.map(l =>
+      r6(math.log(1.0 / (totBy.getOrElse(l, 0L) + v).toDouble)))
 
-    // Δ(l,t) = lp − smooth for observed pairs only
-    val delta = lt
-      .join(broadcast(tot), "label")
-      .join(broadcast(labelConsts.select("label", "smooth")), "label")
-      .select(col("h"), col("label"),
-        (round(log((col("cnt") + lit(1)).cast("double") /
-          (col("tot") + lit(v)).cast("double")), 6).cast(LP) -
-          col("smooth")).as("delta"))
+    // Δ(l,t) = lp − smooth for observed pairs, PIVOTED to one row per
+    // token hash with |labels| delta columns — the scoring join below
+    // then needs ONE h-keyed exchange instead of the old
+    // join-on-h → groupBy(id,label) → window-on-id chain (3 exchanges
+    // + a sort). Values are the identical decimal arithmetic; the
+    // max(when(...)) collapses the ≤1 observed row per (h, label).
+    val deltaCols = labels.zipWithIndex.map { case (l, i) =>
+      max(when(col("label") === lit(l),
+        round(log((col("cnt") + lit(1)).cast("double") /
+          lit((totBy.getOrElse(l, 0L) + v).toDouble)), 6).cast(LP) -
+          lit(smooth(i)).cast(LP))).as(s"_d$i")
+    }.toSeq
+    val deltaWide = lt.groupBy(col("h"))
+      .agg(deltaCols.head, deltaCols.tail: _*)
 
-    // per-document observed-pair contribution: one token-hash-keyed
-    // join, then Σ k·Δ per (doc, label)
-    val dt = tokenCounts(df, textCol, col(idCol))
-    val obs = dt.join(delta, "h")
-      .groupBy(col(idCol), col("label"))
-      .agg(sum(col("k") * col("delta")).as("obs_sum"))
-    val docLen = dt.groupBy(col(idCol)).agg(sum("k").as("n_tok"))
+    // Scoring: raw token occurrences left-join the delta table and
+    // collapse straight to one row per document. Summing Δ once per
+    // OCCURRENCE equals the old Σ k·Δ exactly (decimal addition is
+    // exact), n_tok = count(*) equals Σk, and unseen tokens
+    // contribute only the n_tok·smooth floor — same model, two
+    // exchanges total.
+    val toks = df
+      .select(col(idCol), explode(split(col(textCol), " ")).as("_t"))
+      .select(col(idCol), xxhash64(col("_t")).as("h"))
+    val aggCols = count(lit(1)).as("n_tok") +:
+      labels.indices.map(i =>
+        coalesce(sum(col(s"_d$i")), lit(0).cast(LP)).as(s"_s$i"))
+    val agg = toks.join(deltaWide, Seq("h"), "left")
+      .groupBy(col(idCol))
+      .agg(aggCols.head, aggCols.tail: _*)
 
-    // score over the full doc × label frame (labels broadcast);
-    // docs × |labels| rows, never docs × V
-    val scored = docLen
-      .crossJoin(broadcast(labelConsts))
-      .join(obs, Seq(idCol, "label"), "left")
-      .select(col(idCol), col("label"),
-        (col("prior") + col("n_tok") * col("smooth") +
-          coalesce(col("obs_sum"), lit(0).cast(LP))).as("score"))
-
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col(idCol))
-      .orderBy(col("score").desc, col("label").asc)
-    scored
-      .withColumn("rn", row_number().over(w))
-      .where(col("rn") === 1)
-      .select(col(idCol), col("label").as("pred_label"),
-        col("score").cast("double").as("score"))
+    // score_l = prior_l + n_tok·smooth_l + Σ_obs Δ; argmax as a
+    // label-ascending strict-max fold — identical to the old
+    // row_number over (score DESC, label ASC)
+    val scores = labels.indices.map { i =>
+      lit(prior(i)).cast(LP) + col("n_tok") * lit(smooth(i)).cast(LP) +
+        col(s"_s$i")
+    }
+    var bestLabel: org.apache.spark.sql.Column = lit(labels(0))
+    var bestScore: org.apache.spark.sql.Column = scores(0)
+    for (i <- 1 until labels.length) {
+      val better = scores(i) > bestScore
+      bestLabel = when(better, lit(labels(i))).otherwise(bestLabel)
+      bestScore = when(better, scores(i)).otherwise(bestScore)
+    }
+    agg.select(col(idCol), bestLabel.as("pred_label"),
+      bestScore.cast("double").as("score"))
   }
 
   /** Fit the model into a driver-side `NbModel` for broadcast scoring

@@ -116,17 +116,134 @@ object Pca {
       .groupBy(col(idCol))
       .agg(sum(col("cx") * col("v")).cast("double").as("pc1"))
 
-  /** End-to-end: explode → center → covariance → power-iterate →
-    * project. Returns (idCol, pc1).
+  // ---- fixed-point fast path (r15 optimization) --------------------
+  // The declarative pipeline above pays (a) an n·d² explode +
+  // id-keyed self-join whose DECIMAL multiplies run on
+  // java.math.BigDecimal (precision 37 > the compact-long limit) and
+  // (b) ~3 tiny Spark jobs per power-iteration round. The fixed-point
+  // path computes the identical values: one scan-local Gram aggregate
+  // over unscaled-micros longs (exact 128-bit sums — see
+  // [[graft.functions.expr.GramUpperAgg]]), the d²-sized power
+  // iteration in driver BigDecimal arithmetic (the same bounded model
+  // boundary the old loop's per-round collect already crossed), and a
+  // scan-local exact dot product per vector — ZERO corpus exchanges.
+  // Bit-equality is replayed by the unchanged DuckDB oracles.
+
+  private def r6(x: Double): java.math.BigDecimal = {
+    // Spark's round(_, 6) on DoubleType followed by the DECIMAL(18,6)
+    // cast — both HALF_UP through BigDecimal.valueOf
+    val y = java.math.BigDecimal.valueOf(x)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+    java.math.BigDecimal.valueOf(y)
+      .setScale(6, java.math.RoundingMode.HALF_UP)
+  }
+
+  private def aggCol(f: org.apache.spark.sql.catalyst.expressions.aggregate.AggregateFunction) =
+    org.apache.spark.sql.GraftSqlBridge.column(f.toAggregateExpression())
+  private def ex(c: org.apache.spark.sql.Column) =
+    org.apache.spark.sql.GraftSqlBridge.expression(c)
+
+  /** (muUnscaled, nAll): per-dimension 6-decimal means (micros) and
+    * the TOTAL row count (the covariance divisor — includes null-
+    * vector rows, exactly like the old `emb.count()`), in ONE job.
+    */
+  private def muStats(emb: DataFrame, vecCol: String)
+      : (Array[Long], Long) = {
+    import graft.functions.expr.{FixedPointVec, LongVecSumAgg}
+    val xu = org.apache.spark.sql.GraftSqlBridge.column(
+      FixedPointVec(ex(col(vecCol))))
+    val row = emb.agg(
+      aggCol(LongVecSumAgg(ex(xu))).as("s"),
+      count(col(vecCol)).as("nj"),
+      count(lit(1)).as("n")).head()
+    val sums = row.getSeq[java.math.BigDecimal](0)
+    val nj = row.getLong(1)
+    val n = row.getLong(2)
+    val mu = sums.map { s =>
+      // old: round(sum(x).cast("double") / count.cast("double"), 6)
+      if (nj == 0) 0L
+      else r6(s.doubleValue() / nj.toDouble).unscaledValue().longValueExact()
+    }.toArray
+    (mu, n)
+  }
+
+  /** Centered unscaled-micros vector column over `emb`. */
+  private def cxuCol(vecCol: String, muU: Array[Long]) = {
+    import graft.functions.expr.{FixedPointVec, FixedSubVec}
+    org.apache.spark.sql.GraftSqlBridge.column(FixedSubVec(
+      FixedPointVec(ex(col(vecCol))),
+      ex(typedlit[Seq[Long]](muU.toSeq))))
+  }
+
+  /** Covariance at the driver: upper-triangle exact sums from ONE
+    * Gram-aggregate job, divided/rounded exactly like the old
+    * `round(sum(cxa·cxb).cast("double") / n, 6)`, mirrored to the
+    * full d×d matrix.
+    */
+  private def covarianceLocal(emb: DataFrame, vecCol: String,
+      muU: Array[Long], n: Long, dim: Int)
+      : Array[Array[java.math.BigDecimal]] = {
+    import graft.functions.expr.GramUpperAgg
+    val sums = emb
+      .agg(aggCol(GramUpperAgg(ex(cxuCol(vecCol, muU)))).as("g"))
+      .head().getSeq[java.math.BigDecimal](0)
+    val cov = Array.fill(dim)(new Array[java.math.BigDecimal](dim))
+    var cell = 0
+    for (j <- 0 until dim; k <- j until dim) {
+      val c =
+        if (cell < sums.length) r6(sums(cell).doubleValue() / n.toDouble)
+        else java.math.BigDecimal.ZERO.setScale(6)
+      cov(j)(k) = c
+      cov(k)(j) = c
+      cell += 1
+    }
+    cov
+  }
+
+  /** The power iteration of [[powerIteration]] in driver BigDecimal
+    * arithmetic — identical per-step rounding (exact scale-12 matvec
+    * sums → double → round 6; one pinned sqrt per norm). d² work on d
+    * ≤ 128 models, the same bounded boundary the old loop's per-round
+    * `collect()` crossed.
+    */
+  private def powerIterationLocal(cov: Array[Array[java.math.BigDecimal]],
+      dim: Int, iters: Int): Array[java.math.BigDecimal] = {
+    require(iters >= 1 && iters <= 32, s"iters=$iters")
+    var v = Array.fill(dim)(r6(1.0 / math.sqrt(dim.toDouble)))
+    for (_ <- 1 to iters) {
+      val u = (0 until dim).map { j =>
+        var s = java.math.BigDecimal.ZERO
+        var k = 0
+        while (k < dim) {
+          s = s.add(cov(j)(k).multiply(v(k)))
+          k += 1
+        }
+        r6(s.doubleValue())
+      }.toArray
+      var s2 = java.math.BigDecimal.ZERO
+      u.foreach(x => s2 = s2.add(x.multiply(x)))
+      val nrm = math.sqrt(s2.doubleValue())
+      v = u.map(x => r6(x.doubleValue() / nrm))
+    }
+    v
+  }
+
+  /** End-to-end: one stats job + one Gram job + driver power
+    * iteration + a scan-local exact dot per vector. Returns
+    * (idCol, pc1) — bit-identical to the declarative pipeline (the
+    * unchanged oracle replays it).
     */
   def pc1Projection(emb: DataFrame, idCol: String, vecCol: String,
       dim: Int, iters: Int): DataFrame = {
-    val x = explodeFixed(emb, idCol, vecCol)
-    val (cxRaw, _) = centered(x, idCol)
-    val cx = cxRaw.localCheckpoint(eager = false)
-    val n = emb.count()
-    val v = powerIteration(covariance(cx, idCol, n), dim, iters)
-    project(cx, idCol, v)
+    import graft.functions.expr.FixedDotDec
+    val base = emb.where(col(vecCol).isNotNull && size(col(vecCol)) > 0)
+    val (muU, n) = muStats(emb, vecCol)
+    val v = powerIterationLocal(
+      covarianceLocal(emb, vecCol, muU, n, dim), dim, iters)
+    val vU = v.map(_.unscaledValue().longValueExact())
+    val dot = org.apache.spark.sql.GraftSqlBridge.column(FixedDotDec(
+      ex(cxuCol(vecCol, muU)), ex(typedlit[Seq[Long]](vU.toSeq))))
+    base.select(col(idCol), dot.cast("double").as("pc1"))
   }
 
   /** All-but-the-top correction (Mu et al. 2018): every centered
@@ -137,19 +254,27 @@ object Pca {
     */
   def allButTop(emb: DataFrame, idCol: String, vecCol: String,
       dim: Int, iters: Int): DataFrame = {
-    val x = explodeFixed(emb, idCol, vecCol)
-    val (cxRaw, _) = centered(x, idCol)
-    val cx = cxRaw.localCheckpoint(eager = false)
-    val n = emb.count()
-    val v = powerIteration(covariance(cx, idCol, n), dim, iters)
-    val proj = cx.join(broadcast(v), Seq("j"))
-      .groupBy(col(idCol))
-      .agg(round(sum(col("cx") * col("v")).cast("double"), 6)
-        .cast("decimal(18,6)").as("p6"))
-    cx.join(proj, Seq(idCol))
-      .join(broadcast(v), Seq("j"))
-      .select(col(idCol), col("j"),
-        (col("cx") - col("p6") * col("v")).cast("double").as("corrected"))
+    // same fixed-point path as [[pc1Projection]]: the projection and
+    // the correction are per-vector scan-local kernels (no cx
+    // checkpoint, no joins) — x̂_j = cx_j − p6·v_j computed as the
+    // exact scale-12 integer cxu_j·10⁶ − p6u·vU_j
+    import graft.functions.expr.{AbttCorrectArr, FixedDotDec}
+    val base = emb.where(col(vecCol).isNotNull && size(col(vecCol)) > 0)
+    val (muU, n) = muStats(emb, vecCol)
+    val v = powerIterationLocal(
+      covarianceLocal(emb, vecCol, muU, n, dim), dim, iters)
+    val vU = v.map(_.unscaledValue().longValueExact())
+    val cxu = cxuCol(vecCol, muU)
+    val dot = org.apache.spark.sql.GraftSqlBridge.column(FixedDotDec(
+      ex(cxu), ex(typedlit[Seq[Long]](vU.toSeq))))
+    // p6 = round(Σ cx·v as double, 6) re-scaled to micros
+    val p6u = (round(dot.cast("double"), 6).cast("decimal(18,6)") *
+      lit(1000000)).cast("long")
+    val corrected = org.apache.spark.sql.GraftSqlBridge.column(
+      AbttCorrectArr(ex(cxu), ex(p6u), vU))
+    base
+      .select(col(idCol), posexplode(corrected).as(Seq("j", "corrected")))
+      .select(col(idCol), col("j"), col("corrected"))
   }
 
   /** The oracle replay of [[pc1Projection]] as DuckDB SQL, iteration
