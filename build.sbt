@@ -37,5 +37,16 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // Spark's whole-stage-codegen class cache holds only 100 entries by
+  // default; a 197-query sweep (thousands of distinct codegen units)
+  // thrashes it, so hot generated classes are recompiled AND re-JITed
+  // every rep — measured r15: identical q199 reps swung 3.8→25.7 s
+  // (per-stage cumulative task CPU 41→253 s) purely from re-warming,
+  // and the cache raised to suite size collapsed the spread
+  // (med 8.4→3.7 s, max 16.9→6.1 in back-to-back A/B). This is a
+  // long-lived-driver setting, not a local[32] tune: any deployment
+  // running many distinct plans in one driver wants the cache sized
+  // to its plan population (entries are source strings + class refs).
+  "-Dspark.sql.codegen.cache.maxEntries=10000",
 ) ++ sys.env.get("SPARK_GRAFT_GCLOG").map(f => s"-Xlog:gc:file=$f").toSeq ++ Seq(
 )

@@ -31,6 +31,7 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.extensions", "graft.GraftExtensions")
+      .config("spark.sql.codegen.cache.maxEntries", "10000")
       .config("spark.sql.adaptive.enabled", "true")
       // Lazy-localCheckpoint blocks are released by the
       // ContextCleaner only after a GC processes their plan

@@ -143,6 +143,8 @@ object Tables {
       .appName(appName)
       .config("spark.sql.shuffle.partitions", cores.toString)
       .config("spark.sql.extensions", "graft.GraftExtensions")
+      // suite-sized codegen class cache (see build.sbt javaOptions)
+      .config("spark.sql.codegen.cache.maxEntries", "10000")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")

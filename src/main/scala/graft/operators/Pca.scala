@@ -238,6 +238,12 @@ object Pca {
     import graft.functions.expr.FixedDotDec
     val base = emb.where(col(vecCol).isNotNull && size(col(vecCol)) > 0)
     val (muU, n) = muStats(emb, vecCol)
+    // empty corpus: the declarative pipeline's frames were all empty
+    // (no NaN ever materialized); return the same empty result
+    // instead of iterating on an all-zero covariance (0/0 at the norm)
+    if (muU.isEmpty || n == 0)
+      return base.where(lit(false))
+        .select(col(idCol), lit(null).cast("double").as("pc1"))
     val v = powerIterationLocal(
       covarianceLocal(emb, vecCol, muU, n, dim), dim, iters)
     val vU = v.map(_.unscaledValue().longValueExact())
@@ -261,6 +267,10 @@ object Pca {
     import graft.functions.expr.{AbttCorrectArr, FixedDotDec}
     val base = emb.where(col(vecCol).isNotNull && size(col(vecCol)) > 0)
     val (muU, n) = muStats(emb, vecCol)
+    if (muU.isEmpty || n == 0)
+      return base.where(lit(false))
+        .select(col(idCol), lit(null).cast("int").as("j"),
+          lit(null).cast("double").as("corrected"))
     val v = powerIterationLocal(
       covarianceLocal(emb, vecCol, muU, n, dim), dim, iters)
     val vU = v.map(_.unscaledValue().longValueExact())
