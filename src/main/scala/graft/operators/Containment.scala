@@ -37,8 +37,16 @@ object Containment {
   def shingles(docs: DataFrame, idCol: String, textCol: String,
       w: Int): DataFrame = {
     require(w >= 2 && w <= 16, s"w=$w")
-    val tk = split(col(textCol), " ")
-    docs.select(col(idCol),
+    // `_tk` MUST be its own projection (the q80/MinHashDedup
+    // anti-collapse discipline): a bare `split(text)` referenced from
+    // inside the transform lambda is re-evaluated per shingle
+    // POSITION (HOF lambdas are interpreted; nothing hoists free
+    // subexpressions), turning shingling O(L) per doc into O(L²·w) —
+    // measured r15: q199's shingle-distinct stage burned 89 cumulative
+    // task-CPU-seconds on a 250k-shingle corpus from exactly this.
+    val tk = col("_tk")
+    docs.withColumn("_tk", split(col(textCol), " "))
+      .select(col(idCol),
         explode(when(size(tk) >= w,
           transform(sequence(lit(1), size(tk) - (w - 1)), i =>
             concat_ws(" ", (0 until w).map(o =>

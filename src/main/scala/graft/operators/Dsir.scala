@@ -34,8 +34,17 @@ object Dsir {
     * ([[graft.streaming.Streams.dsirScoreStream]]) so the two can
     * never drift on gram extraction.
     */
-  def gramsExpr(textCol: String): Column = {
-    val tk = split(col(textCol), " ")
+  def gramsExpr(textCol: String): Column =
+    gramsFromTokens(split(col(textCol), " "))
+
+  /** [[gramsExpr]] over an already-materialized token-array column.
+    * Callers MUST bind `tk` to an attribute (withColumn) before
+    * referencing it here: a bare `split(...)` passed in is
+    * re-evaluated per bigram position inside the interpreted HOF
+    * lambda — the O(L²) re-inlining trap (r15: the same pattern cost
+    * Containment.shingles 89 cumulative task-CPU-seconds at sf0.1).
+    */
+  def gramsFromTokens(tk: Column): Column = {
     val bigrams = when(size(tk) >= 2,
       transform(sequence(lit(1), size(tk) - 1), i =>
         concat_ws(" ", element_at(tk, i), element_at(tk, i + 1))))
@@ -52,8 +61,8 @@ object Dsir {
       buckets: Int, carry: Seq[String] = Nil): DataFrame = {
     require(buckets >= 2 && buckets <= 65536, s"buckets=$buckets")
     val keep = (col(idCol) +: carry.map(col)) :+
-      explode(gramsExpr(textCol)).as("g")
-    docs.select(keep: _*)
+      explode(gramsFromTokens(col("_tk"))).as("g")
+    docs.withColumn("_tk", split(col(textCol), " ")).select(keep: _*)
       .groupBy((col(idCol) +: carry.map(col)) :+
         bucketExpr(col("g"), buckets).as("b"): _*)
       .agg(count(lit(1)).as("k"))

@@ -215,7 +215,9 @@ object LanguageModel {
     */
   def fit(train: DataFrame, textCol: String,
       maxGrams: Int = 1000000): FittedLm = {
-    val tk = split(col(textCol), " ")
+    // `_tk` materialized (r15, the Containment.shingles trap): a bare
+    // split() inside the window lambda re-splits per gram position
+    val tk = col("_tk")
     def gramCounts(n: Int): Map[String, Long] = {
       val g = when(size(tk) >= n,
         transform(sequence(lit(1), size(tk) - (n - 1)), i =>
@@ -225,6 +227,7 @@ object LanguageModel {
       // maxGrams+1 rows, so an over-budget vocabulary is refused with
       // driver memory bounded by the budget itself, never by the corpus.
       val rows = train
+        .withColumn("_tk", split(col(textCol), " "))
         .select(explode(g).as("g"))
         .groupBy(col("g")).agg(count(lit(1)).as("c"))
         .limit(maxGrams + 1)

@@ -605,8 +605,11 @@ object StreamDedup {
         "standing-reference model " +
         "must stay broadcast-sized; batch-containment the accumulated " +
         "corpus instead")
-    // apply: scan-local distinct shingle keys for each arriving doc
-    val tk = split(col("text"), " ")
+    // apply: scan-local distinct shingle keys for each arriving doc.
+    // `_tk` materialized first (the Containment.shingles r15 fix): a
+    // bare split() referenced inside the window lambda re-splits the
+    // text per shingle position — O(L²·w) per doc.
+    val tk = col("_tk")
     val shA = array_distinct(transform(
       when(size(tk) >= w,
         transform(sequence(lit(1), size(tk) - (w - 1)), i =>
@@ -615,6 +618,7 @@ object StreamDedup {
         .otherwise(array().cast("array<string>")),
       sx => conv(substring(md5(sx), 1, 15), 16, 10).cast("long")))
     docs
+      .withColumn("_tk", split(col("text"), " "))
       .select(col("doc_id"), shA.as("sh_a"))
       .select(col("doc_id"), col("sh_a"),
         size(col("sh_a")).cast("long").as("n_a"),

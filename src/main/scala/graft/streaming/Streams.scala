@@ -208,10 +208,11 @@ object Streams {
     val lwMap = map(entries.flatMap(r => Seq(
       lit(r.getInt(0)),
       lit(r.getDecimal(1).movePointRight(6).longValueExact()))): _*)
-    docs.withColumn("logw_micros",
-      aggregate(Dsir.gramsExpr(textCol), lit(0L), (acc, g) =>
-        acc + coalesce(
-          element_at(lwMap, Dsir.bucketExpr(g, buckets)), lit(0L))))
+    docs.withColumn("_tk", split(col(textCol), " "))
+      .withColumn("logw_micros",
+        aggregate(Dsir.gramsFromTokens(col("_tk")), lit(0L), (acc, g) =>
+          acc + coalesce(
+            element_at(lwMap, Dsir.bucketExpr(g, buckets)), lit(0L))))
       .select(col(idCol), col("logw_micros"))
   }
 
