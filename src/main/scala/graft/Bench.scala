@@ -87,6 +87,8 @@ object Bench {
     def loadAvg(): Double =
       java.lang.management.ManagementFactory
         .getOperatingSystemMXBean.getSystemLoadAverage
+    spinSec(1) // JIT-warm the loop itself, untimed (first probe read
+               // 0.73 s vs 0.39 post-sweep purely from C2 warmup)
     val spinPre = spinSec(cpus.toInt)
     val loadPre = loadAvg()
     val widening = Tables.names.map { n =>

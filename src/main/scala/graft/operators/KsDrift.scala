@@ -50,8 +50,14 @@ object KsDrift {
   def perGroupKs(df: DataFrame, groupCol: String, valueCol: String)
       : DataFrame = {
     val d38 = "decimal(38,0)"
+    // compute-once boundary (r15): the (group, value) count table
+    // feeds FOUR consumers (bounds, the bucketed value table, the
+    // group-cardinality frame, and the grid join) — un-checkpointed,
+    // each consumer re-ran the corpus scan+aggregate, and the copies
+    // materialize concurrently under AQE (the q199/q164 race)
     val c = df.groupBy(col(groupCol), col(valueCol).cast("long").as("v"))
       .agg(count(lit(1)).as("c"))
+      .localCheckpoint(eager = true)
     // one-row domain-bounds frame: range-bucket width so buckets are
     // monotone in v (DECIMAL(38,0) arithmetic — a full-long value
     // range must not overflow the subtraction)
@@ -104,6 +110,8 @@ object KsDrift {
         abs(col("cum_grp").cast(d38) * col("n_rest").cast(d38) -
           (col("cumtot") - col("cum_grp")).cast(d38) *
             col("n_grp").cast(d38)))
+      // feeds the max reduce AND the argmin-value join below
+      .localCheckpoint(eager = false)
     val dmax = grid.groupBy(col(groupCol), col("n_grp"), col("n_rest"))
       .agg(max(col("d_num")).as("d_max"))
     dmax.join(grid.select(col(groupCol), col("v"),
