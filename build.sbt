@@ -48,5 +48,10 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // running many distinct plans in one driver wants the cache sized
   // to its plan population (entries are source strings + class refs).
   "-Dspark.sql.codegen.cache.maxEntries=10000",
-) ++ sys.env.get("SPARK_GRAFT_GCLOG").map(f => s"-Xlog:gc:file=$f").toSeq ++ Seq(
+) ++ sys.env.get("SPARK_GRAFT_GCLOG").map(f => s"-Xlog:gc:file=$f").toSeq ++
+  // A/B lever for the r16 AQE-coalescing experiments: export
+  // SPARK_GRAFT_MINPART=64k to override the coalesced-partition floor
+  // in any runMain without touching the session builders.
+  sys.env.get("SPARK_GRAFT_MINPART").map(v =>
+    s"-Dspark.sql.adaptive.coalescePartitions.minPartitionSize=$v").toSeq ++ Seq(
 )

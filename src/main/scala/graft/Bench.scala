@@ -175,7 +175,50 @@ object Bench {
       .sortBy(-_._2).take(5)
       .map { case (k, t) => s"""\"$k\":${math.rint(t * 1000) / 1000}""" }
       .mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${math.rint(total * 1000) / 1000},"unit":"sec","n":${results.count(_._2.nonEmpty)},"n_errors":${errors.size},"n_rebuild_contaminated":${rebuilds.size},"slowest":$slowest,$envJson,"sf":"$sfDir"}""")
+    // Bounded per-query DIGEST vs the committed previous-round archive
+    // (r15 verdict #2): the full per-query line overflows the driver's
+    // ~3 KB tail capture, so PERF_r{N}.per_query has come back empty
+    // for two rounds. This computes the round-over-round comparison
+    // IN-PROCESS against bench_archive/prev_final_sf01.json (updated
+    // each round-close) and rides the compact line — ≤5 names each
+    // way, so the line stays well under 2 KB. Counts use a ±10% band
+    // (the measured sweep-noise floor); geomean is over all common
+    // queries, unbanded.
+    val digest: String = {
+      val prevPath = sys.env.getOrElse("SPARK_GRAFT_PREV_BENCH",
+        "bench_archive/prev_final_sf01.json")
+      try {
+        val txt = new String(java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get(prevPath)), "UTF-8")
+        val qsec = txt.indexOf("\"queries\":{")
+        val body = txt.substring(qsec + "\"queries\":{".length,
+          txt.indexOf("}", qsec))
+        val prev = "\"(q[^\"]+)\":([0-9.Ee+-]+)".r.findAllMatchIn(body)
+          .map(m => m.group(1) -> m.group(2).toDouble).toMap
+        val now = results.collect { case (k, Some(t)) => (k, t) }.toMap
+        val common = prev.keySet.intersect(now.keySet).toSeq
+        if (common.isEmpty) "null"
+        else {
+          val ratios = common.map(q => (q, now(q) / prev(q)))
+          val nImp = ratios.count(_._2 < 0.9)
+          val nReg = ratios.count(_._2 > 1.1)
+          val geo = math.exp(
+            ratios.map(r => math.log(1.0 / r._2)).sum / ratios.size)
+          def top(seq: Seq[(String, Double)]) = seq.take(5).map { case (q, _) =>
+            s""""$q":${math.rint(now(q) * 1000) / 1000}"""
+          }.mkString("{", ",", "}")
+          val reg = top(common.map(q => (q, now(q) - prev(q)))
+            .filter(_._2 > 0).sortBy(-_._2))
+          val imp = top(common.map(q => (q, prev(q) - now(q)))
+            .filter(_._2 > 0).sortBy(-_._2))
+          s"""{"n_common":${common.size},"n_improved":$nImp,""" +
+            s""""n_regressed":$nReg,""" +
+            s""""geomean_vs_archive":${math.rint(geo * 1000) / 1000},""" +
+            s""""top_regressed":$reg,"top_improved":$imp}"""
+        }
+      } catch { case _: Throwable => "null" }
+    }
+    println(s"""{"metric":"total","value":${math.rint(total * 1000) / 1000},"unit":"sec","n":${results.count(_._2.nonEmpty)},"n_errors":${errors.size},"n_rebuild_contaminated":${rebuilds.size},"slowest":$slowest,"digest":$digest,$envJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

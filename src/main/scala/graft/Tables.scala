@@ -67,6 +67,26 @@ object Tables {
     }
   }
 
+  /** STAGE widening — `loadWide`'s twin for derived frames (r16): a
+    * `localCheckpoint` freezes whatever partitioning AQE left on the
+    * frame, and on the degenerate test layout AQE coalesces a sub-MB
+    * shuffle to ONE partition — so every downstream consumer of the
+    * checkpoint (the BM25 scoring join, the MinHash signature pass)
+    * runs single-threaded no matter how many cores exist. Returns a
+    * function that hash-repartitions by `key` to the worker count
+    * before the caller's checkpoint, under the SAME file-count guard
+    * as `loadWide` (no-op at any healthy production layout — there
+    * the checkpointed frame inherits real parallelism and an extra
+    * exchange would be pure cost). Key-hashed, never round-robin:
+    * results are repartition-invariant by contract and the exchange
+    * carries only the derived frame (ids/hashes/counts), never text.
+    */
+  def stageWidener(spark: SparkSession, dir: String, name: String,
+      key: org.apache.spark.sql.Column): DataFrame => DataFrame = {
+    if (!wideningEngages(spark, dir, name)) identity
+    else df => df.repartition(spark.sparkContext.defaultParallelism, key)
+  }
+
   /** True iff `loadWide` would insert the widening exchange for this
     * table: fewer files than half the worker count AND ≥1000 rows.
     * Public so PlanDump/diagnostics can report the decision instead

@@ -50,12 +50,21 @@ object FixedPoint {
     u
   }
 
-  /** array<float|double> → unscaled-micros long array. */
+  /** array<float|double> → unscaled-micros long array. Null elements
+    * are REJECTED loudly (advisor r15 #1): the DECIMAL pipeline this
+    * replaced skipped a null coordinate in its sums, while getDouble
+    * on a null slot would silently read 0.0 — neither silently-zero
+    * nor silently-skip is acceptable in an exactness-gated kernel, so
+    * a corpus with null coordinates must fail the job, not drift.
+    */
   def vecToUnscaled(a: ArrayData, isFloat: Boolean): Array[Long] = {
     val n = a.numElements()
     val out = new Array[Long](n)
     var i = 0
     while (i < n) {
+      require(!a.isNullAt(i),
+        "fixed-point: null element inside an embedding vector — the " +
+          "exactness contract requires dense non-null vectors")
       out(i) = toUnscaled6(
         if (isFloat) a.getFloat(i).toDouble else a.getDouble(i))
       i += 1

@@ -236,7 +236,13 @@ object CorpusOps {
     // LAST bucket (most aggressively downsampled) — an unscored doc
     // is not a worst-quality doc. Callers wanting them must score
     // first (q93 filters to n_bigrams >= 1 upstream).
+    // compute-once boundary (r16, guide §2.4): the quantile-cut
+    // action below and the final bucketing scan BOTH consume the
+    // scored input — without a checkpoint the caller's whole scoring
+    // subtree (q93: the bigram cross-entropy joins) runs twice, once
+    // inside the percentile head() and again at execution.
     val df0 = df.filter(col(valueCol).isNotNull)
+      .localCheckpoint(eager = false)
     val cutsRow = df0.select(
       (0 until nb - 1).map(i =>
         round(expr(s"percentile($valueCol, ${qs(i)})"), 6)

@@ -11,7 +11,11 @@ import org.apache.spark.sql.functions._
   *  - init: the vectors with the `k` smallest ids are the seed
   *    centroids (deterministic, data-defined — the replayable stand-in
   *    for random init; k-means++ would add a sampling chain the
-  *    oracle cannot replay exactly);
+  *    oracle cannot replay exactly). Seeds are taken from the
+  *    null/empty-FILTERED rows (advisor r15 #3): the operator
+  *    requires dense non-null vectors — a corpus where one of the k
+  *    smallest ids has a null/empty vector is out of contract (the
+  *    fixed-point kernels reject null coordinates loudly);
   *  - assignment: squared L2 distance as an exact DECIMAL sum of
   *    (x−c)² over 6-decimal fixed-point coordinates; argmin breaks
   *    ties on cluster id ascending (total order, no float caprice);
@@ -137,17 +141,26 @@ object KMeansExact {
     val base = emb.where(col(vecCol).isNotNull && size(col(vecCol)) > 0)
     val xu = brCol(FixedPointVec(brEx(col(vecCol))))
 
+    // Materialize the fixed-point vectors ONCE before the loop (r16,
+    // guide §2.4 / r15 verdict #4): every round used to re-scan the
+    // source and re-run the double→micros conversion — iters× full
+    // corpus reads at 100 TB where one pass suffices. Eager: the
+    // seed collect, every round's aggregate, and the final assignment
+    // all consume it (fan-out ≥ 5, the r15 AQE-race rule).
+    val fx = base.select(col(idCol), xu.as("_xu"))
+      .localCheckpoint(eager = true)
+    val xm = col("_xu")
+
     // seed centroids: the k smallest ids' vectors, cluster = rank of
     // id among the seeds (the old dense_rank over the k-row frame)
-    val seeds = base.select(col(idCol), xu.as("_xu"))
-      .orderBy(col(idCol)).limit(k).collect()
+    val seeds = fx.orderBy(col(idCol)).limit(k).collect()
     var cent: Array[Array[Long]] =
       seeds.map(_.getSeq[Long](1).toArray)
 
     for (_ <- 1 to (iters - 1)) {
-      val nearest = brCol(NearestCentroidFixed(brEx(xu), cent))
-      val upd = base
-        .select(nearest.getField("cluster").as("cluster"), xu.as("_xu"))
+      val nearest = brCol(NearestCentroidFixed(brEx(xm), cent))
+      val upd = fx
+        .select(nearest.getField("cluster").as("cluster"), xm.as("_xu"))
         .groupBy(col("cluster"))
         .agg(brCol(LongVecSumAgg(brEx(col("_xu")))
           .toAggregateExpression()).as("s"),
@@ -165,11 +178,11 @@ object KMeansExact {
       cent = next
     }
 
-    val nearest = brCol(NearestCentroidFixed(brEx(xu), cent))
+    val nearest = brCol(NearestCentroidFixed(brEx(xm), cent))
     // two projects, NOT one: CollapseProject keeps the non-cheap
     // struct expression single-evaluated only when it sits in its own
     // project below the field extraction
-    val assigned = base.select(col(idCol), nearest.as("_n"))
+    val assigned = fx.select(col(idCol), nearest.as("_n"))
       .select(col(idCol),
         col("_n").getField("cluster").as("cluster"),
         col("_n").getField("d2").cast("double").as("d2"))

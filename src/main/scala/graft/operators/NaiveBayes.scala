@@ -83,19 +83,6 @@ object NaiveBayes {
   private def scaled(d: java.math.BigDecimal): Long =
     d.setScale(6).unscaledValue().longValueExact()
 
-  /** Tokens as 8-byte hashes: (idCol, labelCol?, h, k) per distinct
-    * token per row.
-    */
-  private def tokenCounts(df: DataFrame, textCol: String, keep: Column*)
-      : DataFrame = {
-    val base = df.select(keep :+ explode(split(col(textCol), " ")).as("_t"): _*)
-    val names = base.columns.dropRight(1).toSeq
-    base
-      .select(names.map(col) :+ xxhash64(col("_t")).as("h"): _*)
-      .groupBy((names :+ "h").map(col): _*)
-      .agg(count(lit(1)).as("k"))
-  }
-
   /** The trained model as a TABLE — one row per observed
     * (label, token) pair: `(label, token, cnt, logp)` with
     * `logp = round(ln((cnt+1)/(tot_label+V)), 6)`. Token STRINGS are
@@ -125,6 +112,16 @@ object NaiveBayes {
     * corpus sharing the training vocabulary domain works — tokens the
     * model has NEVER seen (in no label) still score via each label's
     * smoothing floor, so nothing fails to classify.
+    *
+    * Null-label pin (advisor r15 #4): a NULL training label competes
+    * as a class with its real prior/smooth but NO per-token deltas —
+    * the r15 driver-side-constants behavior, replicated exactly here
+    * (the label pivot counts null-label tokens via `<=>` so v and the
+    * null label's tot match the old groupBy, while its delta column
+    * stays null like the old `===` comparison). Label types are
+    * strings or numerics by contract; anything else falls back to
+    * String.valueOf ordering, which is NOT Spark's sort order — keep
+    * labels string/numeric.
     */
   def classify(
       df: DataFrame,
@@ -132,13 +129,6 @@ object NaiveBayes {
       textCol: String,
       trainDf: DataFrame,
       labelCol: String): DataFrame = {
-    // observed (label, token-hash) counts — the one corpus-sized
-    // model table; checkpointed once, read by the stats jobs and the
-    // delta pivot below
-    val lt = tokenCounts(trainDf, textCol, col(labelCol).as("label"))
-      .withColumnRenamed("k", "cnt")
-      .localCheckpoint(eager = false)
-
     // Per-label constants, computed AT THE DRIVER (r15 optimization —
     // guide §1.2 step 1): the old shape derived prior/smooth through a
     // labelConsts frame that every downstream stage re-joined, costing
@@ -157,8 +147,6 @@ object NaiveBayes {
       java.math.BigDecimal.valueOf(y)
         .setScale(6, java.math.RoundingMode.HALF_UP)
     }
-    val totRows = lt.groupBy("label").agg(sum("cnt").as("tot")).collect()
-    val v = lt.select("h").distinct().count()
     val nlRows = trainDf
       .groupBy(col(labelCol).as("label")).agg(count(lit(1)).as("nl"))
       .collect()
@@ -185,26 +173,56 @@ object NaiveBayes {
         lit(null).cast(trainDf.schema(labelCol).dataType).as("pred_label"),
         lit(null).cast("double").as("score"))
     val nlBy = nlRows.map(r => r.get(0) -> r.getLong(1)).toMap
-    val totBy = totRows.map(r => r.get(0) -> r.getLong(1)).toMap
+
+    // Per-(token-hash, label) occurrence counts pivoted DIRECTLY from
+    // the raw token stream — ONE h-keyed exchange where the r15 shape
+    // paid two ((label,h) counts, then the (h) re-pivot; guide §2.4).
+    // `sum(when(label <=> l, 1))` over occurrences equals the old
+    // groupBy(label,h).count() exactly (null for unobserved pairs —
+    // sum over an empty when-set — matching the old max(when())
+    // nulls, and <=> reproduces groupBy's null-safe label grouping).
+    // Checkpointed once: the fused stats action below and the delta
+    // projection both read it.
+    val cntCols = labels.zipWithIndex.map { case (l, i) =>
+      sum(when(col("label") <=> lit(l), 1L)).as(s"_c$i")
+    }.toSeq
+    val cntWide = trainDf
+      .select(col(labelCol).as("label"),
+        explode(split(col(textCol), " ")).as("_t"))
+      .select(col("label"), xxhash64(col("_t")).as("h"))
+      .groupBy(col("h"))
+      .agg(cntCols.head, cntCols.tail: _*)
+      .localCheckpoint(eager = false)
+
+    // Fused model stats in ONE action (r16, guide §1.2): v = number of
+    // distinct token hashes = row count of the pivot; tot_l = Σ over
+    // hashes of the per-label counts — the same integers the old
+    // totRows/v pair of jobs produced.
+    val statsCols = count(lit(1)).as("_v") +: labels.indices.map(i =>
+      sum(col(s"_c$i")).as(s"_t$i"))
+    val statsRow = cntWide.agg(statsCols.head, statsCols.tail: _*).head()
+    val v = statsRow.getLong(0)
+    val totBy: Map[Any, Long] = labels.zipWithIndex.map { case (l, i) =>
+      l -> (if (statsRow.isNullAt(i + 1)) 0L else statsRow.getLong(i + 1))
+    }.toMap
     val prior = labels.map(l =>
       r6(math.log(nlBy(l).toDouble / nTrain.toDouble)))
     val smooth = labels.map(l =>
       r6(math.log(1.0 / (totBy.getOrElse(l, 0L) + v).toDouble)))
 
-    // Δ(l,t) = lp − smooth for observed pairs, PIVOTED to one row per
-    // token hash with |labels| delta columns — the scoring join below
-    // then needs ONE h-keyed exchange instead of the old
-    // join-on-h → groupBy(id,label) → window-on-id chain (3 exchanges
-    // + a sort). Values are the identical decimal arithmetic; the
-    // max(when(...)) collapses the ≤1 observed row per (h, label).
-    val deltaCols = labels.zipWithIndex.map { case (l, i) =>
-      max(when(col("label") === lit(l),
-        round(log((col("cnt") + lit(1)).cast("double") /
-          lit((totBy.getOrElse(l, 0L) + v).toDouble)), 6).cast(LP) -
-          lit(smooth(i)).cast(LP))).as(s"_d$i")
-    }.toSeq
-    val deltaWide = lt.groupBy(col("h"))
-      .agg(deltaCols.head, deltaCols.tail: _*)
+    // Δ(l,t) = lp − smooth for observed pairs — now a scan-local
+    // PROJECTION over the pivot (the old shape re-aggregated lt by h
+    // here). Values are the identical decimal arithmetic. A null
+    // label never produced deltas in the r15 shape (its `===`
+    // comparison is never true), so it stays delta-less here.
+    val deltaWide = cntWide.select(
+      col("h") +: labels.zipWithIndex.map { case (l, i) =>
+        (if (l == null) lit(null).cast(LP)
+         else when(col(s"_c$i").isNotNull,
+           round(log((col(s"_c$i") + lit(1)).cast("double") /
+             lit((totBy.getOrElse(l, 0L) + v).toDouble)), 6).cast(LP) -
+             lit(smooth(i)).cast(LP))).as(s"_d$i")
+      }: _*)
 
     // Scoring: raw token occurrences left-join the delta table and
     // collapse straight to one row per document. Summing Δ once per

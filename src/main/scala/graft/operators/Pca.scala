@@ -155,10 +155,18 @@ object Pca {
     val row = emb.agg(
       aggCol(LongVecSumAgg(ex(xu))).as("s"),
       count(col(vecCol)).as("nj"),
-      count(lit(1)).as("n")).head()
+      count(lit(1)).as("n"),
+      // advisor r15 #2: nj counts non-null vectors, but a non-null
+      // EMPTY vector would inflate the mean divisor relative to the
+      // exploded DECIMAL formulation (which contributed no rows).
+      // Same job, one extra column — loud, not silent.
+      count(when(size(col(vecCol)) > 0, lit(1))).as("nne")).head()
     val sums = row.getSeq[java.math.BigDecimal](0)
     val nj = row.getLong(1)
     val n = row.getLong(2)
+    require(row.getLong(3) == nj,
+      s"PCA mean: ${nj - row.getLong(3)} empty (zero-length) vectors — " +
+        "the exactness contract requires uniform non-empty vectors")
     val mu = sums.map { s =>
       // old: round(sum(x).cast("double") / count.cast("double"), 6)
       if (nj == 0) 0L

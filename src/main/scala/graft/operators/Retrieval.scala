@@ -153,12 +153,19 @@ object Retrieval {
     * scoring branches each materialize their own broadcast subtree,
     * so an un-checkpointed postings table would re-tokenize the
     * corpus once PER BRANCH (measured 10 s → 3 s at sf0.1 — the
-    * q48/q67 argument).
+    * q48/q67 argument). `widen` (r16) lets callers inject
+    * `Tables.stageWidener` so the checkpoint is not frozen at the
+    * degenerate layout's single partition — the scoring join reads
+    * the checkpoint directly (broadcast build side), so its
+    * parallelism IS the checkpoint's. A doc_id-keyed widen also
+    * hands the stats `groupBy(doc_id)` its required distribution,
+    * removing that exchange outright (guide §2.4).
     */
   def bm25TopK(docs: DataFrame, idCol: String, textCol: String,
-      queries: DataFrame, k: Int, maxDfFrac: Double = 1.0): DataFrame =
+      queries: DataFrame, k: Int, maxDfFrac: Double = 1.0,
+      widen: DataFrame => DataFrame = identity): DataFrame =
     bm25FromPostings(
-      postings(docs, idCol, textCol).localCheckpoint(eager = false),
+      widen(postings(docs, idCol, textCol)).localCheckpoint(eager = false),
       queries, k, maxDfFrac)
 
   /** Top-`k` token-set-Jaccard hits per query — the second,
@@ -196,9 +203,10 @@ object Retrieval {
     * inline (checkpointed for the same reason as [[bm25TopK]]).
     */
   def jaccardTopK(docs: DataFrame, idCol: String, textCol: String,
-      queries: DataFrame, k: Int): DataFrame =
+      queries: DataFrame, k: Int,
+      widen: DataFrame => DataFrame = identity): DataFrame =
     jaccardFromPostings(
-      postings(docs, idCol, textCol).localCheckpoint(eager = false),
+      widen(postings(docs, idCol, textCol)).localCheckpoint(eager = false),
       queries, k)
 
   /** Fit the per-query-term BM25 model from a postings table: each

@@ -184,6 +184,13 @@ object SnapshotDiff {
       // dedup entry once the watermark passes it, which is what the
       // scaladoc's "state is the watermark-bounded dedup set" promises
       // (the Streams.scala dedup pattern).
+      // OBSERVABLE RE-EMISSION WINDOW (advisor r15 #5): a duplicate
+      // (id, op, payload) event arriving more than `watermark` after
+      // the original is re-emitted, where the unbounded form
+      // deduplicated forever. That is the documented contract of
+      // every watermarked dedup in this engine (Streams.dedupStream):
+      // bounded state is the 100 TB requirement, and callers needing
+      // full-history semantics run the batch [[diff]] instead.
       .dropDuplicatesWithinWatermark(Seq(idCol, "op") ++ fpCols)
       .withColumn("fp2", contentFp(fpCols))
       .join(base, Seq(idCol), "left")

@@ -27,9 +27,14 @@ object CurationQueries {
       "q161_dsir_select",
       (s, dir) => {
         val d = Tables.loadWide(s, dir, "documents")
+        // compute-once boundary (r16, guide §2.4): the threshold's
+        // broadcast subtree and the selection scan both consume the
+        // DSIR weights — without it the whole hashed-n-gram pipeline
+        // runs twice (the q199/q160 class)
         val w = Dsir.importanceWeights(d, "doc_id", "text",
           col("lang") === "en", DsirBuckets)
           .select(col("doc_id"), col("logw").cast("double").as("logw"))
+          .localCheckpoint(eager = false)
         val thr = w.agg(
           round(expr("percentile(logw, 0.8)"), 6).as("thr"))
         w.crossJoin(broadcast(thr))

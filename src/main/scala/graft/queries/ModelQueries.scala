@@ -408,10 +408,14 @@ object ModelQueries {
     QueryDef(
       "q155_psi_drift",
       (s, dir) => {
+        // compute-once boundary (r16, guide §2.4): the decile-edge
+        // broadcast subtree and the binning scan both consume the
+        // scored frame — checkpointed so qualityScore runs once
         val scored = Tables.load(s, dir, "documents")
           .select(col("doc_id"),
             round(qualityScore(col("text")), 6).as("q"),
             (col("doc_id") % 2 === 0).as("is_ref"))
+          .localCheckpoint(eager = false)
         val edgeCols = (1 to 9).map(i =>
           round(expr(s"percentile(q, 0.${i})"), 6).as(s"e$i"))
         val edges = scored.filter(col("is_ref"))
@@ -676,19 +680,32 @@ object ModelQueries {
       "q146_nb_crossval",
       (s, dir) => {
         val d = Tables.load(s, dir, "documents")
-        val folds = (0 until 3).map { f =>
-          val train = d.filter(col("doc_id") % 3 =!= f)
-          val test = d.filter(col("doc_id") % 3 === f)
-          graft.operators.NaiveBayes
-            .classify(test, "doc_id", "text", train, "lang")
-            .join(test.select(col("doc_id"), col("lang")), Seq("doc_id"))
-            .agg(count(lit(1)).as("n"),
-              sum(when(col("pred_label") === col("lang"), 1L)
-                .otherwise(0L)).as("n_correct"))
-            .select(lit(f).as("fold"), col("n"), col("n_correct"),
-              round(col("n_correct").cast("double") /
-                col("n").cast("double"), 6).as("acc"))
-        }
+        // The three fold models are independent until the final union,
+        // but classify() runs blocking driver actions (its model-stats
+        // collects) during CONSTRUCTION — built sequentially, the
+        // suite pays 3× the stats latency while most cores idle.
+        // Overlap them from a small thread pool (guide §2.6: submit
+        // independent jobs concurrently so the next fold's stats
+        // back-fill the previous one's stragglers). Results are
+        // unchanged: each fold's model sees only its own data.
+        import scala.concurrent.{Await, Future}
+        import scala.concurrent.duration.Duration
+        import scala.concurrent.ExecutionContext.Implicits.global
+        val folds = Await.result(Future.sequence((0 until 3).map { f =>
+          Future {
+            val train = d.filter(col("doc_id") % 3 =!= f)
+            val test = d.filter(col("doc_id") % 3 === f)
+            graft.operators.NaiveBayes
+              .classify(test, "doc_id", "text", train, "lang")
+              .join(test.select(col("doc_id"), col("lang")), Seq("doc_id"))
+              .agg(count(lit(1)).as("n"),
+                sum(when(col("pred_label") === col("lang"), 1L)
+                  .otherwise(0L)).as("n_correct"))
+              .select(lit(f).as("fold"), col("n"), col("n_correct"),
+                round(col("n_correct").cast("double") /
+                  col("n").cast("double"), 6).as("acc"))
+          }
+        }), Duration.Inf)
         folds.reduce(_ unionByName _).orderBy(col("fold"))
       },
       Some(s"""
@@ -968,12 +985,20 @@ object ModelQueries {
       "q160_model_curation",
       (s, dir) => {
         val d = Tables.load(s, dir, "documents")
+        // compute-once boundaries (r16, guide §2.4 — the q199 class):
+        // the Stupid-Backoff scorer and the LR scorer each feed BOTH
+        // their median frame and the final admission join; without a
+        // checkpoint each consumer re-runs the whole trigram/scoring
+        // subtree (the median's broadcast subtree re-built the entire
+        // LM — measured 26 jobs for this query).
         val lm = LanguageModel.stupidBackoff(
           d.filter(col("source") =!= "src1"), d, "doc_id", "text")
+          .localCheckpoint(eager = false)
         val med = lm.filter(col("avg_sb").isNotNull)
           .agg(round(expr("percentile(avg_sb, 0.5)"), 6).as("med"))
         val lr = lrScored(s, dir)
           .select(col("doc_id"), col("p"))
+          .localCheckpoint(eager = false)
         val pmed = lr.agg(
           round(expr("percentile(p, 0.5)"), 6).as("pmed"))
         lm.join(lr, Seq("doc_id"))
@@ -1058,9 +1083,13 @@ object ModelQueries {
       "q141_curriculum",
       (s, dir) => {
         import org.apache.spark.sql.expressions.Window
+        // compute-once boundary (r16, guide §2.4): the quartile-band
+        // broadcast subtree and the bucketing scan both consume the
+        // scored frame — checkpointed so qualityScore runs once
         val scored = Tables.load(s, dir, "documents")
           .select(col("doc_id"),
             round(qualityScore(col("text")), 6).as("q"))
+          .localCheckpoint(eager = false)
         val bands = scored.agg(
           round(expr("percentile(q, 0.75)"), 6).as("p75"),
           round(expr("percentile(q, 0.5)"), 6).as("p50"),

@@ -75,8 +75,9 @@ object RetrievalQueries {
     QueryDef(
       "q119_bm25_topk",
       (s, dir) => {
-        val d = Tables.load(s, dir, "documents")
-        Retrieval.bm25TopK(d, "doc_id", "text", querySet(d), k = 10)
+        val d = Tables.loadWide(s, dir, "documents")
+        Retrieval.bm25TopK(d, "doc_id", "text", querySet(d), k = 10,
+            widen = Tables.stageWidener(s, dir, "documents", col("doc_id")))
           .orderBy(col("qid"), col("rank"))
       },
       Some(s"""
@@ -92,12 +93,14 @@ object RetrievalQueries {
     QueryDef(
       "q120_rrf_fusion",
       (s, dir) => {
-        val d = Tables.load(s, dir, "documents")
+        val d = Tables.loadWide(s, dir, "documents")
         val qs = querySet(d)
         // ONE tokenize+combine of the corpus feeds both rankers —
         // the localCheckpoint stage boundary (q48/q67 argument)
-        // keeps the scan+explode from running twice
-        val post = Retrieval.postings(d, "doc_id", "text")
+        // keeps the scan+explode from running twice; stage-widened
+        // (r16) so both rankers' joins inherit real parallelism
+        val post = Tables.stageWidener(s, dir, "documents",
+            col("doc_id"))(Retrieval.postings(d, "doc_id", "text"))
           .localCheckpoint(eager = false)
         Retrieval.rrfTopK(
           Retrieval.bm25FromPostings(post, qs, k = 50),
@@ -155,9 +158,10 @@ object RetrievalQueries {
     QueryDef(
       "q128_hard_negatives",
       (s, dir) => {
-        val d = Tables.load(s, dir, "documents")
+        val d = Tables.loadWide(s, dir, "documents")
         val ranked = Retrieval
-          .bm25TopK(d, "doc_id", "text", querySet(d), k = 50)
+          .bm25TopK(d, "doc_id", "text", querySet(d), k = 50,
+            widen = Tables.stageWidener(s, dir, "documents", col("doc_id")))
           .localCheckpoint(eager = false) // positives + negatives faces
         val pos = ranked.filter(col("rank") === 1)
           .select(col("qid"), col("doc_id").as("pos_id"))
@@ -191,9 +195,10 @@ object RetrievalQueries {
     QueryDef(
       "q130_bm25_dfcap",
       (s, dir) => {
-        val d = Tables.load(s, dir, "documents")
+        val d = Tables.loadWide(s, dir, "documents")
         Retrieval.bm25TopK(d, "doc_id", "text", querySet(d), k = 10,
-            maxDfFrac = 0.77)
+            maxDfFrac = 0.77,
+            widen = Tables.stageWidener(s, dir, "documents", col("doc_id")))
           .orderBy(col("qid"), col("rank"))
       },
       Some(s"""
@@ -218,7 +223,7 @@ object RetrievalQueries {
     QueryDef(
       "q192_bm25_cdc",
       (s, dir) => {
-        val d = Tables.load(s, dir, "documents")
+        val d = Tables.loadWide(s, dir, "documents")
           .select(col("doc_id"), col("text"))
         val v2 = d.filter(col("doc_id") % 23 =!= 0)
           .withColumn("text", when(col("doc_id") % 9 === 0,
@@ -228,10 +233,13 @@ object RetrievalQueries {
             .select((col("doc_id") + lit(10000000L)).as("doc_id"),
               concat(lit("new arrival "), col("text")).as("text")))
           .localCheckpoint(eager = false)
+        // NOT checkpointed (r16): updateTextPostings reads the v1
+        // postings exactly once (the eviction anti-join), so a stage
+        // boundary here is a pure materialization barrier
         val v1post = Retrieval.postings(d, "doc_id", "text")
-          .localCheckpoint(eager = false)
-        val updated = graft.operators.IndexMaintenance
-          .updateTextPostings(v1post, d, v2, "doc_id", "text")
+        val updated = Tables.stageWidener(s, dir, "documents",
+            col("doc_id"))(graft.operators.IndexMaintenance
+            .updateTextPostings(v1post, d, v2, "doc_id", "text"))
           .localCheckpoint(eager = false)
         Retrieval.bm25FromPostings(updated, querySet(v2), k = 10)
           .orderBy(col("qid"), col("rank"))

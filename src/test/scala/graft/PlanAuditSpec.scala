@@ -197,7 +197,9 @@ class PlanAuditSpec extends SparkSpec {
     */
   private val textExchangeAllowed: Map[String, String] = Map.empty
 
-  /** The 14 queries that opt into `Tables.loadWide` (PERF.md r13).
+  /** The queries that opt into `Tables.loadWide` (PERF.md r13; the
+    * r16 additions are the ranker/corpus-prep families whose
+    * single-task tokenize/score scans topped the r15 bench).
     * On a degenerate input layout — fewer files than half the worker
     * count, the driver's 1-file test parquet — the loader inserts ONE
     * round-robin exchange directly over the scan so heavy per-row
@@ -218,7 +220,16 @@ class PlanAuditSpec extends SparkSpec {
     "q105_winnow_neardup", "q131_knn_label_consistency",
     "q161_dsir_select", "q164_containment_dedup",
     "q169_margin_align_ivf", "q183_curation_funnel",
-    "q194_rejection_reasons", "q199_dedup_savings")
+    "q194_rejection_reasons", "q199_dedup_savings",
+    // r16: the BM25/ranker family — the postings build (tokenize +
+    // explode + combine) was a single-task scan stage (1.7–2.4 s of
+    // serial CPU per query at sf0.1)
+    "q119_bm25_topk", "q120_rrf_fusion", "q128_hard_negatives",
+    "q130_bm25_dfcap", "q192_bm25_cdc",
+    // r16: the corpus-prep/featurizer family — quality/langid/md5
+    // scoring scans and the tfidf/ngram explodes were single-task
+    "q48_clean_pipeline", "q62_corpus_prep", "q90_pretraining_program",
+    "q78_tfidf_embedding")
 
   /** Physical-plan traversal that descends into AQE wrappers and
     * subqueries (the Metrics.countSkewSplits recursion).
@@ -347,7 +358,7 @@ class PlanAuditSpec extends SparkSpec {
 
   test("at a scale where loadWide engages, the widening exchange is " +
       "the ONLY non-hash exchange carrying text/vectors — and only " +
-      "in the 14 opted-in queries (the r13 by-type carve-out, closed)") {
+      "in the opted-in queries (the r13 by-type carve-out, closed)") {
     import org.apache.spark.sql.catalyst.plans.physical.RoundRobinPartitioning
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
     val sf01 = "/root/testdata/sf0.1"
@@ -385,6 +396,82 @@ class PlanAuditSpec extends SparkSpec {
     assert(sawWidening,
       "no widening exchange found in any opted-in query at sf0.1 — " +
         "the wideningExchangeAllowed list is dead weight; prune it")
+  }
+
+  /** r15's biggest per-row CPU defect class, made a standing gate
+    * (r15 verdict #7): a `split`/`md5`/`regexp_*`/`sha*` call nested
+    * inside a higher-order-function lambda body re-derives its input
+    * once PER ELEMENT of the outer array — the O(L²)-per-document
+    * trap ee8be25 fixed in five operators (bind the derived array to
+    * an attribute with withColumn BEFORE the lambda). Per-element
+    * hashing of an already-bound element (xxhash64(x) in tokenHashes)
+    * is fine and intended; what this bans is re-deriving a STRING
+    * (split / digest / regex) inside the lambda.
+    */
+  private def expensiveInLambda(
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+      : Seq[String] = {
+    import org.apache.spark.sql.catalyst.expressions._
+    def bannedName(e: Expression): Option[String] = e match {
+      case _: StringSplit => Some("split")
+      case _: Md5 => Some("md5")
+      case _: Sha1 => Some("sha1")
+      case _: Sha2 => Some("sha2")
+      case _: RegExpReplace => Some("regexp_replace")
+      case _: RegExpExtract => Some("regexp_extract")
+      case _: RegExpExtractAll => Some("regexp_extract_all")
+      case _ => None
+    }
+    // The trap is a banned call that is LOOP-INVARIANT inside the
+    // lambda — its subtree references no lambda variable, so it
+    // re-derives the same value once per element (the O(L²) class).
+    // A banned call OF the lambda variable (md5(t) per token, the
+    // simhash/winnowing per-element hash) is per-element work that
+    // belongs exactly there and is not flagged.
+    def loopInvariant(e: Expression): Boolean =
+      !e.exists(_.isInstanceOf[NamedLambdaVariable])
+    plan.flatMap { node =>
+      node.expressions.flatMap { root =>
+        root.collect {
+          case lf: LambdaFunction =>
+            lf.function.collect {
+              case e if bannedName(e).nonEmpty && loopInvariant(e) =>
+                bannedName(e).get
+            }
+        }.flatten
+      }
+    }
+  }
+
+  test("no split/digest/regex call inside any HOF lambda body " +
+      "(the r15 O(L^2) trap, as a standing audit)") {
+    val flagged = executions.toSeq.sortBy(_._1).flatMap {
+      case (name, qe) =>
+        val hits = expensiveInLambda(qe.optimizedPlan)
+        if (hits.nonEmpty) Some(s"$name: ${hits.distinct.mkString(",")}")
+        else None
+    }
+    assert(flagged.isEmpty,
+      s"string re-derivation inside lambda bodies (bind the derived " +
+        s"array to an attribute before the lambda — the ee8be25 fix):\n" +
+        s"${flagged.mkString("\n")}")
+  }
+
+  test("the lambda audit fires on a seeded violation and stays quiet " +
+      "on the hoisted fix") {
+    import org.apache.spark.sql.functions._
+    // non-literal text so constant folding cannot erase the split
+    val base = spark.range(3)
+      .select(concat(col("id").cast("string"), lit(" a b")).as("text"))
+    val bad = base.select(transform(sequence(lit(1), lit(3)),
+      i => element_at(split(col("text"), " "), i)).as("toks"))
+    assert(expensiveInLambda(bad.queryExecution.optimizedPlan).nonEmpty,
+      "seeded split-inside-lambda violation was not detected")
+    // the ee8be25 fix shape: bind the array first, per-element hash ok
+    val good = base.withColumn("_tk", split(col("text"), " "))
+      .select(transform(col("_tk"), t => md5(t)).as("hashes"))
+    assert(expensiveInLambda(good.queryExecution.optimizedPlan).isEmpty,
+      "hoisted/bound-array shape must not be flagged")
   }
 
   test("no cartesian/nested-loop join outside the documented exact " +
