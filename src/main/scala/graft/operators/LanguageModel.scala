@@ -80,7 +80,11 @@ object LanguageModel {
           .otherwise(array().cast(
             "array<struct<h1:bigint,h12:bigint,h123:bigint>>"))).as("g"))
       .select(col("g.h1"), col("g.h12"), col("g.h123"))
-      .localCheckpoint(eager = false)
+      // eager (r16): FOUR consumers (c1/c2/c3/n) materialize
+      // concurrently under AQE — lazy lets them race the first
+      // computation of the shared RDD (the r15 fan-out rule;
+      // q160's warmup showed 4 concurrent ~1.5 s jobs here)
+      .localCheckpoint(eager = true)
     val c1 = tTok.groupBy(col("h1")).agg(count(lit(1)).as("c1"))
     val c2 = tTok.filter(col("h12").isNotNull)
       .groupBy(col("h12")).agg(count(lit(1)).as("c2"))

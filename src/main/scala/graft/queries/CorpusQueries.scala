@@ -556,7 +556,7 @@ object CorpusQueries {
     QueryDef(
       "q78_tfidf_embedding",
       (s, dir) => {
-        val d = Tables.loadWide(s, dir, "documents")
+        val d = Tables.load(s, dir, "documents")
         CorpusOps.tfidfHashedEmbedding(d, "doc_id", "text", dim = 32)
           .select(col("doc_id"), posexplode(col("vec")).as(Seq("j", "v")))
           .orderBy(col("doc_id"), col("j"))

@@ -332,12 +332,18 @@ object CurationQueries {
           .filter(col("avg_ce").isNotNull)
           .select(col("doc_id"),
             round(col("avg_ce"), 6).cast("decimal(18,6)").as("ce6"))
+        // compute-once boundary (r16, guide §2.4 — the q160/q161
+        // class): the Z normalizer's broadcast subtree and the final
+        // projection both consume this frame; without it the whole
+        // bigram-CE pipeline runs twice (the isolated q173 spread was
+        // 1.9-4.4 s from exactly this race)
         val ls = ce
           .join(d.select(col("doc_id"), col("source")), Seq("doc_id"))
           .groupBy(col("source"))
           .agg(count(lit(1)).as("n_docs"),
             round(sum(col("ce6")).cast("double") / count(lit(1)), 6)
               .as("loss"))
+          .localCheckpoint(eager = false)
         val u = ls.select(col("source"), col("n_docs"), col("loss"),
           (round(exp(lit(0.1) * col("loss")), 6).cast("decimal(18,6)")
             * 1000000).cast("long").as("ui"))

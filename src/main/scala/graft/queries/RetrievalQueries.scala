@@ -197,8 +197,7 @@ object RetrievalQueries {
       (s, dir) => {
         val d = Tables.loadWide(s, dir, "documents")
         Retrieval.bm25TopK(d, "doc_id", "text", querySet(d), k = 10,
-            maxDfFrac = 0.77,
-            widen = Tables.stageWidener(s, dir, "documents", col("doc_id")))
+            maxDfFrac = 0.77)
           .orderBy(col("qid"), col("rank"))
       },
       Some(s"""
@@ -223,7 +222,7 @@ object RetrievalQueries {
     QueryDef(
       "q192_bm25_cdc",
       (s, dir) => {
-        val d = Tables.loadWide(s, dir, "documents")
+        val d = Tables.load(s, dir, "documents")
           .select(col("doc_id"), col("text"))
         val v2 = d.filter(col("doc_id") % 23 =!= 0)
           .withColumn("text", when(col("doc_id") % 9 === 0,
@@ -237,9 +236,8 @@ object RetrievalQueries {
         // postings exactly once (the eviction anti-join), so a stage
         // boundary here is a pure materialization barrier
         val v1post = Retrieval.postings(d, "doc_id", "text")
-        val updated = Tables.stageWidener(s, dir, "documents",
-            col("doc_id"))(graft.operators.IndexMaintenance
-            .updateTextPostings(v1post, d, v2, "doc_id", "text"))
+        val updated = graft.operators.IndexMaintenance
+          .updateTextPostings(v1post, d, v2, "doc_id", "text")
           .localCheckpoint(eager = false)
         Retrieval.bm25FromPostings(updated, querySet(v2), k = 10)
           .orderBy(col("qid"), col("rank"))

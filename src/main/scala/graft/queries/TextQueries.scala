@@ -275,7 +275,7 @@ object TextQueries {
       (s, dir) => {
         import graft.operators.MinHashDedup
         import org.apache.spark.sql.expressions.Window
-        val scored = Tables.loadWide(s, dir, "documents")
+        val scored = Tables.load(s, dir, "documents")
           .select(col("doc_id"), col("text"), col("lang"),
             qualityScore(col("text")).as("quality"),
             langId(col("text")).as("lang_pred"),
@@ -293,11 +293,10 @@ object TextQueries {
         // holds no CacheManager entry, so the blocks are released by
         // the ContextCleaner once the plan is dereferenced (no
         // session-lifetime cache leak across bench sweeps).
-        val exactDeduped = Tables.stageWidener(s, dir, "documents",
-            col("doc_id"))(filtered
+        val exactDeduped = filtered
           .withColumn("min_id", min(col("doc_id")).over(Window.partitionBy("fp")))
           .filter(col("doc_id") === col("min_id"))
-          .select(col("doc_id"), col("text"), col("quality")))
+          .select(col("doc_id"), col("text"), col("quality"))
           .localCheckpoint(eager = false)
         // near-dup removal: greedy drop of the higher id of each pair
         val drops = MinHashDedup.nearDuplicatePairs(
@@ -348,7 +347,7 @@ object TextQueries {
       (s, dir) => {
         import graft.operators.{Contamination, DupClusters, MinHashDedup}
         import org.apache.spark.sql.expressions.Window
-        val docs = Tables.loadWide(s, dir, "documents")
+        val docs = Tables.load(s, dir, "documents")
         val benchmark = docs.filter(col("doc_id") % 50 === 0) // eval stand-in
         val filtered = docs
           .select(col("doc_id"), col("text"), col("lang"),
@@ -356,11 +355,10 @@ object TextQueries {
             langId(col("text")).as("lang_pred"),
             fingerprintMd5(col("text")).as("fp"))
           .filter(col("quality") >= 0.5 && col("lang_pred") === col("lang"))
-        val exactDeduped = Tables.stageWidener(s, dir, "documents",
-            col("doc_id"))(filtered
+        val exactDeduped = filtered
           .withColumn("min_id", min(col("doc_id")).over(Window.partitionBy("fp")))
           .filter(col("doc_id") === col("min_id"))
-          .select(col("doc_id"), col("text")))
+          .select(col("doc_id"), col("text"))
           .localCheckpoint(eager = false)
         val pairs = MinHashDedup.nearDuplicatePairs(
           exactDeduped, "doc_id", "text", threshold = 0.8)

@@ -223,13 +223,12 @@ class PlanAuditSpec extends SparkSpec {
     "q194_rejection_reasons", "q199_dedup_savings",
     // r16: the BM25/ranker family — the postings build (tokenize +
     // explode + combine) was a single-task scan stage (1.7–2.4 s of
-    // serial CPU per query at sf0.1)
+    // serial CPU per query at sf0.1). Widening was ALSO tried and
+    // REVERTED by measurement for q48/q62/q78/q90/q192 (deep
+    // multi-stage pipelines: per-stage task overhead exceeded the
+    // parallel-scan win — the r13 "opt-in per query" lesson holding).
     "q119_bm25_topk", "q120_rrf_fusion", "q128_hard_negatives",
-    "q130_bm25_dfcap", "q192_bm25_cdc",
-    // r16: the corpus-prep/featurizer family — quality/langid/md5
-    // scoring scans and the tfidf/ngram explodes were single-task
-    "q48_clean_pipeline", "q62_corpus_prep", "q90_pretraining_program",
-    "q78_tfidf_embedding")
+    "q130_bm25_dfcap")
 
   /** Physical-plan traversal that descends into AQE wrappers and
     * subqueries (the Metrics.countSkewSplits recursion).
