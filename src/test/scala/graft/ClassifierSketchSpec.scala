@@ -46,6 +46,83 @@ class ClassifierSketchSpec extends SparkSpec {
     assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
   }
 
+  test("nb classify: the r16 fused model build equals the r15 " +
+      "formulation verbatim on a corpus WITH a null training label " +
+      "(advisor #4 pin: null label competes via prior+smooth only)") {
+    import org.apache.spark.sql.types.DecimalType
+    val LP = DecimalType(18, 6)
+    val train = Seq(
+      (1L, "alpha beta beta", "en"),
+      (2L, "alpha gamma", "fr"),
+      (3L, "beta beta gamma delta", null.asInstanceOf[String]),
+      (4L, "alpha alpha beta", "en"),
+      (5L, "gamma gamma", "fr")).toDF("doc_id", "text", "lang")
+    val got = NaiveBayes.classify(train, "doc_id", "text", train, "lang")
+
+    // ---- the r15 shape, re-implemented verbatim ----
+    def r6(x: Double): java.math.BigDecimal = {
+      val y = java.math.BigDecimal.valueOf(x)
+        .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+      java.math.BigDecimal.valueOf(y)
+        .setScale(6, java.math.RoundingMode.HALF_UP)
+    }
+    val lt = train
+      .select(col("lang").as("label"),
+        explode(split(col("text"), " ")).as("_t"))
+      .select(col("label"), xxhash64(col("_t")).as("h"))
+      .groupBy(col("label"), col("h"))
+      .agg(count(lit(1)).as("cnt"))
+    val totRows = lt.groupBy("label").agg(sum("cnt").as("tot")).collect()
+    val v = lt.select("h").distinct().count()
+    val nlRows = train.groupBy(col("lang").as("label"))
+      .agg(count(lit(1)).as("nl")).collect()
+    val nTrain = nlRows.map(_.getLong(1)).sum
+    val labels: Array[Any] = nlRows.map(_.get(0)).sortBy(l =>
+      Option(l).map(_.toString).getOrElse(""))
+    // label-array order only matters for argmax TIES; this corpus has
+    // none, so the differential equality below is order-insensitive
+    val nlBy = nlRows.map(r => r.get(0) -> r.getLong(1)).toMap
+    val totBy = totRows.map(r => r.get(0) -> r.getLong(1)).toMap
+    val prior = labels.map(l =>
+      r6(math.log(nlBy(l).toDouble / nTrain.toDouble)))
+    val smooth = labels.map(l =>
+      r6(math.log(1.0 / (totBy.getOrElse(l, 0L) + v).toDouble)))
+    val deltaCols = labels.zipWithIndex.map { case (l, i) =>
+      max(when(col("label") === lit(l),
+        round(log((col("cnt") + lit(1)).cast("double") /
+          lit((totBy.getOrElse(l, 0L) + v).toDouble)), 6).cast(LP) -
+          lit(smooth(i)).cast(LP))).as(s"_d$i")
+    }.toSeq
+    val deltaWide = lt.groupBy(col("h"))
+      .agg(deltaCols.head, deltaCols.tail: _*)
+    val toks = train
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("_t"))
+      .select(col("doc_id"), xxhash64(col("_t")).as("h"))
+    val aggCols = count(lit(1)).as("n_tok") +:
+      labels.indices.map(i =>
+        coalesce(sum(col(s"_d$i")), lit(0).cast(LP)).as(s"_s$i"))
+    val agg = toks.join(deltaWide, Seq("h"), "left")
+      .groupBy(col("doc_id"))
+      .agg(aggCols.head, aggCols.tail: _*)
+    val scores = labels.indices.map { i =>
+      lit(prior(i)).cast(LP) + col("n_tok") * lit(smooth(i)).cast(LP) +
+        col(s"_s$i")
+    }
+    var bestLabel: org.apache.spark.sql.Column = lit(labels(0))
+    var bestScore: org.apache.spark.sql.Column = scores(0)
+    for (i <- 1 until labels.length) {
+      val better = scores(i) > bestScore
+      bestLabel = when(better, lit(labels(i))).otherwise(bestLabel)
+      bestScore = when(better, scores(i)).otherwise(bestScore)
+    }
+    val want = agg.select(col("doc_id"), bestLabel.as("pred_label"),
+      bestScore.cast("double").as("score"))
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty,
+      s"r16 fused != r15 formulation:\n" +
+        s"got ${got.orderBy("doc_id").collect().mkString(", ")}\n" +
+        s"want ${want.orderBy("doc_id").collect().mkString(", ")}")
+  }
+
   test("nb classify: beats the majority-class baseline on lang") {
     val out = NaiveBayes.classify(docs, "doc_id", "text", docs, "lang")
     val joined = out.join(docs, "doc_id")

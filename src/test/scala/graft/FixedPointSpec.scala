@@ -159,4 +159,40 @@ class FixedPointSpec extends SparkSpec {
     // d2 is the exact decimal: (0.9-1.0)² + (-0.4+0.5)² = 0.02
     assert(math.abs(out(0).getDouble(2) - 0.02) < 1e-12)
   }
+
+  test("vecToUnscaled rejects null vector elements loudly " +
+      "(advisor r16 guard: no silent 0.0 coercion)") {
+    val spark2 = spark
+    import spark2.implicits._
+    val df = Seq(Tuple1(Array[java.lang.Float](1.5f, null, 2.0f)))
+      .toDF("v")
+    val e = intercept[Exception] {
+      df.select(brCol(FixedPointVec(brEx(col("v")))).as("u"))
+        .collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x =>
+        Option(x.getMessage).toSeq ++ messages(x.getCause))
+    assert(messages(e).exists(_.contains("null element")),
+      s"expected the null-element guard, got: ${messages(e)}")
+  }
+
+  test("Pca muStats rejects non-null EMPTY vectors loudly " +
+      "(advisor r16 guard: no inflated mean divisor)") {
+    val spark2 = spark
+    import spark2.implicits._
+    val emb = Seq(
+      (1L, Array(0.5f, 0.25f)),
+      (2L, Array.empty[Float]),
+      (3L, Array(1.0f, -1.0f))).toDF("id", "embedding")
+    val e = intercept[Exception] {
+      graft.operators.Pca.pc1Projection(emb, "id", "embedding",
+        dim = 2, iters = 2).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x =>
+        Option(x.getMessage).toSeq ++ messages(x.getCause))
+    assert(messages(e).exists(_.contains("empty (zero-length) vectors")),
+      s"expected the empty-vector guard, got: ${messages(e)}")
+  }
 }
